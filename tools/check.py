@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 tools/check.py [sfDir] [outDir]
+Reads outDir/<name>/ parquet (written by graft.Verify) and
+outDir/oracle_sql.json, runs each oracle in DuckDB over the sfDir
+tables, sorts columns by name and rows by value, and diffs exactly.
+"""
+import sys, json, glob, math
+import duckdb
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(
+        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fails = []
+for name in sorted(oracle):
+    sql = oracle[name]
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not files:
+        fails.append((name, "no spark output"))
+        print(f"FAIL {name}: no spark output written")
+        continue
+    try:
+        got = con.execute(
+            f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").fetchdf()
+        want = con.execute(sql).fetchdf()
+    except Exception as e:
+        fails.append((name, str(e)))
+        print(f"FAIL {name}: {e}")
+        continue
+    gc, wc = sorted(got.columns), sorted(want.columns)
+    if gc != wc:
+        fails.append((name, "schema"))
+        print(f"FAIL {name}: columns spark={gc} oracle={wc}")
+        continue
+    got, want = got[gc], want[wc]
+    if len(got) != len(want):
+        fails.append((name, "rowcount"))
+        print(f"FAIL {name}: rows spark={len(got)} oracle={len(want)}")
+        continue
+
+    def norm(df):
+        rows = []
+        for row in df.itertuples(index=False):
+            out = []
+            for v in row:
+                if isinstance(v, float):
+                    if math.isnan(v):
+                        out.append("NaN")
+                    else:
+                        out.append(repr(round(v, 9)))
+                else:
+                    out.append(str(v))
+            rows.append(tuple(out))
+        return sorted(rows)
+
+    g, w = norm(got), norm(want)
+    if g != w:
+        bad = [(a, b) for a, b in zip(g, w) if a != b][:3]
+        fails.append((name, "values"))
+        print(f"FAIL {name}: value mismatch, first diffs: {bad}")
+    else:
+        print(f"OK   {name}: {len(got)} rows")
+
+print(f"\n{len(oracle) - len(fails)}/{len(oracle)} queries match")
+sys.exit(1 if fails else 0)
