@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-stream operators (SURVEY.md §2 B15, B17–B20): pivot, as-of
+  * join, bounded range join, JSON extraction, ordered collect.
+  */
+object EventOps {
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** B15 `pivot_events` — long→wide. Pivot values pinned (no extra
+    * distinct job, stable column set at any scale); missing cells → 0.
+    */
+  def pivotEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, eventTypes)
+      .orderBy(col("user_id"))
+
+  /** B17 `asof_join` — for every purchase, the latest click by the same
+    * user at-or-before it. Implemented as union + running-max window:
+    * one shuffle on user_id, linear scan — no per-row backward probe,
+    * so it scales where a naive inequality join would not. Clicks sort
+    * before purchases on equal ts so "at-or-before" includes ties.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(null).cast("long").as("event_id"),
+        lit(null).cast("double").as("value"), lit(0).as("kind"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        lit(1).as("kind"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("last_click_ts",
+        max(when(col("kind") === 0, col("ts"))).over(w))
+      .filter(col("kind") === 1)
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), round(col("value"), 2).as("value"),
+        col("last_click_ts"))
+      .orderBy(col("user_id"), col("purchase_ts"), col("purchase_id"))
+  }
+
+  /** B18 `range_join` — purchases by the same user within one hour
+    * after each error event. Equi key (user_id) + bounded time range:
+    * Catalyst plans the equi part as a hash join and evaluates the
+    * range as a post-filter, so work stays proportional to same-user
+    * pairs — the scalable shape for interval joins.
+    */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
+        col("ts").as("error_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+    errors.join(purchases,
+        col("e_user") === col("p_user") &&
+          col("p_ts") > col("error_ts") &&
+          unix_micros(col("p_ts")) <=
+            unix_micros(col("error_ts")) + 3600000000L,
+        "left")
+      .groupBy(col("e_user").as("user_id"), col("error_id"), col("error_ts"))
+      .agg(
+        count(col("p_ts")).as("n_purchases_1h"),
+        round(coalesce(sum(col("p_value")), lit(0.0)), 2).as("purchase_value_1h"))
+      .orderBy(col("user_id"), col("error_id"))
+  }
+
+  /** B19 `json_extract` — typed field extraction from the JSON props
+    * column (≈ the reference's per-card field scraping, aiesec.py:70).
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(avg(col("k")), 4).as("avg_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  /** B20 `arrays_collect` — per-user ordered event-type digest.
+    * Output flattened to a string so the comparison (and any
+    * downstream consumer) is order-stable.
+    */
+  def arraysCollect(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        array_join(array_sort(collect_list(col("event_type"))), ",")
+          .as("event_types"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pivot_events" -> (pivotEvents _),
+    "asof_join" -> (asofJoin _),
+    "range_join" -> (rangeJoin _),
+    "json_extract" -> (jsonExtract _),
+    "arrays_collect" -> (arraysCollect _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "pivot_events" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "asof_join" ->
+      """WITH tagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |marked AS (
+        |  SELECT *, max(CASE WHEN kind = 0 THEN ts END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, kind
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS last_click_ts
+        |  FROM tagged)
+        |SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+        |  round(value, 2) AS value, last_click_ts
+        |FROM marked WHERE kind = 1
+        |ORDER BY user_id, purchase_ts, purchase_id""".stripMargin,
+    "range_join" ->
+      """SELECT e.user_id, e.event_id AS error_id, e.ts AS error_ts,
+        |  count(p.ts) AS n_purchases_1h,
+        |  round(coalesce(sum(p.value), 0), 2) AS purchase_value_1h
+        |FROM events e
+        |LEFT JOIN events p ON p.user_id = e.user_id
+        |  AND p.event_type = 'purchase'
+        |  AND p.ts > e.ts
+        |  AND epoch_us(p.ts) <= epoch_us(e.ts) + 3600000000
+        |WHERE e.event_type = 'error'
+        |GROUP BY e.user_id, e.event_id, e.ts
+        |ORDER BY e.user_id, error_id""".stripMargin,
+    "json_extract" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  round(avg(CAST(props->>'$.k' AS INT)), 4) AS avg_k,
+        |  max(CAST(props->>'$.k' AS INT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "arrays_collect" ->
+      """SELECT user_id,
+        |  array_to_string(list_sort(list(event_type)), ',') AS event_types,
+        |  count(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

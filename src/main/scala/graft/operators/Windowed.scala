@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Window-function operators (SURVEY.md §2 B9–B11, B16).
+  *
+  * All windows partition on a high-cardinality entity key (custkey /
+  * user_id), so at cluster scale each executor sorts only its own key
+  * ranges — one shuffle, in-partition sort, no global ordering.
+  */
+object Windowed {
+
+  /** B9 `win_rank_topn` — per-customer top-3 orders. Unique orderkey
+    * tiebreak keeps row_number deterministic.
+    */
+  def rankTopN(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(spark, dir, "orders")
+      .withColumn("rank_in_cust", row_number().over(w))
+      .filter(col("rank_in_cust") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        col("rank_in_cust"))
+      .orderBy(col("o_custkey"), col("rank_in_cust"))
+  }
+
+  /** B10 `win_running_sum` — running revenue per customer in order-date
+    * order (orderkey tiebreak for determinism).
+    */
+  def runningSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "orders")
+      .withColumn("running_total", round(sum(col("o_totalprice")).over(w), 2))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  /** B11 `win_lag_delta` — day-over-day revenue deltas. The daily
+    * pre-aggregation collapses the data before the (single-partition)
+    * date window; at 100 TB the grouped input is one row per day, so
+    * the unpartitioned window is safe.
+    */
+  def lagDelta(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("order_day"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+    val w = Window.orderBy(col("order_day"))
+    daily
+      .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+      .withColumn("delta", round(col("revenue") - col("prev_revenue"), 2))
+      .orderBy(col("order_day"))
+  }
+
+  /** B16 `sessionize` — time-gap sessionization of the events stream:
+    * a session break is >30 min of inactivity. Single shuffle on
+    * user_id; gap detection and session numbering are two stacked
+    * windows over the same partitioning (one sort, reused).
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L,
+          1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        round(sum(col("value")), 2).as("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_rank_topn" -> (rankTopN _),
+    "win_running_sum" -> (runningSum _),
+    "win_lag_delta" -> (lagDelta _),
+    "sessionize" -> (sessionize _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "win_rank_topn" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+        |  rank_in_cust
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rank_in_cust
+        |  FROM orders)
+        |WHERE rank_in_cust <= 3
+        |ORDER BY o_custkey, rank_in_cust""".stripMargin,
+    "win_running_sum" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |    AS running_total
+        |FROM orders
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "win_lag_delta" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS order_day,
+        |    round(sum(o_totalprice), 2) AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT order_day, revenue,
+        |  lag(revenue, 1) OVER (ORDER BY order_day) AS prev_revenue,
+        |  round(revenue - lag(revenue, 1) OVER (ORDER BY order_day), 2)
+        |    AS delta
+        |FROM daily
+        |ORDER BY order_day""".stripMargin,
+    "sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  round(sum(value), 2) AS session_value
+        |FROM numbered
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin
+  )
+}
