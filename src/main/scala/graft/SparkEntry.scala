@@ -13,7 +13,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
       operators.Windowed.queries ++
-      operators.EventOps.queries
+      operators.EventOps.queries ++
+      text.TextOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check.
@@ -21,5 +22,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Relational.oracle ++
       operators.Windowed.oracle ++
-      operators.EventOps.oracle
+      operators.EventOps.oracle ++
+      text.TextOps.oracle
 }

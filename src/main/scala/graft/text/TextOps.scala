@@ -1,0 +1,190 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for training-data pipelines (SURVEY.md §2.C):
+  * token stats, quality scoring, language ID, fingerprinting, shingles.
+  *
+  * Everything is built from codegen'd `functions._` (split / filter /
+  * transform higher-order functions) — single pass over the text, no
+  * Scala UDFs, so the whole stage stays in Tungsten codegen and scales
+  * linearly with corpus bytes.
+  */
+object TextOps {
+
+  /** Whitespace tokens of the `text` column. */
+  private def toks: Column = split(trim(col("text")), "\\s+")
+
+  private val stopwords = Seq("the", "a", "or", "and", "of", "is", "to", "in")
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** C1 `text_tokens` — token counting + char stats per document. */
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("toks", toks)
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        length(col("text")).as("n_chars_calc"),
+        round(length(regexp_replace(col("text"), "\\s", "")) /
+          size(col("toks")), 4).as("avg_token_len"))
+      .orderBy(col("doc_id"))
+
+  /** C2 `text_quality` — heuristic quality scoring: stopword ratio,
+    * digit ratio, length gate. The score mirrors common LLM-corpus
+    * filters (length window + stopword sanity band).
+    */
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("toks", toks)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_stop",
+        expr(s"size(filter(toks, t -> t IN ${inList(stopwords)}))"))
+      .withColumn("stop_ratio", col("n_stop") / col("n_tokens"))
+      .withColumn("digit_ratio",
+        length(regexp_replace(col("text"), "[^0-9]", "")) / length(col("text")))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_stop"),
+        round(col("stop_ratio"), 4).as("stop_ratio"),
+        round(col("digit_ratio"), 4).as("digit_ratio"),
+        when(col("n_tokens") >= 30 && col("n_tokens") <= 1000 &&
+          col("stop_ratio") <= 0.6, 1L).otherwise(0L).as("is_quality"))
+      .orderBy(col("doc_id"))
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "de" -> Seq("der", "und", "die", "das"),
+    "es" -> Seq("el", "la", "los", "las"),
+    "fr" -> Seq("le", "les", "des", "un"))
+
+  /** C3 `text_langid` — marker-word language ID (n-gram-frequency
+    * heuristic, ties broken by fixed language priority).
+    */
+  def textLangId(spark: SparkSession, dir: String): DataFrame = {
+    val counted = langMarkers.foldLeft(
+      Tables(spark, dir, "documents").withColumn("toks", toks)) {
+      case (df, (lang, markers)) =>
+        df.withColumn(s"n_$lang",
+          expr(s"size(filter(toks, t -> t IN ${inList(markers)}))")
+            .cast("long"))
+    }
+    counted
+      .withColumn("pred_lang",
+        when(col("n_en") >= col("n_de") && col("n_en") >= col("n_es") &&
+          col("n_en") >= col("n_fr") && col("n_en") > 0, "en")
+          .when(col("n_de") >= col("n_es") && col("n_de") >= col("n_fr") &&
+            col("n_de") > 0, "de")
+          .when(col("n_es") >= col("n_fr") && col("n_es") > 0, "es")
+          .when(col("n_fr") > 0, "fr")
+          .otherwise("unknown"))
+      .select(col("doc_id"), col("n_en"), col("n_de"), col("n_es"),
+        col("n_fr"), col("pred_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Case/whitespace-normalized md5 content fingerprint. */
+  def fingerprint(c: Column): Column =
+    md5(regexp_replace(lower(trim(c)), "\\s+", " ").cast("binary"))
+
+  /** C4 `text_fingerprint` — content fingerprint per document
+    * (≈ the reference's row identity key, aiesec.py:139, generalized
+    * to content addressing).
+    */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  /** C5 `text_shingles` — word 3-gram shingle counts (the primitive
+    * under MinHash/Jaccard dedup).
+    */
+  def textShingles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("toks", toks)
+      .withColumn("shingles",
+        when(size(col("toks")) >= 3,
+          expr("""transform(sequence(1, size(toks) - 2),
+                 |  i -> concat(element_at(toks, i), ' ',
+                 |    element_at(toks, i + 1), ' ',
+                 |    element_at(toks, i + 2)))""".stripMargin))
+          .otherwise(array()))
+      .select(
+        col("doc_id"),
+        size(col("shingles")).as("n_shingles"),
+        size(array_distinct(col("shingles"))).as("n_distinct_shingles"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens" -> (textTokens _),
+    "text_quality" -> (textQuality _),
+    "text_langid" -> (textLangId _),
+    "text_fingerprint" -> (textFingerprint _),
+    "text_shingles" -> (textShingles _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |  length(text) AS n_chars_calc,
+        |  round(length(regexp_replace(text, '\s', '', 'g')) * 1.0 /
+        |    len(string_split_regex(trim(text), '\s+')), 4) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, text, len(toks) AS n_tokens,
+        |    len(list_filter(toks, t -> t IN
+        |      ('the','a','or','and','of','is','to','in'))) AS n_stop
+        |  FROM t)
+        |SELECT doc_id, n_tokens, n_stop,
+        |  round(n_stop * 1.0 / n_tokens, 4) AS stop_ratio,
+        |  round(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 /
+        |    length(text), 4) AS digit_ratio,
+        |  CASE WHEN n_tokens >= 30 AND n_tokens <= 1000
+        |    AND n_stop * 1.0 / n_tokens <= 0.6 THEN 1 ELSE 0 END
+        |    AS is_quality
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  len(list_filter(toks, t -> t IN ('the','and','of','is'))) AS n_en,
+        |  len(list_filter(toks, t -> t IN ('der','und','die','das'))) AS n_de,
+        |  len(list_filter(toks, t -> t IN ('el','la','los','las'))) AS n_es,
+        |  len(list_filter(toks, t -> t IN ('le','les','des','un'))) AS n_fr
+        |  FROM t)
+        |SELECT doc_id, n_en, n_de, n_es, n_fr,
+        |  CASE
+        |    WHEN n_en >= n_de AND n_en >= n_es AND n_en >= n_fr AND n_en > 0
+        |      THEN 'en'
+        |    WHEN n_de >= n_es AND n_de >= n_fr AND n_de > 0 THEN 'de'
+        |    WHEN n_es >= n_fr AND n_es > 0 THEN 'es'
+        |    WHEN n_fr > 0 THEN 'fr'
+        |    ELSE 'unknown' END AS pred_lang
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_shingles" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |    CASE WHEN len(w) >= 3
+        |      THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |        for i in range(1, len(w) - 1)]
+        |      ELSE [] END AS shingles
+        |  FROM t)
+        |SELECT doc_id, len(shingles) AS n_shingles,
+        |  len(list_distinct(shingles)) AS n_distinct_shingles
+        |FROM s ORDER BY doc_id""".stripMargin
+  )
+}
