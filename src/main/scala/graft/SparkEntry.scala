@@ -14,7 +14,8 @@ object SparkEntry {
     operators.Relational.queries ++
       operators.Windowed.queries ++
       operators.EventOps.queries ++
-      text.TextOps.queries
+      text.TextOps.queries ++
+      etl.Etl.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check.
@@ -23,5 +24,6 @@ object SparkEntry {
     operators.Relational.oracle ++
       operators.Windowed.oracle ++
       operators.EventOps.oracle ++
-      text.TextOps.oracle
+      text.TextOps.oracle ++
+      etl.Etl.oracle
 }

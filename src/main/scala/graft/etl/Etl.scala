@@ -1,0 +1,247 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** ETL-core operators (SURVEY.md §2.A) — the reference pipeline's
+  * capability surface (`aiesec.py`) re-expressed as general distributed
+  * operators: field extraction, normalization, snapshot deltas, upserts,
+  * derived flags, report rendering, delta alerts.
+  *
+  * All plans are declarative `functions._` chains (codegen'd, no UDFs);
+  * snapshot diffs are anti/full-outer joins keyed on the entity key, so
+  * they shuffle once on a high-cardinality key and scale linearly.
+  */
+object Etl {
+
+  /** A1 `etl_extract` — regex field extraction from semi-structured text
+    * (≈ per-card scraping, aiesec.py:70-125): first word, first integer,
+    * digit presence. Pure regexp_extract, stays in whole-stage codegen.
+    */
+  def extract(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        regexp_extract(col("text"), "^([A-Za-z]+)", 1).as("first_word"),
+        nullif(regexp_extract(col("text"), "([0-9]+)", 1), lit(""))
+          .cast("long").as("first_int"),
+        col("text").rlike("[0-9]").cast("int").as("has_digit"))
+      .orderBy(col("doc_id"))
+
+  /** A2 `etl_normalize` — trim/case normalization + stable integer cast
+    * (≈ aiesec.py:105,139 type cleanup). Rounds before casting so the
+    * double→int behavior is engine-independent.
+    */
+  def normalize(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .select(
+        col("c_custkey"),
+        upper(trim(col("c_name"))).as("name_norm"),
+        lower(col("c_mktsegment")).as("segment_norm"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("acctbal_cents"),
+        when(col("c_acctbal") < 0, "N/A")
+          .otherwise(format_string("%.2f", col("c_acctbal")))
+          .as("acctbal_display"))
+      .orderBy(col("c_custkey"))
+
+  /** Yesterday's order snapshot: the deterministic data-derived split
+    * standing in for the reference's rotated Yesterday.xlsx (SURVEY §3).
+    */
+  private def ordersYesterday(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+
+  /** A3 `etl_snapshot_new` — keys in today absent from yesterday
+    * (LEFT ANTI ≈ `~isin`, aiesec.py:142-144). One shuffle on the key;
+    * at scale the anti join is the standard incremental-ingest delta.
+    */
+  def snapshotNew(spark: SparkSession, dir: String): DataFrame = {
+    val today = Tables(spark, dir, "orders")
+    today.join(ordersYesterday(spark, dir).select(col("o_orderkey").as("y_key")),
+        today("o_orderkey") === col("y_key"), "left_anti")
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("o_orderdate"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** A4 `etl_snapshot_changed` — full-outer snapshot compare on per-user
+    * event aggregates at two time cutoffs → added / changed / unchanged.
+    * Generalizes the reference's today-vs-yesterday diff beyond pure
+    * key-presence to value drift.
+    */
+  def snapshotChanged(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    def snap(cutoff: Option[String]) = cutoff.fold(ev)(c =>
+        ev.filter(col("ts") < lit(c).cast("timestamp")))
+      .groupBy(col("user_id"))
+      .agg(round(sum(col("value")), 2).as("total"), count(lit(1)).as("n"))
+    val y = snap(Some("2024-01-15")).select(col("user_id").as("u"),
+      col("total").as("old_total"), col("n").as("old_n"))
+    val t = snap(None)
+    t.join(y, t("user_id") === col("u"), "full_outer")
+      .select(
+        coalesce(col("user_id"), col("u")).as("user_id"),
+        col("old_total"), col("old_n"),
+        col("total").as("new_total"), col("n").as("new_n"),
+        when(col("u").isNull, "added")
+          .when(col("user_id").isNull, "removed")
+          .when(col("total") === col("old_total") && col("n") === col("old_n"),
+            "unchanged")
+          .otherwise("changed").as("status"))
+      .orderBy(col("user_id"))
+  }
+
+  /** A5 `etl_upsert_latest` — last-write-wins upsert per key by event
+    * time (event_id tiebreak). Single shuffle on user_id + in-partition
+    * sort: the scalable dedup-window shape for CDC-style ingest.
+    */
+  def upsertLatest(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("ts").as("last_ts"), col("event_type").as("last_type"),
+        round(col("value"), 2).as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** A6 `etl_derived_flags` — conditional flags + rank parsing from text
+    * (≈ premium flag substring test + applicants count, aiesec.py:70-125):
+    * urgency flag, numeric rank parsed out of the priority string, value
+    * banding.
+    */
+  def derivedFlags(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        col("o_orderpriority"),
+        regexp_extract(col("o_orderpriority"), "^([0-9])", 1)
+          .cast("int").as("priority_rank"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+          .cast("int").as("is_urgent"),
+        when(col("o_totalprice") >= 200000, "high")
+          .when(col("o_totalprice") >= 50000, "mid")
+          .otherwise("low").as("value_band"))
+      .orderBy(col("o_orderkey"))
+
+  /** A7 `etl_report_cards` — deterministic HTML card per row
+    * (≈ aiesec.py:191-218) over an already-aggregated top-N frame, so
+    * rendering cost is O(report size), not O(data).
+    */
+  def reportCards(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .limit(10)
+      .select(col("c_custkey"),
+        concat(
+          lit("<div class=\"card\"><h2>"), col("c_name"),
+          lit("</h2><p>segment: "), col("c_mktsegment"),
+          lit("</p><p>balance: "), format_string("%.2f", col("c_acctbal")),
+          lit("</p></div>")).as("card_html"))
+      .orderBy(col("c_custkey"))
+
+  /** A8 `etl_alert_delta` — conditional alert payload: the delta's
+    * summary row, message only when non-empty (≈ aiesec.py:241-251).
+    */
+  def alertDelta(spark: SparkSession, dir: String): DataFrame =
+    snapshotNew(spark, dir)
+      .agg(count(lit(1)).as("n_new"),
+        round(sum(col("o_totalprice")), 2).as("new_value"))
+      .select(col("n_new"), col("new_value"),
+        when(col("n_new") > 0,
+          concat(lit("ALERT: "), col("n_new").cast("string"),
+            lit(" new records")))
+          .otherwise("no-op").as("message"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_extract" -> (extract _),
+    "etl_normalize" -> (normalize _),
+    "etl_snapshot_new" -> (snapshotNew _),
+    "etl_snapshot_changed" -> (snapshotChanged _),
+    "etl_upsert_latest" -> (upsertLatest _),
+    "etl_derived_flags" -> (derivedFlags _),
+    "etl_report_cards" -> (reportCards _),
+    "etl_alert_delta" -> (alertDelta _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "etl_extract" ->
+      """SELECT doc_id,
+        |  regexp_extract(text, '^([A-Za-z]+)', 1) AS first_word,
+        |  CAST(nullif(regexp_extract(text, '([0-9]+)', 1), '') AS BIGINT)
+        |    AS first_int,
+        |  CAST(regexp_matches(text, '[0-9]') AS INT) AS has_digit
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "etl_normalize" ->
+      """SELECT c_custkey,
+        |  upper(trim(c_name)) AS name_norm,
+        |  lower(c_mktsegment) AS segment_norm,
+        |  CAST(round(c_acctbal * 100, 0) AS BIGINT) AS acctbal_cents,
+        |  CASE WHEN c_acctbal < 0 THEN 'N/A'
+        |    ELSE printf('%.2f', c_acctbal) END AS acctbal_display
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "etl_snapshot_new" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  o_orderdate
+        |FROM orders t
+        |WHERE NOT EXISTS (SELECT 1 FROM orders y
+        |  WHERE y.o_orderdate < TIMESTAMP '1997-01-01'
+        |    AND y.o_orderkey = t.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "etl_snapshot_changed" ->
+      """WITH y AS (SELECT user_id, round(sum(value), 2) AS old_total,
+        |    count(*) AS old_n
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-15' GROUP BY user_id),
+        |t AS (SELECT user_id, round(sum(value), 2) AS new_total,
+        |    count(*) AS new_n
+        |  FROM events GROUP BY user_id)
+        |SELECT coalesce(t.user_id, y.user_id) AS user_id,
+        |  y.old_total, y.old_n, t.new_total, t.new_n,
+        |  CASE WHEN y.user_id IS NULL THEN 'added'
+        |    WHEN t.user_id IS NULL THEN 'removed'
+        |    WHEN t.new_total = y.old_total AND t.new_n = y.old_n
+        |      THEN 'unchanged'
+        |    ELSE 'changed' END AS status
+        |FROM t FULL OUTER JOIN y ON t.user_id = y.user_id
+        |ORDER BY user_id""".stripMargin,
+    "etl_upsert_latest" ->
+      """SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+        |  event_type AS last_type, round(value, 2) AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "etl_derived_flags" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(regexp_extract(o_orderpriority, '^([0-9])', 1) AS INT)
+        |    AS priority_rank,
+        |  CAST(o_orderpriority IN ('1-URGENT', '2-HIGH') AS INT) AS is_urgent,
+        |  CASE WHEN o_totalprice >= 200000 THEN 'high'
+        |    WHEN o_totalprice >= 50000 THEN 'mid'
+        |    ELSE 'low' END AS value_band
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "etl_report_cards" ->
+      """SELECT c_custkey,
+        |  '<div class="card"><h2>' || c_name || '</h2><p>segment: ' ||
+        |  c_mktsegment || '</p><p>balance: ' || printf('%.2f', c_acctbal) ||
+        |  '</p></div>' AS card_html
+        |FROM (SELECT * FROM customer
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 10)
+        |ORDER BY c_custkey""".stripMargin,
+    "etl_alert_delta" ->
+      """WITH delta AS (
+        |  SELECT o_totalprice FROM orders t
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders y
+        |    WHERE y.o_orderdate < TIMESTAMP '1997-01-01'
+        |      AND y.o_orderkey = t.o_orderkey))
+        |SELECT count(*) AS n_new, round(sum(o_totalprice), 2) AS new_value,
+        |  CASE WHEN count(*) > 0
+        |    THEN 'ALERT: ' || count(*) || ' new records'
+        |    ELSE 'no-op' END AS message
+        |FROM delta""".stripMargin
+  )
+}
