@@ -15,7 +15,11 @@ object SparkEntry {
       operators.Windowed.queries ++
       operators.EventOps.queries ++
       text.TextOps.queries ++
-      etl.Etl.queries
+      etl.Etl.queries ++
+      dedup.Dedup.queries ++
+      ann.Ann.queries ++
+      multimodal.Multimodal.queries ++
+      streaming.Streaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check.
@@ -25,5 +29,9 @@ object SparkEntry {
       operators.Windowed.oracle ++
       operators.EventOps.oracle ++
       text.TextOps.oracle ++
-      etl.Etl.oracle
+      etl.Etl.oracle ++
+      dedup.Dedup.oracle ++
+      ann.Ann.oracle ++
+      multimodal.Multimodal.oracle ++
+      streaming.Streaming.oracle
 }

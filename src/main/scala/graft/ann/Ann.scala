@@ -1,0 +1,159 @@
+package graft.ann
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions._
+
+/** Approximate-nearest-neighbor search over the embeddings table
+  * (SURVEY.md §2.E): brute-force cosine top-k as the exactness anchor,
+  * random-hyperplane LSH and IVF as the 100 TB paths.
+  *
+  * Query model: the query set is tiny relative to the corpus (here the
+  * vectors with `vec_id < 10`), so every plan broadcasts the queries
+  * against the partitioned corpus — the corpus never shuffles, and scan
+  * cost dominates, which is the right asymptotic shape.
+  */
+object Ann {
+
+  val K = 5
+  val NumQueries = 10
+
+  private def corpus(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+
+  private def queriesDf(spark: SparkSession, dir: String): DataFrame =
+    corpus(spark, dir).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
+  /** Deterministic top-k per query from a (q_id, vec_id, cos) frame:
+    * rank on the 6-dp-rounded cosine with vec_id tiebreak, so ordering
+    * is stable under last-bit float jitter across engines.
+    */
+  private def topK(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("cos"), 6).desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** E1 `ann_topk` — exact brute-force cosine top-k: broadcast the
+    * queries, scan the corpus once, per-query heap via window top-k.
+    * The exactness baseline every approximate variant is measured
+    * against.
+    */
+  def annTopK(spark: SparkSession, dir: String): DataFrame = {
+    val scored = corpus(spark, dir)
+      .join(broadcast(queriesDf(spark, dir)), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosineSim(col("embedding"), col("q_emb")))
+    topK(scored)
+  }
+
+  /** E2 `ann_lsh` — random-hyperplane LSH with query-side multi-probe:
+    * the corpus is hashed once into `RhpTables` sig tables (map-local
+    * explode, the join key (table, sig) bounds each probe to one bucket
+    * per table); each query probes its own bucket plus every 1-bit-flip
+    * neighbor bucket. Multi-probe costs only on the tiny query side and
+    * sharply lifts recall in the low-similarity regime.
+    */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val bits = 8; val tables = 16
+    val c = corpus(spark, dir).select(col("vec_id"), col("embedding"),
+      posexplode(rhpSigs(col("embedding"), bits, tables))
+        .as(Seq("table", "sig")))
+    val q = queriesDf(spark, dir)
+      .select(col("q_id"), col("q_emb"),
+        posexplode(rhpSigs(col("q_emb"), bits, tables))
+          .as(Seq("table", "sig0")))
+      .select(col("q_id"), col("q_emb"), col("table"),
+        explode(expr(
+          s"""array_union(array(sig0),
+             |  transform(sequence(0, $bits - 1),
+             |    b -> sig0 ^ shiftleft(cast(1 as bigint), b)))""".stripMargin))
+          .as("sig"))
+    val cand = c.join(broadcast(q), Seq("table", "sig"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "q_emb", "vec_id", "embedding").distinct()
+    topK(cand.withColumn("cos", cosineSim(col("embedding"), col("q_emb"))))
+  }
+
+  val IvfSeedMod = 31 // ~n/31 cells; bucket size stays ~31 at any SF
+  val IvfProbes = 4
+
+  /** E3 `ann_ivf` — IVF (inverted-file) ANN with a k-means-lite coarse
+    * quantizer: deterministic seed centroids → one Lloyd mean-refinement
+    * → cell assignment; queries probe the `IvfProbes` nearest cells.
+    * Centroids are tiny (≈n/31 × dim) and broadcast; the corpus is
+    * scanned twice (refine + assign) and shuffled once on cell_id.
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val seeds = c.filter(col("vec_id") % IvfSeedMod === 0)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
+
+    def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(round(col("c_cos"), 6).desc, col("cell_id"))
+      vectors.crossJoin(broadcast(centroids))
+        .withColumn("c_cos", cosineSim(col("embedding"), col("c_emb")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cell_id"))
+    }
+
+    // one Lloyd refinement: element-wise mean per cell
+    val refined = assign(c, seeds)
+      .select(col("cell_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cell_id"), col("pos"))
+      .agg(avg(col("v")).as("m"))
+      .groupBy(col("cell_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell_id"),
+        expr("transform(pm, x -> cast(x.m as float))").as("c_emb"))
+
+    val assigned = assign(c, refined)
+
+    // queries probe the IvfProbes nearest refined cells
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("q_cos"), 6).desc, col("cell_id"))
+    val probed = queriesDf(spark, dir).crossJoin(broadcast(refined))
+      .withColumn("q_cos", cosineSim(col("q_emb"), col("c_emb")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= IvfProbes)
+      .select(col("q_id"), col("q_emb"), col("cell_id"))
+
+    val cand = assigned.join(broadcast(probed), Seq("cell_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+    topK(cand.withColumn("cos", cosineSim(col("embedding"), col("q_emb"))))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_topk" -> (annTopK _),
+    "ann_lsh" -> (annLsh _),
+    "ann_ivf" -> (annIvf _)
+  )
+
+  /** E1 is exact and DuckDB-expressible; E2/E3 are hash/probe dependent
+    * → rows-only driver check + recall specs vs E1.
+    */
+  val oracle: Map[String, String] = Map(
+    "ann_topk" ->
+      """WITH q AS (SELECT vec_id q_id, embedding q_emb FROM embeddings
+        |    WHERE vec_id < 10),
+        |scored AS (SELECT q_id, vec_id,
+        |    list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |      CAST(q_emb AS DOUBLE[])) AS cos
+        |  FROM embeddings CROSS JOIN q WHERE vec_id <> q_id),
+        |ranked AS (SELECT q_id, vec_id, cos, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY round(cos, 6) DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT q_id, vec_id AS neighbor_id, rank, round(cos, 4) AS cos
+        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  )
+}

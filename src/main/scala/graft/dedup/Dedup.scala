@@ -1,0 +1,259 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions._
+import graft.text.TextOps
+
+/** Deduplication operators (SURVEY.md §2.D) — the exact → fuzzy ladder a
+  * training-data pipeline needs: content-hash dedup, n-gram Jaccard,
+  * MinHash+LSH, SimHash, embedding near-dup.
+  *
+  * Scale shape (100 TB): never enumerate O(n²) pairs. Every fuzzy
+  * variant generates candidates through an inverted index / LSH-band
+  * shuffle keyed on (band, bucket) — join fan-out stays bounded by
+  * bucket size — then verifies candidates exactly. The only quadratic
+  * operator is `dedup_embedding`'s exact baseline, kept as the oracle
+  * anchor for its LSH scale path `dedup_embedding_lsh`.
+  */
+object Dedup {
+
+  /** Documents with whitespace tokens + distinct word-3-gram shingles. */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("shingles", TextOps.wordShingles(col("toks")))
+
+  /** D1 `dedup_exact` — exact dedup by normalized content hash: one row
+    * per doc with its canonical keeper (min doc_id in the hash group).
+    * Single hash-shuffle on the fingerprint; at scale this is the
+    * classic first-pass dedup (group sizes are tiny, no skew).
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("fp"))
+    Tables(spark, dir, "documents")
+      .withColumn("fp", TextOps.fingerprint(col("text")))
+      .withColumn("keep_id", min(col("doc_id")).over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .select(col("doc_id"), col("fp"), col("keep_id"),
+        (col("doc_id") =!= col("keep_id")).cast("int").as("is_dup"),
+        col("group_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shingle doc-frequency cap: shingles present in more than this many
+    * docs are "stop-shingles" — dropped from the similarity universe.
+    * Controls inverted-index fan-out: a shingle in m docs creates m²
+    * candidate pairs, so the cap bounds per-bucket join cost at scale.
+    */
+  val MaxShingleDf = 50
+
+  /** D2 `dedup_ngram_jaccard` — near-dup pairs with exact 3-gram
+    * Jaccard ≥ 0.5, via inverted index (shingle → docs) self-join:
+    * shuffle on shingle, pair counting on (ia, ib) — no cartesian.
+    */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val ex = shingled(spark, dir)
+      .select(col("doc_id"), explode(col("shingles")).as("g"))
+    // df-capped universe (see MaxShingleDf)
+    val dfCap = ex.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDf)
+    val ex2 = ex.join(dfCap.select("g"), "g")
+    val sizes = ex2.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = ex2.select(col("doc_id").as("ia"), col("g"))
+      .join(ex2.select(col("doc_id").as("ib"), col("g")), "g")
+      .filter(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("doc_id").as("ia"), col("n_sh").as("na")), "ia")
+      .join(sizes.select(col("doc_id").as("ib"), col("n_sh").as("nb")), "ib")
+      .withColumn("jaccard",
+        col("n_common") / (col("na") + col("nb") - col("n_common")))
+      .filter(round(col("jaccard"), 6) >= 0.5)
+      .select(col("ia"), col("ib"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  val NumPerms = 128
+  val NumBands = 32 // 4 rows per band → P(candidate) = 1-(1-j^4)^32
+
+  /** D3 `dedup_minhash_lsh` — MinHash signatures (one-pass custom
+    * expression) + banded LSH: docs sharing any band bucket become
+    * candidates, candidates are verified with exact Jaccard ≥ 0.5.
+    * The shuffle key is (band, bucket-hash): constant-size keys
+    * regardless of document length — this is the 100 TB dedup path.
+    */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val rows = NumPerms / NumBands
+    val sig = shingled(spark, dir)
+      .select(col("doc_id"), col("shingles"),
+        minhashSig(col("shingles"), NumPerms).as("sig"))
+    val bands = sig.select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, $NumBands - 1), " +
+            s"b -> hash(slice(sig, b * $rows + 1, $rows), b))"))
+          .as(Seq("band", "bucket")))
+    val cand = bands.select(col("doc_id").as("ia"), col("band"), col("bucket"))
+      .join(bands.select(col("doc_id").as("ib"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("ia") < col("ib"))
+      .select("ia", "ib").distinct()
+    val docs = sig.select(col("doc_id"), col("shingles"))
+    cand
+      .join(docs.select(col("doc_id").as("ia"), col("shingles").as("sha")), "ia")
+      .join(docs.select(col("doc_id").as("ib"), col("shingles").as("shb")), "ib")
+      .withColumn("jaccard", jaccardSim(col("sha"), col("shb")))
+      .filter(round(col("jaccard"), 6) >= 0.5)
+      .select(col("ia"), col("ib"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  val SimhashMaxHamming = 3
+
+  /** D4 `dedup_simhash` — 64-bit SimHash near-dup pairs. Banding on the
+    * four 16-bit chunks guarantees (pigeonhole) that every pair within
+    * hamming ≤ 3 shares at least one exact chunk, so candidate
+    * generation is a plain equality join; verification is native
+    * `bit_count(a ^ b)` in codegen.
+    */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val sig = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        simhash64(TextOps.tokens(col("text"))).as("sig"))
+    val chunks = sig.select(col("doc_id"), col("sig"),
+      posexplode(expr(
+        "transform(sequence(0, 3), j -> (sig >> (j * 16)) & 65535)"))
+        .as(Seq("chunk_idx", "chunk")))
+    val cand = chunks
+      .select(col("doc_id").as("ia"), col("sig").as("siga"),
+        col("chunk_idx"), col("chunk"))
+      .join(chunks.select(col("doc_id").as("ib"), col("sig").as("sigb"),
+        col("chunk_idx"), col("chunk")), Seq("chunk_idx", "chunk"))
+      .filter(col("ia") < col("ib"))
+      .select("ia", "ib", "siga", "sigb").distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(col("siga").bitwiseXOR(col("sigb"))))
+      .filter(col("hamming") <= SimhashMaxHamming)
+      .select(col("ia"), col("ib"), col("hamming"))
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  val EmbDupTau = 0.4
+
+  /** D5 `dedup_embedding` — exact embedding near-dup pairs
+    * (cosine ≥ τ) via block self-join. Exact-by-construction and the
+    * oracle anchor; quadratic in corpus size, so at 100 TB use
+    * [[dedupEmbeddingLsh]] and keep this for bounded slices / audits.
+    */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val em = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    em.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+      .join(em.select(col("vec_id").as("ib"), col("embedding").as("eb")),
+        col("ia") < col("ib"))
+      .withColumn("cos", cosineSim(col("ea"), col("eb")))
+      .filter(round(col("cos"), 6) >= EmbDupTau)
+      .select(col("ia"), col("ib"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  val RhpBitsPerTable = 8
+  val RhpTables = 16
+  val EmbLshTau = 0.9
+
+  /** D5b `dedup_embedding_lsh` — the scale path for embedding dedup:
+    * random-hyperplane signatures over `RhpTables` independent tables;
+    * vectors sharing a table signature become candidates (shuffle keyed
+    * on (table, signature) — bounded buckets), then exact cosine ≥ 0.9
+    * verification. Tuned for the high-τ near-dup regime where LSH
+    * recall is sharp; see the spec for measured recall on planted dups.
+    */
+  def dedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
+    embeddingLshPairs(
+      Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      EmbLshTau)
+
+  /** LSH candidate pairs + exact verify at threshold τ, reusable on any
+    * (vec_id, embedding) frame.
+    */
+  def embeddingLshPairs(em: DataFrame, tau: Double): DataFrame = {
+    val sigs = em.select(col("vec_id"), col("embedding"),
+      posexplode(rhpSigs(col("embedding"), RhpBitsPerTable, RhpTables))
+        .as(Seq("table", "sig")))
+    val cand = sigs
+      .select(col("vec_id").as("ia"), col("embedding").as("ea"),
+        col("table"), col("sig"))
+      .join(sigs.select(col("vec_id").as("ib"), col("embedding").as("eb"),
+        col("table"), col("sig")), Seq("table", "sig"))
+      .filter(col("ia") < col("ib"))
+      .select("ia", "ib", "ea", "eb").distinct()
+    cand
+      .withColumn("cos", cosineSim(col("ea"), col("eb")))
+      .filter(round(col("cos"), 6) >= tau)
+      .select(col("ia"), col("ib"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  /** Random-hyperplane signatures for all tables as array<long>. */
+  def rhpSigs(emb: Column, bits: Int, tables: Int): Column =
+    graft.functions.GraftFunctions.rhpSigs(emb, bits, tables)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_embedding" -> (dedupEmbedding _)
+    // dedup_embedding_lsh is a library API (the scale path for D5) but
+    // not a driver query: this testdata has no cosine-0.9 near-dups, so
+    // its correct output here is empty — it's exercised by DedupSpec on
+    // planted duplicates instead.
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """WITH f AS (SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents)
+        |SELECT doc_id, fp,
+        |  min(doc_id) OVER (PARTITION BY fp) AS keep_id,
+        |  CAST(doc_id <> min(doc_id) OVER (PARTITION BY fp) AS INT) AS is_dup,
+        |  count(*) OVER (PARTITION BY fp) AS group_size
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w
+        |    FROM documents),
+        |s AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+        |    THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |      for i in range(1, len(w) - 1)] ELSE [] END) sh FROM t),
+        |e0 AS (SELECT doc_id, unnest(sh) g FROM s),
+        |keep AS (SELECT g FROM e0 GROUP BY g HAVING count(*) <= 50),
+        |e AS (SELECT e0.* FROM e0 JOIN keep USING (g)),
+        |sz AS (SELECT doc_id, count(*) n_sh FROM e GROUP BY doc_id),
+        |p AS (SELECT a.doc_id ia, b.doc_id ib, count(*) n_common
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT ia, ib,
+        |  round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+        |FROM p JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+        |WHERE round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.5
+        |ORDER BY ia, ib""".stripMargin,
+    "dedup_embedding" ->
+      """SELECT a.vec_id ia, b.vec_id ib,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])), 4) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+        |ORDER BY ia, ib""".stripMargin
+    // dedup_minhash_lsh / dedup_simhash / dedup_embedding_lsh are
+    // hash-based → rows-only driver check; their recall is spec-tested
+    // against the exact operators.
+  )
+}

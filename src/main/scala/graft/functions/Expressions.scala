@@ -1,0 +1,161 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftShim.column
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions (SURVEY.md §2.H): native vector / hash
+  * kernels that built-in `functions._` can't express in one pass.
+  * Each `doGenCode` emits a single static call into [[VecOps]], so the
+  * operators stay inside whole-stage codegen (no UDF boxing, no
+  * interpreted fallback) — the preferred extension path for hot loops.
+  */
+
+/** H1 `cosine_sim(array<float>, array<float>) -> double`. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.checkTypes(prettyName, Seq(left, right),
+      { case ArrayType(FloatType, _) => true })
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.cosineF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VecOps.cosineF($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** H3 `minhash_sig(array<string>, k) -> array<long>` — one-pass k-perm
+  * MinHash signature.
+  */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.checkTypes(prettyName, Seq(child),
+      { case ArrayType(StringType, _) => true })
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(a: Any): Any =
+    new GenericArrayData(
+      VecOps.minhash(a.asInstanceOf[ArrayData], numHashes))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.VecOps.minhash($a, $numHashes));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** H2 `simhash64(array<string>) -> long` — 64-bit SimHash. Its distance
+  * companion needs no custom code: `bit_count(a ^ b)` is already native.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.checkTypes(prettyName, Seq(child),
+      { case ArrayType(StringType, _) => true })
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(a: Any): Any =
+    VecOps.simhash64(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VecOps.simhash64($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** `jaccard_sim(array<string>, array<string>) -> double` — exact
+  * distinct-element Jaccard, the verify kernel after LSH banding.
+  */
+case class JaccardSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.checkTypes(prettyName, Seq(left, right),
+      { case ArrayType(StringType, _) => true })
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VecOps.jaccard($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `rhp_sigs(array<float>, bits, tables) -> array<long>` — one LSH
+  * signature per hash table, from deterministic ±1 hyperplanes.
+  */
+case class RhpSigs(child: Expression, bits: Int, tables: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.checkTypes(prettyName, Seq(child),
+      { case ArrayType(FloatType, _) => true })
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rhp_sigs"
+
+  override def nullSafeEval(a: Any): Any =
+    new GenericArrayData(
+      VecOps.rhpSigs(a.asInstanceOf[ArrayData], bits, tables))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.VecOps.rhpSigs($a, $bits, $tables));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): RhpSigs =
+    copy(child = newChild)
+}
+
+/** Column-API facade for the custom expressions — use these exactly like
+  * `org.apache.spark.sql.functions._`.
+  */
+object GraftFunctions {
+  def cosineSim(a: Column, b: Column): Column =
+    column(CosineSim(expression(a), expression(b)))
+  def minhashSig(a: Column, k: Int): Column =
+    column(MinHashSig(expression(a), k))
+  def simhash64(a: Column): Column = column(SimHash64(expression(a)))
+  def jaccardSim(a: Column, b: Column): Column =
+    column(JaccardSim(expression(a), expression(b)))
+  def rhpSigs(a: Column, bits: Int, tables: Int): Column =
+    column(RhpSigs(expression(a), bits, tables))
+
+  private def expression(c: Column): Expression =
+    org.apache.spark.sql.GraftShim.expression(c)
+
+  private[functions] def checkTypes(fn: String, children: Seq[Expression],
+      ok: PartialFunction[DataType, Boolean]): TypeCheckResult = {
+    val bad = children.filterNot(c => ok.lift(c.dataType).getOrElse(false))
+    if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$fn: unexpected input types " +
+      bad.map(_.dataType.simpleString).mkString(", "))
+  }
+}

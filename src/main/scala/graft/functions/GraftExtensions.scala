@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** H4 `GraftExtensions` — registers the custom expressions as SQL
+  * functions so `spark.sql("SELECT cosine_sim(a, b) ...")` works:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+  * // or: spark.sql.extensions=graft.functions.GraftExtensions
+  * }}}
+  */
+object GraftExtensions {
+
+  /** Register the same SQL functions on an existing session (the
+    * extensions path below only applies at `SparkSession.builder()`
+    * time).
+    */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.GraftShim.registerFunction
+    registerFunction(spark, "cosine_sim", args => CosineSim(args(0), args(1)))
+    registerFunction(spark, "jaccard_sim", args => JaccardSim(args(0), args(1)))
+    registerFunction(spark, "simhash64", args => SimHash64(args(0)))
+    registerFunction(spark, "minhash_sig", args =>
+      MinHashSig(args(0), GraftExtensions.intLit(args(1), "minhash_sig")))
+    registerFunction(spark, "rhp_sigs", args => RhpSigs(args(0),
+      intLit(args(1), "rhp_sigs"), intLit(args(2), "rhp_sigs")))
+  }
+
+  private[functions] def intLit(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal int, got $other")
+  }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, clazz: Class[_]) =
+    new ExpressionInfo(clazz.getName, name)
+
+  import GraftExtensions.intLit
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", classOf[CosineSim]),
+      (args: Seq[Expression]) => CosineSim(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("jaccard_sim"),
+      info("jaccard_sim", classOf[JaccardSim]),
+      (args: Seq[Expression]) => JaccardSim(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", classOf[SimHash64]),
+      (args: Seq[Expression]) => SimHash64(args(0))))
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", classOf[MinHashSig]),
+      (args: Seq[Expression]) =>
+        MinHashSig(args(0), intLit(args(1), "minhash_sig"))))
+    ext.injectFunction((FunctionIdentifier("rhp_sigs"),
+      info("rhp_sigs", classOf[RhpSigs]),
+      (args: Seq[Expression]) => RhpSigs(args(0),
+        intLit(args(1), "rhp_sigs"), intLit(args(2), "rhp_sigs"))))
+  }
+}

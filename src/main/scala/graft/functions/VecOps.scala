@@ -1,0 +1,154 @@
+package graft.functions
+
+import scala.util.hashing.MurmurHash3
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels behind the custom Catalyst expressions (H1–H3).
+  *
+  * Kept as plain static methods so `doGenCode` can emit a single call —
+  * the expression stays inside whole-stage codegen and the JIT inlines
+  * the loop; no boxing, no UDF serialization.
+  */
+object VecOps {
+
+  /** Cosine similarity of two float vectors, accumulated in double.
+    * Zero-norm inputs → 0.0 (defined, never NaN).
+    */
+  def cosineF(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    val d = math.sqrt(nx) * math.sqrt(ny)
+    if (d == 0.0) 0.0 else dot / d
+  }
+
+  /** Stable 64-bit hash of UTF-8 bytes (two murmur32 halves — stable
+    * across JVMs and Spark versions, unlike Object.hashCode).
+    */
+  def hash64(b: Array[Byte], seed: Int): Long = {
+    val h1 = MurmurHash3.bytesHash(b, seed)
+    val h2 = MurmurHash3.bytesHash(b, seed ^ 0x5bd1e995)
+    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+  }
+
+  /** One-pass MinHash signature over a string array (H3).
+    *
+    * Universal-hash family via double hashing: `h_i = a + i*b` over the
+    * full 64-bit ring, min taken unsigned per permutation — one hash per
+    * element instead of `numHashes`, the standard trick (Broder '97).
+    */
+  def minhash(elems: ArrayData, numHashes: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(-1L) // unsigned max
+    val n = elems.numElements()
+    var j = 0
+    while (j < n) {
+      val s = elems.getUTF8String(j)
+      if (s != null) {
+        val bytes = s.getBytes
+        val a = hash64(bytes, 0x9747b28c)
+        // odd multiplier keeps the step a unit mod 2^64
+        val b = hash64(bytes, 0x85ebca6b) | 1L
+        var i = 0
+        var h = a
+        while (i < numHashes) {
+          if (java.lang.Long.compareUnsigned(h, sig(i)) < 0) sig(i) = h
+          h += b
+          i += 1
+        }
+      }
+      j += 1
+    }
+    sig
+  }
+
+  /** One-pass 64-bit SimHash over a string array (H2/D4, Charikar '02):
+    * per-bit vote of each element's 64-bit hash, sign of the vote sets
+    * the output bit.
+    */
+  def simhash64(elems: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = elems.numElements()
+    var j = 0
+    while (j < n) {
+      val s = elems.getUTF8String(j)
+      if (s != null) {
+        val h = hash64(s.getBytes, 0x9747b28c)
+        var bit = 0
+        while (bit < 64) {
+          if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+          bit += 1
+        }
+      }
+      j += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (votes(bit) > 0) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+
+  /** splitmix64 finalizer — cheap stateless bit mixer. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Random-hyperplane LSH signatures (Charikar '02) for `tables`
+    * independent tables of `bits` hyperplanes each. Hyperplane weights
+    * are deterministic ±1 from a stateless hash of (table, bit, dim) —
+    * no stored plane matrix, identical on every executor.
+    */
+  def rhpSigs(vec: ArrayData, bits: Int, tables: Int): Array[Long] = {
+    val n = vec.numElements()
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var b = 0
+      while (b < bits) {
+        var dot = 0.0
+        var d = 0
+        while (d < n) {
+          val w = if ((mix64((t.toLong << 40) ^ (b.toLong << 20) ^ d) & 1L) == 0L) 1.0 else -1.0
+          dot += w * vec.getFloat(d)
+          d += 1
+        }
+        if (dot > 0) sig |= (1L << b)
+        b += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    out
+  }
+
+  /** Exact Jaccard similarity of two string arrays (distinct elements),
+    * used as the verify step after LSH candidate generation.
+    */
+  def jaccard(x: ArrayData, y: ArrayData): Double = {
+    val sx = new java.util.HashSet[UTF8String]()
+    val sy = new java.util.HashSet[UTF8String]()
+    var i = 0
+    while (i < x.numElements()) { val v = x.getUTF8String(i); if (v != null) sx.add(v); i += 1 }
+    i = 0
+    while (i < y.numElements()) { val v = y.getUTF8String(i); if (v != null) sy.add(v); i += 1 }
+    if (sx.isEmpty && sy.isEmpty) return 0.0
+    var inter = 0
+    val it = sx.iterator()
+    while (it.hasNext) if (sy.contains(it.next())) inter += 1
+    inter.toDouble / (sx.size + sy.size - inter).toDouble
+  }
+}

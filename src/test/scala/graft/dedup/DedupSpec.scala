@@ -1,0 +1,84 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select(col("ia").cast("long"), col("ib").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash LSH finds every exact-jaccard pair (recall = 1 on testdata)") {
+    val exact = pairs(Dedup.dedupNgramJaccard(spark, sfDir))
+    val lsh = pairs(Dedup.dedupMinhashLsh(spark, sfDir))
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    assert((exact -- lsh).isEmpty,
+      s"missed pairs: ${(exact -- lsh).take(5)}")
+    // verification step keeps precision exact too: every emitted pair
+    // really has jaccard >= 0.5
+    assert((lsh -- exact).isEmpty)
+  }
+
+  test("simhash pairs have tiny hamming and high token overlap") {
+    val sh = Dedup.dedupSimhash(spark, sfDir)
+    val rows = sh.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r =>
+      assert(r.getAs[Number]("hamming").longValue <= Dedup.SimhashMaxHamming))
+    // simhash is bag-of-words (order-insensitive), so compare flagged
+    // pairs on token-set jaccard, not the order-sensitive 3-gram one
+    val toks = graft.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        array_distinct(graft.text.TextOps.tokens(col("text"))).as("t"))
+    val checked = sh
+      .join(toks.select(col("doc_id").as("ia"), col("t").as("ta")), "ia")
+      .join(toks.select(col("doc_id").as("ib"), col("t").as("tb")), "ib")
+      .withColumn("tok_jac",
+        graft.functions.GraftFunctions.jaccardSim(col("ta"), col("tb")))
+      .collect()
+    checked.foreach { r =>
+      val j = r.getAs[Double]("tok_jac")
+      assert(j >= 0.5, s"pair (${r.getAs[Long]("ia")}, ${r.getAs[Long]("ib")}) " +
+        s"flagged by simhash but token jaccard only $j")
+    }
+  }
+
+  test("embedding LSH: recall 1.0 on planted near-duplicate vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def jitter(v: Array[Float]): Array[Float] =
+      v.map(x => x + (rnd.nextGaussian() * 0.02).toFloat) // cos ≈ 0.999
+    val base = (0L until 100L).map(i => (i, vec()))
+    val dups = base.take(10).map { case (i, v) => (1000L + i, jitter(v)) }
+    val em = (base ++ dups).toDF("vec_id", "embedding")
+
+    val got = pairs(Dedup.embeddingLshPairs(em, 0.9))
+    val want = base.take(10).map { case (i, _) => (i, 1000L + i) }.toSet
+    assert((want -- got).isEmpty, s"missed planted dups: ${want -- got}")
+    // precision: verify step guarantees cos >= 0.9 on every pair
+    Dedup.embeddingLshPairs(em, 0.9).collect()
+      .foreach(r => assert(r.getAs[Double]("cos") >= 0.9))
+  }
+
+  test("dedup_exact marks genuine exact duplicates") {
+    import spark.implicits._
+    // operator runs on testdata via the oracle; here prove semantics on
+    // planted dups (testdata has no exact dups)
+    val docs = Seq(
+      (1L, "Hello   World", "en", "s", 11L),
+      (2L, "hello world", "en", "s", 11L), // same after normalization
+      (3L, "different", "en", "s", 9L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.createOrReplaceTempView("__docs")
+    val fp = graft.text.TextOps.fingerprint(col("text"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val out = docs.withColumn("fp", fp)
+      .withColumn("keep_id", min(col("doc_id")).over(w))
+      .withColumn("is_dup", (col("doc_id") =!= col("keep_id")).cast("int"))
+      .select("doc_id", "is_dup").as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 0, 2L -> 1, 3L -> 0))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.GraftFunctions._
+
+class ExpressionsSpec extends SparkSpec {
+
+  test("cosine_sim: known values, zero norm, codegen = eval") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1f, 0f), Array(1f, 0f), 1.0),
+      (Array(1f, 0f), Array(0f, 1f), 0.0),
+      (Array(1f, 1f), Array(-1f, -1f), -1.0),
+      (Array(0f, 0f), Array(1f, 2f), 0.0) // zero norm -> 0, not NaN
+    ).toDF("a", "b", "want")
+    val got = df.select(cosineSim(col("a"), col("b")).as("c"), col("want"))
+      .collect()
+    got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("minhash_sig: deterministic, jaccard-correlated") {
+    import spark.implicits._
+    val a = (1 to 60).map(i => s"sh$i")
+    val b = (1 to 54).map(i => s"sh$i") ++ (100 to 105).map(i => s"sh$i") // j=0.82
+    val c = (200 to 260).map(i => s"sh$i") // disjoint from a
+    val df = Seq(("a", a), ("b", b), ("c", c)).toDF("id", "sh")
+      .select(col("id"), minhashSig(col("sh"), 128).as("sig"))
+    val sigs = df.collect().map(r =>
+      r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs("a").size == 128)
+    def est(x: Seq[Long], y: Seq[Long]) =
+      x.zip(y).count { case (u, v) => u == v } / 128.0
+    assert(est(sigs("a"), sigs("a")) == 1.0)
+    assert(math.abs(est(sigs("a"), sigs("b")) - 0.82) < 0.15)
+    assert(est(sigs("a"), sigs("c")) < 0.1)
+  }
+
+  test("simhash64: identical inputs agree, near inputs near, far inputs far") {
+    import spark.implicits._
+    val base = (1 to 80).map(i => s"w$i")
+    val near = base.updated(3, "CHANGED")
+    val far = (300 to 380).map(i => s"w$i")
+    val df = Seq(("base", base), ("same", base), ("near", near), ("far", far))
+      .toDF("id", "toks")
+      .select(col("id"), simhash64(col("toks")).as("sig"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(m("base") == m("same"))
+    assert(ham(m("base"), m("near")) <= 10)
+    assert(ham(m("base"), m("far")) >= 20)
+  }
+
+  test("jaccard_sim: exact distinct-set semantics") {
+    import spark.implicits._
+    val df = Seq((Seq("a", "b", "c", "a"), Seq("b", "c", "d")))
+      .toDF("x", "y")
+      .select(jaccardSim(col("x"), col("y")).as("j"))
+    // {a,b,c} vs {b,c,d}: 2/4
+    assert(df.head().getDouble(0) == 0.5)
+  }
+
+  test("rhp_sigs: deterministic, sign-flip moves buckets") {
+    import spark.implicits._
+    val v = Array.tabulate(64)(i => (i % 7 - 3).toFloat)
+    val neg = v.map(x => -x)
+    val df = Seq(("v", v), ("v2", v), ("neg", neg)).toDF("id", "e")
+      .select(col("id"), rhpSigs(col("e"), 8, 4).as("s"))
+    val m = df.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(m("v") == m("v2"))
+    assert(m("v").size == 4)
+    // all 8 bits flip for the negated vector in every table
+    m("v").zip(m("neg")).foreach { case (a, b) =>
+      assert((a ^ b) == 255L, s"expected full flip, got $a vs $b")
+    }
+  }
+
+  test("null inputs propagate null") {
+    import spark.implicits._
+    val df = Seq((Option.empty[Seq[String]], Seq("a")))
+      .toDF("x", "y")
+      .select(jaccardSim(col("x"), col("y")).as("j"),
+        simhash64(col("x")).as("s"))
+    val r = df.head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("SQL function registration (registerSql path)") {
+    GraftExtensions.registerSql(spark)
+    locally {
+      val r = spark.sql(
+        """SELECT cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) c,
+          |  jaccard_sim(array('a','b'), array('b','c')) j,
+          |  simhash64(array('x','y')) s,
+          |  size(minhash_sig(array('x','y'), 16)) k,
+          |  size(rhp_sigs(array(1.0F, 2.0F), 8, 4)) t
+          |""".stripMargin).head()
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+      assert(math.abs(r.getDouble(1) - 1.0 / 3) < 1e-12)
+      assert(r.getInt(3) == 16)
+      assert(r.getInt(4) == 4)
+    }
+  }
+}

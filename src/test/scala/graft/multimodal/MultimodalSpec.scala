@@ -1,0 +1,30 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+
+  test("mm_features: deterministic stub decode + real byte stats") {
+    val rows = Multimodal.mmFeatures(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(Set("png", "jpeg", "webp").contains(r.getAs[String]("fmt")))
+      val w = r.getAs[Int]("width"); val h = r.getAs[Int]("height")
+      assert(w >= 64 && w < 256 && h >= 64 && h < 256)
+      val mean = r.getAs[Double]("mean_byte")
+      assert(mean > 0 && mean < 256)
+      assert(r.getAs[Int]("n_bytes") > 0)
+    }
+    // deterministic across runs
+    val again = Multimodal.mmFeatures(spark, sfDir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("decodeStub is pure and total") {
+    val a = Multimodal.decodeStub("hello".getBytes)
+    assert(a == Multimodal.decodeStub("hello".getBytes))
+    // empty payload doesn't crash
+    val (fmt, w, h) = Multimodal.decodeStub(Array.emptyByteArray)
+    assert(fmt.nonEmpty && w >= 64 && h >= 64)
+  }
+}
