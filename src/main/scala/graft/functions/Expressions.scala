@@ -134,6 +134,31 @@ case class RhpSigs(child: Expression, bits: Int, tables: Int)
     copy(child = newChild)
 }
 
+/** `word_shingles(array<string>, n) -> array<string>` — distinct word
+  * n-grams in one pass. Exists because the built-in HOF spelling
+  * (transform + sequence + concat + array_distinct) is CodegenFallback:
+  * fine in a projection, pathological under explode.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.checkTypes(prettyName, Seq(child),
+      { case ArrayType(StringType, _) => true })
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(a: Any): Any =
+    VecOps.wordShingles(a.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VecOps.wordShingles($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
 /** Column-API facade for the custom expressions — use these exactly like
   * `org.apache.spark.sql.functions._`.
   */
@@ -147,6 +172,8 @@ object GraftFunctions {
     column(JaccardSim(expression(a), expression(b)))
   def rhpSigs(a: Column, bits: Int, tables: Int): Column =
     column(RhpSigs(expression(a), bits, tables))
+  def wordShingles(a: Column, n: Int): Column =
+    column(WordShingles(expression(a), n))
 
   private def expression(c: Column): Expression =
     org.apache.spark.sql.GraftShim.expression(c)

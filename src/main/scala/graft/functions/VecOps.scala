@@ -2,7 +2,7 @@ package graft.functions
 
 import scala.util.hashing.MurmurHash3
 
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static kernels behind the custom Catalyst expressions (H1–H3).
@@ -133,6 +133,32 @@ object VecOps {
       t += 1
     }
     out
+  }
+
+  /** Distinct word n-gram shingles, first-occurrence order. One pass,
+    * no intermediate arrays — the HOF equivalent
+    * (transform+sequence+concat+array_distinct) is CodegenFallback and
+    * collapses throughput when evaluated under a Generate (explode).
+    */
+  def wordShingles(toks: ArrayData, n: Int): ArrayData = {
+    val m = toks.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val space = UTF8String.fromString(" ")
+    val out = new java.util.LinkedHashSet[UTF8String]
+    val parts = new Array[UTF8String](2 * n - 1)
+    var i = 0
+    while (i <= m - n) {
+      var j = 0
+      while (j < n) {
+        val t = toks.getUTF8String(i + j)
+        parts(2 * j) = if (t == null) UTF8String.EMPTY_UTF8 else t
+        if (j < n - 1) parts(2 * j + 1) = space
+        j += 1
+      }
+      out.add(UTF8String.concat(parts: _*))
+      i += 1
+    }
+    new GenericArrayData(out.toArray(Array.empty[AnyRef]))
   }
 
   /** Exact Jaccard similarity of two string arrays (distinct elements),

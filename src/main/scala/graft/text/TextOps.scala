@@ -95,16 +95,11 @@ object TextOps {
 
   /** Distinct word 3-gram shingles over a token-array column — the
     * shared primitive under Jaccard / MinHash dedup (C5, D2, D3).
+    * Custom codegen expression: the built-in HOF spelling is
+    * CodegenFallback and collapses under explode.
     */
   def wordShingles(toks: Column): Column =
-    array_distinct(
-      when(size(toks) >= 3,
-        transform(sequence(lit(0), size(toks) - 3), i =>
-          concat_ws(" ",
-            element_at(toks, i + 1),
-            element_at(toks, i + 2),
-            element_at(toks, i + 3))))
-        .otherwise(array().cast("array<string>")))
+    graft.functions.GraftFunctions.wordShingles(toks, 3)
 
   /** C4 `text_fingerprint` — content fingerprint per document
     * (≈ the reference's row identity key, aiesec.py:139, generalized
