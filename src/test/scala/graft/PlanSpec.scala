@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Physical-plan invariants for headline operators (SURVEY.md §5):
+  * filters reach the parquet scan, column pruning holds, dimension
+  * joins broadcast, and the sessionize window/agg share one shuffle.
+  * These are the properties that keep the plans viable at 100 TB, so
+  * they're pinned as tests, not left to chance.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.explainString(FormattedMode)
+
+  private def countOccurrences(s: String, sub: String): Int =
+    s.sliding(sub.length).count(_ == sub)
+
+  test("q1_agg: shipdate filter pushed into scan, columns pruned") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    // scan must not read all 11 lineitem columns for a 6-column agg
+    val out = p.linesIterator.find(_.startsWith("Output")).get
+    assert(out.startsWith("Output [6]"), s"expected 6-column scan, got: $out")
+  }
+
+  test("q3_shipping: selective customer filter pushed + dimension broadcast") {
+    val p = plan("q3_shipping")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      "customer segment filter must reach the scan")
+    assert(p.contains("BroadcastHashJoin"),
+      "filtered customer dim must broadcast")
+  }
+
+  test("join_broadcast: no sort-merge join anywhere") {
+    val p = plan("join_broadcast")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "dimension joins must be broadcast, not shuffled")
+  }
+
+  test("sessionize: window and session agg share one shuffle") {
+    val p = plan("sessionize")
+    // exchanges: one for the user_id window (+1 for the final
+    // deterministic orderBy) — the groupBy must reuse the window's
+    // user_id partitioning rather than shuffle again
+    val n = countOccurrences(p, "+- Exchange")
+    assert(n <= 2, s"expected <=2 exchanges (window + final sort), got $n\n$p")
+  }
+
+  test("mm_meta / text ops: single-pass, no shuffle before the final sort") {
+    for (q <- Seq("mm_meta", "text_tokens", "text_fingerprint")) {
+      val p = plan(q)
+      val n = countOccurrences(p, "+- Exchange")
+      assert(n <= 1, s"$q should only shuffle for the final sort, got $n")
+    }
+  }
+}
