@@ -97,15 +97,17 @@ object Ann {
     val seeds = c.filter(col("vec_id") % IvfSeedMod === 0)
       .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
 
-    def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(round(col("c_cos"), 6).desc, col("cell_id"))
+    // argmax via max_by aggregation — no sort of the (corpus × cells)
+    // cross join, map-side partial aggregation does the heavy lifting
+    def assign(vectors: DataFrame, centroids: DataFrame): DataFrame =
       vectors.crossJoin(broadcast(centroids))
         .withColumn("c_cos", cosineSim(col("embedding"), col("c_emb")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cell_id"))
-    }
+        .groupBy(col("vec_id"))
+        .agg(
+          first(col("embedding")).as("embedding"),
+          max_by(col("cell_id"),
+            struct(round(col("c_cos"), 6).as("c"), (-col("cell_id")).as("t")))
+            .as("cell_id"))
 
     // one Lloyd refinement: element-wise mean per cell
     val refined = assign(c, seeds)
