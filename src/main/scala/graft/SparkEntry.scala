@@ -19,7 +19,8 @@ object SparkEntry {
       dedup.Dedup.queries ++
       ann.Ann.queries ++
       multimodal.Multimodal.queries ++
-      streaming.Streaming.queries
+      streaming.Streaming.queries ++
+      plans.TopKOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check.
@@ -33,5 +34,6 @@ object SparkEntry {
       dedup.Dedup.oracle ++
       ann.Ann.oracle ++
       multimodal.Multimodal.oracle ++
-      streaming.Streaming.oracle
+      streaming.Streaming.oracle ++
+      plans.TopKOps.oracle
 }
