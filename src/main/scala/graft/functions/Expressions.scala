@@ -159,6 +159,27 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** `rolling_hash64(string) -> long` — Karp–Rabin polynomial fingerprint. */
+case class RollingHash64(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.checkTypes(prettyName, Seq(child),
+      { case StringType => true })
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash64"
+
+  override def nullSafeEval(a: Any): Any =
+    VecOps.rollingHash64(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VecOps.rollingHash64($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash64 =
+    copy(child = newChild)
+}
+
 /** Column-API facade for the custom expressions — use these exactly like
   * `org.apache.spark.sql.functions._`.
   */
@@ -174,6 +195,7 @@ object GraftFunctions {
     column(RhpSigs(expression(a), bits, tables))
   def wordShingles(a: Column, n: Int): Column =
     column(WordShingles(expression(a), n))
+  def rollingHash64(a: Column): Column = column(RollingHash64(expression(a)))
 
   private def expression(c: Column): Expression =
     org.apache.spark.sql.GraftShim.expression(c)

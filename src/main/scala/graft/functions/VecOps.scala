@@ -98,6 +98,22 @@ object VecOps {
     out
   }
 
+  /** Polynomial rolling hash (Karp–Rabin) over UTF-8 bytes in the full
+    * 64-bit ring: h = Σ b_i·B^(n-1-i), B odd prime-ish. One pass,
+    * order-sensitive — the streaming-friendly document fingerprint
+    * (an incremental update needs only the previous hash + new byte).
+    */
+  def rollingHash64(s: UTF8String): Long = {
+    val b = s.getBytes
+    var h = 0L
+    var i = 0
+    while (i < b.length) {
+      h = h * 1000003L + (b(i) & 0xff)
+      i += 1
+    }
+    h
+  }
+
   /** splitmix64 finalizer — cheap stateless bit mixer. */
   private def mix64(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L

@@ -22,13 +22,21 @@ object TextOps {
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
-  /** C1 `text_tokens` — token counting + char stats per document. */
+  /** BPE-ish tokenizer regex: alnum runs + single non-space symbols —
+    * the pre-tokenization split most BPE vocabularies start from.
+    */
+  private val bpeIsh = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+
+  /** C1 `text_tokens` — token counting (whitespace + BPE-ish regex) +
+    * char stats per document.
+    */
   def textTokens(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .withColumn("toks", toks)
       .select(
         col("doc_id"),
         size(col("toks")).as("n_tokens"),
+        regexp_count(col("text"), lit(bpeIsh)).as("n_tokens_bpe"),
         length(col("text")).as("n_chars_calc"),
         round(length(regexp_replace(col("text"), "\\s", "")) /
           size(col("toks")), 4).as("avg_token_len"))
@@ -61,8 +69,10 @@ object TextOps {
     "es" -> Seq("el", "la", "los", "las"),
     "fr" -> Seq("le", "les", "des", "un"))
 
-  /** C3 `text_langid` — marker-word language ID (n-gram-frequency
-    * heuristic, ties broken by fixed language priority).
+  /** C3 `text_langid` — language ID over {en,de,es,fr,zh}: Han-script
+    * character detection for zh (script beats marker words for CJK —
+    * no whitespace tokenization to rely on), marker-word frequency for
+    * the latin-script languages, ties broken by fixed priority.
     */
   def textLangId(spark: SparkSession, dir: String): DataFrame = {
     val counted = langMarkers.foldLeft(
@@ -73,16 +83,20 @@ object TextOps {
             .cast("long"))
     }
     counted
+      .withColumn("n_zh",
+        length(regexp_replace(col("text"), "[^一-鿿]", ""))
+          .cast("long"))
       .withColumn("pred_lang",
-        when(col("n_en") >= col("n_de") && col("n_en") >= col("n_es") &&
-          col("n_en") >= col("n_fr") && col("n_en") > 0, "en")
+        when(col("n_zh") > 0, "zh")
+          .when(col("n_en") >= col("n_de") && col("n_en") >= col("n_es") &&
+            col("n_en") >= col("n_fr") && col("n_en") > 0, "en")
           .when(col("n_de") >= col("n_es") && col("n_de") >= col("n_fr") &&
             col("n_de") > 0, "de")
           .when(col("n_es") >= col("n_fr") && col("n_es") > 0, "es")
           .when(col("n_fr") > 0, "fr")
           .otherwise("unknown"))
       .select(col("doc_id"), col("n_en"), col("n_de"), col("n_es"),
-        col("n_fr"), col("pred_lang"))
+        col("n_fr"), col("n_zh"), col("pred_lang"))
       .orderBy(col("doc_id"))
   }
 
@@ -110,6 +124,19 @@ object TextOps {
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** C4b `text_rolling_fp` — Karp–Rabin rolling-hash fingerprint of the
+    * normalized text: the incremental-update-friendly alternative to
+    * the md5 fingerprint (rows-only check: DuckDB has no mod-2^64
+    * arithmetic; exact values pinned in TextOpsSpec).
+    */
+  def textRollingFp(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.rollingHash64(
+          regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+          .as("rolling_fp"))
+      .orderBy(col("doc_id"))
+
   /** C5 `text_shingles` — word 3-gram shingle counts (the primitive
     * under MinHash/Jaccard dedup).
     */
@@ -134,6 +161,7 @@ object TextOps {
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangId _),
     "text_fingerprint" -> (textFingerprint _),
+    "text_rolling_fp" -> (textRollingFp _),
     "text_shingles" -> (textShingles _)
   )
 
@@ -141,6 +169,8 @@ object TextOps {
     "text_tokens" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
+        |    AS n_tokens_bpe,
         |  length(text) AS n_chars_calc,
         |  round(length(regexp_replace(text, '\s', '', 'g')) * 1.0 /
         |    len(string_split_regex(trim(text), '\s+')), 4) AS avg_token_len
@@ -170,16 +200,21 @@ object TextOps {
         |  len(list_filter(toks, t -> t IN ('der','und','die','das'))) AS n_de,
         |  len(list_filter(toks, t -> t IN ('el','la','los','las'))) AS n_es,
         |  len(list_filter(toks, t -> t IN ('le','les','des','un'))) AS n_fr
-        |  FROM t)
-        |SELECT doc_id, n_en, n_de, n_es, n_fr,
+        |  FROM t),
+        |z AS (SELECT doc_id,
+        |    length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g'))
+        |      AS n_zh
+        |  FROM documents)
+        |SELECT c.doc_id, n_en, n_de, n_es, n_fr, n_zh,
         |  CASE
+        |    WHEN n_zh > 0 THEN 'zh'
         |    WHEN n_en >= n_de AND n_en >= n_es AND n_en >= n_fr AND n_en > 0
         |      THEN 'en'
         |    WHEN n_de >= n_es AND n_de >= n_fr AND n_de > 0 THEN 'de'
         |    WHEN n_es >= n_fr AND n_es > 0 THEN 'es'
         |    WHEN n_fr > 0 THEN 'fr'
         |    ELSE 'unknown' END AS pred_lang
-        |FROM c ORDER BY doc_id""".stripMargin,
+        |FROM c JOIN z ON c.doc_id = z.doc_id ORDER BY c.doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp

