@@ -54,24 +54,29 @@ object Dedup {
   /** D2 `dedup_ngram_jaccard` — near-dup pairs with exact 3-gram
     * Jaccard ≥ 0.5, via inverted index (shingle → docs) self-join:
     * shuffle on shingle, pair counting on (ia, ib) — no cartesian.
+    *
+    * Plan shape matters here: df-cap and per-doc sizes are computed
+    * with windows on ONE exploded subtree (instead of groupBy+join
+    * back), and the self-join's two sides are the same plan — so the
+    * scan/shingle/explode work runs once and the shingle shuffle is a
+    * ReusedExchange, not a recompute. The naive spelling scanned the
+    * corpus 8×.
     */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val wg = Window.partitionBy(col("g"))
+    val wd = Window.partitionBy(col("doc_id"))
     val ex = shingled(spark, dir)
       .select(col("doc_id"), explode(col("shingles")).as("g"))
-    // df-capped universe (see MaxShingleDf)
-    val dfCap = ex.groupBy(col("g"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxShingleDf)
-    val ex2 = ex.join(dfCap.select("g"), "g")
-    val sizes = ex2.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val common = ex2.select(col("doc_id").as("ia"), col("g"))
-      .join(ex2.select(col("doc_id").as("ib"), col("g")), "g")
-      .filter(col("ia") < col("ib"))
-      .groupBy(col("ia"), col("ib"))
+      .withColumn("df", count(lit(1)).over(wg))
+      .filter(col("df") <= MaxShingleDf) // df-capped universe
+      .withColumn("n_sh", count(lit(1)).over(wd))
+      .select(col("doc_id"), col("g"), col("n_sh"))
+    ex.as("a")
+      .join(ex.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
       .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.select(col("doc_id").as("ia"), col("n_sh").as("na")), "ia")
-      .join(sizes.select(col("doc_id").as("ib"), col("n_sh").as("nb")), "ib")
       .withColumn("jaccard",
         col("n_common") / (col("na") + col("nb") - col("n_common")))
       .filter(round(col("jaccard"), 6) >= 0.5)

@@ -166,6 +166,25 @@ object Relational {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** `agg_salted_skew` — two-phase salted aggregation: the standard
+    * counter to key skew. `event_type` has only 5 values, so a direct
+    * groupBy lands all 10M+ rows-per-type on 5 reducers at scale; the
+    * salt fans each hot key across 16 partial groups (map-side combine
+    * still applies), and the second phase merges 5×16 tiny partials.
+    * Same result as the direct groupBy — the oracle is the unsalted SQL.
+    */
+  def aggSaltedSkew(spark: SparkSession, dir: String): DataFrame = {
+    val salted = graft.Tables(spark, dir, "events")
+      .withColumn("salt", pmod(hash(col("event_id")), lit(16)))
+    salted
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(col("value")).as("pv"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n_events"),
+        round(sum(col("pv")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** B14 `agg_percentiles` — exact percentiles (sorted-merge agg).
     * At 100 TB prefer approx_percentile; exact kept for oracle parity
     * and as the correctness baseline.
@@ -190,6 +209,7 @@ object Relational {
     "agg_cube" -> (aggCube _),
     "agg_distinct" -> (aggDistinct _),
     "agg_approx_distinct" -> (aggApproxDistinct _),
+    "agg_salted_skew" -> (aggSaltedSkew _),
     "agg_percentiles" -> (aggPercentiles _)
   )
 
@@ -269,6 +289,10 @@ object Relational {
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "agg_salted_skew" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_percentiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
