@@ -93,6 +93,7 @@ object Ann {
     * scanned twice (refine + assign) and shuffled once on cell_id.
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val c = corpus(spark, dir)
     val seeds = c.filter(col("vec_id") % IvfSeedMod === 0)
       .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
@@ -109,15 +110,20 @@ object Ann {
             struct(round(col("c_cos"), 6).as("c"), (-col("cell_id")).as("t")))
             .as("cell_id"))
 
-    // one Lloyd refinement: element-wise mean per cell
-    val refined = assign(c, seeds)
-      .select(col("cell_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("cell_id"), col("pos"))
-      .agg(avg(col("v")).as("m"))
-      .groupBy(col("cell_id"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("cell_id"),
-        expr("transform(pm, x -> cast(x.m as float))").as("c_emb"))
+    // One Lloyd refinement: element-wise mean per cell via the
+    // vector_avg custom aggregate (single groupBy, mergeable partials —
+    // no posexplode into dim× rows). Centroids are tiny (cells × dim);
+    // materialize them to the driver between passes — the k-means
+    // pattern — so the consumers below read a local relation instead of
+    // re-running the refinement subtree.
+    val refined = locally {
+      val rows = assign(c, seeds)
+        .groupBy(col("cell_id"))
+        .agg(graft.functions.VectorAvg.vectorAvg(col("embedding"))
+          .as("c_emb"))
+        .as[(Long, Array[Float])].collect().toSeq
+      rows.toDF("cell_id", "c_emb")
+    }
 
     val assigned = assign(c, refined)
 

@@ -76,6 +76,19 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("vector_avg: element-wise mean with mergeable partials") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1f, 2f)), (1L, Array(3f, 6f)),
+      (2L, Array(10f, 20f))
+    ).toDF("k", "v").repartition(4) // force partial/merge path
+    val m = df.groupBy(col("k"))
+      .agg(VectorAvg.vectorAvg(col("v")).as("m"))
+      .as[(Long, Array[Float])].collect().toMap
+    assert(m(1L).toSeq == Seq(2f, 4f))
+    assert(m(2L).toSeq == Seq(10f, 20f))
+  }
+
   test("null inputs propagate null") {
     import spark.implicits._
     val df = Seq((Option.empty[Seq[String]], Seq("a")))
