@@ -159,7 +159,10 @@ object Dedup {
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val em = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
+    // single-file scans arrive as one split; spread the stream side so
+    // the O(n²) verify runs on every core, not one
     em.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+      .repartition()
       .join(em.select(col("vec_id").as("ib"), col("embedding").as("eb")),
         col("ia") < col("ib"))
       .withColumn("cos", cosineSim(col("ea"), col("eb")))
