@@ -29,7 +29,8 @@ object XlsxSink {
     val rows = df.limit(MaxRows + 1).collect().toSeq
     require(rows.size <= MaxRows,
       s"XlsxSink is a report sink: aggregate first (>$MaxRows rows)")
-    writeRows(cols, rows, path, highlight)
+    writeValues(cols, rows.map(r => r.toSeq.toIndexedSeq), path,
+      vs => highlight(Row.fromSeq(vs)))
   }
 
   private def esc(s: String): String = s
@@ -58,13 +59,16 @@ object XlsxSink {
       s"""<c r="$ref" s="$style" t="inlineStr"><is><t>${esc(other.toString)}</t></is></c>"""
   }
 
-  private def writeRows(cols: Seq[String], rows: Seq[Row], path: String,
-      highlight: Row => Boolean): Unit = {
+  /** Core renderer over plain value rows — shared by the programmatic
+    * API above and the `graft-xlsx` DataSource V2 write path.
+    */
+  private[graft] def writeValues(cols: Seq[String], rows: Seq[IndexedSeq[Any]],
+      path: String, highlight: IndexedSeq[Any] => Boolean): Unit = {
     // Auto column widths from max rendered length (reference autofits,
     // aiesec.py:180-186); excel width unit ≈ one character.
     val widths = cols.indices.map { i =>
       val maxLen = (cols(i).length +: rows.map(r =>
-        Option(r.get(i)).map(_.toString.length).getOrElse(0))).max
+        Option(r(i)).map(_.toString.length).getOrElse(0))).max
       math.min(maxLen + 2, 60)
     }
     val colsXml = widths.zipWithIndex.map { case (w, i) =>
@@ -77,7 +81,7 @@ object XlsxSink {
     val body = rows.zipWithIndex.map { case (r, ri) =>
       val style = if (highlight(r)) 2 else 0
       val cells = cols.indices.map { ci =>
-        cellXml(s"${colRef(ci)}${ri + 2}", r.get(ci), style)
+        cellXml(s"${colRef(ci)}${ri + 2}", r(ci), style)
       }.mkString
       s"""<row r="${ri + 2}">$cells</row>"""
     }.mkString

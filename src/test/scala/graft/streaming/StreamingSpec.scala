@@ -50,6 +50,67 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == Seq(("click", 2L, 3.0), ("view", 1L, 5.0)))
   }
 
+  test("SessionizeStream closes sessions on gap and on watermark timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val q = SessionizeStream.sessions(mem.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // burst 1: two events 5 min apart; burst 2 same batch: 40 min
+      // later (> 30-min gap) → first session closes in-batch
+      mem.addData(
+        SessionEvent(7L, ts("2024-01-01 10:00:00"), 1.0),
+        SessionEvent(7L, ts("2024-01-01 10:05:00"), 2.0),
+        SessionEvent(7L, ts("2024-01-01 10:45:00"), 4.0))
+      q.processAllAvailable()
+      val afterBatch = spark.sql(
+        "SELECT n_events, session_value FROM sessions")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(afterBatch == Set((2L, 3.0)))
+
+      // advance the watermark far past 10:45 + gap → timeout flushes
+      // the open session (another user's event drives the clock)
+      mem.addData(SessionEvent(99L, ts("2024-01-01 13:00:00"), 0.5))
+      q.processAllAvailable()
+      mem.addData(SessionEvent(99L, ts("2024-01-01 15:00:00"), 0.5))
+      q.processAllAvailable()
+
+      val all = spark.sql(
+        """SELECT user_id, n_events, session_value FROM sessions
+          |WHERE user_id = 7 ORDER BY session_value""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(all.toSeq == Seq((7L, 2L, 3.0), (7L, 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("streaming sessionize agrees with the batch sessionize gap rule") {
+    import spark.implicits._
+    // batch operator (B16) on the same tiny input
+    val batch = Seq(
+      (7L, ts("2024-01-01 10:00:00"), 1.0),
+      (7L, ts("2024-01-01 10:05:00"), 2.0),
+      (7L, ts("2024-01-01 10:45:00"), 4.0)
+    ).toDF("user_id", "ts", "value")
+      .withColumn("event_id", org.apache.spark.sql.functions.monotonically_increasing_id())
+    batch.createOrReplaceTempView("__sess_events")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts")
+    import org.apache.spark.sql.functions._
+    val sessions = batch
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("is_new", when($"prev_ts".isNull ||
+        unix_micros($"ts") - unix_micros($"prev_ts") > 1800000000L, 1L)
+        .otherwise(0L))
+      .withColumn("session_id", sum($"is_new").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n"), sum($"value").as("v"))
+      .select($"n", $"v").as[(Long, Double)].collect().toSet
+    assert(sessions == Set((2L, 3.0), (1L, 4.0)))
+  }
+
   test("DeltaAlertStream emits new/changed alerts only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
