@@ -34,6 +34,21 @@ object GraftExtensions {
     case other => throw new IllegalArgumentException(
       s"$fn expects a literal int, got $other")
   }
+
+  /** Enable the optimizer rewrites + planner strategies on a running
+    * session: rank-filter → bounded-heap TopKPerGroup.
+    */
+  def registerOptimizations(spark: org.apache.spark.sql.SparkSession): Unit = {
+    org.apache.spark.sql.GraftShim.addStrategy(spark,
+      graft.plans.GraftStrategies)
+    org.apache.spark.sql.GraftShim.addOptimization(spark,
+      graft.plans.RewriteRankFilterToTopK)
+  }
+
+  /** Undo [[registerOptimizations]] (specs use this for isolation). */
+  def unregisterOptimizations(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.GraftShim.removeOptimization(spark,
+      graft.plans.RewriteRankFilterToTopK)
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -61,5 +76,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("rhp_sigs", classOf[RhpSigs]),
       (args: Seq[Expression]) => RhpSigs(args(0),
         intLit(args(1), "rhp_sigs"), intLit(args(2), "rhp_sigs"))))
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteRankFilterToTopK)
   }
 }

@@ -39,4 +39,21 @@ object GraftShim {
       exp.extraStrategies = exp.extraStrategies :+ s
     }
   }
+
+  /** Idempotently add / remove an optimizer rule on a running session. */
+  def addOptimization(spark: SparkSession,
+      r: org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraOptimizations.contains(r)) {
+      exp.extraOptimizations = exp.extraOptimizations :+ r
+    }
+  }
+
+  def removeOptimization(spark: SparkSession,
+      r: org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    exp.extraOptimizations = exp.extraOptimizations.filterNot(_ == r)
+  }
 }

@@ -29,6 +29,34 @@ class TopKSpec extends SparkSpec {
       s"bounded-heap top-k must not sort the data\n$p")
   }
 
+  test("optimizer rule rewrites rank-filter windows into TopK automatically") {
+    graft.functions.GraftExtensions.registerOptimizations(spark)
+    try {
+      // the plain window spelling (B9), untouched user code
+      val df = graft.operators.Windowed.rankTopN(spark, sfDir)
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("TopKPerGroup"),
+        s"rank<=k filter over row_number window should rewrite\n$plan")
+      assert(!plan.contains("Window "), "window should be gone")
+      // and the rewrite preserves results exactly
+      val rewritten = df.collect().map(_.toString).sorted.toSeq
+      graft.functions.GraftExtensions.unregisterOptimizations(spark)
+      val original = graft.operators.Windowed.rankTopN(spark, sfDir)
+        .collect().map(_.toString).sorted.toSeq
+      assert(rewritten == original)
+    } finally graft.functions.GraftExtensions.unregisterOptimizations(spark)
+  }
+
+  test("rule leaves non-top-k windows alone") {
+    graft.functions.GraftExtensions.registerOptimizations(spark)
+    try {
+      // running_sum has a window but no rank filter — must not rewrite
+      val p = graft.operators.Windowed.runningSum(spark, sfDir)
+        .queryExecution.optimizedPlan.toString
+      assert(!p.contains("TopKPerGroup"))
+    } finally graft.functions.GraftExtensions.unregisterOptimizations(spark)
+  }
+
   test("k larger than any group returns whole groups, ranked") {
     import spark.implicits._
     val df = Seq((1L, 10.0), (1L, 30.0), (2L, 20.0)).toDF("g", "v")
