@@ -13,10 +13,13 @@ trait SparkSpec extends AnyFunSuite {
 
 object SparkSpec {
   lazy val session: SparkSession = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-test")
+    System.setProperty("derby.system.home", tmp.resolve("derby").toString)
     val s = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", tmp.resolve("warehouse").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
