@@ -166,6 +166,42 @@ object Relational {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** `set_ops` — UNION/INTERSECT/EXCEPT with SQL set semantics
+    * (deduplicating), tagged per source: high-balance vs BUILDING
+    * customers. Each set op is a shuffle on the full row; Catalyst
+    * plans INTERSECT/EXCEPT as left-semi/anti under the hood, so the
+    * scalable join machinery applies unchanged.
+    */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer")
+    val rich = cust.filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey"), col("c_name"))
+    val building = cust.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_name"))
+    rich.union(building).distinct().withColumn("tag", lit("union"))
+      .unionByName(rich.intersect(building).withColumn("tag", lit("both")))
+      .unionByName(rich.except(building).withColumn("tag", lit("rich_only")))
+      .orderBy(col("tag"), col("c_custkey"))
+  }
+
+  /** `q18_large_orders` — TPC-H Q18 shape: aggregate-then-semi-join.
+    * The HAVING subquery produces few keys → broadcast back against the
+    * fact side, so the big join is map-side; the heavy work is one
+    * partial-aggregated groupBy on the natural key.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val ord = Tables(spark, dir, "orders")
+    val bigKeys = li.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 300)
+    ord.join(broadcast(bigKeys), ord("o_orderkey") === bigKeys("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        round(col("total_qty"), 2).as("total_qty"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** `agg_salted_skew` — two-phase salted aggregation: the standard
     * counter to key skew. `event_type` has only 5 values, so a direct
     * groupBy lands all 10M+ rows-per-type on 5 reducers at scale; the
@@ -210,7 +246,9 @@ object Relational {
     "agg_distinct" -> (aggDistinct _),
     "agg_approx_distinct" -> (aggApproxDistinct _),
     "agg_salted_skew" -> (aggSaltedSkew _),
-    "agg_percentiles" -> (aggPercentiles _)
+    "agg_percentiles" -> (aggPercentiles _),
+    "set_ops" -> (setOps _),
+    "q18_large_orders" -> (q18LargeOrders _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -289,6 +327,28 @@ object Relational {
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "set_ops" ->
+      """WITH rich AS (SELECT c_custkey, c_name FROM customer
+        |    WHERE c_acctbal > 5000),
+        |building AS (SELECT c_custkey, c_name FROM customer
+        |    WHERE c_mktsegment = 'BUILDING')
+        |SELECT c_custkey, c_name, 'union' AS tag
+        |  FROM (SELECT * FROM rich UNION SELECT * FROM building)
+        |UNION ALL
+        |SELECT c_custkey, c_name, 'both' AS tag
+        |  FROM (SELECT * FROM rich INTERSECT SELECT * FROM building)
+        |UNION ALL
+        |SELECT c_custkey, c_name, 'rich_only' AS tag
+        |  FROM (SELECT * FROM rich EXCEPT SELECT * FROM building)
+        |ORDER BY tag, c_custkey""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+        |SELECT o_orderkey, o_custkey, o_orderdate,
+        |  round(o_totalprice, 2) AS o_totalprice,
+        |  round(total_qty, 2) AS total_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
     "agg_salted_skew" ->
       """SELECT event_type, count(*) AS n_events,
         |  round(sum(value), 2) AS sum_value
