@@ -1,0 +1,94 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's COMPLETE daily job (`aiesec.py` end-to-end),
+  * composed from graft components — the "switch your pipeline to this
+  * library" proof:
+  *
+  *   1. ingest scraped HTML cards (`graft-cards` DSv2 source
+  *      ≈ aiesec.py:38-66)
+  *   2. extract + normalize typed fields, including the reference's
+  *      `"."` → `"N/A"` duration rule and applicant-count parsing
+  *      (≈ aiesec.py:70-125,139)
+  *   3. rotate the keyed snapshot (SnapshotStore ≈ Today/Yesterday
+  *      xlsx, aiesec.py:20-21,131)
+  *   4. snapshot delta by key — LEFT ANTI (≈ aiesec.py:142-144)
+  *   5. styled Today report + New report, premium rows highlighted
+  *      (XlsxSink ≈ aiesec.py:147-186)
+  *   6. conditional alert payload, only when the delta is non-empty
+  *      (≈ aiesec.py:241-251)
+  *
+  * Scheduling stays external (Airflow/cron call `run` per day — same
+  * contract as the reference); everything inside is distributed.
+  */
+object DailyPipeline {
+
+  case class Result(
+      nToday: Long,
+      nNew: Long,
+      alert: Option[String],
+      todayReport: String,
+      newReport: Option[String])
+
+  /** Extract + normalize card records (step 2). Expects the card
+    * field layout the reference scrapes: id, country, premium,
+    * applicants, duration, organization.
+    */
+  def normalize(cards: DataFrame): DataFrame =
+    cards.select(
+      element_at(col("fields"), "id").cast("string").as("id"),
+      trim(col("title")).as("title"),
+      upper(trim(element_at(col("fields"), "country"))).as("country"),
+      (lower(coalesce(element_at(col("fields"), "premium"), lit("no")))
+        === "yes").as("premium"),
+      coalesce(nullif(regexp_extract(
+        element_at(col("fields"), "applicants"), "([0-9]+)", 1), lit(""))
+        .cast("int"), lit(0)).as("applicants"),
+      // the reference's "." → "N/A" null-token rule (aiesec.py:105)
+      when(trim(element_at(col("fields"), "duration")) === "." ||
+          element_at(col("fields"), "duration").isNull, "N/A")
+        .otherwise(trim(element_at(col("fields"), "duration")))
+        .as("duration"),
+      coalesce(element_at(col("fields"), "organization"), lit(""))
+        .as("organization"))
+      .filter(col("id").isNotNull)
+
+  def run(spark: SparkSession, cardsPath: String, storeRoot: String,
+      version: String, reportDir: String): Result = {
+    // 1-2: ingest + normalize
+    val today = normalize(
+      spark.read.format("graft-cards").load(cardsPath))
+
+    // 3: rotate the keyed snapshot (keeps this + previous)
+    val store = new SnapshotStore(spark, storeRoot, "id")
+    store.rotate(today, version)
+
+    // 4: delta — new ids vs the previous snapshot
+    val newRows = store.newRows
+
+    // 5: styled reports (premium highlight ≈ PREMIUM == "Yes")
+    new java.io.File(reportDir).mkdirs()
+    val todayPath = s"$reportDir/Today.xlsx"
+    val latest = store.latest.get.orderBy(col("id"))
+    val premIdx = latest.columns.indexOf("premium")
+    val isPremium = (r: org.apache.spark.sql.Row) => r.getBoolean(premIdx)
+    XlsxSink.write(latest, todayPath, isPremium)
+
+    val nNew = newRows.count()
+    val newPath =
+      if (nNew > 0) {
+        val p = s"$reportDir/New.xlsx"
+        XlsxSink.write(newRows.orderBy(col("id")), p, isPremium)
+        Some(p)
+      } else None
+
+    // 6: conditional alert
+    val alert =
+      if (nNew > 0) Some(s"ALERT: $nNew new records in $version")
+      else None
+
+    Result(today.count(), nNew, alert, todayPath, newPath)
+  }
+}
