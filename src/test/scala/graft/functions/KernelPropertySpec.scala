@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.propBoolean
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests (raw ScalaCheck) for the static kernels behind the
+  * custom expressions — pure functions, so no Spark session needed.
+  */
+class KernelPropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(100), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def arr(xs: Seq[String]): GenericArrayData =
+    new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
+  private def farr(xs: Seq[Float]): GenericArrayData =
+    new GenericArrayData(xs.map(_.asInstanceOf[Any]).toArray)
+
+  private val tokens = Gen.listOf(Gen.oneOf(
+    "a", "b", "c", "word", "table", "spark", "row", "key"))
+  private val vecs = Gen.listOfN(16, Gen.chooseNum(-5f, 5f))
+
+  test("jaccard ∈ [0,1], symmetric, 1 on self (non-empty)") {
+    check(Prop.forAll(tokens, tokens) { (x, y) =>
+      val j = VecOps.jaccard(arr(x), arr(y))
+      j >= 0.0 && j <= 1.0 &&
+        j == VecOps.jaccard(arr(y), arr(x)) &&
+        (x.isEmpty || VecOps.jaccard(arr(x), arr(x)) == 1.0)
+    })
+  }
+
+  test("minhash signature agreement tracks jaccard (within 0.25 at k=128)") {
+    check(Prop.forAll(tokens, tokens) { (x, y) =>
+      (x.nonEmpty && y.nonEmpty) ==> {
+        val j = VecOps.jaccard(arr(x), arr(y))
+        val sx = VecOps.minhash(arr(x), 128)
+        val sy = VecOps.minhash(arr(y), 128)
+        val est = sx.zip(sy).count { case (a, b) => a == b } / 128.0
+        math.abs(est - j) <= 0.25
+      }
+    })
+  }
+
+  test("cosine ∈ [-1,1], exactly 1 on self for nonzero vectors") {
+    check(Prop.forAll(vecs, vecs) { (v, w) =>
+      val self = VecOps.cosineF(farr(v), farr(v))
+      val cw = VecOps.cosineF(farr(v), farr(w))
+      (v.forall(_ == 0f) || math.abs(self - 1.0) < 1e-9) &&
+        cw >= -1.0 - 1e-9 && cw <= 1.0 + 1e-9
+    })
+  }
+
+  test("simhash hamming is 0 on self and ≤ 64 always") {
+    check(Prop.forAll(tokens, tokens) { (x, y) =>
+      val a = VecOps.simhash64(arr(x))
+      val d = java.lang.Long.bitCount(a ^ VecOps.simhash64(arr(y)))
+      java.lang.Long.bitCount(a ^ VecOps.simhash64(arr(x))) == 0 &&
+        d >= 0 && d <= 64
+    })
+  }
+
+  test("rolling hash: prefix property h(s ++ c) = h(s)*B + c") {
+    check(Prop.forAll(Gen.asciiPrintableStr, Gen.asciiPrintableChar) {
+      (s, c) =>
+        val h = VecOps.rollingHash64(UTF8String.fromString(s))
+        val h2 = VecOps.rollingHash64(UTF8String.fromString(s + c))
+        h2 == h * 1000003L + c.toInt
+    })
+  }
+
+  test("word shingles: distinct, each shingle has n tokens, count ≤ len-n+1") {
+    check(Prop.forAll(tokens) { x =>
+      val sh = VecOps.wordShingles(arr(x), 3)
+      val out = (0 until sh.numElements()).map(sh.getUTF8String(_).toString)
+      out.distinct.size == out.size &&
+        out.size <= math.max(0, x.size - 2) &&
+        out.forall(_.split(" ", -1).length == 3)
+    })
+  }
+
+  test("rhp signatures: deterministic and bit-bounded") {
+    check(Prop.forAll(vecs) { v =>
+      val a = VecOps.rhpSigs(farr(v), 8, 4)
+      val b = VecOps.rhpSigs(farr(v), 8, 4)
+      a.toSeq == b.toSeq && a.length == 4 &&
+        a.forall(sig => sig >= 0 && sig < 256)
+    })
+  }
+}
