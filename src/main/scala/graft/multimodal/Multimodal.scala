@@ -78,9 +78,46 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** One sampled "frame" of a binary payload. */
+  case class MmFrame(doc_id: Long, frame_idx: Int, offset: Int,
+      frame_bytes: Int, mean_byte: Double)
+
+  val FramesPerDoc = 4
+  val FrameWindow = 32
+
+  /** F3 `mm_frames` — frame sampling over "video" payloads: each
+    * payload yields `FramesPerDoc` evenly-spaced frames (a byte window
+    * standing in for a decoded frame — the real codec would seek to
+    * the timestamp instead; same ==== STUB ==== contract as
+    * [[decodeStub]]). flatMap fan-out keeps frames with their source
+    * partition — no shuffle until a consumer asks for one.
+    */
+  def mmFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id").cast("long"), col("text").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        (0 until FramesPerDoc).iterator.map { i =>
+          val off =
+            if (bytes.isEmpty) 0
+            else (bytes.length.toLong * i / FramesPerDoc).toInt
+          val frame = bytes.slice(off, math.min(off + FrameWindow, bytes.length))
+          val mean =
+            if (frame.isEmpty) 0.0
+            else frame.map(b => (b & 0xff).toLong).sum.toDouble / frame.length
+          MmFrame(id, i, off, frame.length,
+            math.rint(mean * 10000) / 10000)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> (mmMeta _),
-    "mm_features" -> (mmFeatures _)
+    "mm_features" -> (mmFeatures _),
+    "mm_frames" -> (mmFrames _)
   )
 
   /** F2 depends on the stub decoder → rows-only check + spec. */

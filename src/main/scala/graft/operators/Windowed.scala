@@ -83,14 +83,66 @@ object Windowed {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** `win_ntile` — equal-frequency bucketing of customers by balance
+    * (quartiles), the windowed binning primitive for feature
+    * engineering. Unpartitioned ntile is single-partition by nature;
+    * for 100 TB use approx quantile cutpoints instead — kept here for
+    * the exact-semantics surface, like B14.
+    */
+  def winNtile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables(spark, dir, "customer")
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("quartile"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("c_acctbal")), 2).as("min_bal"),
+        round(max(col("c_acctbal")), 2).as("max_bal"))
+      .orderBy(col("quartile"))
+  }
+
+  /** `date_parts` — calendar decomposition + date arithmetic over the
+    * order stream: year/quarter/month extraction and order age in days
+    * at a fixed as-of date. All codegen'd date intrinsics.
+    */
+  def dateParts(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        datediff(lit("2001-09-01").cast("date"),
+          to_date(col("o_orderdate"))).as("age_days"))
+      .orderBy(col("o_orderkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_rank_topn" -> (rankTopN _),
     "win_running_sum" -> (runningSum _),
     "win_lag_delta" -> (lagDelta _),
+    "win_ntile" -> (winNtile _),
+    "date_parts" -> (dateParts _),
     "sessionize" -> (sessionize _)
   )
 
   val oracle: Map[String, String] = Map(
+    "win_ntile" ->
+      """SELECT quartile, count(*) AS n,
+        |  round(min(c_acctbal), 2) AS min_bal,
+        |  round(max(c_acctbal), 2) AS max_bal
+        |FROM (SELECT c_acctbal, ntile(4) OVER (
+        |    ORDER BY c_acctbal DESC, c_custkey) AS quartile
+        |  FROM customer)
+        |GROUP BY quartile ORDER BY quartile""".stripMargin,
+    "date_parts" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS y,
+        |  quarter(o_orderdate) AS q,
+        |  month(o_orderdate) AS m,
+        |  dayofweek(o_orderdate) + 1 AS dow,
+        |  datediff('day', CAST(o_orderdate AS DATE), DATE '2001-09-01')
+        |    AS age_days
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "win_rank_topn" ->
       """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
         |  rank_in_cust

@@ -20,6 +20,24 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("mm_frames samples evenly-spaced deterministic frames") {
+    val rows = Multimodal.mmFrames(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (_, fs) =>
+      assert(fs.length == Multimodal.FramesPerDoc)
+      val offsets = fs.sortBy(_.getAs[Int]("frame_idx"))
+        .map(_.getAs[Int]("offset")).toSeq
+      assert(offsets.head == 0)
+      assert(offsets == offsets.sorted)
+      fs.foreach { f =>
+        assert(f.getAs[Int]("frame_bytes") <= Multimodal.FrameWindow)
+        val m = f.getAs[Double]("mean_byte")
+        assert(m >= 0 && m < 256)
+      }
+    }
+  }
+
   test("decodeStub is pure and total") {
     val a = Multimodal.decodeStub("hello".getBytes)
     assert(a == Multimodal.decodeStub("hello".getBytes))
