@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -202,6 +203,52 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** `agg_grouping_sets` — explicit GROUPING SETS (the general form
+    * under rollup/cube): per-status totals, per-priority totals, and a
+    * grand total in one pass — one shuffle, one scan, Catalyst expands
+    * the sets.
+    */
+  def aggGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders").createOrReplaceTempView("__orders_gs")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  round(sum(o_totalprice), 2) AS sum_price,
+        |  count(*) AS n_orders
+        |FROM __orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** `etl_scd2` — slowly-changing-dimension type 2 history: collapse
+    * each user's event-type stream into validity ranges
+    * [valid_from, valid_to) per distinct run, open range (null
+    * valid_to) for the current value. One shuffle on the entity key,
+    * two stacked windows over the same sort — the standard way to build
+    * dimension history from a change log.
+    */
+  def etlScd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "events")
+      .withColumn("changed",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum(col("changed")).over(wRun))
+      .groupBy(col("user_id"), col("run_id"))
+      .agg(
+        first(col("event_type")).as("event_type"),
+        min(col("ts")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to",
+        lead(col("valid_from"), 1).over(
+          Window.partitionBy(col("user_id")).orderBy(col("run_id"))))
+      .select(col("user_id"), col("run_id"), col("event_type"),
+        col("valid_from"), col("valid_to"), col("n_events"))
+      .orderBy(col("user_id"), col("run_id"))
+  }
+
   /** `agg_salted_skew` — two-phase salted aggregation: the standard
     * counter to key skew. `event_type` has only 5 values, so a direct
     * groupBy lands all 10M+ rows-per-type on 5 reducers at scale; the
@@ -248,7 +295,9 @@ object Relational {
     "agg_salted_skew" -> (aggSaltedSkew _),
     "agg_percentiles" -> (aggPercentiles _),
     "set_ops" -> (setOps _),
-    "q18_large_orders" -> (q18LargeOrders _)
+    "q18_large_orders" -> (q18LargeOrders _),
+    "agg_grouping_sets" -> (aggGroupingSets _),
+    "etl_scd2" -> (etlScd2 _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -327,6 +376,38 @@ object Relational {
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  round(sum(o_totalprice), 2) AS sum_price,
+        |  count(*) AS n_orders
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "etl_scd2" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END
+        |      AS changed
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |runs AS (
+        |  SELECT user_id, event_type, ts,
+        |    CAST(sum(changed) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS run_id
+        |  FROM flagged),
+        |grouped AS (
+        |  SELECT user_id, run_id, min(event_type) AS event_type,
+        |    min(ts) AS valid_from, count(*) AS n_events
+        |  FROM runs GROUP BY user_id, run_id)
+        |SELECT user_id, run_id, event_type, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+        |    AS valid_to,
+        |  n_events
+        |FROM grouped ORDER BY user_id, run_id""".stripMargin,
     "set_ops" ->
       """WITH rich AS (SELECT c_custkey, c_name FROM customer
         |    WHERE c_acctbal > 5000),
