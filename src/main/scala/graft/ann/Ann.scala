@@ -141,16 +141,47 @@ object Ann {
     topK(cand.withColumn("cos", cosineSim(col("embedding"), col("q_emb"))))
   }
 
+  /** `emb_stats` — per-label embedding statistics with the L2 norm
+    * spelled in built-in higher-order functions (`zip_with` dot product
+    * + `aggregate` fold): the no-custom-code baseline the codegen
+    * `cosine_sim` expression is measured against. Fine in a projection
+    * (HOFs only hurt under Generate — see word_shingles).
+    */
+  def embStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .withColumn("norm", sqrt(expr(
+        """aggregate(zip_with(embedding, embedding, (x, y) ->
+          |  cast(x as double) * cast(y as double)),
+          |  cast(0 as double), (acc, v) -> acc + v)""".stripMargin)))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("norm")), 4).as("avg_norm"),
+        round(min(col("norm")), 4).as("min_norm"),
+        round(max(col("norm")), 4).as("max_norm"))
+      .orderBy(col("label"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk" -> (annTopK _),
     "ann_lsh" -> (annLsh _),
-    "ann_ivf" -> (annIvf _)
+    "ann_ivf" -> (annIvf _),
+    "emb_stats" -> (embStats _)
   )
 
   /** E1 is exact and DuckDB-expressible; E2/E3 are hash/probe dependent
     * → rows-only driver check + recall specs vs E1.
     */
   val oracle: Map[String, String] = Map(
+    "emb_stats" ->
+      """WITH n AS (SELECT label,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |      CAST(embedding AS DOUBLE[]))) AS norm
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n,
+        |  round(avg(norm), 4) AS avg_norm,
+        |  round(min(norm), 4) AS min_norm,
+        |  round(max(norm), 4) AS max_norm
+        |FROM n GROUP BY label ORDER BY label""".stripMargin,
     "ann_topk" ->
       """WITH q AS (SELECT vec_id q_id, embedding q_emb FROM embeddings
         |    WHERE vec_id < 10),

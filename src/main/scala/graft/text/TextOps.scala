@@ -55,10 +55,14 @@ object TextOps {
       .withColumn("stop_ratio", col("n_stop") / col("n_tokens"))
       .withColumn("digit_ratio",
         length(regexp_replace(col("text"), "[^0-9]", "")) / length(col("text")))
+      .withColumn("punct_ratio",
+        length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")) /
+          length(col("text")))
       .select(
         col("doc_id"), col("n_tokens"), col("n_stop"),
         round(col("stop_ratio"), 4).as("stop_ratio"),
         round(col("digit_ratio"), 4).as("digit_ratio"),
+        round(col("punct_ratio"), 4).as("punct_ratio"),
         when(col("n_tokens") >= 30 && col("n_tokens") <= 1000 &&
           col("stop_ratio") <= 0.6, 1L).otherwise(0L).as("is_quality"))
       .orderBy(col("doc_id"))
@@ -187,6 +191,8 @@ object TextOps {
         |  round(n_stop * 1.0 / n_tokens, 4) AS stop_ratio,
         |  round(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 /
         |    length(text), 4) AS digit_ratio,
+        |  round(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0 /
+        |    length(text), 4) AS punct_ratio,
         |  CASE WHEN n_tokens >= 30 AND n_tokens <= 1000
         |    AND n_stop * 1.0 / n_tokens <= 0.6 THEN 1 ELSE 0 END
         |    AS is_quality
