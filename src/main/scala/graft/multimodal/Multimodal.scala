@@ -30,10 +30,24 @@ object Multimodal {
       .orderBy(col("doc_id"))
 
   /** Extracted per-payload features. `fmt`/`width`/`height` come from
-    * the stub decoder; `mean_byte` is computed from the real bytes.
+    * the stub decoder; `out_w`/`out_h` from the stub resize;
+    * `mean_byte` is computed from the real bytes.
     */
   case class MmFeature(doc_id: Long, fmt: String, width: Int, height: Int,
-      n_bytes: Int, mean_byte: Double)
+      out_w: Int, out_h: Int, n_bytes: Int, mean_byte: Double)
+
+  val ResizeTarget = 64
+
+  /** ==== STUB RESIZE ====: aspect-preserving fit into
+    * ResizeTarget×ResizeTarget — only the geometry (what a real
+    * thumbnailer computes before touching pixels); the pixel resample
+    * would live in the same partition pass as [[decodeStub]].
+    */
+  private[multimodal] def resizeStub(w: Int, h: Int): (Int, Int) = {
+    val scale = ResizeTarget.toDouble / math.max(w, h)
+    (math.max(1, math.round(w * scale).toInt),
+      math.max(1, math.round(h * scale).toInt))
+  }
 
   /** ==== STUB DECODER ====
     * Stands in for a real image/audio codec (not installed in this
@@ -63,6 +77,7 @@ object Multimodal {
         // per-partition decoder init would go here (real codec)
         it.map { case (id, bytes) =>
           val (fmt, w, h) = decodeStub(bytes)
+          val (ow, oh) = resizeStub(w, h)
           val mean =
             if (bytes.isEmpty) 0.0
             else {
@@ -70,7 +85,7 @@ object Multimodal {
               while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }
               s.toDouble / bytes.length
             }
-          MmFeature(id, fmt, w, h, bytes.length,
+          MmFeature(id, fmt, w, h, ow, oh, bytes.length,
             math.rint(mean * 10000) / 10000)
         }
       }

@@ -14,6 +14,10 @@ class MultimodalSpec extends SparkSpec {
       val mean = r.getAs[Double]("mean_byte")
       assert(mean > 0 && mean < 256)
       assert(r.getAs[Int]("n_bytes") > 0)
+      // resize: fits the target box, preserves aspect (long side = 64)
+      val (ow, oh) = (r.getAs[Int]("out_w"), r.getAs[Int]("out_h"))
+      assert(ow <= Multimodal.ResizeTarget && oh <= Multimodal.ResizeTarget)
+      assert(math.max(ow, oh) == Multimodal.ResizeTarget)
     }
     // deterministic across runs
     val again = Multimodal.mmFeatures(spark, sfDir).collect()
