@@ -8,6 +8,10 @@ import org.apache.spark.sql.SparkSession
   * timed twice with the min reported (standard guard against one-off
   * GC / co-tenant noise — observed run-to-run spread on this host is
   * close to 2×).
+  *
+  * A query that throws is reported as -1 (not its wall time) and named
+  * in an "errors" object, so a crashing query can't masquerade as a
+  * fast success in the bench total.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -18,21 +22,29 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    try { SparkEntry.queries("q1_agg")(spark, sfDir).count() }
-    catch { case _: Throwable => () }
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    spark.sparkContext.setLogLevel("ERROR")
+    val warmupErr: Option[String] =
+      try { SparkEntry.queries("q1_agg")(spark, sfDir).count(); None }
+      catch { case t: Throwable => Some(t.toString.take(200)) }
+    // Right(seconds) on success, Left(error message) on failure.
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+      catch { case t: Throwable => Left(t.toString.replaceAll("[\"\\n\\r]", " ").take(200)) }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(once(fn), once(fn))
+      (once(fn), once(fn)) match {
+        case (Right(a), Right(b)) => (name, math.min(a, b), None)
+        case (r1, r2)             => (name, -1.0, r1.left.toOption.orElse(r2.left.toOption))
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" } ++
+      warmupErr.map(e => "\"_warmup\":\"" + e + "\"")
+    val errJson = if (errs.isEmpty) "" else errs.mkString(",\"errors\":{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

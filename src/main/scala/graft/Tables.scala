@@ -22,8 +22,12 @@ object Tables {
       // applies when it coerces ns → its native µs timestamps, so both
       // engines see identical values.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // FLOOR division in pure long arithmetic (`div` truncates toward
+      // zero, which would round negative pre-1970 nanos UP; going via
+      // floor(ts/1000.0) would lose precision past 2^53). DuckDB floors.
       spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts", timestamp_micros(
+          expr("(ts div 1000) - CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END")))
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

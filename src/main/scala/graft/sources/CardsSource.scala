@@ -95,6 +95,25 @@ object CardsSource {
   }
 }
 
+/** Java-serializable Hadoop `Configuration` carrier (the Spark-internal
+  * `SerializableConfiguration` is `private[spark]`): the driver captures
+  * `spark.sessionState.newHadoopConf()` — fs.defaultFS, S3/HDFS
+  * credentials, user-set `spark.hadoop.*` — and ships it to executors,
+  * so the source works on non-default filesystems too.
+  */
+class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
 class CardsTable(pathSpec: String) extends Table with SupportsRead {
   override def name(): String = s"graft-cards($pathSpec)"
   override def schema(): StructType = CardsSource.schema
@@ -103,26 +122,30 @@ class CardsTable(pathSpec: String) extends Table with SupportsRead {
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch {
+      // driver-side: honor the session's Hadoop configuration
+      private val hadoopConf = new SerializableHadoopConf(
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
       override def build(): Scan = this
       override def readSchema(): StructType = CardsSource.schema
       override def toBatch: Batch = this
       override def planInputPartitions(): Array[InputPartition] =
-        CardsSource.listFiles(pathSpec, new Configuration())
+        CardsSource.listFiles(pathSpec, hadoopConf.value)
           .map(f => CardFilePartition(f): InputPartition).toArray
       override def createReaderFactory(): PartitionReaderFactory =
-        new CardsReaderFactory
+        new CardsReaderFactory(hadoopConf)
     }
 }
 
 case class CardFilePartition(file: String) extends InputPartition
 
-class CardsReaderFactory extends PartitionReaderFactory {
+class CardsReaderFactory(conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[CardFilePartition].file
     new PartitionReader[InternalRow] {
       private val rows: Iterator[InternalRow] = {
         val path = new Path(file)
-        val fs = path.getFileSystem(new Configuration())
+        val fs = path.getFileSystem(conf.value)
         val in = fs.open(path)
         val content = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
           finally in.close()

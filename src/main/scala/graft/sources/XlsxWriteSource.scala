@@ -54,11 +54,24 @@ class XlsxTable(schema: StructType) extends Table with SupportsWrite {
     new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
       override def truncate(): WriteBuilder = this
       override def build(): Write = new Write {
+        // Fail fast at plan time: a malformed highlight spec or unknown
+        // column must error BEFORE the write job runs, not at commit.
+        private val highlight =
+          Option(info.options.get("highlight")).map { spec =>
+            val i = spec.indexOf('=')
+            require(i > 0,
+              s"graft-xlsx: highlight must be 'column=value', got '$spec'")
+            val colName = spec.substring(0, i).trim
+            require(info.schema().fieldNames.contains(colName),
+              s"graft-xlsx: highlight column '$colName' not in schema " +
+                info.schema().fieldNames.mkString("(", ", ", ")"))
+            (colName, spec.substring(i + 1))
+          }
         override def toBatch: BatchWrite =
           new XlsxBatchWrite(info.schema(),
             Option(info.options.get("path")).getOrElse(
               throw new IllegalArgumentException("graft-xlsx: path required")),
-            Option(info.options.get("highlight")))
+            highlight)
       }
     }
 }
@@ -68,7 +81,7 @@ case class XlsxRowsMessage(partitionId: Int, rows: Array[Array[Any]])
   extends WriterCommitMessage
 
 class XlsxBatchWrite(schema: StructType, path: String,
-    highlightSpec: Option[String]) extends BatchWrite {
+    highlightSpec: Option[(String, String)]) extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
@@ -84,9 +97,8 @@ class XlsxBatchWrite(schema: StructType, path: String,
       s"graft-xlsx is a report sink: aggregate first (>${XlsxSink.MaxRows} rows)")
     val cols = schema.fieldNames.toSeq
     val highlight: IndexedSeq[Any] => Boolean = highlightSpec match {
-      case Some(spec) =>
-        val Array(colName, value) = spec.split("=", 2)
-        val idx = schema.fieldIndex(colName.trim)
+      case Some((colName, value)) =>
+        val idx = schema.fieldIndex(colName)
         vs => Option(vs(idx)).exists(_.toString == value)
       case None => _ => false
     }

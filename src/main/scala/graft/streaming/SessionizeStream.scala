@@ -46,14 +46,24 @@ object SessionizeStream {
     val closed = Seq.newBuilder[SessionAgg]
     var open: Option[SessionAgg] = state.getOption
     sorted.foreach { e =>
+      val t = e.ts.getTime
       open match {
-        case Some(s) if e.ts.getTime - s.session_end.getTime <= GapMs =>
-          open = Some(s.copy(session_end = e.ts,
-            n_events = s.n_events + 1,
-            session_value = s.session_value + e.value))
-        case Some(s) => // gap exceeded inside the batch → close, start new
+        // Only a POSITIVE gap past session_end opens a new session; a
+        // late (out-of-order, within-watermark) event must extend the
+        // open session's bounds with min/max, never move them backwards.
+        case Some(s) if t > s.session_end.getTime + GapMs =>
           closed += s
           open = Some(SessionAgg(userId, e.ts, e.ts, 1, e.value))
+        case Some(s) if t < s.session_start.getTime - GapMs =>
+          // late event more than a gap BEFORE the open session: by the
+          // batch gap rule it is its own (already-closed) session
+          closed += SessionAgg(userId, e.ts, e.ts, 1, e.value)
+        case Some(s) =>
+          open = Some(s.copy(
+            session_start = if (t < s.session_start.getTime) e.ts else s.session_start,
+            session_end = if (t > s.session_end.getTime) e.ts else s.session_end,
+            n_events = s.n_events + 1,
+            session_value = s.session_value + e.value))
         case None =>
           open = Some(SessionAgg(userId, e.ts, e.ts, 1, e.value))
       }

@@ -160,16 +160,113 @@ object TextOps {
         size(array_distinct(col("shingles"))).as("n_distinct_shingles"))
       .orderBy(col("doc_id"))
 
+  // PII patterns — spelled in the common Java-regex ∩ RE2 subset so the
+  // Spark plan and the DuckDB oracle compile the same automaton.
+  private[text] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[text] val UrlRe = "https?://[^\\s]+"
+  private[text] val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** C6 `pii_scrub` — PII redaction for training corpora: replace
+    * emails / URLs / phone numbers with typed placeholder tokens and
+    * count each. Single projection pass, fully codegen'd — at 100 TB
+    * this is a map-only stage with zero shuffle.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("scrubbed",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+            UrlRe, "<URL>"),
+          PhoneRe, "<PHONE>"))
+      .select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(EmailRe)).as("n_emails"),
+        regexp_count(col("text"), lit(UrlRe)).as("n_urls"),
+        regexp_count(col("text"), lit(PhoneRe)).as("n_phones"),
+        length(col("scrubbed")).as("clean_len"),
+        md5(col("scrubbed").cast("binary")).as("clean_fp"))
+      .orderBy(col("doc_id"))
+
+  /** C7 `text_clean` — canonical text cleanup: control chars → space,
+    * whitespace collapsed, trimmed. Emits the cleaned fingerprint plus
+    * how many chars cleanup removed (a cheap corpus-health signal).
+    */
+  def textClean(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("clean",
+        trim(regexp_replace(
+          regexp_replace(col("text"), "[\\x00-\\x1F\\x7F]", " "),
+          " +", " ")))
+      .select(
+        col("doc_id"),
+        length(col("clean")).as("clean_len"),
+        (length(col("text")) - length(col("clean"))).as("n_removed"),
+        md5(col("clean").cast("binary")).as("clean_fp"))
+      .orderBy(col("doc_id"))
+
+  val HistBucket = 100
+
+  /** C8 `text_length_hist` — document length histogram (fixed-width
+    * buckets): the one-shuffle corpus profile every pipeline run starts
+    * with. Bucket key is low-cardinality → map-side partial aggregation
+    * collapses it before the exchange.
+    */
+  def textLengthHist(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .groupBy((floor(col("n_chars") / HistBucket) * HistBucket)
+        .cast("long").as("bucket_lo"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("bucket_lo"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangId _),
     "text_fingerprint" -> (textFingerprint _),
     "text_rolling_fp" -> (textRollingFp _),
-    "text_shingles" -> (textShingles _)
+    "text_shingles" -> (textShingles _),
+    "pii_scrub" -> (piiScrub _),
+    "text_clean" -> (textClean _),
+    "text_length_hist" -> (textLengthHist _)
   )
 
   val oracle: Map[String, String] = Map(
+    "pii_scrub" ->
+      """WITH s AS (SELECT doc_id, text,
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      'https?://[^\s]+', '<URL>', 'g'),
+        |      '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+        |  len(regexp_extract_all(text, '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS n_phones,
+        |  length(scrubbed) AS clean_len,
+        |  md5(scrubbed) AS clean_fp
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "text_clean" ->
+      """WITH s AS (SELECT doc_id, text,
+        |    trim(regexp_replace(regexp_replace(text,
+        |      '[\x00-\x1F\x7F]', ' ', 'g'), ' +', ' ', 'g')) AS clean
+        |  FROM documents)
+        |SELECT doc_id, length(clean) AS clean_len,
+        |  length(text) - length(clean) AS n_removed,
+        |  md5(clean) AS clean_fp
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "text_length_hist" ->
+      """SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bucket_lo,
+        |  count(*) AS n_docs,
+        |  round(avg(n_chars), 4) AS avg_chars,
+        |  min(n_chars) AS min_chars,
+        |  max(n_chars) AS max_chars
+        |FROM documents GROUP BY 1 ORDER BY bucket_lo""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,

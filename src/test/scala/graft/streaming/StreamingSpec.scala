@@ -85,6 +85,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("SessionizeStream: cross-batch late event extends bounds, never shrinks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val q = SessionizeStream.sessions(mem.toDS())
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+    try {
+      // batch 1: session [10:00, 10:20]; watermark (delay 10m) → 10:10
+      mem.addData(
+        SessionEvent(7L, ts("2024-01-01 10:00:00"), 1.0),
+        SessionEvent(7L, ts("2024-01-01 10:20:00"), 2.0))
+      q.processAllAvailable()
+      // batch 2: LATE but within-watermark event at 10:12 — must merge
+      // into the open session without moving session_end backwards
+      // (the old negative-gap merge set session_end=10:12, so the
+      // timeout fired at 10:42 and fragmented the session).
+      mem.addData(SessionEvent(7L, ts("2024-01-01 10:12:00"), 4.0))
+      q.processAllAvailable()
+      // a fresh in-gap event at 10:30 must still merge (session alive)
+      mem.addData(SessionEvent(7L, ts("2024-01-01 10:30:00"), 8.0))
+      q.processAllAvailable()
+      // advance watermark far past 10:30+gap → flush
+      mem.addData(SessionEvent(99L, ts("2024-01-01 13:00:00"), 0.0))
+      q.processAllAvailable()
+      mem.addData(SessionEvent(99L, ts("2024-01-01 15:00:00"), 0.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        """SELECT session_start, session_end, n_events, session_value
+          |FROM late_sessions WHERE user_id = 7""".stripMargin)
+        .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.toSeq == Seq(
+        (ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00"), 4L, 15.0)))
+    } finally q.stop()
+  }
+
   test("streaming sessionize agrees with the batch sessionize gap rule") {
     import spark.implicits._
     // batch operator (B16) on the same tiny input
