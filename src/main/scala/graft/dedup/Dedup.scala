@@ -212,12 +212,75 @@ object Dedup {
   def rhpSigs(emb: Column, bits: Int, tables: Int): Column =
     graft.functions.GraftFunctions.rhpSigs(emb, bits, tables)
 
+  /** Connected components by iterative min-label propagation over an
+    * undirected edge list (cols `u`, `v`): every node's label converges
+    * to the smallest node id reachable from it. Each round is one
+    * (edges ⋈ labels) shuffle on the node key + a min-combine;
+    * `localCheckpoint` truncates the growing lineage so round N's plan
+    * doesn't replay rounds 1..N-1. Rounds needed = component diameter —
+    * near-dup clusters are small cliques/chains (diameter ≤ a few), so
+    * this beats the O(log²n) large-star/small-star dance until
+    * components get web-graph-shaped.
+    */
+  def connectedComponents(edges0: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = edges0.select(col("u"), col("v"))
+      .union(edges0.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = edges.join(labels, edges("v") === labels("node"))
+        .groupBy(edges("u")).agg(min(col("label")).as("nbr_min"))
+      val next = labels.join(nbrMin, labels("node") === nbrMin("u"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_min"), col("label")))
+            .as("label"),
+          coalesce((col("nbr_min") < col("label")).cast("long"), lit(0L))
+            .as("chg"))
+        .localCheckpoint()
+      changed = next.agg(sum(col("chg"))).head().getLong(0)
+      labels = next.select(col("node"), col("label"))
+      iter += 1
+    }
+    require(changed == 0, s"connectedComponents: no convergence in $maxIters rounds")
+    labels
+  }
+
+  /** D6 `dedup_clusters` — duplicate CLUSTERS, not just pairs: the
+    * union of exact-fingerprint star edges and n-gram-Jaccard near-dup
+    * pairs, resolved into connected components so one keeper per
+    * transitive group survives (A near B, B near C ⇒ {A,B,C} is one
+    * cluster even when A–C alone misses the threshold). This is the
+    * step that turns pairwise dedup signals into actual drop decisions
+    * in a corpus pipeline.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val wfp = Window.partitionBy(col("fp"))
+    val exact = Tables(spark, dir, "documents")
+      .withColumn("fp", TextOps.fingerprint(col("text")))
+      .select(min(col("doc_id")).over(wfp).as("u"), col("doc_id").as("v"))
+      .filter(col("u") < col("v"))
+    val fuzzy = dedupNgramJaccard(spark, dir)
+      .select(col("ia").as("u"), col("ib").as("v"))
+    val labels = connectedComponents(exact.union(fuzzy))
+    val wc = Window.partitionBy(col("cluster_id"))
+    labels
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(wc))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
-    "dedup_embedding" -> (dedupEmbedding _)
+    "dedup_embedding" -> (dedupEmbedding _),
+    "dedup_clusters" -> (dedupClusters _)
     // dedup_embedding_lsh is a library API (the scale path for D5) but
     // not a driver query: this testdata has no cosine-0.9 near-dups, so
     // its correct output here is empty — it's exercised by DedupSpec on
@@ -225,6 +288,42 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "dedup_clusters" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w
+        |    FROM documents),
+        |s AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+        |    THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |      for i in range(1, len(w) - 1)] ELSE [] END) sh FROM t),
+        |e0 AS (SELECT doc_id, unnest(sh) g FROM s),
+        |keep AS (SELECT g FROM e0 GROUP BY g HAVING count(*) <= 50),
+        |e AS (SELECT e0.* FROM e0 JOIN keep USING (g)),
+        |sz AS (SELECT doc_id, count(*) n_sh FROM e GROUP BY doc_id),
+        |p AS (SELECT a.doc_id ia, b.doc_id ib, count(*) n_common
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |fuzzy AS (SELECT ia, ib FROM p
+        |  JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+        |  WHERE round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6)
+        |    >= 0.5),
+        |f AS (SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |ex AS (SELECT min(doc_id) OVER (PARTITION BY fp) AS ia, doc_id AS ib
+        |  FROM f),
+        |pairs AS (SELECT ia, ib FROM fuzzy
+        |  UNION SELECT ia, ib FROM ex WHERE ia < ib),
+        |edges AS (SELECT ia AS u, ib AS v FROM pairs
+        |  UNION SELECT ib, ia FROM pairs),
+        |reach(u, r) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        |  UNION
+        |  SELECT e2.u, reach.r FROM edges e2 JOIN reach ON reach.u = e2.v),
+        |res AS (SELECT u AS doc_id, min(r) AS cluster_id
+        |  FROM reach GROUP BY u)
+        |SELECT doc_id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM res ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """WITH f AS (SELECT doc_id,
         |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp

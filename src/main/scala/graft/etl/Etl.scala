@@ -158,6 +158,29 @@ object Etl {
             lit(" new records")))
           .otherwise("no-op").as("message"))
 
+  /** A15 `sample_split` — deterministic train/val/test split by content-
+    * independent key hash: first md5 byte of the stringified doc_id
+    * buckets each doc into train (75%) / val (12.5%) / test (12.5%).
+    * Hash-based splits are reproducible across engines and runs, stable
+    * under repartitioning, and need no shuffle to assign — the only
+    * exchange here is the 3-group summary rollup.
+    */
+  def sampleSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("hx",
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2))
+      .withColumn("split",
+        when(col("hx") < "c0", "train")
+          .when(col("hx") < "e0", "val")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"),
+        round(avg(col("n_chars")), 4).as("avg_chars"))
+      .orderBy(col("split"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_extract" -> (extract _),
     "etl_normalize" -> (normalize _),
@@ -166,10 +189,20 @@ object Etl {
     "etl_upsert_latest" -> (upsertLatest _),
     "etl_derived_flags" -> (derivedFlags _),
     "etl_report_cards" -> (reportCards _),
-    "etl_alert_delta" -> (alertDelta _)
+    "etl_alert_delta" -> (alertDelta _),
+    "sample_split" -> (sampleSplit _)
   )
 
   val oracle: Map[String, String] = Map(
+    "sample_split" ->
+      """WITH h AS (SELECT doc_id, n_chars,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hx
+        |  FROM documents)
+        |SELECT CASE WHEN hx < 'c0' THEN 'train'
+        |    WHEN hx < 'e0' THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  round(avg(n_chars), 4) AS avg_chars
+        |FROM h GROUP BY 1 ORDER BY split""".stripMargin,
     "etl_extract" ->
       """SELECT doc_id,
         |  regexp_extract(text, '^([A-Za-z]+)', 1) AS first_word,

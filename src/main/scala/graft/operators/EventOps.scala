@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -104,12 +104,69 @@ object EventOps {
         count(lit(1)).as("n_events"))
       .orderBy(col("user_id"))
 
+  /** B28 `events_funnel` — ordered conversion funnel view → click →
+    * purchase: a user advances a stage only with an event strictly
+    * AFTER their previous stage's timestamp. All three stage times are
+    * computed as conditional mins over ONE user-partitioned window —
+    * a single shuffle on user_id, with the per-user reduction and the
+    * tiny final stage rollup both map-side-combinable.
+    */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val wu = Window.partitionBy(col("user_id"))
+    val staged = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("ts"))).over(wu))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" && col("ts") > col("t_view"),
+          col("ts"))).over(wu))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t_click"),
+          col("ts"))).over(wu))
+      .groupBy(col("user_id"))
+      .agg(first(col("t_view")).as("t_view"),
+        first(col("t_click")).as("t_click"),
+        first(col("t_purchase")).as("t_purchase"))
+    def hrs(c: Column): Column =
+      (unix_micros(c) - unix_micros(col("t_view"))) / 3.6e9
+    staged.select(
+      count(col("t_view")).as("n_view"),
+      count(col("t_click")).as("n_click"),
+      count(col("t_purchase")).as("n_purchase"),
+      round(avg(hrs(col("t_click"))), 4).as("avg_hours_to_click"),
+      round(avg(hrs(col("t_purchase"))), 4).as("avg_hours_to_purchase"))
+  }
+
+  /** B29 `retention_cohorts` — weekly cohort retention: users bucketed
+    * by first-activity week (cohort), counted distinct in each later
+    * activity week. Weeks are epoch-anchored (days-since-1970 div 7) so
+    * the bucketing is calendar-library-free and engine-portable. Two
+    * shuffles: the per-user first-seen reduction, then the cohort-week
+    * distinct count — the user_id join in between reuses the first
+    * shuffle's partitioning.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    def week(c: Column): Column =
+      floor(datediff(to_date(c), lit("1970-01-01")) / 7).cast("long")
+    val ev = Tables(spark, dir, "events").select(col("user_id"), col("ts"))
+    val firstSeen = ev.groupBy(col("user_id"))
+      .agg(week(min(col("ts"))).as("cohort_wk"))
+    ev.join(firstSeen, "user_id")
+      .select(col("user_id"), col("cohort_wk"),
+        (week(col("ts")) - col("cohort_wk")).as("week_n"))
+      .groupBy(col("cohort_wk"), col("week_n"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_wk"), col("week_n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pivot_events" -> (pivotEvents _),
     "asof_join" -> (asofJoin _),
     "range_join" -> (rangeJoin _),
     "json_extract" -> (jsonExtract _),
-    "arrays_collect" -> (arraysCollect _)
+    "arrays_collect" -> (arraysCollect _),
+    "events_funnel" -> (eventsFunnel _),
+    "retention_cohorts" -> (retentionCohorts _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -157,6 +214,39 @@ object EventOps {
       """SELECT user_id,
         |  array_to_string(list_sort(list(event_type)), ',') AS event_types,
         |  count(*) AS n_events
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "events_funnel" ->
+      """WITH v AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        |  FROM events GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |  GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |  GROUP BY e.user_id),
+        |s AS (SELECT v.user_id, t_view, t_click, t_purchase
+        |  FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id))
+        |SELECT count(t_view) AS n_view, count(t_click) AS n_click,
+        |  count(t_purchase) AS n_purchase,
+        |  round(avg((epoch_us(t_click) - epoch_us(t_view)) / 3.6e9), 4)
+        |    AS avg_hours_to_click,
+        |  round(avg((epoch_us(t_purchase) - epoch_us(t_view)) / 3.6e9), 4)
+        |    AS avg_hours_to_purchase
+        |FROM s""".stripMargin,
+    "retention_cohorts" ->
+      """WITH fu AS (SELECT user_id,
+        |    CAST(floor(date_diff('day', DATE '1970-01-01',
+        |      CAST(min(ts) AS DATE)) / 7) AS BIGINT) AS cohort_wk
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT e.user_id, fu.cohort_wk,
+        |    CAST(floor(date_diff('day', DATE '1970-01-01',
+        |      CAST(e.ts AS DATE)) / 7) AS BIGINT) - fu.cohort_wk AS week_n
+        |  FROM events e JOIN fu USING (user_id))
+        |SELECT cohort_wk, week_n, count(*) AS n_users
+        |FROM a GROUP BY cohort_wk, week_n
+        |ORDER BY cohort_wk, week_n""".stripMargin
   )
 }

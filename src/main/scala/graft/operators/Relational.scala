@@ -281,8 +281,46 @@ object Relational {
         round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
       .orderBy(col("l_returnflag"))
 
+  /** B30 `join_bloom_prefilter` — the runtime-filter join pattern made
+    * explicit: build a Bloom filter over the SELECTIVE dimension side's
+    * join keys (distributed partial sketches, merged to one small
+    * binary), probe it in the fact scan BEFORE the shuffle, then run
+    * the exact join. False positives are cleared by the join itself, so
+    * the result is exact — the bloom only cuts the rows that would have
+    * shuffled and missed. At 100 TB this is the difference between
+    * shuffling 100 TB of lineitem and shuffling the ~2% that can match;
+    * Spark's own InjectRuntimeFilter does this opportunistically, doing
+    * it explicitly guarantees it (and survives AQE replanning).
+    */
+  def joinBloomPrefilter(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftShim
+    val dim = Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_totalprice") > 150000)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    // one tiny driver-side binary; sized for the filtered key count
+    val bloom = dim.agg(
+      GraftShim.bloomFilterAgg(col("o_orderkey"), 1000000L).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val fact = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .filter(GraftShim.bloomMightContain(lit(bloom), col("l_orderkey")))
+    fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).as("order_month"))
+      .agg(
+        count(lit(1)).as("n_lineitems"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        // decimal-exact revenue: the month groups are large enough that
+        // double accumulation order can land on a .xx5 rounding
+        // boundary and flip the last cent between engines
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")), 2).cast("double").as("revenue"))
+      .orderBy(col("order_month"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
+    "join_bloom_prefilter" -> (joinBloomPrefilter _),
     "q3_shipping" -> (q3Shipping _),
     "q5_local_supplier" -> (q5LocalSupplier _),
     "join_broadcast" -> (joinBroadcast _),
@@ -301,6 +339,15 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "join_bloom_prefilter" ->
+      """SELECT date_trunc('month', o_orderdate) AS order_month,
+        |  count(*) AS n_lineitems,
+        |  count(DISTINCT o_orderkey) AS n_orders,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+        |GROUP BY 1 ORDER BY order_month""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -47,9 +47,30 @@ object Streaming {
       .agg(count(lit(1)).as("n_new_keys"))
       .orderBy(col("first_day"))
 
+  /** G5 streaming exact dedup: drop re-deliveries of the same key while
+    * it is still inside the watermark horizon — the standard
+    * at-least-once → effectively-once repair stage in front of any
+    * streaming sink. State per key expires with the watermark, so state
+    * size is bounded by (keys/hour × horizon), not by stream length.
+    */
+  def dedupStreamTransform(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** G5 `stream_dedup` — batch equivalent: one survivor per event_id
+    * (min ts, then min value as the deterministic tiebreak).
+    */
+  def dedupStream(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(col("event_id"))
+      .agg(min(col("ts")).as("first_ts"), count(lit(1)).as("n_seen"))
+      .orderBy(col("event_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_counts" -> (windowCounts _),
-    "stream_first_seen" -> (firstSeen _)
+    "stream_first_seen" -> (firstSeen _),
+    "stream_dedup" -> (dedupStream _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -65,6 +86,9 @@ object Streaming {
         |  FROM events GROUP BY user_id)
         |SELECT CAST(first_ts AS DATE) AS first_day,
         |  count(*) AS n_new_keys
-        |FROM f GROUP BY 1 ORDER BY first_day""".stripMargin
+        |FROM f GROUP BY 1 ORDER BY first_day""".stripMargin,
+    "stream_dedup" ->
+      """SELECT event_id, min(ts) AS first_ts, count(*) AS n_seen
+        |FROM events GROUP BY event_id ORDER BY event_id""".stripMargin
   )
 }

@@ -50,6 +50,27 @@ object GraftShim {
     }
   }
 
+  /** Distributed Bloom-filter build: merges per-partition sketches into
+    * one binary (the same `BloomFilterAggregate` Spark's own
+    * InjectRuntimeFilter rule uses; values are xxhash64-ed first, the
+    * pairing `bloomMightContain` expects).
+    */
+  def bloomFilterAgg(c: Column, expectedItems: Long): Column =
+    column(new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(
+        new org.apache.spark.sql.catalyst.expressions.XxHash64(
+          Seq(expression(c))),
+        expectedItems).toAggregateExpression())
+
+  /** Codegen'd membership probe against a literal Bloom-filter binary
+    * produced by [[bloomFilterAgg]].
+    */
+  def bloomMightContain(bloomBinary: Column, c: Column): Column =
+    column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      expression(bloomBinary),
+      new org.apache.spark.sql.catalyst.expressions.XxHash64(
+        Seq(expression(c)))))
+
   def removeOptimization(spark: SparkSession,
       r: org.apache.spark.sql.catalyst.rules.Rule[
         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {

@@ -63,6 +63,41 @@ class DedupSpec extends SparkSpec {
       .foreach(r => assert(r.getAs[Double]("cos") >= 0.9))
   }
 
+  test("connectedComponents resolves transitive chains to min-id labels") {
+    import spark.implicits._
+    // two components: a chain 1-2-3-4 (1~3 never directly linked) and a
+    // pair 10-11; plus a self-contained triangle 20-21-22
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L),
+      (11L, 10L),
+      (20L, 21L), (21L, 22L), (22L, 20L)
+    ).toDF("u", "v")
+    val got = Dedup.connectedComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("dedup_clusters groups chained near-dups into one cluster") {
+    val out = Dedup.dedupClusters(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("cluster_size")))
+    assert(out.nonEmpty, "testdata should contain near-dup pairs")
+    // cluster id is always the min doc_id of its members
+    val byCluster = out.groupBy(_._2)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid)
+      assert(members.forall(_._3 == members.size))
+    }
+    // every jaccard pair must land in the same cluster (transitivity)
+    val cluster = out.map(t => t._1 -> t._2).toMap
+    pairs(Dedup.dedupNgramJaccard(spark, sfDir)).foreach { case (a, b) =>
+      assert(cluster(a) == cluster(b), s"pair ($a,$b) split across clusters")
+    }
+  }
+
   test("dedup_exact marks genuine exact duplicates") {
     import spark.implicits._
     // operator runs on testdata via the oracle; here prove semantics on

@@ -147,6 +147,30 @@ class StreamingSpec extends SparkSpec {
     assert(sessions == Set((2L, 3.0), (1L, 4.0)))
   }
 
+  test("dropDuplicatesWithinWatermark drops re-deliveries of the same key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val q = Streaming.dedupStreamTransform(
+      mem.toDF().toDF("event_id", "ts", "value"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1.0),
+        (1L, ts("2024-01-01 10:00:05"), 1.0), // same-batch re-delivery
+        (2L, ts("2024-01-01 10:01:00"), 2.0))
+      q.processAllAvailable()
+      // next batch: another re-delivery of key 1 within the 1h horizon
+      mem.addData((1L, ts("2024-01-01 10:30:00"), 1.0),
+        (3L, ts("2024-01-01 10:31:00"), 3.0))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT event_id FROM dedup_stream")
+        .collect().map(_.getLong(0)).toSeq.sorted
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("DeltaAlertStream emits new/changed alerts only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -52,4 +52,35 @@ class TextOpsSpec extends SparkSpec {
     // don | ' | t | stop | - | me | now | ! | ! = 9
     assert(n == 9)
   }
+
+  test("pii regexes redact planted emails, urls, and phone numbers") {
+    import spark.implicits._
+    val txt = "mail a.b+c@ex-ample.org or visit https://x.io/p?q=1 " +
+      "or call +1 (555) 123-4567 today; not-an-email@ nope http:/broken"
+    val got = Seq(("d", txt)).toDF("k", "t")
+      .select(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("t"), TextOps.EmailRe, "<EMAIL>"),
+            TextOps.UrlRe, "<URL>"),
+          TextOps.PhoneRe, "<PHONE>").as("s"),
+        regexp_count(col("t"), lit(TextOps.EmailRe)).as("ne"),
+        regexp_count(col("t"), lit(TextOps.UrlRe)).as("nu"),
+        regexp_count(col("t"), lit(TextOps.PhoneRe)).as("np"))
+      .head()
+    assert(got.getAs[String]("s") ==
+      "mail <EMAIL> or visit <URL> or call <PHONE> today; " +
+        "not-an-email@ nope http:/broken")
+    assert((got.getInt(1), got.getInt(2), got.getInt(3)) == ((1, 1, 1)))
+  }
+
+  test("text_clean collapses whitespace and strips control chars") {
+    import spark.implicits._
+    val out = Seq(("d", "  a\tb\n\nc  d  ")).toDF("k", "t")
+      .select(trim(regexp_replace(
+        regexp_replace(col("t"), "[\\x00-\\x1F\\x7F]", " "),
+        " +", " ")).as("clean"))
+      .head().getString(0)
+    assert(out == "a b c d")
+  }
 }
