@@ -157,15 +157,24 @@ object Dedup {
     * [[dedupEmbeddingLsh]] and keep this for bounded slices / audits.
     */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    // Hoist each vector's norm to a once-per-ROW projection so the
+    // O(n²) stage only does the dot product — 1/3 of cosine_sim's
+    // per-pair work, bit-identical result (dot and norms accumulate in
+    // the same order as the fused kernel, just factored).
     val em = Tables(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"))
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dotF(col("embedding"), col("embedding"))).as("nrm"))
     // single-file scans arrive as one split; spread the stream side so
     // the O(n²) verify runs on every core, not one
-    em.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    em.select(col("vec_id").as("ia"), col("embedding").as("ea"),
+        col("nrm").as("na"))
       .repartition()
-      .join(em.select(col("vec_id").as("ib"), col("embedding").as("eb")),
+      .join(em.select(col("vec_id").as("ib"), col("embedding").as("eb"),
+        col("nrm").as("nb")),
         col("ia") < col("ib"))
-      .withColumn("cos", cosineSim(col("ea"), col("eb")))
+      .withColumn("cos",
+        when(col("na") * col("nb") === 0.0, 0.0)
+          .otherwise(dotF(col("ea"), col("eb")) / (col("na") * col("nb"))))
       .filter(round(col("cos"), 6) >= EmbDupTau)
       .select(col("ia"), col("ib"), round(col("cos"), 4).as("cos"))
       .orderBy(col("ia"), col("ib"))
@@ -212,42 +221,77 @@ object Dedup {
   def rhpSigs(emb: Column, bits: Int, tables: Int): Column =
     graft.functions.GraftFunctions.rhpSigs(emb, bits, tables)
 
-  /** Connected components by iterative min-label propagation over an
-    * undirected edge list (cols `u`, `v`): every node's label converges
-    * to the smallest node id reachable from it. Each round is one
-    * (edges ⋈ labels) shuffle on the node key + a min-combine;
-    * `localCheckpoint` truncates the growing lineage so round N's plan
-    * doesn't replay rounds 1..N-1. Rounds needed = component diameter —
-    * near-dup clusters are small cliques/chains (diameter ≤ a few), so
-    * this beats the O(log²n) large-star/small-star dance until
-    * components get web-graph-shaped.
+  /** Edge count below which the component graph is resolved with
+    * driver-side union-find instead of iterative Spark rounds. Dedup
+    * edge lists are ≪ corpus size (they only contain flagged pairs), so
+    * in practice this path almost always applies; 5M edges ≈ 80 MB on
+    * the driver.
     */
-  def connectedComponents(edges0: DataFrame, maxIters: Int = 50): DataFrame = {
-    val edges = edges0.select(col("u"), col("v"))
-      .union(edges0.select(col("v").as("u"), col("u").as("v")))
+  val CcDriverMaxEdges = 5000000L
+
+  /** Connected components over an undirected edge list (cols `u`, `v`):
+    * every node's label converges to the smallest reachable node id.
+    *
+    * Hybrid execution, sized at runtime:
+    *  - edge set ≤ [[CcDriverMaxEdges]] (the normal dedup case — edges
+    *    are flagged PAIRS, orders of magnitude smaller than the corpus):
+    *    collect and run path-compressed union-find on the driver,
+    *    O(E α(E)) with zero extra shuffles;
+    *  - larger graphs: iterative min-label propagation — one
+    *    (edges ⋈ labels) shuffle + min-combine per round, rounds =
+    *    component diameter, `localCheckpoint` truncating lineage so
+    *    round N doesn't replay rounds 1..N-1.
+    */
+  def connectedComponents(edges0: DataFrame, maxIters: Int = 50,
+      driverMaxEdges: Long = CcDriverMaxEdges): DataFrame = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    val edges = edges0.select(col("u").cast("long"), col("v").cast("long"))
       .distinct()
       .localCheckpoint()
-    var labels = edges.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIters) {
-      val nbrMin = edges.join(labels, edges("v") === labels("node"))
-        .groupBy(edges("u")).agg(min(col("label")).as("nbr_min"))
-      val next = labels.join(nbrMin, labels("node") === nbrMin("u"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nbr_min"), col("label")))
-            .as("label"),
-          coalesce((col("nbr_min") < col("label")).cast("long"), lit(0L))
-            .as("chg"))
+    if (edges.count() <= driverMaxEdges) {
+      val pairs = edges.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      pairs.foreach { case (u, v) =>
+        parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+      }
+      parent.keys.toSeq.map(n => (n, find(n))).toDF("node", "label")
+    } else {
+      val sym = edges
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
         .localCheckpoint()
-      changed = next.agg(sum(col("chg"))).head().getLong(0)
-      labels = next.select(col("node"), col("label"))
-      iter += 1
+      var labels = sym.select(col("u").as("node")).distinct()
+        .withColumn("label", col("node"))
+        .localCheckpoint()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < maxIters) {
+        val nbrMin = sym.join(labels, sym("v") === labels("node"))
+          .groupBy(sym("u")).agg(min(col("label")).as("nbr_min"))
+        val next = labels.join(nbrMin, labels("node") === nbrMin("u"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nbr_min"), col("label")))
+              .as("label"),
+            coalesce((col("nbr_min") < col("label")).cast("long"), lit(0L))
+              .as("chg"))
+          .localCheckpoint()
+        changed = next.agg(sum(col("chg"))).head().getLong(0)
+        labels = next.select(col("node"), col("label"))
+        iter += 1
+      }
+      require(changed == 0,
+        s"connectedComponents: no convergence in $maxIters rounds")
+      labels
     }
-    require(changed == 0, s"connectedComponents: no convergence in $maxIters rounds")
-    labels
   }
 
   /** D6 `dedup_clusters` — duplicate CLUSTERS, not just pairs: the

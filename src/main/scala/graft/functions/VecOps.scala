@@ -30,6 +30,18 @@ object VecOps {
     if (d == 0.0) 0.0 else dot / d
   }
 
+  /** Dot product of two float vectors, accumulated in double. */
+  def dotF(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    dot
+  }
+
   /** Stable 64-bit hash of UTF-8 bytes (two murmur32 halves — stable
     * across JVMs and Spark versions, unlike Object.hashCode).
     */

@@ -298,9 +298,13 @@ object Relational {
       .filter(col("o_orderpriority") === "1-URGENT" &&
         col("o_totalprice") > 150000)
       .select(col("o_orderkey"), col("o_orderdate"))
-    // one tiny driver-side binary; sized for the filtered key count
+    // one tiny driver-side binary, sized to the ACTUAL filtered key
+    // count (an oversized bloom rides along in every task binary; the
+    // dim pre-count is a cheap small-table scan next to the fact scan
+    // it saves)
+    val nKeys = math.max(1000L, dim.count())
     val bloom = dim.agg(
-      GraftShim.bloomFilterAgg(col("o_orderkey"), 1000000L).as("bf"))
+      GraftShim.bloomFilterAgg(col("o_orderkey"), nKeys).as("bf"))
       .head().getAs[Array[Byte]]("bf")
     val fact = Tables(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))

@@ -72,12 +72,18 @@ class DedupSpec extends SparkSpec {
       (11L, 10L),
       (20L, 21L), (21L, 22L), (22L, 20L)
     ).toDF("u", "v")
-    val got = Dedup.connectedComponents(edges)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(got == Map(
+    val want = Map(
       1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L,
-      20L -> 20L, 21L -> 20L, 22L -> 20L))
+      20L -> 20L, 21L -> 20L, 22L -> 20L)
+    // driver union-find path (the normal dedup-sized case)
+    val got = Dedup.connectedComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want)
+    // distributed label-propagation path (forced) must agree exactly
+    val gotDist = Dedup.connectedComponents(edges, driverMaxEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(gotDist == want)
   }
 
   test("dedup_clusters groups chained near-dups into one cluster") {

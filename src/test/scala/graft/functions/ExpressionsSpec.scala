@@ -20,6 +20,23 @@ class ExpressionsSpec extends SparkSpec {
     got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
   }
 
+  test("dot_f + hoisted norms is bit-identical to fused cosine_sim") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = (0 until 200).map { _ =>
+      (Array.fill(64)(rnd.nextGaussian().toFloat),
+        Array.fill(64)(rnd.nextGaussian().toFloat))
+    }.toDF("a", "b")
+    val rows = df.select(
+      cosineSim(col("a"), col("b")).as("fused"),
+      (dotF(col("a"), col("b")) /
+        (sqrt(dotF(col("a"), col("a"))) * sqrt(dotF(col("b"), col("b")))))
+        .as("factored"))
+      .collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"${r.getDouble(0)} != ${r.getDouble(1)}"))
+  }
+
   test("minhash_sig: deterministic, jaccard-correlated") {
     import spark.implicits._
     val a = (1 to 60).map(i => s"sh$i")
