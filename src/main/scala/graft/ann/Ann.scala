@@ -177,8 +177,33 @@ object Ann {
         round(max(col("norm")), 4).as("max_norm"))
       .orderBy(col("label"))
 
+  val RangeTau = 0.2
+
+  /** E5 `ann_range` — threshold (range) similarity search: every corpus
+    * vector with cosine ≥ τ of each query, not just the top-k. Same
+    * broadcast-queries/scan-corpus shape as E1 with hoisted norms; the
+    * output size is data-dependent, which is exactly what the range API
+    * is for (dedup candidates, recall sweeps).
+    */
+  def annRange(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+      .withColumn("nrm", sqrt(dotF(col("embedding"), col("embedding"))))
+    val q = queriesDf(spark, dir)
+      .withColumn("qn", sqrt(dotF(col("q_emb"), col("q_emb"))))
+    c.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        when(col("nrm") * col("qn") === 0.0, 0.0)
+          .otherwise(dotF(col("embedding"), col("q_emb")) /
+            (col("nrm") * col("qn"))))
+      .filter(round(col("cos"), 6) >= RangeTau)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy(col("q_id"), col("neighbor_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk" -> (annTopK _),
+    "ann_range" -> (annRange _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "emb_stats" -> (embStats _)
@@ -188,6 +213,16 @@ object Ann {
     * → rows-only driver check + recall specs vs E1.
     */
   val oracle: Map[String, String] = Map(
+    "ann_range" ->
+      """WITH q AS (SELECT vec_id q_id, embedding q_emb FROM embeddings
+        |    WHERE vec_id < 10),
+        |scored AS (SELECT q_id, vec_id,
+        |    list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |      CAST(q_emb AS DOUBLE[])) AS cos
+        |  FROM embeddings CROSS JOIN q WHERE vec_id <> q_id)
+        |SELECT q_id, vec_id AS neighbor_id, round(cos, 4) AS cos
+        |FROM scored WHERE round(cos, 6) >= 0.2
+        |ORDER BY q_id, neighbor_id""".stripMargin,
     "emb_stats" ->
       """WITH n AS (SELECT label,
         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),

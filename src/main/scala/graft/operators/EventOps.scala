@@ -159,7 +159,30 @@ object EventOps {
       .orderBy(col("cohort_wk"), col("week_n"))
   }
 
+  /** B31 `events_anomaly` — volume-drift detection: each (event_type,
+    * day)'s count against its own trailing-7-day mean (the window
+    * excludes the current day, so a spike can't mask itself). Daily
+    * pre-aggregation collapses the stream before the per-type window —
+    * the windowed frame is O(types × days), trivially small at any
+    * event volume, which is what makes this pattern safe at 100 TB.
+    */
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val wt = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("trail_raw", avg(col("n_events")).over(wt))
+      .select(col("event_type"), col("day"), col("n_events"),
+        round(col("trail_raw"), 4).as("trail_avg"),
+        round((col("n_events") - col("trail_raw")) / col("trail_raw"), 4)
+          .as("delta_pct"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_anomaly" -> (eventsAnomaly _),
     "pivot_events" -> (pivotEvents _),
     "asof_join" -> (asofJoin _),
     "range_join" -> (rangeJoin _),
@@ -170,6 +193,18 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "events_anomaly" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, n_events,
+        |  round(avg(n_events) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 4) AS trail_avg,
+        |  round((n_events - avg(n_events) OVER (PARTITION BY event_type
+        |    ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) /
+        |    avg(n_events) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 4) AS delta_pct
+        |FROM d ORDER BY event_type, day""".stripMargin,
     "pivot_events" ->
       """SELECT user_id,
         |  count(*) FILTER (WHERE event_type = 'click') AS click,

@@ -223,7 +223,26 @@ object TextOps {
         max(col("n_chars")).as("max_chars"))
       .orderBy(col("bucket_lo"))
 
+  val VocabK = 100
+
+  /** C9 `vocab_topk` — corpus vocabulary head: global token counts +
+    * doc frequency, top-K by count. The canonical explode-heavy global
+    * aggregation: the exchange carries one partial count per (token ×
+    * partition) thanks to map-side combine — NOT one row per token
+    * occurrence — and the final top-K is a tiny ordered limit, Spark's
+    * TakeOrderedAndProject, not a full sort of the vocabulary.
+    */
+  def vocabTopK(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("tok"))
+      .limit(VocabK)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vocab_topk" -> (vocabTopK _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangId _),
@@ -236,6 +255,14 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "vocab_topk" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents)
+        |SELECT tok, count(*) AS n_occurrences,
+        |  count(DISTINCT doc_id) AS n_docs
+        |FROM t GROUP BY tok
+        |ORDER BY n_occurrences DESC, tok LIMIT 100""".stripMargin,
     "pii_scrub" ->
       """WITH s AS (SELECT doc_id, text,
         |    regexp_replace(regexp_replace(regexp_replace(text,
