@@ -14,7 +14,6 @@ run / fork := true
 // Forked run output goes straight to stdout, unprefixed — the driver
 // parses Bench's single JSON line and sbt's "[info] " logger prefix
 // breaks that (round-1 BENCH had parsed:null).
-run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

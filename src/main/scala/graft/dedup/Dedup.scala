@@ -64,19 +64,27 @@ object Dedup {
     */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val wg = Window.partitionBy(col("g"))
-    val wd = Window.partitionBy(col("doc_id"))
+    // ONE wide shuffle: the df-cap window partitions the exploded
+    // (doc, shingle) rows by shingle — exactly the partitioning the
+    // self-join needs, so the join adds no exchange and ReuseExchange
+    // makes both sides (and the size branch) share the single
+    // scan→shingle→explode pass. Per-doc sizes come from a small
+    // aggregate joined onto the PAIR frame afterwards, replacing the
+    // old full-width per-doc window (a second sort+shuffle of every
+    // exploded row) with two joins of tiny frames (AQE broadcasts).
     val ex = shingled(spark, dir)
       .select(col("doc_id"), explode(col("shingles")).as("g"))
       .withColumn("df", count(lit(1)).over(wg))
       .filter(col("df") <= MaxShingleDf) // df-capped universe
-      .withColumn("n_sh", count(lit(1)).over(wd))
-      .select(col("doc_id"), col("g"), col("n_sh"))
+      .select(col("doc_id"), col("g"))
+    val sz = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     ex.as("a")
       .join(ex.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
-        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
       .agg(count(lit(1)).as("n_common"))
+      .join(sz.select(col("doc_id").as("ia"), col("n_sh").as("na")), "ia")
+      .join(sz.select(col("doc_id").as("ib"), col("n_sh").as("nb")), "ib")
       .withColumn("jaccard",
         col("n_common") / (col("na") + col("nb") - col("n_common")))
       .filter(round(col("jaccard"), 6) >= 0.5)
@@ -95,9 +103,14 @@ object Dedup {
     */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val rows = NumPerms / NumBands
+    // materialize signatures once: the band explode and BOTH verify
+    // joins read this frame, and only the two band-join sides would be
+    // deduplicated by ReuseExchange — without the checkpoint the
+    // 128-perm minhash kernel runs ~3× over the corpus
     val sig = shingled(spark, dir)
       .select(col("doc_id"), col("shingles"),
         minhashSig(col("shingles"), NumPerms).as("sig"))
+      .localCheckpoint()
     val bands = sig.select(col("doc_id"),
         posexplode(expr(
           s"transform(sequence(0, $NumBands - 1), " +
