@@ -86,6 +86,26 @@ class DedupSpec extends SparkSpec {
     assert(gotDist == want)
   }
 
+  test("CC: driver union-find and distributed label-prop agree on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    for (trial <- 0 until 3) {
+      val n = 60 + trial * 40
+      val edges = Seq.fill(n)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+        .filter { case (u, v) => u != v }
+        .toDF("u", "v")
+      val uf = Dedup.connectedComponents(edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val lp = Dedup.connectedComponents(edges, driverMaxEdges = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(uf == lp, s"trial $trial: paths disagree")
+      // labels are canonical: every label is the min node of its class
+      uf.groupBy(_._2).foreach { case (label, members) =>
+        assert(members.keys.min == label)
+      }
+    }
+  }
+
   test("dedup_clusters groups chained near-dups into one cluster") {
     val out = Dedup.dedupClusters(spark, sfDir)
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
