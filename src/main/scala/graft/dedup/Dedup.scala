@@ -62,21 +62,33 @@ object Dedup {
     * ReusedExchange, not a recompute. The naive spelling scanned the
     * corpus 8×.
     */
-  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(spark, dir, materialize = true)
+
+  /** n-gram Jaccard pair engine behind D2/D6. ONE wide shuffle: the
+    * df-cap window partitions the exploded (doc, shingle) rows by
+    * shingle — exactly the partitioning the self-join needs — and
+    * per-doc sizes come from a small aggregate joined onto the PAIR
+    * frame, replacing a second full-width per-doc window.
+    *
+    * `materialize` controls an eager localCheckpoint of the exploded
+    * frame: Catalyst's stats estimate the windowed side as
+    * broadcastable, which would recompute the scan→shingle→explode→
+    * window subtree for the join's build side AND the size branch —
+    * three full passes. Standalone callers want it (D2); callers that
+    * checkpoint the downstream result themselves (D6's edge set) skip
+    * it, because stacking two materialization barriers costs more than
+    * the recompute it saves.
+    */
+  private def ngramJaccardPairs(spark: SparkSession, dir: String,
+      materialize: Boolean): DataFrame = {
     val wg = Window.partitionBy(col("g"))
-    // ONE wide shuffle: the df-cap window partitions the exploded
-    // (doc, shingle) rows by shingle — exactly the partitioning the
-    // self-join needs, so the join adds no exchange and ReuseExchange
-    // makes both sides (and the size branch) share the single
-    // scan→shingle→explode pass. Per-doc sizes come from a small
-    // aggregate joined onto the PAIR frame afterwards, replacing the
-    // old full-width per-doc window (a second sort+shuffle of every
-    // exploded row) with two joins of tiny frames (AQE broadcasts).
-    val ex = shingled(spark, dir)
+    val ex0 = shingled(spark, dir)
       .select(col("doc_id"), explode(col("shingles")).as("g"))
       .withColumn("df", count(lit(1)).over(wg))
       .filter(col("df") <= MaxShingleDf) // df-capped universe
       .select(col("doc_id"), col("g"))
+    val ex = if (materialize) ex0.localCheckpoint() else ex0
     val sz = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     ex.as("a")
       .join(ex.as("b"),
@@ -321,7 +333,7 @@ object Dedup {
       .withColumn("fp", TextOps.fingerprint(col("text")))
       .select(min(col("doc_id")).over(wfp).as("u"), col("doc_id").as("v"))
       .filter(col("u") < col("v"))
-    val fuzzy = dedupNgramJaccard(spark, dir)
+    val fuzzy = ngramJaccardPairs(spark, dir, materialize = false)
       .select(col("ia").as("u"), col("ib").as("v"))
     val labels = connectedComponents(exact.union(fuzzy))
     val wc = Window.partitionBy(col("cluster_id"))
