@@ -81,9 +81,16 @@ object Dedup {
     * the recompute it saves.
     */
   private def ngramJaccardPairs(spark: SparkSession, dir: String,
-      materialize: Boolean): DataFrame = {
+      materialize: Boolean): DataFrame =
+    ngramJaccardPairsOf(shingled(spark, dir), materialize)
+
+  /** Same pair engine over ANY (doc_id, shingles) frame — lets pipeline
+    * compositions (A16 corpus_pipeline) run near-dup detection on an
+    * already-filtered corpus instead of the raw table.
+    */
+  def ngramJaccardPairsOf(docs: DataFrame, materialize: Boolean): DataFrame = {
     val wg = Window.partitionBy(col("g"))
-    val ex0 = shingled(spark, dir)
+    val ex0 = docs
       .select(col("doc_id"), explode(col("shingles")).as("g"))
       .withColumn("df", count(lit(1)).over(wg))
       .filter(col("df") <= MaxShingleDf) // df-capped universe

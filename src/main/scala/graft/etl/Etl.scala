@@ -190,10 +190,12 @@ object Etl {
     "etl_derived_flags" -> (derivedFlags _),
     "etl_report_cards" -> (reportCards _),
     "etl_alert_delta" -> (alertDelta _),
-    "sample_split" -> (sampleSplit _)
+    "sample_split" -> (sampleSplit _),
+    "corpus_pipeline" -> (CorpusPipeline.corpusPipeline _)
   )
 
   val oracle: Map[String, String] = Map(
+    "corpus_pipeline" -> CorpusPipeline.oracleSql,
     "sample_split" ->
       """WITH h AS (SELECT doc_id, n_chars,
         |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hx
