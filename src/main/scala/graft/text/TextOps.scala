@@ -241,7 +241,47 @@ object TextOps {
       .orderBy(col("n_occurrences").desc, col("tok"))
       .limit(VocabK)
 
+  val PackBudget = 512
+  val PackParts = 32
+
+  /** C10 `pack_sequences` — greedy token-budget sequence packing: docs
+    * are dealt into [[PackParts]] deterministic streams (doc_id mod),
+    * each stream packed greedily in doc_id order — a sequence closes
+    * when the next doc would exceed [[PackBudget]] tokens (an oversize
+    * doc gets its own sequence). This is the batch-construction step in
+    * front of LLM training, and the one legitimately IMPERATIVE
+    * per-partition pass in the library: packing state is sequential by
+    * nature, so it runs in `mapPartitions` with a part-change reset —
+    * correct under any shuffle-partition count, scaling by adding
+    * streams, never by widening one.
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), pmod(col("doc_id"), lit(PackParts)).as("pid"),
+        size(toks).as("n"))
+      .repartition(col("pid"))
+      .sortWithinPartitions(col("pid"), col("doc_id"))
+      .as[(Long, Long, Int)]
+      .mapPartitions { it =>
+        var curPid = Long.MinValue
+        var seq = 0L
+        var running = 0L
+        it.map { case (_, pid, n) =>
+          if (pid != curPid) { curPid = pid; seq = 0L; running = 0L }
+          if (running > 0 && running + n > PackBudget) { seq += 1; running = 0L }
+          running += n
+          (pid, seq, n.toLong)
+        }
+      }
+      .toDF("pid", "seq_id", "n")
+      .groupBy(col("pid"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("seq_tokens"))
+      .orderBy(col("pid"), col("seq_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_sequences" -> (packSequences _),
     "vocab_topk" -> (vocabTopK _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
@@ -255,6 +295,26 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "pack_sequences" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, doc_id % 32 AS pid,
+        |    len(string_split_regex(trim(text), '\s+')) AS n
+        |  FROM documents),
+        |o AS (SELECT *, row_number() OVER (PARTITION BY pid
+        |    ORDER BY doc_id) AS rn FROM d),
+        |walk(pid, rn, n, seq, running) AS (
+        |  SELECT pid, rn, n, CAST(0 AS BIGINT), CAST(n AS BIGINT)
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.pid, o.rn, o.n,
+        |    CASE WHEN walk.running + o.n > 512
+        |      THEN walk.seq + 1 ELSE walk.seq END,
+        |    CASE WHEN walk.running + o.n > 512
+        |      THEN CAST(o.n AS BIGINT) ELSE walk.running + o.n END
+        |  FROM o JOIN walk ON o.pid = walk.pid AND o.rn = walk.rn + 1)
+        |SELECT pid, seq AS seq_id, count(*) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS seq_tokens
+        |FROM walk GROUP BY pid, seq ORDER BY pid, seq_id""".stripMargin,
     "vocab_topk" ->
       """WITH t AS (SELECT doc_id,
         |    unnest(string_split_regex(trim(text), '\s+')) AS tok
