@@ -181,7 +181,31 @@ object Etl {
         round(avg(col("n_chars")), 4).as("avg_chars"))
       .orderBy(col("split"))
 
+  /** A17 `sample_stratified` — per-stratum deterministic downsampling:
+    * each language keeps a different fraction, selected by comparing
+    * the doc's md5 bucket to a per-stratum hex threshold ('80' = 50%,
+    * '40' = 25%). Hash-threshold sampling is exactly reproducible
+    * across runs/engines, needs no sort or count-first pass, and a
+    * stratum's rate can be retuned without touching other strata — the
+    * standard corpus-mixing knob (upsample rare languages, downsample
+    * dominant ones). Map-only select + one tiny rollup shuffle.
+    */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("hx",
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2))
+      .withColumn("keep",
+        (col("hx") < when(col("lang") === "en", "80").otherwise("40"))
+          .cast("long"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(col("keep")).as("n_sampled"),
+        round(sum(col("keep")) / count(lit(1)), 4).as("sample_rate"))
+      .orderBy(col("lang"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_stratified" -> (sampleStratified _),
     "etl_extract" -> (extract _),
     "etl_normalize" -> (normalize _),
     "etl_snapshot_new" -> (snapshotNew _),
@@ -196,6 +220,16 @@ object Etl {
 
   val oracle: Map[String, String] = Map(
     "corpus_pipeline" -> CorpusPipeline.oracleSql,
+    "sample_stratified" ->
+      """WITH h AS (SELECT lang,
+        |    CAST(substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |      CASE WHEN lang = 'en' THEN '80' ELSE '40' END AS BIGINT)
+        |      AS keep
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_total,
+        |  CAST(sum(keep) AS BIGINT) AS n_sampled,
+        |  round(sum(keep) * 1.0 / count(*), 4) AS sample_rate
+        |FROM h GROUP BY lang ORDER BY lang""".stripMargin,
     "sample_split" ->
       """WITH h AS (SELECT doc_id, n_chars,
         |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hx
