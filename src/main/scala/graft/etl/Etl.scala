@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -204,7 +204,33 @@ object Etl {
         round(sum(col("keep")) / count(lit(1)), 4).as("sample_rate"))
       .orderBy(col("lang"))
 
+  /** A18 `etl_incremental_agg` — incremental aggregate maintenance:
+    * yesterday's per-(type, day) aggregate snapshot is MERGED with the
+    * new slice's partial aggregates instead of recomputing history —
+    * counts and sums are associative, so merge = union + re-sum on the
+    * group key. The two inputs stand in for a persisted snapshot table
+    * and today's arrivals (split at a fixed cutoff); the oracle is the
+    * full recompute, proving merge ≡ recompute. At 100 TB this is the
+    * difference between touching one day and touching the archive.
+    */
+  def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2024-01-20").cast("timestamp")
+    def slice(cond: Column): DataFrame =
+      Tables(spark, dir, "events")
+        .filter(cond)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+    val snapshot = slice(col("ts") < cutoff)  // persisted history
+    val fresh = slice(col("ts") >= cutoff)    // today's arrivals
+    snapshot.unionByName(fresh)
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("n")).as("n_events"),
+        round(sum(col("v")), 2).as("sum_value"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_incremental_agg" -> (incrementalAgg _),
     "sample_stratified" -> (sampleStratified _),
     "etl_extract" -> (extract _),
     "etl_normalize" -> (normalize _),
@@ -220,6 +246,10 @@ object Etl {
 
   val oracle: Map[String, String] = Map(
     "corpus_pipeline" -> CorpusPipeline.oracleSql,
+    "etl_incremental_agg" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
     "sample_stratified" ->
       """WITH h AS (SELECT lang,
         |    CAST(substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <

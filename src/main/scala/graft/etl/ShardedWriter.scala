@@ -1,0 +1,37 @@
+package graft.etl
+
+import java.io.File
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** A19 `ShardedWriter` — size-targeted parquet output shards: the sink
+  * side of a corpus pipeline. Consumers (training dataloaders,
+  * downstream jobs) want shards of roughly equal, bounded size with a
+  * global sort order — not whatever partition layout the last shuffle
+  * left behind.
+  *
+  * `repartitionByRange` on the sort key gives contiguous, globally
+  * ordered shards (range boundaries from a sampled sketch — one extra
+  * lightweight pass); `maxRecordsPerFile` caps any shard that range
+  * skew made too large. At 100 TB the same call shape holds — shard
+  * count scales with row count, each task writes one bounded file, and
+  * the sort key doubles as the read-side clustering key.
+  */
+object ShardedWriter {
+
+  /** Writes `df` under `path`, returns the parquet file count. */
+  def write(df: DataFrame, path: String, sortKey: String,
+      targetRows: Long): Int = {
+    require(targetRows > 0, "ShardedWriter: targetRows must be positive")
+    val n = df.count()
+    val shards = math.max(1, math.ceil(n.toDouble / targetRows).toInt)
+    df.repartitionByRange(shards, col(sortKey))
+      .sortWithinPartitions(sortKey)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRows)
+      .parquet(path)
+    Option(new File(path).listFiles())
+      .map(_.count(f => f.getName.endsWith(".parquet"))).getOrElse(0)
+  }
+}
