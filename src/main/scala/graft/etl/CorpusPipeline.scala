@@ -32,23 +32,34 @@ object CorpusPipeline {
   val MaxTokens = 1000
   val MaxStopRatio = 0.6
 
-  def corpusPipeline(spark: SparkSession, dir: String): DataFrame = {
-    // 1. clean
-    val cleaned = Tables(spark, dir, "documents")
-      .select(col("doc_id"),
+  /** Stage 1: canonical cleanup + tokenization of a `text` column.
+    * Works on batch and streaming frames alike (pure projection).
+    */
+  def cleaned(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("clean",
         trim(regexp_replace(
           regexp_replace(col("text"), "[\\x00-\\x1F\\x7F]", " "),
-          " +", " ")).as("clean"))
+          " +", " ")))
       .withColumn("toks", split(col("clean"), "\\s+"))
       .withColumn("n_tokens", size(col("toks")))
 
-    // 2. quality gate
+  /** Stage 2: token-window + stopword-ratio quality gate (pure filter,
+    * batch- and streaming-safe).
+    */
+  def qualityGate(docs: DataFrame): DataFrame = {
     val inList = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
-    val gated = cleaned
+    docs
       .withColumn("n_stop",
         expr(s"size(filter(toks, t -> t IN $inList))"))
       .filter(col("n_tokens") >= MinTokens && col("n_tokens") <= MaxTokens &&
         col("n_stop") / col("n_tokens") <= MaxStopRatio)
+  }
+
+  def corpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    // 1.–2. clean + quality gate
+    val gated = qualityGate(cleaned(
+      Tables(spark, dir, "documents").select(col("doc_id"), col("text"))))
 
     // 3. exact dedup: keep min doc_id per content fingerprint
     val wfp = Window.partitionBy(col("fp"))

@@ -1,0 +1,31 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+import graft.etl.CorpusPipeline
+
+/** G6 `CorpusStream` — the 24/7 intake front of the corpus pipeline
+  * (A16) as a Structured Streaming flow: watermark-bounded exact dedup
+  * on the document key, then the same clean + quality-gate stages the
+  * batch pipeline runs (they are pure projections/filters, so one code
+  * path serves both modes — the Spark contract for incremental
+  * pipelines).
+  *
+  * Near-dup clustering and the split stay BATCH post-passes by design:
+  * transitive cross-document state (connected components over pair
+  * edges) has no bounded-state streaming formulation — the standard
+  * architecture is a streaming intake feeding periodic batch
+  * compaction, which is exactly A16 over the intake's output.
+  */
+object CorpusStream {
+
+  val DedupHorizon = "1 hour"
+
+  /** Streaming transform over a (doc_id, ts, text) stream. */
+  def intake(docs: DataFrame): DataFrame =
+    CorpusPipeline.qualityGate(CorpusPipeline.cleaned(
+      docs
+        .withWatermark("ts", DedupHorizon)
+        .dropDuplicatesWithinWatermark("doc_id")))
+      .select("doc_id", "ts", "clean", "n_tokens")
+}

@@ -171,6 +171,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CorpusStream intake: dedups re-deliveries and gates quality live") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 120 tokens, stopword ratio 1/3 — inside the quality gate
+    val good = (1 to 40).map(i => s"word$i alpha$i the").mkString(" ")
+    val short = "too short"
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = CorpusStream.intake(
+      mem.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("corpus_intake")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00"), good),
+        (1L, ts("2024-01-01 10:00:05"), good),  // re-delivery: dropped
+        (2L, ts("2024-01-01 10:01:00"), short)) // fails the gate
+      q.processAllAvailable()
+      mem.addData((3L, ts("2024-01-01 10:02:00"), good))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT doc_id, n_tokens FROM corpus_intake ORDER BY doc_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1)))
+      assert(rows.map(_._1).toSeq == Seq(1L, 3L))
+      rows.foreach { case (_, n) =>
+        assert(n >= graft.etl.CorpusPipeline.MinTokens)
+      }
+    } finally q.stop()
+  }
+
   test("DeltaAlertStream emits new/changed alerts only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
