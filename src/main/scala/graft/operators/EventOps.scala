@@ -181,7 +181,28 @@ object EventOps {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** B32 `skew_audit` — shuffle-health diagnostic for a prospective
+    * join/aggregation key: the per-key count distribution (max, mean,
+    * p50/p99, max/mean skew factor) that decides whether a key needs
+    * salting or AQE skew handling BEFORE the expensive job runs. Two
+    * tiny shuffles: per-key counts (map-side combined), then a
+    * single-row summary. At 100 TB this runs as a cheap pre-flight
+    * against a sample or one partition-date.
+    */
+  def skewAudit(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        max(col("n")).as("max_n"),
+        round(avg(col("n")), 4).as("avg_n"),
+        round(expr("percentile(n, 0.5)"), 4).as("p50_n"),
+        round(expr("percentile(n, 0.99)"), 4).as("p99_n"),
+        round(max(col("n")) / avg(col("n")), 4).as("skew_factor"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "skew_audit" -> (skewAudit _),
     "events_anomaly" -> (eventsAnomaly _),
     "pivot_events" -> (pivotEvents _),
     "asof_join" -> (asofJoin _),
@@ -193,6 +214,15 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "skew_audit" ->
+      """WITH k AS (SELECT user_id, count(*) AS n
+        |  FROM events GROUP BY user_id)
+        |SELECT count(*) AS n_keys, max(n) AS max_n,
+        |  round(avg(n), 4) AS avg_n,
+        |  round(CAST(quantile_cont(n, 0.5) AS DOUBLE), 4) AS p50_n,
+        |  round(CAST(quantile_cont(n, 0.99) AS DOUBLE), 4) AS p99_n,
+        |  round(max(n) * 1.0 / avg(n), 4) AS skew_factor
+        |FROM k""".stripMargin,
     "events_anomaly" ->
       """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
         |    count(*) AS n_events
