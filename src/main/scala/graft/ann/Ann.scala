@@ -201,9 +201,45 @@ object Ann {
       .orderBy(col("q_id"), col("neighbor_id"))
   }
 
+  val QuantRerank = 50 // candidates per query kept for exact re-rank
+
+  /** E6 `ann_quantized` — int8 retrieve-then-rerank: embeddings are
+    * quantized once per row to int8 (per-vector max-abs scaling, a 4×
+    * memory/bandwidth cut at 100 TB), candidates are scored with the
+    * codegen integer dot product, the top [[QuantRerank]] per query are
+    * re-ranked with the exact float cosine, and the final top-k is
+    * bit-identical in format to E1. Quantization error only matters if
+    * a true neighbor falls out of the candidate pool — the recall spec
+    * measures exactly that against the exact baseline.
+    */
+  def annQuantized(spark: SparkSession, dir: String): DataFrame = {
+    def quantized(df: DataFrame, emb: String): DataFrame = df
+      .withColumn("mx", expr(
+        s"aggregate($emb, cast(0 as float), (m, x) -> greatest(m, abs(x)))"))
+      .withColumn("qv", expr( // zero-vector guard on the divisor
+        s"transform($emb, x -> cast(round(x / greatest(mx, float(1e-9)) * 127) as int))"))
+    val c = quantized(corpus(spark, dir), "embedding")
+      .withColumn("nrm", sqrt(dotF(col("embedding"), col("embedding"))))
+      .select(col("vec_id"), col("embedding"), col("qv"), col("nrm"))
+    val q = quantized(queriesDf(spark, dir), "q_emb")
+      .withColumn("qn", sqrt(dotF(col("q_emb"), col("q_emb"))))
+      .select(col("q_id"), col("q_emb"), col("qv").as("qqv"), col("qn"))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("qdot").desc, col("vec_id"))
+    val cand = c.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("qdot", dotI(col("qv"), col("qqv")))
+      .withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= QuantRerank)
+    topK(cand.withColumn("cos",
+      when(col("nrm") * col("qn") === 0.0, 0.0)
+        .otherwise(dotF(col("embedding"), col("q_emb")) /
+          (col("nrm") * col("qn")))))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk" -> (annTopK _),
     "ann_range" -> (annRange _),
+    "ann_quantized" -> (annQuantized _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "emb_stats" -> (embStats _)

@@ -64,6 +64,32 @@ case class DotF(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `dot_i(array<int>, array<int>) -> long` — integer dot product for
+  * int8-quantized embeddings (values fit int; the product sum fits
+  * long). The candidate-generation kernel of the quantized
+  * retrieve-then-rerank ANN path.
+  */
+case class DotI(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.checkTypes(prettyName, Seq(left, right),
+      { case ArrayType(IntegerType, _) => true })
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_i"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.dotI(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VecOps.dotI($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotI =
+    copy(left = newLeft, right = newRight)
+}
+
 /** H3 `minhash_sig(array<string>, k) -> array<long>` — one-pass k-perm
   * MinHash signature.
   */
@@ -215,6 +241,8 @@ object GraftFunctions {
     column(CosineSim(expression(a), expression(b)))
   def dotF(a: Column, b: Column): Column =
     column(DotF(expression(a), expression(b)))
+  def dotI(a: Column, b: Column): Column =
+    column(DotI(expression(a), expression(b)))
   def minhashSig(a: Column, k: Int): Column =
     column(MinHashSig(expression(a), k))
   def simhash64(a: Column): Column = column(SimHash64(expression(a)))

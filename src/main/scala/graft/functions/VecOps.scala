@@ -42,6 +42,18 @@ object VecOps {
     dot
   }
 
+  /** Integer dot product of two int vectors (quantized embeddings). */
+  def dotI(x: ArrayData, y: ArrayData): Long = {
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0L
+    var i = 0
+    while (i < n) {
+      dot += x.getInt(i).toLong * y.getInt(i).toLong
+      i += 1
+    }
+    dot
+  }
+
   /** Stable 64-bit hash of UTF-8 bytes (two murmur32 halves — stable
     * across JVMs and Spark versions, unlike Object.hashCode).
     */

@@ -47,6 +47,14 @@ class AnnSpec extends SparkSpec {
     assert(r >= 0.3, s"IVF recall too low: $r")
   }
 
+  test("ann_quantized recall@5 vs exact is near-perfect (rerank covers)") {
+    val r = recallAtK(neighbors(Ann.annQuantized(spark, sfDir)))
+    info(s"ann_quantized recall@5 = $r")
+    // int8 error only hurts if a true neighbor misses the top-50
+    // candidate pool before the exact re-rank — should be rare
+    assert(r >= 0.8, s"quantized recall too low: $r")
+  }
+
   test("ann_lsh recall ≈ 1 on clustered data (the regime LSH targets)") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
