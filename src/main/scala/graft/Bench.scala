@@ -12,6 +12,12 @@ import org.apache.spark.sql.SparkSession
   * A query that throws is reported as -1 (not its wall time) and named
   * in an "errors" object, so a crashing query can't masquerade as a
   * fast success in the bench total.
+  *
+  * Beyond wall time, a SparkListener accumulates per-query task metrics
+  * (shuffle read/write bytes, spill, input bytes, task count — the
+  * numbers that predict cluster cost at 100 TB where wall time on a
+  * noisy 32-core host doesn't). Reported per query under "metrics"
+  * (second, warm run) and summed under "totals".
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -23,28 +29,41 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val metrics = BenchMetrics.install(spark.sparkContext)
     val warmupErr: Option[String] =
       try { SparkEntry.queries("q1_agg")(spark, sfDir).count(); None }
       catch { case t: Throwable => Some(t.toString.take(200)) }
-    // Right(seconds) on success, Left(error message) on failure.
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
+    // (Right(seconds) on success / Left(error), task-metric delta).
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame):
+        (Either[String, Double], BenchMetrics.Snap) = {
+      val before = metrics.snapshot(spark.sparkContext)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
-      catch { case t: Throwable => Left(t.toString.replaceAll("[\"\\n\\r]", " ").take(200)) }
+      val r =
+        try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+        catch { case t: Throwable => Left(t.toString.replaceAll("[\"\\n\\r]", " ").take(200)) }
+      (r, metrics.snapshot(spark.sparkContext) - before)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      (once(fn), once(fn)) match {
-        case (Right(a), Right(b)) => (name, math.min(a, b), None)
-        case (r1, r2)             => (name, -1.0, r1.left.toOption.orElse(r2.left.toOption))
+      ((once(fn), once(fn)): @unchecked) match {
+        case ((Right(a), _), (Right(b), m2)) => (name, math.min(a, b), None, m2)
+        case ((r1, m1), (r2, _)) =>
+          (name, -1.0, r1.left.toOption.orElse(r2.left.toOption), m1)
       }
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" } ++
+    val ms = results.map { case (k, _, _, m) => s"\"" + k + "\":" + m.json }
+      .mkString("{", ",", "}")
+    val totalsJson = results.map(_._4)
+      .foldLeft(BenchMetrics.Snap(0, 0, 0, 0, 0, 0))((a, b) =>
+        BenchMetrics.Snap(a.shufRead + b.shufRead, a.shufWrite + b.shufWrite,
+          a.spillMem + b.spillMem, a.spillDisk + b.spillDisk,
+          a.input + b.input, a.tasks + b.tasks)).json
+    val errs = results.collect { case (k, _, Some(e), _) => s"\"" + k + "\":\"" + e + "\"" } ++
       warmupErr.map(e => "\"_warmup\":\"" + e + "\"")
     val errJson = if (errs.isEmpty) "" else errs.mkString(",\"errors\":{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$ms,"totals":$totalsJson$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -71,6 +71,13 @@ object GraftShim {
       new org.apache.spark.sql.catalyst.expressions.XxHash64(
         Seq(expression(c)))))
 
+  /** Block until the listener bus has delivered all queued events —
+    * needed for exact before/after task-metric snapshots around an
+    * action (`listenerBus` is `private[spark]`, hence here).
+    */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+
   def removeOptimization(spark: SparkSession,
       r: org.apache.spark.sql.catalyst.rules.Rule[
         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
