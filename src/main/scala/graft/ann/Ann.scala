@@ -93,13 +93,24 @@ object Ann {
   }
 
   val IvfSeedMod = 31 // ~n/31 cells; bucket size stays ~31 at any SF
-  val IvfProbes = 4
+  val IvfProbes = 4      // floor: always probe this many nearest cells
+  val IvfMaxProbes = 8   // ceiling for margin-expanded probing
+  val IvfProbeMargin = 0.05 // extra cells must be within this of the best
 
   /** E3 `ann_ivf` — IVF (inverted-file) ANN with a k-means-lite coarse
     * quantizer: deterministic seed centroids → one Lloyd mean-refinement
-    * → cell assignment; queries probe the `IvfProbes` nearest cells.
+    * → cell assignment; queries multi-probe their nearest cells.
     * Centroids are tiny (≈n/31 × dim) and broadcast; the corpus is
     * scanned twice (refine + assign) and shuffled once on cell_id.
+    *
+    * Multi-probe rule: the [[IvfProbes]] nearest cells always probe
+    * (the recall floor), and cells ranked up to [[IvfMaxProbes]] probe
+    * only while their centroid similarity is within [[IvfProbeMargin]]
+    * of the best cell — the cosine analog of residual-distance probing:
+    * a query deep inside one Voronoi cell stays cheap, a query near a
+    * cell boundary (where true neighbors straddle cells) widens its
+    * probe set. Probe cost scales per query with boundary proximity,
+    * not with a global worst-case constant.
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -143,18 +154,32 @@ object Ann {
 
     val assigned = assign(c, refined)
 
-    // queries probe the IvfProbes nearest refined cells
-    val wq = Window.partitionBy(col("q_id"))
-      .orderBy(round(col("q_cos"), 6).desc, col("cell_id"))
-    val probed = queriesDf(spark, dir).crossJoin(broadcast(refined))
-      .withColumn("q_cos", cosineSim(col("q_emb"), col("c_emb")))
-      .withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= IvfProbes)
-      .select(col("q_id"), col("q_emb"), col("cell_id"))
+    val probed = probeCells(queriesDf(spark, dir), refined)
 
     val cand = assigned.join(broadcast(probed), Seq("cell_id"))
       .filter(col("vec_id") =!= col("q_id"))
     topK(cand.withColumn("cos", cosineSim(col("embedding"), col("q_emb"))))
+  }
+
+  /** Multi-probe cell selection (see [[annIvf]]): floor of [[IvfProbes]]
+    * cells per query, margin-expanded to at most [[IvfMaxProbes]]. Both
+    * window functions share one partition-by → one WindowExec over the
+    * tiny queries×cells frame. Package-private so the spec can pin the
+    * per-query probe-count bounds directly.
+    */
+  private[ann] def probeCells(queries: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("q_cos"), 6).desc, col("cell_id"))
+    val wbest = Window.partitionBy(col("q_id"))
+    queries.crossJoin(broadcast(centroids))
+      .withColumn("q_cos", cosineSim(col("q_emb"), col("c_emb")))
+      .withColumn("rn", row_number().over(wq))
+      .withColumn("best", max(round(col("q_cos"), 6)).over(wbest))
+      .filter(col("rn") <= IvfProbes ||
+        (col("rn") <= IvfMaxProbes &&
+          round(col("q_cos"), 6) >= col("best") - IvfProbeMargin))
+      .select(col("q_id"), col("q_emb"), col("cell_id"))
   }
 
   /** `emb_stats` — per-label embedding statistics with the L2 norm

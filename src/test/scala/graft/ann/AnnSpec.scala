@@ -47,6 +47,26 @@ class AnnSpec extends SparkSpec {
     assert(r >= 0.3, s"IVF recall too low: $r")
   }
 
+  test("ivf multi-probe stays within [IvfProbes, IvfMaxProbes] per query") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def vec() = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val centroids = (0L until 20L).map(i => (i, vec()))
+      .toDF("cell_id", "c_emb")
+    val queries = (0L until 30L).map(i => (i, vec()))
+      .toDF("q_id", "q_emb")
+    val counts = Ann.probeCells(queries, centroids)
+      .groupBy("q_id").count().collect().map(_.getLong(1))
+    assert(counts.length == 30) // every query probes something
+    assert(counts.forall(c => c >= Ann.IvfProbes && c <= Ann.IvfMaxProbes),
+      s"probe counts out of bounds: ${counts.mkString(",")}")
+    // random centroids rarely tie within the margin, so most queries
+    // should stay at the cheap floor — the point of adaptive probing
+    val atFloor = counts.count(_ == Ann.IvfProbes)
+    info(s"queries at probe floor: $atFloor/30")
+    assert(atFloor >= 15, "margin expansion fired for most queries")
+  }
+
   test("ann_quantized recall@5 vs exact is near-perfect (rerank covers)") {
     val r = recallAtK(neighbors(Ann.annQuantized(spark, sfDir)))
     info(s"ann_quantized recall@5 = $r")
