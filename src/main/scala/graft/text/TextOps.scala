@@ -280,7 +280,37 @@ object TextOps {
       .orderBy(col("pid"), col("seq_id"))
   }
 
+  val HeavyDenom = 500 // heavy ⇔ occurrences × HeavyDenom ≥ total tokens
+  val MgCapacity = 512 // > HeavyDenom ⇒ sketch candidates ⊇ true heavies
+
+  /** C11 `heavy_hitters` — exact θ-heavy tokens (θ = 1/[[HeavyDenom]])
+    * via sketch-then-verify: pass 1 collapses every map partition to a
+    * ≤ [[MgCapacity]]-counter Misra-Gries summary (mergeable partials →
+    * ONE tiny row reaches the driver, never the vocabulary), pass 2
+    * exact-counts only the sketch's candidates — an `InSet` membership
+    * filter prunes the long tail before the shuffle. MG theory makes
+    * the candidate set a guaranteed superset of every token with
+    * frequency > N/(capacity+1), so the final answer is EXACT while the
+    * full-vocabulary exchange a plain groupBy would pay (the entire
+    * long tail at 100 TB) never happens.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = Tables(spark, dir, "documents").select(explode(toks).as("tok"))
+    val row = tokens.agg(
+      graft.functions.MisraGries.misraGries(col("tok"), MgCapacity)
+        .as("sketch"),
+      count(lit(1)).as("total")).head()
+    val cands = row.getMap[String, Long](0).keys.toSeq
+    val total = row.getLong(1)
+    tokens.filter(col("tok").isInCollection(cands))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") * HeavyDenom >= total)
+      .orderBy(col("tok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "heavy_hitters" -> (heavyHitters _),
     "pack_sequences" -> (packSequences _),
     "vocab_topk" -> (vocabTopK _),
     "text_tokens" -> (textTokens _),
@@ -295,6 +325,13 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents)
+        |SELECT tok, count(*) AS n_occurrences
+        |FROM t GROUP BY tok
+        |HAVING count(*) * 500 >= (SELECT count(*) FROM t)
+        |ORDER BY tok""".stripMargin,
     "pack_sequences" ->
       """WITH RECURSIVE
         |d AS (SELECT doc_id, doc_id % 32 AS pid,
