@@ -67,10 +67,50 @@ object Streaming {
       .agg(min(col("ts")).as("first_ts"), count(lit(1)).as("n_seen"))
       .orderBy(col("event_id"))
 
+  val JoinHorizonMin = 30
+
+  /** G7 stream-stream interval join (view→click attribution): each
+    * click pairs with the same user's views from the preceding
+    * [[JoinHorizonMin]] minutes. Both sides carry watermarks and the
+    * join predicate bounds event-time distance, which is exactly what
+    * lets Structured Streaming expire buffered state: a view older than
+    * (watermark − horizon) can never match again and is dropped, so
+    * state is bounded by rate × horizon, not stream length.
+    */
+  def attributionJoinTransform(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+    val c = clicks
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    v.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") < col("v_ts") + expr(s"INTERVAL $JoinHorizonMin MINUTES"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("v_ts"), col("c_ts"))
+  }
+
+  /** G7 `stream_join` — batch equivalent of the attribution join over
+    * the events table. One user_id shuffle feeds a sort-merge join;
+    * the interval predicate stays a join-time filter.
+    */
+  def streamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    attributionJoinTransform(
+      ev.filter(col("event_type") === "view"),
+      ev.filter(col("event_type") === "click"))
+      .orderBy(col("user_id"), col("view_id"), col("click_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_counts" -> (windowCounts _),
     "stream_first_seen" -> (firstSeen _),
-    "stream_dedup" -> (dedupStream _)
+    "stream_dedup" -> (dedupStream _),
+    "stream_join" -> (streamJoin _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -89,6 +129,14 @@ object Streaming {
         |FROM f GROUP BY 1 ORDER BY first_day""".stripMargin,
     "stream_dedup" ->
       """SELECT event_id, min(ts) AS first_ts, count(*) AS n_seen
-        |FROM events GROUP BY event_id ORDER BY event_id""".stripMargin
+        |FROM events GROUP BY event_id ORDER BY event_id""".stripMargin,
+    "stream_join" ->
+      """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+        |  v.ts AS v_ts, c.ts AS c_ts
+        |FROM events v JOIN events c
+        |  ON v.user_id = c.user_id
+        |  AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 30 MINUTE
+        |WHERE v.event_type = 'view' AND c.event_type = 'click'
+        |ORDER BY v.user_id, view_id, click_id""".stripMargin
   )
 }

@@ -200,6 +200,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attribution interval join runs stream-stream with bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val q = Streaming.attributionJoinTransform(
+      views.toDF().toDF("user_id", "event_id", "ts"),
+      clicks.toDF().toDF("user_id", "event_id", "ts"))
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      views.addData((7L, 100L, ts("2024-01-01 10:00:00")))
+      clicks.addData(
+        (7L, 200L, ts("2024-01-01 10:10:00")), // within 30 min → pair
+        (7L, 201L, ts("2024-01-01 10:50:00")), // past horizon → no pair
+        (8L, 202L, ts("2024-01-01 10:10:00"))) // other user → no pair
+      q.processAllAvailable()
+      // advance both watermarks so results finalize
+      views.addData((99L, 900L, ts("2024-01-01 15:00:00")))
+      clicks.addData((99L, 901L, ts("2024-01-01 15:00:00")))
+      q.processAllAvailable()
+      val pairs = spark.sql(
+        "SELECT user_id, view_id, click_id FROM attrib WHERE user_id = 7")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(pairs.toSeq == Seq((7L, 100L, 200L)))
+    } finally q.stop()
+  }
+
+  test("batch and streaming attribution join agree on the same input") {
+    import spark.implicits._
+    val vs = Seq((7L, 100L, ts("2024-01-01 10:00:00")),
+      (7L, 101L, ts("2024-01-01 10:20:00")))
+      .toDF("user_id", "event_id", "ts")
+    val cs = Seq((7L, 200L, ts("2024-01-01 10:25:00")),
+      (7L, 201L, ts("2024-01-01 11:00:00")),
+      (9L, 202L, ts("2024-01-01 10:25:00")))
+      .toDF("user_id", "event_id", "ts")
+    val got = Streaming.attributionJoinTransform(vs, cs)
+      .select("view_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 10:25 click matches both open views; 11:00 click matches neither
+    assert(got == Set((100L, 200L), (101L, 200L)))
+  }
+
   test("DeltaAlertStream emits new/changed alerts only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
