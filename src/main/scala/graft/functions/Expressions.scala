@@ -233,6 +233,33 @@ case class RollingHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** `z_value(bigint, bigint) -> bigint` — 64-bit Morton (Z-order) code:
+  * the data-layout key behind multi-dimensional clustering. Sorting /
+  * range-partitioning by it keeps rows close in BOTH input dimensions
+  * inside the same file, so min/max footer stats prune scans on either
+  * predicate column (see `graft.etl.ZorderWriter`).
+  */
+case class ZValue(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.checkTypes(prettyName, Seq(left, right),
+      { case LongType => true })
+  override def dataType: DataType = LongType
+  override def prettyName: String = "z_value"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.zValue(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VecOps.zValue($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ZValue =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API facade for the custom expressions — use these exactly like
   * `org.apache.spark.sql.functions._`.
   */
@@ -253,6 +280,8 @@ object GraftFunctions {
   def wordShingles(a: Column, n: Int): Column =
     column(WordShingles(expression(a), n))
   def rollingHash64(a: Column): Column = column(RollingHash64(expression(a)))
+  def zValue(a: Column, b: Column): Column =
+    column(ZValue(expression(a), expression(b)))
 
   private def expression(c: Column): Expression =
     org.apache.spark.sql.GraftShim.expression(c)

@@ -27,6 +27,7 @@ object GraftExtensions {
       MinHashSig(args(0), GraftExtensions.intLit(args(1), "minhash_sig")))
     registerFunction(spark, "rhp_sigs", args => RhpSigs(args(0),
       intLit(args(1), "rhp_sigs"), intLit(args(2), "rhp_sigs")))
+    registerFunction(spark, "z_value", args => ZValue(args(0), args(1)))
   }
 
   private[functions] def intLit(e: Expression, fn: String): Int = e match {
@@ -76,6 +77,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("rhp_sigs", classOf[RhpSigs]),
       (args: Seq[Expression]) => RhpSigs(args(0),
         intLit(args(1), "rhp_sigs"), intLit(args(2), "rhp_sigs"))))
+    ext.injectFunction((FunctionIdentifier("z_value"),
+      info("z_value", classOf[ZValue]),
+      (args: Seq[Expression]) => ZValue(args(0), args(1))))
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
     ext.injectOptimizerRule(_ => graft.plans.RewriteRankFilterToTopK)
   }

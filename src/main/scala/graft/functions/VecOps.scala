@@ -217,4 +217,27 @@ object VecOps {
     while (it.hasNext) if (sy.contains(it.next())) inter += 1
     inter.toDouble / (sx.size + sy.size - inter).toDouble
   }
+
+  /** Spread the low 32 bits of x into the even bit positions of a long
+    * (standard Morton-code magic-mask expansion).
+    */
+  private def spreadBits(x0: Long): Long = {
+    var x = x0 & 0xFFFFFFFFL
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+
+  /** 64-bit Morton (Z-order) code of two 32-bit keys: bits of a and b
+    * alternate, so sorting by the result clusters rows that are close
+    * in BOTH dimensions. Inputs are clamped to [0, 2^32).
+    */
+  def zValue(a: Long, b: Long): Long = {
+    val ca = math.min(math.max(a, 0L), 0xFFFFFFFFL)
+    val cb = math.min(math.max(b, 0L), 0xFFFFFFFFL)
+    spreadBits(ca) | (spreadBits(cb) << 1)
+  }
 }
