@@ -91,7 +91,12 @@ object Dedup {
   def ngramJaccardPairsOf(docs: DataFrame, materialize: Boolean): DataFrame = {
     val wg = Window.partitionBy(col("g"))
     val ex0 = docs
-      .select(col("doc_id"), explode(col("shingles")).as("g"))
+      .select(col("doc_id"), explode(col("shingles")).as("gs"))
+      // shingles enter the wide shuffle as 8-byte hashes, not ~25-byte
+      // strings: the df-cap window, the self-join exchange, and the
+      // join hash tables all shrink ~3×; set-equality semantics are
+      // unchanged (64-bit collisions are ~(distinct²/2^65) — nil here)
+      .select(col("doc_id"), xxhash64(col("gs")).as("g"))
       .withColumn("df", count(lit(1)).over(wg))
       .filter(col("df") <= MaxShingleDf) // df-capped universe
       .select(col("doc_id"), col("g"))
