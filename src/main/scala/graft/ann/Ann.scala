@@ -21,8 +21,21 @@ object Ann {
   val K = 5
   val NumQueries = 10
 
-  private def corpus(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+  /** The corpus ships as one parquet file at test SFs, so the scan is a
+    * single split. For compute-heavy scoring paths, `spread = true`
+    * adds an explicit repartition (AQE never coalesces a user-given
+    * count) so the n×q loop runs on every core — worth its one-off ~MB
+    * shuffle only when per-row work dominates (measured: int8 rerank
+    * −27%, but the cheap float paths LOSE more to the shuffle than the
+    * parallelism returns). On a multi-file 100 TB corpus the scan
+    * itself provides the splits.
+    */
+  private def corpus(spark: SparkSession, dir: String,
+      spread: Boolean = false): DataFrame = {
+    val c = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    if (spread) c.repartition(spark.sparkContext.defaultParallelism) else c
+  }
 
   private def queriesDf(spark: SparkSession, dir: String): DataFrame =
     corpus(spark, dir).filter(col("vec_id") < NumQueries)
@@ -243,7 +256,7 @@ object Ann {
         s"aggregate($emb, cast(0 as float), (m, x) -> greatest(m, abs(x)))"))
       .withColumn("qv", expr( // zero-vector guard on the divisor
         s"transform($emb, x -> cast(round(x / greatest(mx, float(1e-9)) * 127) as int))"))
-    val c = quantized(corpus(spark, dir), "embedding")
+    val c = quantized(corpus(spark, dir, spread = true), "embedding")
       .withColumn("nrm", sqrt(dotF(col("embedding"), col("embedding"))))
       .select(col("vec_id"), col("embedding"), col("qv"), col("nrm"))
     val q = quantized(queriesDf(spark, dir), "q_emb")

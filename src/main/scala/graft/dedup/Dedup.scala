@@ -202,10 +202,14 @@ object Dedup {
       .select(col("vec_id"), col("embedding"),
         sqrt(dotF(col("embedding"), col("embedding"))).as("nrm"))
     // single-file scans arrive as one split; spread the stream side so
-    // the O(n²) verify runs on every core, not one
+    // the O(n²) verify runs on every core, not one. The partition count
+    // must be explicit: a bare repartition() is AQE-coalesced back to
+    // ~one partition at this input size, serializing the quadratic
+    // stage (observed: 5 tasks total on 32 cores).
+    val p = em.sparkSession.sparkContext.defaultParallelism
     em.select(col("vec_id").as("ia"), col("embedding").as("ea"),
         col("nrm").as("na"))
-      .repartition()
+      .repartition(p)
       .join(em.select(col("vec_id").as("ib"), col("embedding").as("eb"),
         col("nrm").as("nb")),
         col("ia") < col("ib"))
