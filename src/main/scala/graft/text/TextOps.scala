@@ -309,7 +309,35 @@ object TextOps {
       .orderBy(col("tok"))
   }
 
+  val ContamMod = 20 // every 20th doc stands in for the held-out eval set
+  val ContamN = 4    // overlap n-gram length (13-gram in prod; testdata
+                     // vocab is ~31 words, so 4 keeps the signal real)
+
+  /** C12 `decontaminate` — benchmark decontamination: flag corpus docs
+    * sharing any word-[[ContamN]]-gram with a held-out eval set (the
+    * standard guard against test-set leakage into training data).
+    * Shape at scale: the eval side is tiny → its distinct shingles
+    * BROADCAST; the corpus side is one map-only explode feeding a
+    * broadcast hash join — the only shuffle is the per-doc distinct
+    * count of matched shingles, which carries match rows only (rare by
+    * construction), never the corpus.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.wordShingles(toks, ContamN).as("gs"))
+    val bench = docs.filter(pmod(col("doc_id"), lit(ContamMod)) === 0)
+      .select(explode(col("gs")).as("g")).distinct()
+    val corpus = docs.filter(pmod(col("doc_id"), lit(ContamMod)) =!= 0)
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+    corpus.join(broadcast(bench), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "decontaminate" -> (decontaminate _),
     "heavy_hitters" -> (heavyHitters _),
     "pack_sequences" -> (packSequences _),
     "vocab_topk" -> (vocabTopK _),
@@ -325,6 +353,19 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "decontaminate" ->
+      """WITH toks AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        |idx AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 2)) AS i
+        |  FROM toks),
+        |sh AS (SELECT doc_id,
+        |    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] AS g
+        |  FROM idx),
+        |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 20 = 0)
+        |SELECT s.doc_id, count(DISTINCT s.g) AS n_hits
+        |FROM sh s JOIN bench b USING (g)
+        |WHERE s.doc_id % 20 <> 0
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     "heavy_hitters" ->
       """WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
         |  FROM documents)

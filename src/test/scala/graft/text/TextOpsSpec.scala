@@ -83,4 +83,23 @@ class TextOpsSpec extends SparkSpec {
       .head().getString(0)
     assert(out == "a b c d")
   }
+
+  test("decontaminate flags planted n-gram overlap, spares clean docs") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // doc 0 (doc_id % 20 == 0) is the "benchmark"; doc 21 copies one of
+    // its 4-grams verbatim, doc 22 shares no 4-gram
+    val bench = "alpha beta gamma delta epsilon zeta"
+    val dirty = "noise one two alpha beta gamma delta done"
+    val clean = "totally different words with no overlap at all"
+    val dir = Files.createTempDirectory("decon").toString
+    Seq((0L, bench), (21L, dirty), (22L, clean))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.decontaminate(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // only "alpha beta gamma delta" is fully inside doc 21 → exactly
+    // one distinct matched gram; doc 22 must not appear at all
+    assert(got.toSeq == Seq((21L, 1L)))
+  }
 }
