@@ -229,7 +229,32 @@ object Etl {
       .orderBy(col("event_type"), col("day"))
   }
 
+  val ShufShards = 16
+
+  /** A20 `corpus_shuffle` — deterministic global training-order
+    * shuffle: every doc gets a pseudorandom (shard, pos) from the md5
+    * of its id, reproducible bit-for-bit across runs and engines (no
+    * RNG state, no seed file). Shard assignment is the first hex
+    * nibble (map-only); within-shard order is the hash string, so the
+    * only shuffle is the per-shard window — at 100 TB, shards are the
+    * write-task granularity and each sorts locally; pair with
+    * ShardedWriter for the physical layout.
+    */
+  def corpusShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+    Tables(spark, dir, "documents")
+      .withColumn("h", md5(col("doc_id").cast("string").cast("binary")))
+      .withColumn("shard",
+        (expr("instr('0123456789abcdef', substring(h, 1, 1))") - 1)
+          .cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_shuffle" -> (corpusShuffle _),
     "etl_incremental_agg" -> (incrementalAgg _),
     "sample_stratified" -> (sampleStratified _),
     "etl_extract" -> (extract _),
@@ -245,6 +270,17 @@ object Etl {
   )
 
   val oracle: Map[String, String] = Map(
+    "corpus_shuffle" ->
+      """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |s AS (SELECT doc_id, h,
+        |    CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS BIGINT)
+        |      AS shard
+        |  FROM h)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+        |    AS BIGINT) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
     "corpus_pipeline" -> CorpusPipeline.oracleSql,
     "etl_incremental_agg" ->
       """SELECT event_type, CAST(ts AS DATE) AS day,
