@@ -203,6 +203,28 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** `q13_custdist` — TPC-H Q13: customer order-count distribution.
+    * The canonical outer-join + double-aggregation shape: customers
+    * LEFT OUTER their (filtered) orders so zero-order customers count,
+    * first aggregate per customer, then the per-customer counts
+    * collapse into a tiny distribution. Shuffle 1 carries (custkey,
+    * orderkey) pairs; shuffle 2 carries one row per customer; the final
+    * frame is ~tens of rows — each exchange is an order of magnitude
+    * smaller than the last, the shape that scales.
+    */
+  def q13Custdist(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer").select(col("c_custkey"))
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey"), col("o_orderkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count")) // count(col) skips nulls
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
   /** `agg_grouping_sets` — explicit GROUPING SETS (the general form
     * under rollup/cube): per-status totals, per-priority totals, and a
     * grand total in one pass — one shuffle, one scan, Catalyst expands
@@ -338,6 +360,7 @@ object Relational {
     "agg_percentiles" -> (aggPercentiles _),
     "set_ops" -> (setOps _),
     "q18_large_orders" -> (q18LargeOrders _),
+    "q13_custdist" -> (q13Custdist _),
     "agg_grouping_sets" -> (aggGroupingSets _),
     "etl_scd2" -> (etlScd2 _)
   )
@@ -473,6 +496,16 @@ object Relational {
         |SELECT c_custkey, c_name, 'rich_only' AS tag
         |  FROM (SELECT * FROM rich EXCEPT SELECT * FROM building)
         |ORDER BY tag, c_custkey""".stripMargin,
+    "q13_custdist" ->
+      """WITH per_cust AS (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT OUTER JOIN orders o
+        |    ON c.c_custkey = o.o_custkey
+        |    AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY c.c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM per_cust GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q18_large_orders" ->
       """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS total_qty
         |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
