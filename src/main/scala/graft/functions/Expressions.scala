@@ -233,6 +233,31 @@ case class RollingHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** `char_entropy(string) -> double` — Shannon entropy of the
+  * code-point distribution, bits/char: the zero-shuffle gibberish /
+  * boilerplate signal for corpus quality gates (a full SQL spelling
+  * explodes one row per character and shuffles them all).
+  */
+case class CharEntropy(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.checkTypes(prettyName, Seq(child),
+      { case StringType => true })
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "char_entropy"
+
+  override def nullSafeEval(a: Any): Any =
+    VecOps.charEntropy(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VecOps.charEntropy($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}
+
 /** `z_value(bigint, bigint) -> bigint` — 64-bit Morton (Z-order) code:
   * the data-layout key behind multi-dimensional clustering. Sorting /
   * range-partitioning by it keeps rows close in BOTH input dimensions
@@ -282,6 +307,7 @@ object GraftFunctions {
   def rollingHash64(a: Column): Column = column(RollingHash64(expression(a)))
   def zValue(a: Column, b: Column): Column =
     column(ZValue(expression(a), expression(b)))
+  def charEntropy(a: Column): Column = column(CharEntropy(expression(a)))
 
   private def expression(c: Column): Expression =
     org.apache.spark.sql.GraftShim.expression(c)

@@ -28,6 +28,7 @@ object GraftExtensions {
     registerFunction(spark, "rhp_sigs", args => RhpSigs(args(0),
       intLit(args(1), "rhp_sigs"), intLit(args(2), "rhp_sigs")))
     registerFunction(spark, "z_value", args => ZValue(args(0), args(1)))
+    registerFunction(spark, "char_entropy", args => CharEntropy(args(0)))
   }
 
   private[functions] def intLit(e: Expression, fn: String): Int = e match {
@@ -80,6 +81,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("z_value"),
       info("z_value", classOf[ZValue]),
       (args: Seq[Expression]) => ZValue(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("char_entropy"),
+      info("char_entropy", classOf[CharEntropy]),
+      (args: Seq[Expression]) => CharEntropy(args(0))))
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
     ext.injectOptimizerRule(_ => graft.plans.RewriteRankFilterToTopK)
   }

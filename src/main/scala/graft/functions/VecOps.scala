@@ -218,6 +218,32 @@ object VecOps {
     inter.toDouble / (sx.size + sy.size - inter).toDouble
   }
 
+  /** Shannon entropy (bits/char) of a string's code-point distribution
+    * — the cheap gibberish/boilerplate detector: natural text sits
+    * ~4–4.5 bits, runs of one char near 0, random bytes near 8.
+    * Counts accumulate in a sorted map so the summation order is
+    * deterministic regardless of input order.
+    */
+  def charEntropy(s: UTF8String): Double = {
+    val str = s.toString
+    if (str.isEmpty) return 0.0
+    val counts = new java.util.TreeMap[Int, Long]()
+    var n = 0L
+    val it = str.codePoints().iterator()
+    while (it.hasNext) {
+      val cp = it.nextInt()
+      counts.merge(cp, 1L, (a, b) => a + b)
+      n += 1
+    }
+    var h = 0.0
+    val vit = counts.values().iterator()
+    while (vit.hasNext) {
+      val p = vit.next().toDouble / n
+      h -= p * (math.log(p) / math.log(2.0))
+    }
+    h
+  }
+
   /** Spread the low 32 bits of x into the even bit positions of a long
     * (standard Morton-code magic-mask expansion).
     */

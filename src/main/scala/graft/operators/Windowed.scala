@@ -116,7 +116,28 @@ object Windowed {
           to_date(col("o_orderdate"))).as("age_days"))
       .orderBy(col("o_orderkey"))
 
+  /** B34 `win_moving_avg` — trailing 7-day moving average with a RANGE
+    * frame: unlike a ROWS frame, missing calendar days still count
+    * against the horizon (the frame is value-bounded, not row-bounded).
+    * Pre-aggregation to one row per (type, day) collapses the data
+    * before any window runs — the window input is O(types × days)
+    * regardless of event volume.
+    */
+  def movingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(sum(col("value")), 2).as("day_value"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(datediff(col("day"), lit("1970-01-01").cast("date")))
+      .rangeBetween(-6, Window.currentRow)
+    daily
+      .withColumn("ma7", round(avg(col("day_value")).over(w), 4))
+      .select(col("event_type"), col("day"), col("day_value"), col("ma7"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_moving_avg" -> (movingAvg _),
     "win_rank_topn" -> (rankTopN _),
     "win_running_sum" -> (runningSum _),
     "win_lag_delta" -> (lagDelta _),
@@ -126,6 +147,15 @@ object Windowed {
   )
 
   val oracle: Map[String, String] = Map(
+    "win_moving_avg" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(sum(value), 2) AS day_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, day_value,
+        |  round(avg(day_value) OVER (PARTITION BY event_type
+        |    ORDER BY day - DATE '1970-01-01'
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+        |FROM daily ORDER BY event_type, day""".stripMargin,
     "win_ntile" ->
       """SELECT quartile, count(*) AS n,
         |  round(min(c_acctbal), 2) AS min_bal,

@@ -336,7 +336,22 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** C13 `text_entropy` — per-doc character entropy (bits/char) via the
+    * codegen `char_entropy` expression: the cheap gibberish /
+    * repeated-boilerplate gate, map-only and zero-shuffle where the SQL
+    * spelling explodes one row PER CHARACTER (the oracle does exactly
+    * that — same numbers, ~500× the rows moved).
+    */
+  def textEntropy(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        round(graft.functions.GraftFunctions.charEntropy(col("text")), 4)
+          .as("entropy"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_entropy" -> (textEntropy _),
     "decontaminate" -> (decontaminate _),
     "heavy_hitters" -> (heavyHitters _),
     "pack_sequences" -> (packSequences _),
@@ -353,6 +368,17 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_entropy" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE len(text) > 0),
+        |idx AS (SELECT doc_id, text, unnest(range(1, len(text) + 1)) AS i
+        |  FROM d),
+        |f AS (SELECT doc_id, substr(text, i, 1) AS c, count(*) AS n
+        |  FROM idx GROUP BY doc_id, c),
+        |t AS (SELECT doc_id, sum(n) AS tot FROM f GROUP BY doc_id)
+        |SELECT f.doc_id,
+        |  round(-sum((n * 1.0 / tot) * log2(n * 1.0 / tot)), 4) AS entropy
+        |FROM f JOIN t USING (doc_id)
+        |GROUP BY f.doc_id ORDER BY doc_id""".stripMargin,
     "decontaminate" ->
       """WITH toks AS (SELECT doc_id,
         |    string_split_regex(trim(text), '\s+') AS ts FROM documents),

@@ -37,6 +37,21 @@ class ExpressionsSpec extends SparkSpec {
       s"${r.getDouble(0)} != ${r.getDouble(1)}"))
   }
 
+  test("char_entropy: known distributions, null propagates") {
+    import spark.implicits._
+    val rows = Seq("aaaa", "ab", "abcd", "aabb", "").toDF("s")
+      .select(charEntropy(col("s")).as("h"))
+      .collect().map(_.getDouble(0))
+    assert(rows(0) == 0.0)            // one symbol → 0 bits
+    assert(math.abs(rows(1) - 1.0) < 1e-12) // two equiprobable → 1 bit
+    assert(math.abs(rows(2) - 2.0) < 1e-12) // four equiprobable → 2 bits
+    assert(math.abs(rows(3) - 1.0) < 1e-12) // order-invariant
+    assert(rows(4) == 0.0)            // empty string → 0
+    val n = Seq(Option.empty[String]).toDF("s")
+      .select(charEntropy(col("s")).as("h")).collect()
+    assert(n(0).isNullAt(0))
+  }
+
   test("minhash_sig: deterministic, jaccard-correlated") {
     import spark.implicits._
     val a = (1 to 60).map(i => s"sh$i")
