@@ -203,6 +203,28 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** `agg_hll_partial` — sketch-table maintenance: per-(type, day)
+    * DataSketches HLL partials, then a union-merge per type answers
+    * "distinct users over the whole range" WITHOUT revisiting events.
+    * This is the incremental form of agg_approx_distinct: at 100 TB the
+    * daily sketch table is the only thing ever recomputed (one new day,
+    * ~KB per group), and any time-range rollup is a merge of stored
+    * binaries — the archive is never rescanned. Estimates are
+    * rows-checked by the driver; accuracy vs exact distinct is pinned
+    * in spec (±5%).
+    */
+  def aggHllPartial(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk")) // the stored partial
+    daily
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+      .orderBy(col("event_type"))
+  }
+
   /** `q13_custdist` — TPC-H Q13: customer order-count distribution.
     * The canonical outer-join + double-aggregation shape: customers
     * LEFT OUTER their (filtered) orders so zero-order customers count,
@@ -361,6 +383,7 @@ object Relational {
     "set_ops" -> (setOps _),
     "q18_large_orders" -> (q18LargeOrders _),
     "q13_custdist" -> (q13Custdist _),
+    "agg_hll_partial" -> (aggHllPartial _),
     "agg_grouping_sets" -> (aggGroupingSets _),
     "etl_scd2" -> (etlScd2 _)
   )
