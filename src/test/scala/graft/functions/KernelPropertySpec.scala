@@ -92,4 +92,34 @@ class KernelPropertySpec extends AnyFunSuite {
         a.forall(sig => sig >= 0 && sig < 256)
     })
   }
+
+  test("zValue: interleave is order-isolating and roundtrips both dims") {
+    def extract(z: Long, odd: Boolean): Long = {
+      var out = 0L
+      (0 until 32).foreach { i =>
+        out |= ((z >> (2 * i + (if (odd) 1 else 0))) & 1L) << i
+      }
+      out
+    }
+    check(Prop.forAll(
+      Gen.chooseNum(0L, 0xFFFFFFFFL), Gen.chooseNum(0L, 0xFFFFFFFFL)) {
+      (a, b) =>
+        val z = VecOps.zValue(a, b)
+        extract(z, odd = false) == a && extract(z, odd = true) == b
+    })
+  }
+
+  test("charEntropy: 0 ≤ H ≤ log2(distinct chars), permutation-invariant") {
+    val strs = Gen.listOf(Gen.oneOf('a', 'b', 'c', 'd', 'x'))
+    check(Prop.forAll(strs) { cs =>
+      val s = cs.mkString
+      val h = VecOps.charEntropy(UTF8String.fromString(s))
+      val distinct = cs.distinct.size
+      val hi = if (distinct == 0) 0.0
+        else math.log(distinct.toDouble) / math.log(2.0)
+      val hShuf = VecOps.charEntropy(
+        UTF8String.fromString(scala.util.Random.shuffle(cs).mkString))
+      h >= 0.0 && h <= hi + 1e-9 && math.abs(h - hShuf) < 1e-9
+    })
+  }
 }
