@@ -57,4 +57,31 @@ class PlanSpec extends SparkSpec {
       assert(n <= 1, s"$q should only shuffle for the final sort, got $n")
     }
   }
+
+  test("decontaminate: eval side broadcasts, corpus side never shuffles raw") {
+    val p = plan("decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      "benchmark shingle set must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus side must not shuffle into a sort-merge join")
+  }
+
+  test("text_entropy: map-only, the sole exchange is the final sort") {
+    val p = plan("text_entropy")
+    val n = countOccurrences(p, "+- Exchange")
+    assert(n <= 1, s"char_entropy must not shuffle characters, got $n")
+  }
+
+  test("q13_custdist: no nested-loop join for the outer join") {
+    val p = plan("q13_custdist")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "equi outer join must hash- or merge-join")
+  }
+
+  test("stream_join (batch mode): interval predicate stays in the hash join") {
+    val p = plan("stream_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "user_id equi-key must drive a real join, not a cartesian")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
