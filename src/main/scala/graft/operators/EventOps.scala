@@ -51,6 +51,34 @@ object EventOps {
       .orderBy(col("user_id"), col("purchase_ts"), col("purchase_id"))
   }
 
+  /** B36 `asof_join_fwd` — FORWARD as-of join: each click finds the
+    * same user's next purchase at-or-after it (time-to-conversion).
+    * Same union–sort–window shape as the backward as-of (B17) with the
+    * frame flipped to currentRow→unboundedFollowing: one user_id
+    * shuffle, one sort, no inequality join. Purchases sort after
+    * clicks on equal ts so "at-or-after" includes ties.
+    */
+  def asofJoinFwd(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("kind"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        lit(null).cast("long").as("event_id"), lit(1).as("kind"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    clicks.unionByName(purchases)
+      .withColumn("next_purchase_ts",
+        min(when(col("kind") === 1, col("ts"))).over(w))
+      .filter(col("kind") === 0)
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"), col("next_purchase_ts"),
+        (unix_micros(col("next_purchase_ts")) - unix_micros(col("ts")))
+          .as("latency_us"))
+      .orderBy(col("user_id"), col("click_ts"), col("click_id"))
+  }
+
   /** B18 `range_join` — purchases by the same user within one hour
     * after each error event. Equi key (user_id) + bounded time range:
     * Catalyst plans the equi part as a hash join and evaluates the
@@ -206,6 +234,7 @@ object EventOps {
     "events_anomaly" -> (eventsAnomaly _),
     "pivot_events" -> (pivotEvents _),
     "asof_join" -> (asofJoin _),
+    "asof_join_fwd" -> (asofJoinFwd _),
     "range_join" -> (rangeJoin _),
     "json_extract" -> (jsonExtract _),
     "arrays_collect" -> (arraysCollect _),
@@ -258,6 +287,22 @@ object EventOps {
         |  round(value, 2) AS value, last_click_ts
         |FROM marked WHERE kind = 1
         |ORDER BY user_id, purchase_ts, purchase_id""".stripMargin,
+    "asof_join_fwd" ->
+      """WITH tagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |marked AS (
+        |  SELECT *, min(CASE WHEN kind = 1 THEN ts END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, kind
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |    AS next_purchase_ts
+        |  FROM tagged)
+        |SELECT user_id, event_id AS click_id, ts AS click_ts,
+        |  next_purchase_ts,
+        |  epoch_us(next_purchase_ts) - epoch_us(ts) AS latency_us
+        |FROM marked WHERE kind = 0
+        |ORDER BY user_id, click_ts, click_id""".stripMargin,
     "range_join" ->
       """SELECT e.user_id, e.event_id AS error_id, e.ts AS error_ts,
         |  count(p.ts) AS n_purchases_1h,
