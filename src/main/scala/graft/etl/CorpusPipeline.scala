@@ -13,17 +13,23 @@ import graft.text.TextOps
   * analogue of [[DailyPipeline]]'s reference parity):
   *
   *   1. clean      — control chars → space, whitespace collapse (C7)
-  *   2. quality    — token-count window + stopword-ratio gate (C2)
-  *   3. exact dup  — one keeper per normalized-content fingerprint (D1)
-  *   4. near dup   — 3-gram-Jaccard pairs → connected components →
+  *   2. decontam   — exclude the held-out eval slice AND any corpus
+  *                   doc sharing a word-4-gram with it (C12): eval
+  *                   grams broadcast, only match rows shuffle
+  *   3. entropy    — char_entropy ≥ [[MinEntropy]] gibberish gate
+  *                   (C13/H11, map-only)
+  *   4. quality    — token-count window + stopword-ratio gate (C2)
+  *   5. exact dup  — one keeper per normalized-content fingerprint (D1)
+  *   6. near dup   — 3-gram-Jaccard pairs → connected components →
   *                   one representative per cluster (D2 + D6)
-  *   5. split      — deterministic md5 train/val/test bucketing (A15)
+  *   7. split      — deterministic md5 train/val/test bucketing (A15)
   *
   * and a per-split summary as the (tiny) output. Every stage is the
-  * scale shape its standalone operator documents: map-only clean/gate,
-  * one fingerprint shuffle, the inverted-index pair shuffle, and
-  * dedup-sized component resolution — composing them adds no new
-  * shuffle beyond the stages themselves.
+  * scale shape its standalone operator documents: map-only clean/
+  * entropy/gate, a broadcast decontamination join, one fingerprint
+  * shuffle, the inverted-index pair shuffle, and dedup-sized component
+  * resolution — composing them adds no new shuffle beyond the stages
+  * themselves.
   */
 object CorpusPipeline {
 
@@ -31,6 +37,9 @@ object CorpusPipeline {
   val MinTokens = 30
   val MaxTokens = 1000
   val MaxStopRatio = 0.6
+  val EvalMod = 20      // doc_id % EvalMod == 0 ⇒ held-out eval slice
+  val ContamN = 4       // leakage n-gram length (mirrors C12)
+  val MinEntropy = 3.6  // bits/char; corpus sits in ~[3.4, 4.3]
 
   /** Stage 1: canonical cleanup + tokenization of a `text` column.
     * Works on batch and streaming frames alike (pure projection).
@@ -57,18 +66,37 @@ object CorpusPipeline {
   }
 
   def corpusPipeline(spark: SparkSession, dir: String): DataFrame = {
-    // 1.–2. clean + quality gate
-    val gated = qualityGate(cleaned(
-      Tables(spark, dir, "documents").select(col("doc_id"), col("text"))))
+    // 1. clean (whole table — the eval slice needs clean grams too)
+    val all = cleaned(
+      Tables(spark, dir, "documents").select(col("doc_id"), col("text")))
 
-    // 3. exact dedup: keep min doc_id per content fingerprint
+    // 2. decontamination: the eval slice leaves the corpus, and any
+    // remaining doc sharing a word-ContamN-gram with it goes too
+    val grams4 = graft.functions.GraftFunctions
+      .wordShingles(col("toks"), ContamN)
+    val evalGrams = all.filter(pmod(col("doc_id"), lit(EvalMod)) === 0)
+      .select(explode(grams4).as("g")).distinct()
+    val corpusDocs = all.filter(pmod(col("doc_id"), lit(EvalMod)) =!= 0)
+    val contaminated = corpusDocs
+      .select(col("doc_id"), explode(grams4).as("g"))
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val decontaminated = corpusDocs
+      .join(contaminated, Seq("doc_id"), "left_anti")
+
+    // 3. entropy gate (map-only) + 4. quality gate
+    val gated = qualityGate(decontaminated.filter(
+      graft.functions.GraftFunctions.charEntropy(col("clean"))
+        >= MinEntropy))
+
+    // 5. exact dedup: keep min doc_id per content fingerprint
     val wfp = Window.partitionBy(col("fp"))
     val exactKept = gated
       .withColumn("fp", TextOps.fingerprint(col("clean")))
       .withColumn("keep_id", min(col("doc_id")).over(wfp))
       .filter(col("doc_id") === col("keep_id"))
 
-    // 4. near-dup clusters among survivors: keep each cluster's rep
+    // 6. near-dup clusters among survivors: keep each cluster's rep
     val pairs = Dedup.ngramJaccardPairsOf(
       exactKept.select(col("doc_id"),
         TextOps.wordShingles(col("toks")).as("shingles")),
@@ -79,7 +107,7 @@ object CorpusPipeline {
       .select(col("node").as("doc_id"))
     val survivors = exactKept.join(nonReps, Seq("doc_id"), "left_anti")
 
-    // 5. deterministic split + summary
+    // 7. deterministic split + summary
     survivors
       .withColumn("hx",
         substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2))
@@ -102,10 +130,36 @@ object CorpusPipeline {
       |  FROM documents),
       |t AS (SELECT doc_id, clean,
       |    string_split_regex(clean, '\s+') AS toks FROM c),
+      |evg AS (SELECT DISTINCT unnest(
+      |    CASE WHEN len(toks) >= 4
+      |      THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |          || ' ' || toks[i+3] for i in range(1, len(toks) - 2)]
+      |      ELSE [] END) AS gg
+      |  FROM t WHERE doc_id % 20 = 0),
+      |corp AS (SELECT * FROM t WHERE doc_id % 20 <> 0),
+      |cg AS (SELECT doc_id, unnest(
+      |    CASE WHEN len(toks) >= 4
+      |      THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |          || ' ' || toks[i+3] for i in range(1, len(toks) - 2)]
+      |      ELSE [] END) AS gg
+      |  FROM corp),
+      |contam AS (SELECT DISTINCT cg.doc_id FROM cg JOIN evg USING (gg)),
+      |dc AS (SELECT corp.* FROM corp LEFT JOIN contam USING (doc_id)
+      |  WHERE contam.doc_id IS NULL),
+      |echars AS (SELECT doc_id, substr(clean, i, 1) AS ch, count(*) AS n
+      |  FROM (SELECT doc_id, clean, unnest(range(1, len(clean) + 1)) AS i
+      |    FROM dc WHERE len(clean) > 0)
+      |  GROUP BY doc_id, ch),
+      |etot AS (SELECT doc_id, sum(n) AS tot FROM echars GROUP BY doc_id),
+      |ent AS (SELECT echars.doc_id,
+      |    -sum((n * 1.0 / tot) * log2(n * 1.0 / tot)) AS h
+      |  FROM echars JOIN etot USING (doc_id) GROUP BY echars.doc_id),
+      |de AS (SELECT dc.* FROM dc JOIN ent USING (doc_id)
+      |  WHERE ent.h >= 3.6),
       |q AS (SELECT doc_id, clean, toks, len(toks) AS n_tokens,
       |    len(list_filter(toks, x -> x IN
       |      ('the','a','or','and','of','is','to','in'))) AS n_stop
-      |  FROM t),
+      |  FROM de),
       |g AS (SELECT * FROM q WHERE n_tokens BETWEEN 30 AND 1000
       |  AND n_stop * 1.0 / n_tokens <= 0.6),
       |f AS (SELECT *, md5(regexp_replace(lower(trim(clean)),
