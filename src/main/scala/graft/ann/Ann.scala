@@ -126,52 +126,102 @@ object Ann {
     * not with a global worst-case constant.
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val c = corpus(spark, dir)
-    val seeds = c.filter(col("vec_id") % IvfSeedMod === 0)
-      .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
-
-    // argmax via max_by aggregation — no sort of the (corpus × cells)
-    // cross join, map-side partial aggregation does the heavy lifting;
-    // norms hoisted out of the n×cells loop (dot-only scoring)
-    def assign(vectors: DataFrame, centroids: DataFrame): DataFrame =
-      vectors
-        .withColumn("vn", sqrt(dotF(col("embedding"), col("embedding"))))
-        .crossJoin(broadcast(centroids.withColumn("cn",
-          sqrt(dotF(col("c_emb"), col("c_emb"))))))
-        .withColumn("c_cos",
-          when(col("vn") * col("cn") === 0.0, 0.0)
-            .otherwise(dotF(col("embedding"), col("c_emb")) /
-              (col("vn") * col("cn"))))
-        .groupBy(col("vec_id"))
-        .agg(
-          first(col("embedding")).as("embedding"),
-          max_by(col("cell_id"),
-            struct(round(col("c_cos"), 6).as("c"), (-col("cell_id")).as("t")))
-            .as("cell_id"))
-
-    // One Lloyd refinement: element-wise mean per cell via the
-    // vector_avg custom aggregate (single groupBy, mergeable partials —
-    // no posexplode into dim× rows). Centroids are tiny (cells × dim);
-    // materialize them to the driver between passes — the k-means
-    // pattern — so the consumers below read a local relation instead of
-    // re-running the refinement subtree.
-    val refined = locally {
-      val rows = assign(c, seeds)
-        .groupBy(col("cell_id"))
-        .agg(graft.functions.VectorAvg.vectorAvg(col("embedding"))
-          .as("c_emb"))
-        .as[(Long, Array[Float])].collect().toSeq
-      rows.toDF("cell_id", "c_emb")
-    }
-
-    val assigned = assign(c, refined)
-
+    val refined = refinedCentroids(spark, c)
+    val assigned = assignCells(c, refined)
     val probed = probeCells(queriesDf(spark, dir), refined)
-
     val cand = assigned.join(broadcast(probed), Seq("cell_id"))
       .filter(col("vec_id") =!= col("q_id"))
     topK(cand.withColumn("cos", cosineSim(col("embedding"), col("q_emb"))))
+  }
+
+  /** Cell assignment: argmax via max_by aggregation — no sort of the
+    * (corpus × cells) cross join, map-side partial aggregation does the
+    * heavy lifting; norms hoisted out of the n×cells loop (dot-only
+    * scoring).
+    */
+  private[ann] def assignCells(vectors: DataFrame,
+      centroids: DataFrame): DataFrame =
+    vectors
+      .withColumn("vn", sqrt(dotF(col("embedding"), col("embedding"))))
+      .crossJoin(broadcast(centroids.withColumn("cn",
+        sqrt(dotF(col("c_emb"), col("c_emb"))))))
+      .withColumn("c_cos",
+        when(col("vn") * col("cn") === 0.0, 0.0)
+          .otherwise(dotF(col("embedding"), col("c_emb")) /
+            (col("vn") * col("cn"))))
+      .groupBy(col("vec_id"))
+      .agg(
+        first(col("embedding")).as("embedding"),
+        max_by(col("cell_id"),
+          struct(round(col("c_cos"), 6).as("c"), (-col("cell_id")).as("t")))
+          .as("cell_id"))
+
+  /** Deterministic seeds + one Lloyd mean-refinement via the vector_avg
+    * custom aggregate (single groupBy, mergeable partials — no
+    * posexplode into dim× rows). Centroids are tiny (cells × dim);
+    * materialize them to the driver between passes — the k-means
+    * pattern — so consumers read a local relation instead of re-running
+    * the refinement subtree.
+    */
+  private[ann] def refinedCentroids(spark: SparkSession,
+      c: DataFrame): DataFrame = {
+    import spark.implicits._
+    val seeds = c.filter(col("vec_id") % IvfSeedMod === 0)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
+    val rows = assignCells(c, seeds)
+      .groupBy(col("cell_id"))
+      .agg(graft.functions.VectorAvg.vectorAvg(col("embedding"))
+        .as("c_emb"))
+      .as[(Long, Array[Float])].collect().toSeq
+    rows.toDF("cell_id", "c_emb")
+  }
+
+  /** E7 `ann_ivfq` — IVF with int8-quantized RESIDUALS (the IVF-PQ/ADC
+    * shape): each vector stores its cell id plus an int8 encoding of
+    * (vector − centroid). Candidate scoring decomposes
+    * dot(q, v) = dot(q, c) + dot(q, r): the first term is computed once
+    * per (query, probed cell) — tiny — and the second approximated with
+    * the codegen integer dot over int8 codes. Residual norms are much
+    * smaller than vector norms, so the same 8 bits carry less
+    * quantization error than E6's direct encoding, while the corpus at
+    * rest keeps the 4× size cut AND the cell-pruned probe set: scan
+    * cost per query is probed-cells × bucket, not n. Exact float
+    * re-rank of the top [[QuantRerank]] restores exact ordering.
+    */
+  def annIvfQ(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir, spread = true)
+    val refined = refinedCentroids(spark, c)
+    val enc = assignCells(c, refined)
+      .join(broadcast(refined), Seq("cell_id"))
+      .withColumn("nrm", sqrt(dotF(col("embedding"), col("embedding"))))
+      .withColumn("res", expr("zip_with(embedding, c_emb, (a, b) -> a - b)"))
+      .withColumn("rmx", expr(
+        "aggregate(res, cast(0 as float), (m, x) -> greatest(m, abs(x)))"))
+      .withColumn("rq", expr(
+        "transform(res, x -> cast(round(x / greatest(rmx, float(1e-9)) * 127) as int))"))
+      .select(col("cell_id"), col("vec_id"), col("embedding"),
+        col("nrm"), col("rq"), col("rmx"))
+    val q = queriesDf(spark, dir)
+      .withColumn("qn", sqrt(dotF(col("q_emb"), col("q_emb"))))
+      .withColumn("qmx", expr(
+        "aggregate(q_emb, cast(0 as float), (m, x) -> greatest(m, abs(x)))"))
+      .withColumn("qq", expr(
+        "transform(q_emb, x -> cast(round(x / greatest(qmx, float(1e-9)) * 127) as int))"))
+    val probed = probeCells(q, refined)
+    val wc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adot").desc, col("vec_id"))
+    val cand = enc.join(broadcast(probed), Seq("cell_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adot",
+        col("qc_dot") + (col("qmx") / 127.0) * (col("rmx") / 127.0) *
+          dotI(col("qq"), col("rq")))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= QuantRerank)
+    topK(cand.withColumn("cos",
+      when(col("nrm") * col("qn") === 0.0, 0.0)
+        .otherwise(dotF(col("embedding"), col("q_emb")) /
+          (col("nrm") * col("qn")))))
   }
 
   /** Multi-probe cell selection (see [[annIvf]]): floor of [[IvfProbes]]
@@ -187,12 +237,16 @@ object Ann {
     val wbest = Window.partitionBy(col("q_id"))
     queries.crossJoin(broadcast(centroids))
       .withColumn("q_cos", cosineSim(col("q_emb"), col("c_emb")))
+      .withColumn("qc_dot", dotF(col("q_emb"), col("c_emb")))
       .withColumn("rn", row_number().over(wq))
       .withColumn("best", max(round(col("q_cos"), 6)).over(wbest))
       .filter(col("rn") <= IvfProbes ||
         (col("rn") <= IvfMaxProbes &&
           round(col("q_cos"), 6) >= col("best") - IvfProbeMargin))
-      .select(col("q_id"), col("q_emb"), col("cell_id"))
+      // pass the query frame through untouched (extra per-query state —
+      // quantized codes, norms — rides along for E7), plus the probed
+      // cell and the per-(query, cell) dot the ADC score starts from
+      .select(queries.columns.map(col) :+ col("cell_id") :+ col("qc_dot"): _*)
   }
 
   /** `emb_stats` — per-label embedding statistics with the L2 norm
@@ -280,6 +334,7 @@ object Ann {
     "ann_quantized" -> (annQuantized _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
+    "ann_ivfq" -> (annIvfQ _),
     "emb_stats" -> (embStats _)
   )
 

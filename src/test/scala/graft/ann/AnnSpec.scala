@@ -47,6 +47,17 @@ class AnnSpec extends SparkSpec {
     assert(r >= 0.3, s"IVF recall too low: $r")
   }
 
+  test("ann_ivfq residual rerank recalls at least what plain IVF does") {
+    val ivf = recallAtK(neighbors(Ann.annIvf(spark, sfDir)))
+    val ivfq = recallAtK(neighbors(Ann.annIvfQ(spark, sfDir)))
+    info(s"ann_ivf recall@5 = $ivf, ann_ivfq recall@5 = $ivfq")
+    // same probed candidate set; int8 residual scoring only picks WHICH
+    // 50 reach the exact re-rank, and 50 ≫ 5 absorbs the quantization
+    // error — so the ADC path must not lose recall vs plain IVF
+    assert(ivfq >= ivf - 1e-9, s"residual path lost recall: $ivfq < $ivf")
+    assert(ivfq >= 0.3)
+  }
+
   test("ivf multi-probe stays within [IvfProbes, IvfMaxProbes] per query") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
