@@ -203,6 +203,27 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** `unpivot_metrics` — wide→long melt (the inverse of B15's pivot)
+    * via `stack`: one row per (group, metric). stack is a Generate —
+    * map-only, no shuffle beyond the source aggregation — where the
+    * naive spelling (one UNION ALL branch per metric, as the oracle
+    * does) would rescan the aggregate per metric. Long form is what
+    * metric stores and plotting layers ingest.
+    */
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        count(lit(1)).cast("double").as("n_rows"))
+      .select(col("l_returnflag"), expr(
+        """stack(3,
+          |  'n_rows', n_rows,
+          |  'sum_base_price', sum_base_price,
+          |  'sum_qty', sum_qty) AS (metric, value)""".stripMargin))
+      .orderBy(col("l_returnflag"), col("metric"))
+
   /** `agg_hll_partial` — sketch-table maintenance: per-(type, day)
     * DataSketches HLL partials, then a union-merge per type answers
     * "distinct users over the whole range" WITHOUT revisiting events.
@@ -384,6 +405,7 @@ object Relational {
     "q18_large_orders" -> (q18LargeOrders _),
     "q13_custdist" -> (q13Custdist _),
     "agg_hll_partial" -> (aggHllPartial _),
+    "unpivot_metrics" -> (unpivotMetrics _),
     "agg_grouping_sets" -> (aggGroupingSets _),
     "etl_scd2" -> (etlScd2 _)
   )
@@ -519,6 +541,19 @@ object Relational {
         |SELECT c_custkey, c_name, 'rich_only' AS tag
         |  FROM (SELECT * FROM rich EXCEPT SELECT * FROM building)
         |ORDER BY tag, c_custkey""".stripMargin,
+    "unpivot_metrics" ->
+      """WITH w AS (SELECT l_returnflag,
+        |    round(sum(l_quantity), 2) AS sum_qty,
+        |    round(sum(l_extendedprice), 2) AS sum_base_price,
+        |    CAST(count(*) AS DOUBLE) AS n_rows
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, metric, value FROM (
+        |  SELECT l_returnflag, 'n_rows' AS metric, n_rows AS value FROM w
+        |  UNION ALL
+        |  SELECT l_returnflag, 'sum_base_price', sum_base_price FROM w
+        |  UNION ALL
+        |  SELECT l_returnflag, 'sum_qty', sum_qty FROM w)
+        |ORDER BY l_returnflag, metric""".stripMargin,
     "q13_custdist" ->
       """WITH per_cust AS (
         |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
