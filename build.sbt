@@ -15,6 +15,10 @@ run / fork := true
 // parses Bench's single JSON line and sbt's "[info] " logger prefix
 // breaks that (round-1 BENCH had parsed:null).
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// No "[success] Total time: ..." trailer after Bench's final JSON line —
+// the driver parses that line from a bounded stdout tail, and every byte
+// printed after it eats into the 2000-char window.
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

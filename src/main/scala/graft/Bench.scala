@@ -50,7 +50,9 @@ object Bench {
           (name, -1.0, r1.left.toOption.orElse(r2.left.toOption), m1)
       }
     }
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+    def f3(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val ms = results.map { case (k, _, _, m) => s"\"" + k + "\":" + m.json }
       .mkString("{", ",", "}")
@@ -63,7 +65,26 @@ object Bench {
       warmupErr.map(e => "\"_warmup\":\"" + e + "\"")
     val errJson = if (errs.isEmpty) "" else errs.mkString(",\"errors\":{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$ms,"totals":$totalsJson$errJson,"sf":"$sfDir"}""")
+    val detail =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"metrics":$ms,"totals":$totalsJson$errJson,"sf":"$sfDir"}"""
+    // The driver keeps only the last ~2000 chars of stdout and parses the
+    // bench JSON out of that tail: the full detail line (~10 KB with 85+
+    // queries) never fits, which is exactly how rounds 1–2 ended up with
+    // BENCH parsed:null. So: full detail goes to a file + an early stdout
+    // line, and the LAST line printed is a compact summary — true total
+    // over all queries, per-query times for the slowest 24 only, the rest
+    // summed under "other_sec" — sized to survive the tail with room for
+    // stray shutdown noise.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
+    catch { case _: Throwable => () }
+    println(detail)
+    val bySlowest = results.sortBy { case (_, v, _, _) => -v }
+    val (head, rest) = bySlowest.splitAt(24)
+    val qsShort = head.sortBy(_._1).map { case (k, v, _, _) =>
+      s"\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    val otherSec = rest.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qsShort,"n_queries":${results.size},"other_sec":${f3(otherSec)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
