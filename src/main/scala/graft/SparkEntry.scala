@@ -12,6 +12,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
+      operators.Analytic.queries ++
       operators.Windowed.queries ++
       operators.EventOps.queries ++
       text.TextOps.queries ++
@@ -27,6 +28,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     operators.Relational.oracle ++
+      operators.Analytic.oracle ++
       operators.Windowed.oracle ++
       operators.EventOps.oracle ++
       text.TextOps.oracle ++

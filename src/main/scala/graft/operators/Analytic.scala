@@ -1,0 +1,344 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-3 analytic operators (SURVEY.md §2.B/A additions): statistical
+  * aggregates (correlation, regression trend), sequence analytics
+  * (event transition matrix), segmentation (RFM), three more TPC-H
+  * shapes adapted to the test schema, full-frame window functions, and
+  * deterministic per-group sampling.
+  *
+  * All follow the house rules: declarative plans, broadcast hints where
+  * the optimizer can't know sizes, rounding on every float aggregate so
+  * the DuckDB oracle compare is exact, deterministic tie-breaks on every
+  * ordering.
+  */
+object Analytic {
+
+  /** `corr_stats` — per-group second-moment statistics: Pearson
+    * correlation, sample covariance, standard deviations. One pass, one
+    * tiny shuffle (co-moment partials are a handful of doubles per
+    * group — the mergeable-sketch shape, so 100 TB costs the same
+    * shuffle as 100 MB).
+    */
+  def corrStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("qty_price_corr"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2)
+          .as("qty_price_covar"),
+        round(stddev_samp(col("l_quantity")), 6).as("qty_stddev"),
+        round(stddev_samp(col("l_extendedprice")), 2).as("price_stddev"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** `regr_trend` — per-key linear regression over a daily series:
+    * slope + intercept of daily revenue vs day index. The window input
+    * is pre-aggregated to O(types × days) so the regression aggregate
+    * (five co-moments, mergeable) never sees raw events — at scale the
+    * daily rollup is the only full-data pass. Daily sums are rounded
+    * before the fit so both engines regress over identical inputs.
+    */
+  def regrTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(sum(col("value")), 2).as("rev"))
+      .withColumn("x",
+        datediff(col("day"), lit("1997-01-01").cast("date")).cast("double"))
+    daily.groupBy(col("event_type"))
+      .agg(
+        round(regr_slope(col("rev"), col("x")), 4).as("slope"),
+        round(regr_intercept(col("rev"), col("x")), 2).as("intercept"),
+        count(lit(1)).as("n_days"))
+      .orderBy(col("event_type"))
+  }
+
+  /** `events_markov` — first-order transition matrix over each user's
+    * event stream: P(curr | prev) with counts. One shuffle on user_id
+    * for the lag window; the transition frame is O(types²) so the
+    * second aggregation and its probability window are driver-trivial
+    * at any scale.
+    */
+  def eventsMarkov(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = Tables(spark, dir, "events")
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("curr"))
+      .agg(count(lit(1)).as("n"))
+    trans
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("prev"))), 4))
+      .orderBy(col("prev"), col("curr"))
+  }
+
+  /** `orders_rfm` — RFM segmentation: per-customer recency (days since
+    * last order, vs the global max date), frequency (order count),
+    * monetary (total spend) → ntile(4) each (deterministic tie-break on
+    * custkey) → 3-digit segment, reported as segment-level rollup.
+    * The global-max reference date is a one-row broadcast; the ntile
+    * windows are global sorts over the per-customer frame — already
+    * 1000× smaller than orders; at larger scale swap ntile for
+    * approx-quantile cut points (same segment semantics, no global
+    * sort).
+    */
+  def ordersRfm(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables(spark, dir, "orders")
+    val refDate = ord.agg(max(col("o_orderdate")).as("ref_date"))
+    val perCust = ord.groupBy(col("o_custkey"))
+      .agg(
+        max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        round(sum(col("o_totalprice")), 2).as("monetary"))
+      .crossJoin(broadcast(refDate))
+      .withColumn("recency",
+        datediff(col("ref_date"), col("last_order")).cast("long"))
+    val seg = perCust
+      .withColumn("r_q", ntile(4).over(
+        Window.orderBy(col("recency"), col("o_custkey"))))
+      .withColumn("f_q", ntile(4).over(
+        Window.orderBy(col("frequency").desc, col("o_custkey"))))
+      .withColumn("m_q", ntile(4).over(
+        Window.orderBy(col("monetary").desc, col("o_custkey"))))
+      .withColumn("segment",
+        concat(col("r_q"), col("f_q"), col("m_q")))
+    seg.groupBy(col("segment"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        round(avg(col("recency")), 4).as("avg_recency"),
+        round(avg(col("frequency")), 4).as("avg_frequency"),
+        round(avg(col("monetary")), 2).as("avg_monetary"))
+      .orderBy(col("segment"))
+  }
+
+  /** `q6_revenue` — TPC-H Q6: single-table filter + scalar aggregate.
+    * The plan to demand: every predicate in PushedFilters, two-column
+    * ReadSchema, one partial-agg exchange carrying one row per task.
+    * Decimal-cast accumulation so the cent-level sum is
+    * order-independent across engines.
+    */
+  def q6Revenue(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(
+        round(sum((col("l_extendedprice") * col("l_discount"))
+          .cast("decimal(18,4)")), 2).cast("double").as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+
+  /** `q4_priority` — TPC-H Q4 shape on the available schema: orders in
+    * a quarter with EXISTS(lineitem qty > 45), counted per priority.
+    * The semi join probes a distinct-key hash set — no row
+    * multiplication — and the date filter prunes the orders scan before
+    * the shuffle.
+    */
+  def q4Priority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+    val heavy = Tables(spark, dir, "lineitem")
+      .filter(col("l_quantity") > 45)
+      .select(col("l_orderkey"))
+    ord.join(heavy, ord("o_orderkey") === heavy("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** `q10_returns` — TPC-H Q10 shape: revenue lost to returns per
+    * customer, top 20. lineitem↔orders shuffles on orderkey; customer
+    * joins on custkey; nation broadcasts; TakeOrderedAndProject caps
+    * the result without a global sort.
+    */
+  def q10Returns(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer")
+    val nation = Tables(spark, dir, "nation")
+    val ord = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")), 2).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** `win_first_last` — full-frame window functions: first/last/2nd
+    * event value per user over the (ts, event_id) order. One shuffle on
+    * user_id; first/last/nth share the single in-partition sort, and
+    * the row_number filter keeps one row per user without a second
+    * aggregation.
+    */
+  def winFirstLast(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val full = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    Tables(spark, dir, "events")
+      .withColumn("first_value", round(first(col("value")).over(full), 2))
+      .withColumn("last_value", round(last(col("value")).over(full), 2))
+      .withColumn("second_value", round(nth_value(col("value"), 2).over(full), 2))
+      .withColumn("n_events", count(lit(1)).over(full))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("first_value"), col("last_value"),
+        col("second_value"), col("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** `sample_pergroup` — deterministic per-group k-sample: the first 10
+    * docs per language in md5(doc_id) order. Engine- and run-stable
+    * (the hash IS the ordering), one shuffle on the group key, and the
+    * per-group window state is O(k) after the rank filter. The
+    * uniform-without-replacement sampler you can re-run over 100 TB and
+    * get the same rows.
+    */
+  def samplePergroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables(spark, dir, "documents")
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= 10)
+      .select(col("lang"), col("sample_rank"), col("doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("sample_rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corr_stats" -> (corrStats _),
+    "regr_trend" -> (regrTrend _),
+    "events_markov" -> (eventsMarkov _),
+    "orders_rfm" -> (ordersRfm _),
+    "q6_revenue" -> (q6Revenue _),
+    "q4_priority" -> (q4Priority _),
+    "q10_returns" -> (q10Returns _),
+    "win_first_last" -> (winFirstLast _),
+    "sample_pergroup" -> (samplePergroup _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "corr_stats" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2)
+        |    AS qty_price_covar,
+        |  round(stddev_samp(l_quantity), 6) AS qty_stddev,
+        |  round(stddev_samp(l_extendedprice), 2) AS price_stddev,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "regr_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(sum(value), 2) AS rev
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type,
+        |  round(regr_slope(rev,
+        |    CAST(datediff('day', DATE '1997-01-01', day) AS DOUBLE)), 4)
+        |    AS slope,
+        |  round(regr_intercept(rev,
+        |    CAST(datediff('day', DATE '1997-01-01', day) AS DOUBLE)), 2)
+        |    AS intercept,
+        |  count(*) AS n_days
+        |FROM daily GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_markov" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |trans AS (
+        |  SELECT prev, event_type AS curr, count(*) AS n
+        |  FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type)
+        |SELECT prev, curr, n,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev), 4) AS p
+        |FROM trans ORDER BY prev, curr""".stripMargin,
+    "orders_rfm" ->
+      """WITH per_cust AS (
+        |  SELECT o_custkey, max(o_orderdate) AS last_order,
+        |    count(*) AS frequency,
+        |    round(sum(o_totalprice), 2) AS monetary
+        |  FROM orders GROUP BY o_custkey),
+        |scored AS (
+        |  SELECT o_custkey, frequency, monetary,
+        |    CAST(datediff('day', last_order,
+        |      (SELECT max(o_orderdate) FROM orders)) AS BIGINT) AS recency
+        |  FROM per_cust),
+        |seg AS (
+        |  SELECT recency, frequency, monetary,
+        |    ntile(4) OVER (ORDER BY recency, o_custkey) AS r_q,
+        |    ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_q,
+        |    ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_q
+        |  FROM scored)
+        |SELECT CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR)
+        |    || CAST(m_q AS VARCHAR) AS segment,
+        |  count(*) AS n_customers,
+        |  round(avg(recency), 4) AS avg_recency,
+        |  round(avg(frequency), 4) AS avg_frequency,
+        |  round(avg(monetary), 2) AS avg_monetary
+        |FROM seg GROUP BY 1 ORDER BY segment""".stripMargin,
+    "q6_revenue" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice * l_discount
+        |    AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lineitems
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q4_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1995-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "win_first_last" ->
+      """SELECT user_id,
+        |  round(first_value(value) OVER w, 2) AS first_value,
+        |  round(last_value(value) OVER w, 2) AS last_value,
+        |  round(nth_value(value, 2) OVER w, 2) AS second_value,
+        |  count(*) OVER w AS n_events
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |QUALIFY row_number() OVER (PARTITION BY user_id
+        |  ORDER BY ts, event_id) = 1
+        |ORDER BY user_id""".stripMargin,
+    "sample_pergroup" ->
+      """SELECT lang, sample_rank, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+        |      AS sample_rank
+        |  FROM documents)
+        |WHERE sample_rank <= 10
+        |ORDER BY lang, sample_rank""".stripMargin
+  )
+}

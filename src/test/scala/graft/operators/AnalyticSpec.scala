@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantic invariants for the round-3 analytic batch — properties the
+  * DuckDB oracle compare can't express (determinism across runs,
+  * probability-mass conservation, quartile balance).
+  */
+class AnalyticSpec extends SparkSpec {
+
+  test("events_markov: transition probabilities sum to 1 per prev state") {
+    val sums = Analytic.eventsMarkov(spark, sfDir)
+      .groupBy(col("prev")).agg(sum(col("p")).as("total"))
+      .collect()
+    assert(sums.nonEmpty)
+    sums.foreach { r =>
+      val t = r.getDouble(1)
+      // per-row rounding to 4 decimals can drift the sum by ~types*5e-5
+      assert(math.abs(t - 1.0) < 1e-3, s"prev=${r.get(0)} sums to $t")
+    }
+  }
+
+  test("corr_stats: correlations within [-1, 1], stddevs positive") {
+    Analytic.corrStats(spark, sfDir).collect().foreach { r =>
+      val corr = r.getDouble(r.fieldIndex("qty_price_corr"))
+      assert(corr >= -1.0 && corr <= 1.0)
+      assert(r.getDouble(r.fieldIndex("qty_stddev")) > 0)
+      assert(r.getDouble(r.fieldIndex("price_stddev")) > 0)
+    }
+  }
+
+  test("orders_rfm: quartile segments partition all customers") {
+    val seg = Analytic.ordersRfm(spark, sfDir).collect()
+    val totalCustomers = graft.Tables(spark, sfDir, "orders")
+      .select(col("o_custkey")).distinct().count()
+    assert(seg.map(_.getLong(seg.head.fieldIndex("n_customers"))).sum
+      == totalCustomers)
+    // segment digits stay in 1..4
+    seg.foreach { r =>
+      assert(r.getString(0).matches("[1-4][1-4][1-4]"), r.getString(0))
+    }
+  }
+
+  test("sample_pergroup: at most 10 per group, stable across runs") {
+    val a = Analytic.samplePergroup(spark, sfDir).collect().map(_.toString)
+    val b = Analytic.samplePergroup(spark, sfDir).collect().map(_.toString)
+    assert(a.sameElements(b), "sampler must be run-deterministic")
+    val perGroup = Analytic.samplePergroup(spark, sfDir)
+      .groupBy(col("lang")).count().collect()
+    perGroup.foreach(r => assert(r.getLong(1) <= 10))
+  }
+
+  test("win_first_last: first_value matches the earliest event per user") {
+    val got = Analytic.winFirstLast(spark, sfDir)
+      .select(col("user_id"), col("first_value")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = graft.Tables(spark, sfDir, "events")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), round(col("value"), 2).as("v")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == expected)
+  }
+
+  test("q6_revenue: decimal-cast sum equals a double recompute to the cent") {
+    val row = Analytic.q6Revenue(spark, sfDir).head()
+    val naive = graft.Tables(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice") * col("l_discount"))).head().getDouble(0)
+    assert(math.abs(row.getDouble(row.fieldIndex("revenue")) - naive) < 0.02)
+    assert(row.getLong(row.fieldIndex("n_lineitems")) > 0)
+  }
+}
