@@ -328,7 +328,115 @@ object Ann {
           (col("nrm") * col("qn")))))
   }
 
+  val PqM = 8      // subspaces
+  val PqSub = 8    // dims per subspace (PqM * PqSub = embedding dim)
+  val PqK = 16     // centroids per subspace codebook
+  val PqIters = 2  // Lloyd refinement rounds per subspace
+
+  /** Split a vector column into its [[PqM]] subvectors, one row per
+    * (id, sub). The transform HOF materializes in a projection BEFORE
+    * the posexplode (HOFs are CodegenFallback — fine per input row,
+    * poison per output row under Generate; see word_shingles).
+    */
+  private def subvecFrame(df: DataFrame, emb: String, id: String): DataFrame =
+    df.withColumn("svs", expr(
+        s"transform(sequence(0, ${PqM - 1}), s -> slice($emb, s * $PqSub + 1, $PqSub))"))
+      .select(col(id), posexplode(col("svs")).as(Seq("sub", "sv")))
+
+  /** Nearest-centroid assignment within each subspace: L2 argmin via
+    * min_by over the (subvectors × k) broadcast join — no sort, map-side
+    * partial aggregation, centroid-id tiebreak on rounded distance so
+    * assignment is stable across partition layouts.
+    */
+  private[ann] def assignCodes(sv: DataFrame, cb: DataFrame): DataFrame =
+    sv.join(broadcast(cb), Seq("sub"))
+      .withColumn("d2",
+        dotF(col("sv"), col("sv")) - lit(2.0) * dotF(col("sv"), col("cb_emb"))
+          + dotF(col("cb_emb"), col("cb_emb")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(
+        first(col("sv")).as("sv"),
+        min_by(col("code"),
+          struct(round(col("d2"), 6).as("d"), col("code").as("t"))).as("code"))
+
+  /** Per-subspace k-means-lite codebook: deterministic seeds (the first
+    * [[PqK]] vectors by vec_id, split into subvectors) + [[PqIters]]
+    * Lloyd rounds via the vector_avg mergeable aggregate. The codebook
+    * is m × k × (dim/m) floats — trivially driver-sized at any corpus
+    * scale (training touches the corpus PqIters times, each one scan +
+    * one tiny shuffle).
+    */
+  private[ann] def pqCodebook(spark: SparkSession, c: DataFrame): DataFrame = {
+    import spark.implicits._
+    val sv = subvecFrame(c, "embedding", "vec_id")
+    val wseed = Window.partitionBy(col("sub")).orderBy(col("vec_id"))
+    var cb = subvecFrame(c.orderBy(col("vec_id")).limit(PqK), "embedding",
+        "vec_id")
+      .withColumn("code", row_number().over(wseed) - 1)
+      .select(col("sub"), col("code"), col("sv").as("cb_emb"))
+    for (_ <- 1 to PqIters) {
+      val rows = assignCodes(sv, cb)
+        .groupBy(col("sub"), col("code"))
+        .agg(graft.functions.VectorAvg.vectorAvg(col("sv")).as("cb_emb"))
+        .as[(Int, Int, Array[Float])].collect().toSeq.sortBy(r => (r._1, r._2))
+      cb = rows.toDF("sub", "code", "cb_emb")
+    }
+    cb
+  }
+
+  /** E8 `ann_pq` — true product quantization (PQ/ADC): per-subspace
+    * k-means codebooks ([[PqM]] × [[PqK]] learned centroids), each
+    * corpus vector encoded as [[PqM]] one-byte codes (a 32× at-rest cut
+    * vs float32 at dim 64 — the codes, not the vectors, are what a
+    * 100 TB index stores), and asymmetric-distance scoring: each query
+    * precomputes a [[PqM]]×[[PqK]] lookup table of subspace dots, so
+    * scoring a candidate is [[PqM]] table lookups instead of a dim-wide
+    * float dot. Exact float re-rank of the top [[QuantRerank]] restores
+    * exact ordering; recall vs E1 is pinned in spec. vs E7 (`ann_ivfq`):
+    * E7 prunes WHICH vectors get scored (IVF cells) but scores with a
+    * full-width int8 dot; E8 scores EVERY vector but each score is m
+    * lookups over learned codebooks — composing both (IVF lists of PQ
+    * codes) is the classic IVF-PQ layout, and each half is verified
+    * here separately.
+    */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir, spread = true)
+    val cb = pqCodebook(spark, c)
+    val enc = assignCodes(subvecFrame(c, "embedding", "vec_id"), cb)
+      .groupBy(col("vec_id"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(sub, code))), x -> x.code)")
+        .as("codes"))
+      .join(c.withColumn("nrm", sqrt(dotF(col("embedding"), col("embedding")))),
+        Seq("vec_id"))
+    val q = queriesDf(spark, dir)
+      .withColumn("qn", sqrt(dotF(col("q_emb"), col("q_emb"))))
+    // per-query ADC lookup table: idx = sub * k + code → dot(q_sub, c)
+    val lut = subvecFrame(q, "q_emb", "q_id")
+      .join(broadcast(cb), Seq("sub"))
+      .withColumn("d", dotF(col("sv"), col("cb_emb")))
+      .groupBy(col("q_id"))
+      .agg(map_from_entries(collect_list(struct(
+        (col("sub") * PqK + col("code")).as("idx"), col("d")))).as("lut"))
+      .join(q, Seq("q_id"))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("adot"), 6).desc, col("vec_id"))
+    val cand = enc.crossJoin(broadcast(lut))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adot", expr(
+        s"""aggregate(sequence(0, ${PqM - 1}), cast(0 as double),
+           |  (acc, s) -> acc + element_at(lut,
+           |    s * $PqK + element_at(codes, s + 1)))""".stripMargin))
+      .withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= QuantRerank)
+    topK(cand.withColumn("cos",
+      when(col("nrm") * col("qn") === 0.0, 0.0)
+        .otherwise(dotF(col("embedding"), col("q_emb")) /
+          (col("nrm") * col("qn")))))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_pq" -> (annPq _),
     "ann_topk" -> (annTopK _),
     "ann_range" -> (annRange _),
     "ann_quantized" -> (annQuantized _),

@@ -119,6 +119,34 @@ object TextOps {
   def wordShingles(toks: Column): Column =
     graft.functions.GraftFunctions.wordShingles(toks, 3)
 
+  /** C14 `text_bigrams` — corpus bigram head: global word-bigram counts
+    * + document frequency, top 20. Same scale shape as C9's vocab head:
+    * the explode fans out ~n_tokens rows per doc but map-side combine
+    * collapses repeats pre-shuffle, and TakeOrderedAndProject caps the
+    * result without a global sort. Bigrams via the codegen
+    * `word_shingles(toks, 2)` expression (the HOF spelling is
+    * CodegenFallback under explode — see SURVEY §8 round-1 notes).
+    */
+  def textBigrams(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("toks", toks)
+      .filter(size(col("toks")) >= 2)
+      // explode the POSITION range, not a shingle array: sequence +
+      // element_at + concat all stay in whole-stage codegen (the HOF
+      // spelling is CodegenFallback, and word_shingles dedups per doc —
+      // term frequency needs every occurrence)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - 1)).as("i"))
+      .select(col("doc_id"),
+        concat(element_at(col("toks"), col("i")), lit(" "),
+          element_at(col("toks"), col("i") + 1)).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(
+        count(lit(1)).as("term_freq"),
+        countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("term_freq").desc, col("bigram"))
+      .limit(20)
+
   /** C4 `text_fingerprint` — content fingerprint per document
     * (≈ the reference's row identity key, aiesec.py:139, generalized
     * to content addressing).
@@ -351,6 +379,7 @@ object TextOps {
       .orderBy(col("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bigrams" -> (textBigrams _),
     "text_entropy" -> (textEntropy _),
     "decontaminate" -> (decontaminate _),
     "heavy_hitters" -> (heavyHitters _),
@@ -368,6 +397,18 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_bigrams" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |idx AS (SELECT doc_id, w,
+        |    unnest(generate_series(1, len(w) - 1)) AS i
+        |  FROM t WHERE len(w) >= 2),
+        |b AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram FROM idx)
+        |SELECT bigram, count(*) AS term_freq,
+        |  count(DISTINCT doc_id) AS doc_freq
+        |FROM b GROUP BY bigram
+        |ORDER BY term_freq DESC, bigram LIMIT 20""".stripMargin,
     "text_entropy" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE len(text) > 0),
         |idx AS (SELECT doc_id, text, unnest(range(1, len(text) + 1)) AS i

