@@ -177,6 +177,63 @@ object Analytic {
       .limit(20)
   }
 
+  /** `q7_volume_shipping` — TPC-H Q7: bilateral trade volume between
+    * two nations by ship year. The nation dims are pre-filtered to the
+    * two nations of interest BEFORE joining, so the inner joins
+    * themselves prune supplier/customer rows to ~2/25 of the fact
+    * stream ahead of the orderkey shuffle; only the cross-pair filter
+    * (drop same-nation flows) runs post-join.
+    */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val nations = Seq("NATION_1", "NATION_2")
+    val n1 = Tables(spark, dir, "nation")
+      .filter(col("n_name").isin(nations: _*))
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    val n2 = Tables(spark, dir, "nation")
+      .filter(col("n_name").isin(nations: _*))
+      .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+    val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    val ord = Tables(spark, dir, "orders")
+    val cust = Tables(spark, dir, "customer")
+    val sup = Tables(spark, dir, "supplier")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(n1), sup("s_nationkey") === col("s_nkey"))
+      .join(broadcast(n2), cust("c_nationkey") === col("c_nkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")), 2).cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** `q14_promo` — TPC-H Q14: promo revenue share for one ship-month.
+    * part joins as a broadcast dim; numerator and denominator are
+    * decimal-cast cent-exact sums rounded BEFORE the ratio so both
+    * engines divide identical numbers.
+    */
+  def q14Promo(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+    val part = Tables(spark, dir, "part")
+      .select(col("p_partkey"), col("p_type"))
+    val disc = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast("decimal(18,4)")
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .agg(
+        round(sum(when(col("p_type").startsWith("PROMO"), disc)
+          .otherwise(lit(0).cast("decimal(18,4)"))), 2).cast("double")
+          .as("promo_revenue"),
+        round(sum(disc), 2).cast("double").as("total_revenue"))
+      .withColumn("promo_pct",
+        round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 4))
+  }
+
   /** `win_first_last` — full-frame window functions: first/last/2nd
     * event value per user over the (ts, event_id) order. One shuffle on
     * user_id; first/last/nth share the single in-partition sort, and
@@ -225,6 +282,8 @@ object Analytic {
     "q6_revenue" -> (q6Revenue _),
     "q4_priority" -> (q4Priority _),
     "q10_returns" -> (q10Returns _),
+    "q7_volume_shipping" -> (q7VolumeShipping _),
+    "q14_promo" -> (q14Promo _),
     "win_first_last" -> (winFirstLast _),
     "sample_pergroup" -> (samplePergroup _)
   )
@@ -319,6 +378,38 @@ object Analytic {
         |  AND o_orderdate < TIMESTAMP '1996-04-01'
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n1.n_name <> n2.n_name
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q14_promo" ->
+      """WITH s AS (SELECT
+        |    CAST(round(sum(CASE WHEN p_type LIKE 'PROMO%'
+        |      THEN CAST(l_extendedprice * (1 - l_discount)
+        |        AS DECIMAL(18,4))
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE)
+        |      AS promo_revenue,
+        |    CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01')
+        |SELECT promo_revenue, total_revenue,
+        |  round(100.0 * promo_revenue / total_revenue, 4) AS promo_pct
+        |FROM s""".stripMargin,
     "win_first_last" ->
       """SELECT user_id,
         |  round(first_value(value) OVER w, 2) AS first_value,
