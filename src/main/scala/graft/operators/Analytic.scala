@@ -185,7 +185,8 @@ object Analytic {
     * (drop same-nation flows) runs post-join.
     */
   def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
-    val nations = Seq("NATION_1", "NATION_2")
+    // 4-nation trade bloc (2 is empty at the smallest test SF)
+    val nations = Seq("NATION_0", "NATION_1", "NATION_2", "NATION_3")
     val n1 = Tables(spark, dir, "nation")
       .filter(col("n_name").isin(nations: _*))
       .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
@@ -389,8 +390,8 @@ object Analytic {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
-        |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+        |WHERE n1.n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3')
+        |  AND n2.n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3')
         |  AND n1.n_name <> n2.n_name
         |  AND l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
