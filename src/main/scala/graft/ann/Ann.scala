@@ -346,13 +346,16 @@ object Ann {
   /** Nearest-centroid assignment within each subspace: L2 argmin via
     * min_by over the (subvectors × k) broadcast join — no sort, map-side
     * partial aggregation, centroid-id tiebreak on rounded distance so
-    * assignment is stable across partition layouts.
+    * assignment is stable across partition layouts. The argmin drops
+    * the per-row constant |sv|² and reads |c|² off the broadcast side
+    * (materialized once in the exchange), so the n × m × k hot loop
+    * runs ONE 8-wide dot per pair instead of three.
     */
   private[ann] def assignCodes(sv: DataFrame, cb: DataFrame): DataFrame =
-    sv.join(broadcast(cb), Seq("sub"))
+    sv.join(broadcast(
+        cb.withColumn("cbn", dotF(col("cb_emb"), col("cb_emb")))), Seq("sub"))
       .withColumn("d2",
-        dotF(col("sv"), col("sv")) - lit(2.0) * dotF(col("sv"), col("cb_emb"))
-          + dotF(col("cb_emb"), col("cb_emb")))
+        col("cbn") - lit(2.0) * dotF(col("sv"), col("cb_emb")))
       .groupBy(col("vec_id"), col("sub"))
       .agg(
         first(col("sv")).as("sv"),
