@@ -85,11 +85,13 @@ object Multimodal {
               while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }
               s.toDouble / bytes.length
             }
-          MmFeature(id, fmt, w, h, ow, oh, bytes.length,
-            math.rint(mean * 10000) / 10000)
+          MmFeature(id, fmt, w, h, ow, oh, bytes.length, mean)
         }
       }
       .toDF()
+      // HALF_UP in the engine layer (not rint/HALF_EVEN in the stub) so
+      // the DuckDB oracle's round() computes the identical value
+      .withColumn("mean_byte", round(col("mean_byte"), 4))
       .orderBy(col("doc_id"))
   }
 
@@ -121,11 +123,11 @@ object Multimodal {
           val mean =
             if (frame.isEmpty) 0.0
             else frame.map(b => (b & 0xff).toLong).sum.toDouble / frame.length
-          MmFrame(id, i, off, frame.length,
-            math.rint(mean * 10000) / 10000)
+          MmFrame(id, i, off, frame.length, mean)
         }
       }
       .toDF()
+      .withColumn("mean_byte", round(col("mean_byte"), 4))
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
@@ -135,8 +137,55 @@ object Multimodal {
     "mm_frames" -> (mmFrames _)
   )
 
-  /** F2 depends on the stub decoder → rows-only check + spec. */
+  /** The stub decoders are pure byte arithmetic, so even F2/F3 oracle
+    * exactly: DuckDB recovers the raw UTF-8 bytes via the hex-digit
+    * strpos trick (hex() → per-pair integer), then replays the fake
+    * decode/resize/frame geometry in SQL.
+    */
   val oracle: Map[String, String] = Map(
+    "mm_features" ->
+      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents),
+        |b AS (SELECT doc_id, n,
+        |    [16 * (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1)
+        |      + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1
+        |      for i in range(1, n + 1)] AS bytes
+        |  FROM h),
+        |d AS (SELECT doc_id, n, bytes,
+        |    CASE n % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |      ELSE 'webp' END AS fmt,
+        |    64 + coalesce(bytes[1], 0) % 192 AS width,
+        |    64 + coalesce(bytes[2], 0) % 192 AS height
+        |  FROM b),
+        |r AS (SELECT *,
+        |    64.0 / greatest(width, height) AS scale FROM d)
+        |SELECT doc_id, fmt, width, height,
+        |  greatest(1, CAST(round(width * scale) AS INT)) AS out_w,
+        |  greatest(1, CAST(round(height * scale) AS INT)) AS out_h,
+        |  n AS n_bytes,
+        |  coalesce(round(list_avg(bytes), 4), 0.0) AS mean_byte
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "mm_frames" ->
+      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents),
+        |b AS (SELECT doc_id, n,
+        |    [16 * (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1)
+        |      + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1
+        |      for i in range(1, n + 1)] AS bytes
+        |  FROM h),
+        |f AS (SELECT doc_id, n, bytes, unnest(range(0, 4)) AS frame_idx
+        |  FROM b),
+        |w AS (SELECT doc_id, frame_idx,
+        |    CAST((n * frame_idx) // 4 AS INT) AS off, n, bytes FROM f)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  off AS "offset",
+        |  greatest(least(off + 32, n) - off, 0) AS frame_bytes,
+        |  coalesce(round(list_avg(
+        |    list_slice(bytes, off + 1, least(off + 32, n))), 4), 0.0)
+        |    AS mean_byte
+        |FROM w ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id,
         |  octet_length(encode(text)) AS n_bytes,
