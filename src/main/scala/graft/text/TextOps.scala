@@ -554,6 +554,32 @@ object TextOps {
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // exact mod-2^64 replay of the Karp–Rabin fold: bytes recovered via
+    // hex-digit decode, HUGEINT keeps acc*base+byte < 2^84 exact, final
+    // wrap to signed BIGINT matches the JVM Long
+    "text_rolling_fp" ->
+      """WITH h AS (SELECT doc_id,
+        |    hex(encode(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+        |      AS hx,
+        |    octet_length(encode(
+        |      regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n
+        |  FROM documents),
+        |b AS (SELECT doc_id,
+        |    [CAST(16 * (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1)
+        |      + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1 AS HUGEINT)
+        |      for i in range(1, n + 1)] AS bytes
+        |  FROM h),
+        |r AS (SELECT doc_id,
+        |    CASE WHEN len(bytes) = 0 THEN CAST(0 AS HUGEINT)
+        |      ELSE list_reduce(bytes, (acc, x) ->
+        |        (acc * 1000003 + x) % CAST('18446744073709551616' AS HUGEINT))
+        |      END AS h
+        |  FROM b)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+        |    THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END
+        |    AS BIGINT) AS rolling_fp
+        |FROM r ORDER BY doc_id""".stripMargin,
     "text_shingles" ->
       """WITH t AS (SELECT doc_id,
         |    string_split_regex(trim(text), '\s+') AS w
