@@ -122,8 +122,13 @@ object Dedup {
   /** D3 `dedup_minhash_lsh` — MinHash signatures (one-pass custom
     * expression) + banded LSH: docs sharing any band bucket become
     * candidates, candidates are verified with exact Jaccard ≥ 0.5.
-    * The shuffle key is (band, bucket-hash): constant-size keys
-    * regardless of document length — this is the 100 TB dedup path.
+    * The shuffle key is (band, band-slice): 4 longs per band regardless
+    * of document length — this is the 100 TB dedup path. The slice
+    * itself (not a hash of it) is the key so candidate generation is
+    * bit-reproducible in any engine — that's what lets the DuckDB
+    * oracle replay this pipeline end-to-end; hashing the slice to 8
+    * bytes would shave the shuffle but make candidates depend on the
+    * engine's hash function.
     */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val rows = NumPerms / NumBands
@@ -138,7 +143,7 @@ object Dedup {
     val bands = sig.select(col("doc_id"),
         posexplode(expr(
           s"transform(sequence(0, $NumBands - 1), " +
-            s"b -> hash(slice(sig, b * $rows + 1, $rows), b))"))
+            s"b -> slice(sig, b * $rows + 1, $rows))"))
           .as(Seq("band", "bucket")))
     val cand = bands.select(col("doc_id").as("ia"), col("band"), col("bucket"))
       .join(bands.select(col("doc_id").as("ib"), col("band"), col("bucket")),
@@ -372,7 +377,139 @@ object Dedup {
     // planted duplicates instead.
   )
 
+  // The minhash/simhash oracles replay graft's hash64 kernel exactly in
+  // SQL: seed-initialized polynomial fold (list_reduce over hex-decoded
+  // UTF-8 bytes) + the splitmix64 finalizer, all in HUGEINT modular
+  // arithmetic. 64×64-bit wrapping multiplies split into 32-bit halves
+  // so no intermediate exceeds INT128. Constants: seeds 0x9747b28c /
+  // 0x85ebca6b, splitmix K1 0x9e3779b97f4a7c15, K2 0xbf58476d1ce4e5b9
+  // (hi 3210233709 / lo 484763065), K3 0x94d049bb133111eb (hi
+  // 2496678331 / lo 321982955).
   val oracle: Map[String, String] = Map(
+    "dedup_simhash" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |    FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS tk FROM t),
+        |hb AS (SELECT doc_id, tk, hex(encode(tk)) AS hx,
+        |    octet_length(encode(tk)) AS n FROM tok),
+        |bl AS (SELECT doc_id,
+        |    [CAST(16*(strpos('0123456789ABCDEF', substr(hx,2*i-1,1))-1)
+        |      + strpos('0123456789ABCDEF', substr(hx,2*i,1))-1 AS HUGEINT)
+        |     for i in range(1, n+1)] AS bs
+        |  FROM hb),
+        |f0 AS (SELECT doc_id,
+        |    list_reduce(list_prepend(CAST('2538058380' AS HUGEINT), bs),
+        |      (acc,x) -> (acc*1000003+x)
+        |        % CAST('18446744073709551616' AS HUGEINT)) AS z FROM bl),
+        |m1 AS (SELECT doc_id, (z + CAST('11400714819323198485' AS HUGEINT))
+        |    % CAST('18446744073709551616' AS HUGEINT) AS z FROM f0),
+        |m2 AS (SELECT doc_id, ((xor(z, z // 1073741824)*484763065)
+        |      % CAST('18446744073709551616' AS HUGEINT)
+        |    + ((xor(z, z // 1073741824)*3210233709) % 4294967296)
+        |      * 4294967296)
+        |    % CAST('18446744073709551616' AS HUGEINT) AS z FROM m1),
+        |m3 AS (SELECT doc_id, ((xor(z, z // 134217728)*321982955)
+        |      % CAST('18446744073709551616' AS HUGEINT)
+        |    + ((xor(z, z // 134217728)*2496678331) % 4294967296)
+        |      * 4294967296)
+        |    % CAST('18446744073709551616' AS HUGEINT) AS z FROM m2),
+        |hh AS (SELECT doc_id, xor(z, z // 2147483648) AS h FROM m3),
+        |bits AS (SELECT doc_id, h, unnest(range(0, 64)) AS bit FROM hh),
+        |votes AS (SELECT doc_id, bit,
+        |    sum(CASE WHEN (h // (CAST(1 AS HUGEINT) << CAST(bit AS INT)))
+        |      % 2 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM bits GROUP BY 1, 2),
+        |sig AS (SELECT doc_id,
+        |    coalesce(sum(CASE WHEN v > 0
+        |      THEN CAST(1 AS HUGEINT) << CAST(bit AS INT) END),
+        |      CAST(0 AS HUGEINT)) AS su
+        |  FROM votes GROUP BY doc_id),
+        |ch AS (SELECT doc_id, su, unnest(range(0,4)) AS chunk_idx FROM sig),
+        |chunks AS (SELECT doc_id, su, chunk_idx,
+        |    (su // (CAST(1 AS HUGEINT) << CAST(chunk_idx*16 AS INT)))
+        |      % 65536 AS chunk FROM ch),
+        |cand AS (SELECT DISTINCT a.doc_id ia, b.doc_id ib,
+        |    a.su sua, b.su sub
+        |  FROM chunks a JOIN chunks b ON a.chunk_idx = b.chunk_idx
+        |    AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+        |SELECT ia, ib, bit_count(xor(sua, sub)) AS hamming
+        |FROM cand WHERE bit_count(xor(sua, sub)) <= 3
+        |ORDER BY ia, ib""".stripMargin,
+    "dedup_minhash_lsh" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |    FROM documents),
+        |s AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+        |    THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |      for i in range(1, len(w) - 1)]
+        |    ELSE [] END) AS sh FROM t),
+        |g0 AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |hb AS (SELECT doc_id, g, hex(encode(g)) AS hx,
+        |    octet_length(encode(g)) AS n FROM g0),
+        |bl AS (SELECT doc_id, g,
+        |    [CAST(16*(strpos('0123456789ABCDEF', substr(hx,2*i-1,1))-1)
+        |      + strpos('0123456789ABCDEF', substr(hx,2*i,1))-1 AS HUGEINT)
+        |     for i in range(1, n+1)] AS bs
+        |  FROM hb),
+        |fa0 AS (SELECT doc_id, g,
+        |    list_reduce(list_prepend(CAST('2538058380' AS HUGEINT), bs),
+        |      (acc,x) -> (acc*1000003+x)
+        |        % CAST('18446744073709551616' AS HUGEINT)) AS za,
+        |    list_reduce(list_prepend(CAST('2246822507' AS HUGEINT), bs),
+        |      (acc,x) -> (acc*1000003+x)
+        |        % CAST('18446744073709551616' AS HUGEINT)) AS zb
+        |  FROM bl),
+        |fa1 AS (SELECT doc_id, g,
+        |    (za + CAST('11400714819323198485' AS HUGEINT))
+        |      % CAST('18446744073709551616' AS HUGEINT) AS za,
+        |    (zb + CAST('11400714819323198485' AS HUGEINT))
+        |      % CAST('18446744073709551616' AS HUGEINT) AS zb FROM fa0),
+        |fa2 AS (SELECT doc_id, g,
+        |    ((xor(za, za // 1073741824)*484763065)
+        |      % CAST('18446744073709551616' AS HUGEINT)
+        |    + ((xor(za, za // 1073741824)*3210233709) % 4294967296)
+        |      * 4294967296)
+        |      % CAST('18446744073709551616' AS HUGEINT) AS za,
+        |    ((xor(zb, zb // 1073741824)*484763065)
+        |      % CAST('18446744073709551616' AS HUGEINT)
+        |    + ((xor(zb, zb // 1073741824)*3210233709) % 4294967296)
+        |      * 4294967296)
+        |      % CAST('18446744073709551616' AS HUGEINT) AS zb FROM fa1),
+        |fa3 AS (SELECT doc_id, g,
+        |    ((xor(za, za // 134217728)*321982955)
+        |      % CAST('18446744073709551616' AS HUGEINT)
+        |    + ((xor(za, za // 134217728)*2496678331) % 4294967296)
+        |      * 4294967296)
+        |      % CAST('18446744073709551616' AS HUGEINT) AS za,
+        |    ((xor(zb, zb // 134217728)*321982955)
+        |      % CAST('18446744073709551616' AS HUGEINT)
+        |    + ((xor(zb, zb // 134217728)*2496678331) % 4294967296)
+        |      * 4294967296)
+        |      % CAST('18446744073709551616' AS HUGEINT) AS zb FROM fa2),
+        |ab AS (SELECT doc_id, g,
+        |    xor(za, za // 2147483648) AS a,
+        |    CASE WHEN xor(zb, zb // 2147483648) % 2 = 0
+        |      THEN xor(zb, zb // 2147483648) + 1
+        |      ELSE xor(zb, zb // 2147483648) END AS b
+        |  FROM fa3),
+        |perm AS (SELECT doc_id, a, b, unnest(range(0, 128)) AS i FROM ab),
+        |hv AS (SELECT doc_id, i, (a + CAST(i AS HUGEINT) * b)
+        |    % CAST('18446744073709551616' AS HUGEINT) AS h FROM perm),
+        |sigv AS (SELECT doc_id, i, min(h) AS mh FROM hv GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, array_agg(mh ORDER BY i) AS sig
+        |  FROM sigv GROUP BY doc_id),
+        |bk AS (SELECT doc_id, band, list_slice(sig, band*4+1, band*4+4)
+        |    AS bucket
+        |  FROM (SELECT doc_id, sig, unnest(range(0, 32)) AS band FROM sig)),
+        |cand AS (SELECT DISTINCT a.doc_id ia, b.doc_id ib
+        |  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+        |    AND a.doc_id < b.doc_id),
+        |j AS (SELECT ia, ib,
+        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+        |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+        |      AS jac
+        |  FROM cand JOIN s sa ON sa.doc_id = ia JOIN s sb ON sb.doc_id = ib)
+        |SELECT ia, ib, round(jac, 4) AS jaccard FROM j
+        |WHERE round(jac, 6) >= 0.5 ORDER BY ia, ib""".stripMargin,
     "dedup_clusters" ->
       """WITH RECURSIVE
         |t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w

@@ -1,6 +1,5 @@
 package graft.functions
 
-import scala.util.hashing.MurmurHash3
 
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.unsafe.types.UTF8String
@@ -54,13 +53,24 @@ object VecOps {
     dot
   }
 
-  /** Stable 64-bit hash of UTF-8 bytes (two murmur32 halves — stable
-    * across JVMs and Spark versions, unlike Object.hashCode).
+  /** Stable 64-bit hash of UTF-8 bytes: seed-initialized polynomial
+    * fold finished with the splitmix64 avalanche. Chosen over
+    * MurmurHash3 deliberately: every step is plain wrapping integer
+    * arithmetic, so an independent engine (the DuckDB oracle) can
+    * replay it exactly with 128-bit modular arithmetic — which is what
+    * upgrades the minhash/simhash dedup operators from rows-only checks
+    * to full cross-engine hash-match verification. Avalanche quality
+    * for sketching comes from the splitmix64 finalizer (Steele et al.,
+    * the SplittableRandom mixer).
     */
   def hash64(b: Array[Byte], seed: Int): Long = {
-    val h1 = MurmurHash3.bytesHash(b, seed)
-    val h2 = MurmurHash3.bytesHash(b, seed ^ 0x5bd1e995)
-    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+    var h = seed.toLong & 0xffffffffL
+    var i = 0
+    while (i < b.length) {
+      h = h * 1000003L + (b(i) & 0xff)
+      i += 1
+    }
+    mix64(h)
   }
 
   /** One-pass MinHash signature over a string array (H3).
