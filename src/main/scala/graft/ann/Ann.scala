@@ -449,10 +449,192 @@ object Ann {
     "emb_stats" -> (embStats _)
   )
 
-  /** E1 is exact and DuckDB-expressible; E2/E3 are hash/probe dependent
-    * → rows-only driver check + recall specs vs E1.
+  /** Every ANN variant except PQ is DuckDB-oracled exactly. The
+    * approximate paths are deterministic by construction — LSH planes
+    * come from the splitmix64 mixer (replayed in HUGEINT modular SQL,
+    * same kernel as the dedup oracles), IVF seeds from `vec_id % 31`
+    * with one Lloyd step (replayed as per-component AVG cast to REAL —
+    * the float cast absorbs partial-merge double jitter), and int8
+    * quantization from float arithmetic (replayed with REAL casts:
+    * DuckDB REAL ops are native float, and its round() is
+    * half-away-from-zero like Spark's HALF_UP). Candidate pruning
+    * ranks only on exact ints or 6-dp-rounded doubles, so the probe
+    * sets are bit-reproducible cross-engine.
     */
+  private val M64 = "CAST('18446744073709551616' AS HUGEINT)"
+
+  /** Shared oracle prefix for E3/E7: seed cells → assign (argmax on
+    * 6-dp rounded cosine, min-cell tiebreak) → one Lloyd refinement →
+    * re-assign → margin-expanded multi-probe (floor 4 / ceiling 8 /
+    * 0.05). Mirrors [[refinedCentroids]]/[[assignCells]]/[[probeCells]].
+    */
+  private val ivfOracleCommon: String =
+    s"""WITH seeds AS (SELECT vec_id AS cell_id, embedding AS c_emb
+       |  FROM embeddings WHERE vec_id % $IvfSeedMod = 0),
+       |a0 AS (SELECT e.vec_id, s.cell_id, row_number() OVER (
+       |    PARTITION BY e.vec_id ORDER BY round(list_cosine_similarity(
+       |      CAST(e.embedding AS DOUBLE[]), CAST(s.c_emb AS DOUBLE[])), 6)
+       |      DESC, s.cell_id ASC) AS rn
+       |  FROM embeddings e CROSS JOIN seeds s),
+       |asg0 AS (SELECT vec_id, cell_id FROM a0 WHERE rn = 1),
+       |cent AS (SELECT a.cell_id, r.d,
+       |    CAST(avg(CAST(e.embedding[r.d] AS DOUBLE)) AS REAL) AS cv
+       |  FROM asg0 a JOIN embeddings e USING (vec_id), range(1, 65) r(d)
+       |  GROUP BY a.cell_id, r.d),
+       |cents AS (SELECT cell_id, array_agg(cv ORDER BY d) AS c_emb
+       |  FROM cent GROUP BY cell_id),
+       |a1 AS (SELECT e.vec_id, e.embedding, c.cell_id, row_number() OVER (
+       |    PARTITION BY e.vec_id ORDER BY round(list_cosine_similarity(
+       |      CAST(e.embedding AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[])), 6)
+       |      DESC, c.cell_id ASC) AS rn
+       |  FROM embeddings e CROSS JOIN cents c),
+       |asg1 AS (SELECT vec_id, embedding, cell_id FROM a1 WHERE rn = 1),
+       |p0 AS (SELECT q.vec_id AS q_id, q.embedding AS q_emb, c.cell_id,
+       |    c.c_emb,
+       |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |      CAST(c.c_emb AS DOUBLE[])) AS q_cos,
+       |    list_dot_product(CAST(q.embedding AS DOUBLE[]),
+       |      CAST(c.c_emb AS DOUBLE[])) AS qc_dot
+       |  FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < $NumQueries),
+       |p1 AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY round(q_cos, 6) DESC, cell_id ASC) AS rn,
+       |    max(round(q_cos, 6)) OVER (PARTITION BY q_id) AS best
+       |  FROM p0),
+       |probed AS (SELECT q_id, q_emb, cell_id, c_emb, qc_dot FROM p1
+       |  WHERE rn <= $IvfProbes OR (rn <= $IvfMaxProbes
+       |    AND round(q_cos, 6) >= best - $IvfProbeMargin))""".stripMargin
+
+  private val topKOracleTail: String =
+    """ranked AS (SELECT q_id, vec_id, cos, row_number() OVER (
+      |    PARTITION BY q_id ORDER BY round(cos, 6) DESC, vec_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, vec_id AS neighbor_id, rank, round(cos, 4) AS cos
+      |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "ann_lsh" ->
+      s"""WITH dims AS (SELECT unnest(range(0, 64)) AS d),
+         |tb AS (SELECT tt.t, bb.b FROM (SELECT unnest(range(0,16)) AS t) tt,
+         |       (SELECT unnest(range(0,8)) AS b) bb),
+         |z0 AS (SELECT t, b, d,
+         |    CAST(t*1099511627776 + b*1048576 + d AS HUGEINT) AS z
+         |  FROM tb, dims),
+         |m1 AS (SELECT t, b, d, (z + CAST('11400714819323198485' AS HUGEINT))
+         |    % $M64 AS z FROM z0),
+         |m2 AS (SELECT t, b, d, ((xor(z, z // 1073741824)*484763065)
+         |      % $M64
+         |    + ((xor(z, z // 1073741824)*3210233709) % 4294967296)
+         |      * 4294967296)
+         |    % $M64 AS z FROM m1),
+         |m3 AS (SELECT t, b, d, ((xor(z, z // 134217728)*321982955)
+         |      % $M64
+         |    + ((xor(z, z // 134217728)*2496678331) % 4294967296)
+         |      * 4294967296)
+         |    % $M64 AS z FROM m2),
+         |w AS (SELECT t, b, d,
+         |    CASE WHEN xor(z, z // 2147483648) % 2 = 0
+         |      THEN 1.0 ELSE -1.0 END AS wt
+         |  FROM m3),
+         |wl AS (SELECT t, b, array_agg(wt ORDER BY d) AS ws FROM w
+         |  GROUP BY t, b),
+         |dot AS (SELECT e.vec_id, wl.t, wl.b,
+         |    list_reduce([wl.ws[i] * CAST(e.embedding[i] AS DOUBLE)
+         |      for i in range(1, 65)], (a, x) -> a + x) AS dp
+         |  FROM embeddings e CROSS JOIN wl),
+         |sigs AS (SELECT vec_id, t,
+         |    coalesce(sum(CASE WHEN dp > 0
+         |      THEN CAST(1 AS BIGINT) << CAST(b AS INT) END), 0) AS sig
+         |  FROM dot GROUP BY vec_id, t),
+         |qs AS (SELECT vec_id AS q_id, t, sig AS sig0 FROM sigs
+         |  WHERE vec_id < $NumQueries),
+         |probes AS (SELECT DISTINCT q_id, t, unnest(list_prepend(sig0,
+         |      [xor(sig0, CAST(1 AS BIGINT) << CAST(bb AS INT))
+         |        for bb in range(0, 8)])) AS sig
+         |  FROM qs),
+         |cand AS (SELECT DISTINCT p.q_id, s.vec_id
+         |  FROM probes p JOIN sigs s ON s.t = p.t AND s.sig = p.sig
+         |  WHERE s.vec_id <> p.q_id),
+         |scored AS (SELECT c.q_id, c.vec_id,
+         |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |      CAST(q.embedding AS DOUBLE[])) AS cos
+         |  FROM cand c
+         |  JOIN embeddings e ON e.vec_id = c.vec_id
+         |  JOIN embeddings q ON q.vec_id = c.q_id),
+         |$topKOracleTail""".stripMargin,
+    "ann_quantized" ->
+      s"""WITH mxs AS (SELECT vec_id, embedding,
+         |    CAST(greatest(list_max([abs(CAST(embedding[i] AS DOUBLE))
+         |      for i in range(1, 65)]), 1e-9) AS REAL) AS gmx
+         |  FROM embeddings),
+         |qz AS (SELECT vec_id, embedding,
+         |    [CAST(round(CAST(CAST(embedding[i] AS REAL) / gmx AS REAL)
+         |        * CAST(127 AS REAL)) AS INT) for i in range(1, 65)] AS qv
+         |  FROM mxs),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, qv AS qqv FROM qz
+         |  WHERE vec_id < $NumQueries),
+         |cand AS (SELECT c.vec_id, c.embedding, q.q_id, q.q_emb,
+         |    list_reduce([CAST(c.qv[i] * q.qqv[i] AS BIGINT)
+         |      for i in range(1, 65)], (a, x) -> a + x) AS qdot
+         |  FROM qz c CROSS JOIN q WHERE c.vec_id <> q.q_id),
+         |pruned AS (SELECT q_id, vec_id, embedding, q_emb, row_number()
+         |    OVER (PARTITION BY q_id ORDER BY qdot DESC, vec_id) AS crank
+         |  FROM cand),
+         |scored AS (SELECT q_id, vec_id,
+         |    list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+         |      CAST(q_emb AS DOUBLE[])) AS cos
+         |  FROM pruned WHERE crank <= $QuantRerank),
+         |$topKOracleTail""".stripMargin,
+    "ann_ivf" ->
+      s"""$ivfOracleCommon,
+         |cand AS (SELECT p.q_id, p.q_emb, a.vec_id, a.embedding
+         |  FROM probed p JOIN asg1 a USING (cell_id)
+         |  WHERE a.vec_id <> p.q_id),
+         |scored AS (SELECT q_id, vec_id,
+         |    list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+         |      CAST(q_emb AS DOUBLE[])) AS cos
+         |  FROM cand),
+         |$topKOracleTail""".stripMargin,
+    "ann_ivfq" ->
+      s"""$ivfOracleCommon,
+         |enc0 AS (SELECT a.vec_id, a.embedding, a.cell_id,
+         |    [CAST(CAST(a.embedding[i] AS REAL) - c.c_emb[i] AS REAL)
+         |      for i in range(1, 65)] AS res
+         |  FROM asg1 a JOIN cents c USING (cell_id)),
+         |enc1 AS (SELECT vec_id, embedding, cell_id, res,
+         |    CAST(greatest(list_max([abs(CAST(res[i] AS DOUBLE))
+         |      for i in range(1, 65)]), 1e-9) AS REAL) AS rmx
+         |  FROM enc0),
+         |enc AS (SELECT vec_id, embedding, cell_id, rmx,
+         |    [CAST(round(CAST(res[i] / rmx AS REAL) * CAST(127 AS REAL))
+         |      AS INT) for i in range(1, 65)] AS rq
+         |  FROM enc1),
+         |qq0 AS (SELECT vec_id AS q_id,
+         |    CAST(greatest(list_max([abs(CAST(embedding[i] AS DOUBLE))
+         |      for i in range(1, 65)]), 1e-9) AS REAL) AS qmx
+         |  FROM embeddings WHERE vec_id < $NumQueries),
+         |qq AS (SELECT e.vec_id AS q_id,
+         |    [CAST(round(CAST(CAST(e.embedding[i] AS REAL) / q0.qmx AS REAL)
+         |        * CAST(127 AS REAL)) AS INT) for i in range(1, 65)] AS qq,
+         |    q0.qmx
+         |  FROM embeddings e JOIN qq0 q0 ON q0.q_id = e.vec_id),
+         |cand AS (SELECT p.q_id, p.q_emb, e.vec_id, e.embedding,
+         |    p.qc_dot + ((CAST(q.qmx AS DOUBLE) / 127.0)
+         |      * (CAST(e.rmx AS DOUBLE) / 127.0))
+         |      * CAST(list_reduce([CAST(q.qq[i] * e.rq[i] AS BIGINT)
+         |          for i in range(1, 65)], (a, x) -> a + x) AS DOUBLE)
+         |      AS adot
+         |  FROM probed p
+         |  JOIN enc e USING (cell_id)
+         |  JOIN qq q ON q.q_id = p.q_id
+         |  WHERE e.vec_id <> p.q_id),
+         |pruned AS (SELECT q_id, q_emb, vec_id, embedding, row_number()
+         |    OVER (PARTITION BY q_id ORDER BY adot DESC, vec_id) AS crank
+         |  FROM cand),
+         |scored AS (SELECT q_id, vec_id,
+         |    list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+         |      CAST(q_emb AS DOUBLE[])) AS cos
+         |  FROM pruned WHERE crank <= $QuantRerank),
+         |$topKOracleTail""".stripMargin,
     "ann_range" ->
       """WITH q AS (SELECT vec_id q_id, embedding q_emb FROM embeddings
         |    WHERE vec_id < 10),
