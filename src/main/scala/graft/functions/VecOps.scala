@@ -148,8 +148,10 @@ object VecOps {
     h
   }
 
-  /** splitmix64 finalizer — cheap stateless bit mixer. */
-  private def mix64(z0: Long): Long = {
+  /** splitmix64 finalizer — cheap stateless bit mixer. Public: also the
+    * value hash of the deterministic HLL sketch (HllOps).
+    */
+  def mix64(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL

@@ -154,18 +154,22 @@ object Relational {
         count(lit(1)).as("n_orders"))
       .orderBy(col("o_orderpriority"))
 
-  /** B13 `agg_approx_distinct` — HLL++ sketch: the 100-TB path for B12
-    * (one pass, mergeable partials, no distinct shuffle). Rows-only
-    * check (approximate by construction); its spec asserts relative
-    * error vs the exact count.
+  /** B13 `agg_approx_distinct` — HLL sketch: the 100-TB path for B12
+    * (one pass, mergeable KB partials, no distinct shuffle). Uses the
+    * deterministic splitmix64 HLL ([[graft.functions.HllOps]]) rather
+    * than Spark's HLL++, trading ~1 p.p. of small-range accuracy for a
+    * full cross-engine DuckDB oracle (HLL++'s empirical bias tables
+    * can't be replayed in SQL); the spec still pins error vs exact.
     */
-  def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+  def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HllSketch._
     Tables(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        hllEstimate(hllAgg(col("l_partkey"))).as("approx_parts"),
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** `set_ops` — UNION/INTERSECT/EXCEPT with SQL set semantics
     * (deduplicating), tagged per source: high-balance vs BUILDING
@@ -225,24 +229,26 @@ object Relational {
       .orderBy(col("l_returnflag"), col("metric"))
 
   /** `agg_hll_partial` — sketch-table maintenance: per-(type, day)
-    * DataSketches HLL partials, then a union-merge per type answers
+    * HLL register partials, then a union-merge per type answers
     * "distinct users over the whole range" WITHOUT revisiting events.
     * This is the incremental form of agg_approx_distinct: at 100 TB the
     * daily sketch table is the only thing ever recomputed (one new day,
     * ~KB per group), and any time-range rollup is a merge of stored
-    * binaries — the archive is never rescanned. Estimates are
-    * rows-checked by the driver; accuracy vs exact distinct is pinned
-    * in spec (±5%).
+    * binaries — the archive is never rescanned. Register max is
+    * associative, so the DuckDB oracle verifies the merged estimate
+    * exactly by sketching each whole group; merge ≡ direct and ±5%
+    * accuracy are additionally pinned in spec.
     */
   def aggHllPartial(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HllSketch._
     val daily = Tables(spark, dir, "events")
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(hll_sketch_agg(col("user_id")).as("sk")) // the stored partial
+      .agg(hllAgg(col("user_id")).as("sk")) // the stored partial
     daily
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_days"),
-        hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+        hllEstimate(hllMerge(col("sk"))).as("approx_users"))
       .orderBy(col("event_type"))
   }
 
@@ -410,7 +416,70 @@ object Relational {
     "etl_scd2" -> (etlScd2 _)
   )
 
+  /** Replays [[graft.functions.HllOps]] end-to-end in SQL over a
+    * `d(grp, x)` CTE of distinct (group, value) pairs: splitmix64 in
+    * HUGEINT modular arithmetic (same 32-bit-split multiply trick as
+    * the dedup oracles), rho = first-set-bit scan of the 52-bit field
+    * capped at 31, the harmonic sum as the exact integer Σ 2^(31−M_j)
+    * (empty registers contribute 2^31 each), then the identical
+    * float spelling: AlphaM2Two31 / S, linear counting below 2.5m,
+    * floor(x + 0.5). Produces `hll(grp, approx)`.
+    */
+  private def hllOracleKernel: String = {
+    val M64 = "CAST('18446744073709551616' AS HUGEINT)"
+    s"""z0 AS (SELECT grp, CAST(x AS HUGEINT) AS z FROM d),
+       |h1 AS (SELECT grp, (z + CAST('11400714819323198485' AS HUGEINT))
+       |    % $M64 AS z FROM z0),
+       |h2 AS (SELECT grp, ((xor(z, z // 1073741824)*484763065)
+       |      % $M64
+       |    + ((xor(z, z // 1073741824)*3210233709) % 4294967296)
+       |      * 4294967296)
+       |    % $M64 AS z FROM h1),
+       |h3 AS (SELECT grp, ((xor(z, z // 134217728)*321982955)
+       |      % $M64
+       |    + ((xor(z, z // 134217728)*2496678331) % 4294967296)
+       |      * 4294967296)
+       |    % $M64 AS z FROM h2),
+       |hh AS (SELECT grp, xor(z, z // 2147483648) AS h FROM h3),
+       |reg AS (SELECT grp, h % 4096 AS bucket,
+       |    max(coalesce(list_min([r for r in range(1, 32)
+       |      if ((h // 4096) // (CAST(1 AS HUGEINT)
+       |        << CAST(52 - r AS INT))) % 2 = 1]), 31)) AS m
+       |  FROM hh GROUP BY grp, h % 4096),
+       |s AS (SELECT grp,
+       |    CAST(sum(CAST(1 AS BIGINT) << CAST(31 - m AS INT)) AS BIGINT)
+       |      + (4096 - count(*)) * CAST(2147483648 AS BIGINT) AS ss,
+       |    4096 - count(*) AS v
+       |  FROM reg GROUP BY grp),
+       |est AS (SELECT grp,
+       |    CASE WHEN (${graft.functions.HllOps.AlphaM2Two31}
+       |        / CAST(ss AS DOUBLE)) <= 10240 AND v > 0
+       |      THEN 4096 * ln(4096 / CAST(v AS DOUBLE))
+       |      ELSE ${graft.functions.HllOps.AlphaM2Two31}
+       |        / CAST(ss AS DOUBLE) END AS est
+       |  FROM s),
+       |hll AS (SELECT grp, CAST(floor(est + 0.5) AS BIGINT) AS approx
+       |  FROM est)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "agg_approx_distinct" ->
+      s"""WITH d AS (SELECT DISTINCT l_returnflag AS grp, l_partkey AS x
+         |    FROM lineitem),
+         |$hllOracleKernel,
+         |cnt AS (SELECT l_returnflag AS grp, count(*) AS n_rows
+         |  FROM lineitem GROUP BY 1)
+         |SELECT h.grp AS l_returnflag, h.approx AS approx_parts, c.n_rows
+         |FROM hll h JOIN cnt c USING (grp) ORDER BY l_returnflag""".stripMargin,
+    "agg_hll_partial" ->
+      s"""WITH d AS (SELECT DISTINCT event_type AS grp, user_id AS x
+         |    FROM events),
+         |$hllOracleKernel,
+         |days AS (SELECT event_type AS grp,
+         |    count(DISTINCT CAST(ts AS DATE)) AS n_days
+         |  FROM events GROUP BY 1)
+         |SELECT h.grp AS event_type, dy.n_days, h.approx AS approx_users
+         |FROM hll h JOIN days dy USING (grp) ORDER BY event_type""".stripMargin,
     "join_bloom_prefilter" ->
       """SELECT date_trunc('month', o_orderdate) AS order_month,
         |  count(*) AS n_lineitems,

@@ -22,18 +22,34 @@ class SketchSpec extends SparkSpec {
   }
 
   test("merging daily HLL partials equals sketching the whole range") {
+    import graft.functions.HllSketch._
     val ev = Tables(spark, sfDir, "events")
     val merged = ev
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hllAgg(col("user_id")).as("sk"))
       .groupBy(col("event_type"))
-      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e"))
+      .agg(hllEstimate(hllMerge(col("sk"))).as("e"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val direct = ev
       .groupBy(col("event_type"))
-      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("e"))
+      .agg(hllEstimate(hllAgg(col("user_id"))).as("e"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // identical lgK ⇒ the union of partials is the same sketch state
+    // register max is associative ⇒ merged partials = the direct sketch
     assert(merged == direct)
+  }
+
+  test("agg_approx_distinct estimate is within 5% of exact per group") {
+    val est = Relational.aggApproxDistinct(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      val e = est(k)
+      assert(math.abs(e - n) <= math.max(1L, (n * 0.05).toLong),
+        s"$k: estimate $e too far from exact $n")
+    }
   }
 }
