@@ -449,18 +449,39 @@ object Ann {
     "emb_stats" -> (embStats _)
   )
 
-  /** Every ANN variant except PQ is DuckDB-oracled exactly. The
-    * approximate paths are deterministic by construction — LSH planes
-    * come from the splitmix64 mixer (replayed in HUGEINT modular SQL,
-    * same kernel as the dedup oracles), IVF seeds from `vec_id % 31`
-    * with one Lloyd step (replayed as per-component AVG cast to REAL —
-    * the float cast absorbs partial-merge double jitter), and int8
-    * quantization from float arithmetic (replayed with REAL casts:
-    * DuckDB REAL ops are native float, and its round() is
+  /** Every ANN variant is DuckDB-oracled exactly. The approximate
+    * paths are deterministic by construction — LSH planes come from
+    * the splitmix64 mixer (replayed in HUGEINT modular SQL, same
+    * kernel as the dedup oracles), IVF/PQ training from deterministic
+    * seeds + fixed Lloyd rounds (replayed as per-component AVG cast to
+    * REAL — the float cast absorbs partial-merge double jitter), and
+    * int8 quantization from float arithmetic (replayed with REAL
+    * casts: DuckDB REAL ops are native float, and its round() is
     * half-away-from-zero like Spark's HALF_UP). Candidate pruning
     * ranks only on exact ints or 6-dp-rounded doubles, so the probe
-    * sets are bit-reproducible cross-engine.
+    * sets are bit-reproducible cross-engine; PQ's ADC fold replays as
+    * an ordered list_reduce so even its double sums are bit-equal.
     */
+
+  /** One Lloyd round of the PQ oracle: argmin-assign every subvector
+    * to codebook `cb` (same rounded `|c|² − 2·sv·c` ranking and
+    * min-code tiebreak as [[assignCodes]]), then per-(sub, code)
+    * component means cast to REAL — mirrors one `pqCodebook` pass.
+    */
+  private def pqLloydOracle(cb: String, out: String): String =
+    s"""a_$out AS (SELECT sv.vec_id, sv.sub, sv.sv, cb.code, row_number()
+       |    OVER (PARTITION BY sv.vec_id, sv.sub
+       |    ORDER BY round(list_dot_product(CAST(cb.cb_emb AS DOUBLE[]),
+       |        CAST(cb.cb_emb AS DOUBLE[]))
+       |      - 2.0 * list_dot_product(CAST(sv.sv AS DOUBLE[]),
+       |        CAST(cb.cb_emb AS DOUBLE[])), 6) ASC, cb.code ASC) AS rn
+       |  FROM sv JOIN $cb cb USING (sub)),
+       |m_$out AS (SELECT sub, code, d,
+       |    CAST(avg(CAST(sv[d] AS DOUBLE)) AS REAL) AS cv
+       |  FROM a_$out, range(1, ${PqSub + 1}) r(d) WHERE rn = 1
+       |  GROUP BY sub, code, d),
+       |$out AS (SELECT sub, code, array_agg(cv ORDER BY d) AS cb_emb
+       |  FROM m_$out GROUP BY sub, code)""".stripMargin
   private val M64 = "CAST('18446744073709551616' AS HUGEINT)"
 
   /** Shared oracle prefix for E3/E7: seed cells → assign (argmax on
@@ -512,6 +533,48 @@ object Ann {
       |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "ann_pq" ->
+      s"""WITH sv AS (SELECT vec_id, r.s AS sub,
+         |    list_slice(embedding, r.s * $PqSub + 1, r.s * $PqSub + $PqSub)
+         |      AS sv
+         |  FROM embeddings, range(0, $PqM) r(s)),
+         |seed_ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1
+         |    AS code
+         |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $PqK)),
+         |cb0 AS (SELECT sv.sub, si.code, sv.sv AS cb_emb
+         |  FROM sv JOIN seed_ids si USING (vec_id)),
+         |${pqLloydOracle("cb0", "cb1")},
+         |${pqLloydOracle("cb1", "cb2")},
+         |a_enc AS (SELECT sv.vec_id, sv.sub, cb.code, row_number() OVER (
+         |    PARTITION BY sv.vec_id, sv.sub
+         |    ORDER BY round(list_dot_product(CAST(cb.cb_emb AS DOUBLE[]),
+         |        CAST(cb.cb_emb AS DOUBLE[]))
+         |      - 2.0 * list_dot_product(CAST(sv.sv AS DOUBLE[]),
+         |        CAST(cb.cb_emb AS DOUBLE[])), 6) ASC, cb.code ASC) AS rn
+         |  FROM sv JOIN cb2 cb USING (sub)),
+         |enc AS (SELECT vec_id, sub, code FROM a_enc WHERE rn = 1),
+         |lut AS (SELECT sv.vec_id AS q_id, cb.sub, cb.code,
+         |    list_dot_product(CAST(sv.sv AS DOUBLE[]),
+         |      CAST(cb.cb_emb AS DOUBLE[])) AS d
+         |  FROM sv JOIN cb2 cb USING (sub) WHERE sv.vec_id < $NumQueries),
+         |adot AS (SELECT e.vec_id, l.q_id,
+         |    list_reduce(array_agg(l.d ORDER BY e.sub), (a, x) -> a + x)
+         |      AS adot
+         |  FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+         |  WHERE e.vec_id <> l.q_id
+         |  GROUP BY e.vec_id, l.q_id),
+         |pruned AS (SELECT q_id, vec_id, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY round(adot, 6) DESC, vec_id)
+         |      AS crank
+         |  FROM adot),
+         |scored AS (SELECT p.q_id, p.vec_id,
+         |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |      CAST(q.embedding AS DOUBLE[])) AS cos
+         |  FROM pruned p
+         |  JOIN embeddings e ON e.vec_id = p.vec_id
+         |  JOIN embeddings q ON q.vec_id = p.q_id
+         |  WHERE p.crank <= $QuantRerank),
+         |$topKOracleTail""".stripMargin,
     "ann_lsh" ->
       s"""WITH dims AS (SELECT unnest(range(0, 64)) AS d),
          |tb AS (SELECT tt.t, bb.b FROM (SELECT unnest(range(0,16)) AS t) tt,
