@@ -43,7 +43,13 @@ object Bench {
         catch { case t: Throwable => Left(t.toString.replaceAll("[\"\\n\\r]", " ").take(200)) }
       (r, metrics.snapshot(spark.sparkContext) - before)
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q1_agg,ann_topk restricts the run for local
+    // iteration; unset (the driver's mode) runs everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only.fold(SparkEntry.queries)(s =>
+      SparkEntry.queries.filter(kv => s(kv._1)))
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       ((once(fn), once(fn)): @unchecked) match {
         case ((Right(a), _), (Right(b), m2)) => (name, math.min(a, b), None, m2)
         case ((r1, m1), (r2, _)) =>
