@@ -17,6 +17,7 @@ object SparkEntry {
       operators.Windowed.queries ++
       operators.EventOps.queries ++
       text.TextOps.queries ++
+      text.Retrieval.queries ++
       etl.Etl.queries ++
       dedup.Dedup.queries ++
       ann.Ann.queries ++
@@ -34,6 +35,7 @@ object SparkEntry {
       operators.Windowed.oracle ++
       operators.EventOps.oracle ++
       text.TextOps.oracle ++
+      text.Retrieval.oracle ++
       etl.Etl.oracle ++
       dedup.Dedup.oracle ++
       ann.Ann.oracle ++

@@ -339,6 +339,36 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** `join_salted_skew` — salted JOIN, the companion to the salted
+    * aggregation above for when the join itself is the skew victim:
+    * `event_type` has 5 values, so an unsalted shuffle join puts every
+    * row of a hot type in one task. The fact side salts each row
+    * (pmod(hash(event_id), 16)); the dim side replicates 16× with an
+    * exploded salt column; joining on (key, salt) spreads each hot key
+    * over 16 tasks. The shuffle_hash hint keeps the demo honest — this
+    * technique is for two sides too big to broadcast (with a broadcast
+    * the skew never materializes and no salt is needed). Result is
+    * identical to the unsalted join — the oracle is the plain SQL.
+    */
+  def joinSaltedSkew(spark: SparkSession, dir: String): DataFrame = {
+    val Salt = 16
+    val events = graft.Tables(spark, dir, "events")
+    val dim = events.select(col("event_type")).distinct()
+      .withColumn("type_weight", length(col("event_type")).cast("double"))
+    val saltedDim = dim
+      .withColumn("salt", explode(sequence(lit(0), lit(Salt - 1))))
+      .hint("shuffle_hash")
+    events
+      .withColumn("salt", pmod(hash(col("event_id")), lit(Salt)))
+      .join(saltedDim, Seq("event_type", "salt"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value") * col("type_weight")), 2)
+          .as("weighted_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** B14 `agg_percentiles` — exact percentiles (sorted-merge agg).
     * At 100 TB prefer approx_percentile; exact kept for oracle parity
     * and as the correctness baseline.
@@ -406,6 +436,7 @@ object Relational {
     "agg_distinct" -> (aggDistinct _),
     "agg_approx_distinct" -> (aggApproxDistinct _),
     "agg_salted_skew" -> (aggSaltedSkew _),
+    "join_salted_skew" -> (joinSaltedSkew _),
     "agg_percentiles" -> (aggPercentiles _),
     "set_ops" -> (setOps _),
     "q18_large_orders" -> (q18LargeOrders _),
@@ -645,6 +676,15 @@ object Relational {
       """SELECT event_type, count(*) AS n_events,
         |  round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "join_salted_skew" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(length(event_type) AS DOUBLE) AS type_weight
+        |  FROM events)
+        |SELECT e.event_type, count(*) AS n_events,
+        |  round(sum(e.value * d.type_weight), 2) AS weighted_value
+        |FROM events e JOIN dim d USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "agg_percentiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,

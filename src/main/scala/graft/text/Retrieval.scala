@@ -1,0 +1,181 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Retrieval-style scoring over the corpus (SURVEY.md §2.C): TF-IDF
+  * term salience, BM25 relevance ranking, and BPE merge-pair counting —
+  * the lexical half of a training-data curation stack (the embedding
+  * half lives in `graft.ann`).
+  *
+  * Scale notes: all three are explode → count → join pipelines whose
+  * shuffles carry pre-aggregated (term/pair, partial-count) rows, never
+  * raw token occurrences — map-side combine collapses each partition's
+  * occurrences before the exchange. Corpus-level scalars (N, avgdl) are
+  * one-row broadcasts. Double scoring expressions are written in ONE
+  * fixed evaluation order (per-term pivot, then a literal a+b+c sum) so
+  * the same IEEE result comes out of any partitioning — and out of the
+  * DuckDB oracle.
+  */
+object Retrieval {
+
+  private def toks: Column = split(trim(col("text")), "\\s+")
+
+  /** C15 `text_tfidf` — top-3 TF-IDF terms per document with smoothed
+    * IDF ln((N+1)/(df+1)). The tf frame is the only corpus-sized
+    * shuffle; df joins back on the term key and N rides a one-row
+    * broadcast. Scores are rounded to 6 decimals BEFORE ranking so the
+    * rank order (score desc, term) is engine-stable.
+    */
+  def textTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val tf = docs.select(col("doc_id"), explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("tfidf"), col("rk"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  /** The BM25 query terms (fixed, so the per-term pivot below has a
+    * static column set) and the standard free parameters.
+    */
+  val Bm25Terms = Seq("spark", "join", "vector")
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** C16 `bm25_rank` — BM25 relevance of every document against a fixed
+    * query, top 20. idf = ln(1 + (N - df + 0.5)/(df + 0.5)); the length
+    * normalizer uses the corpus mean document length (one-row broadcast
+    * with N). Per-(doc, term) scores pivot into one column per query
+    * term and sum in LITERAL term order — double addition is not
+    * associative, so a fixed-order sum is what makes the score
+    * reproducible across partitionings and engines.
+    */
+  def bm25Rank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val tokDf = docs.select(col("doc_id"), explode(toks).as("term"))
+    val dl = tokDf.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val tf = tokDf.filter(col("term").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val termScore = tf.join(broadcast(df), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("s",
+        log(lit(1) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          col("tf") * (Bm25K1 + 1) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(1 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+    val perTerm = Bm25Terms.map(t =>
+      coalesce(max(when(col("term") === t, col("s"))), lit(0.0)))
+    termScore
+      .groupBy(col("doc_id"))
+      .agg(
+        round(perTerm.reduceLeft(_ + _), 6).as("bm25"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** C17 `vocab_bpe_pairs` — adjacent character-pair frequencies inside
+    * whitespace tokens: the count a BPE trainer's first merge iteration
+    * maximizes. Position-range explode (sequence + substring) keeps the
+    * pair extraction in whole-stage codegen; the (pair, partial-count)
+    * shuffle is vocabulary-sized, not corpus-sized, and the top 30 is a
+    * TakeOrderedAndProject, not a full sort.
+    */
+  def vocabBpePairs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(col("doc_id"), col("tok"),
+        explode(sequence(lit(1), length(col("tok")) - 1)).as("i"))
+      .select(col("doc_id"),
+        col("tok").substr(col("i"), lit(2)).as("pair"))
+      .groupBy(col("pair"))
+      .agg(
+        count(lit(1)).as("pair_freq"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("pair_freq").desc, col("pair"))
+      .limit(30)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf" -> (textTfidf _),
+    "bm25_rank" -> (bm25Rank _),
+    "vocab_bpe_pairs" -> (vocabBpePairs _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf,
+        |    round(tf * ln((n + 1.0) / (df + 1.0)), 6) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tf, tfidf, rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term) AS rk
+        |  FROM scored) s
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "bm25_rank" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term IN ('spark', 'join', 'vector') GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |term_s AS (
+        |  SELECT t.doc_id, t.term,
+        |    ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS s
+        |  FROM tf t JOIN df USING (term) JOIN dl USING (doc_id)
+        |  CROSS JOIN stats)
+        |SELECT doc_id,
+        |  round(coalesce(max(CASE WHEN term = 'spark' THEN s END), 0)
+        |    + coalesce(max(CASE WHEN term = 'join' THEN s END), 0)
+        |    + coalesce(max(CASE WHEN term = 'vector' THEN s END), 0), 6)
+        |    AS bm25,
+        |  count(*) AS n_terms
+        |FROM term_s GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "vocab_bpe_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT doc_id, substring(tok, CAST(i AS INT), 2) AS pair
+        |  FROM toks, unnest(range(1, length(tok))) AS t(i)
+        |  WHERE length(tok) >= 2)
+        |SELECT pair, count(*) AS pair_freq,
+        |  count(DISTINCT doc_id) AS n_docs
+        |FROM pairs GROUP BY 1
+        |ORDER BY pair_freq DESC, pair LIMIT 30""".stripMargin
+  )
+}
