@@ -114,10 +114,49 @@ object Retrieval {
       .orderBy(col("pair_freq").desc, col("pair"))
       .limit(30)
 
+  /** Vocabulary size for [[tokenizeIds]] — deliberately smaller than
+    * the synthetic corpus's distinct-token count so the OOV path is
+    * actually exercised.
+    */
+  val TokVocab = 20
+
+  /** C18 `tokenize_ids` — the encode step in front of LLM training:
+    * text → token-id sequence against a frequency-ranked vocabulary
+    * (id = rank, OOV → [[TokVocab]]). The vocab is aggregated once
+    * (vocabulary-sized shuffle), ranked on the driver-sized head, and
+    * broadcast; encoding is then a map-only broadcast join. Per-doc
+    * output is (token count, OOV count, md5 of the comma-joined id
+    * sequence) — the fingerprint pins the FULL ordered sequence in the
+    * compare without hauling every id row through the gate.
+    */
+  def tokenizeIds(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val tokPos = docs.select(col("doc_id"),
+      posexplode(toks).as(Seq("pos", "tok")))
+    val vocab = tokPos.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(TokVocab)
+      .withColumn("id", row_number().over(
+        Window.orderBy(col("cnt").desc, col("tok"))) - 1)
+      .select(col("tok"), col("id"))
+    tokPos
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .withColumn("tid", coalesce(col("id"), lit(TokVocab)))
+      .withColumn("oov", when(col("id").isNull, 1L).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("oov")).as("n_oov"),
+        md5(concat_ws(",",
+          expr("transform(array_sort(collect_list(struct(pos, tid)))," +
+            " x -> cast(x.tid as string))")).cast("binary")).as("ids_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tfidf" -> (textTfidf _),
     "bm25_rank" -> (bm25Rank _),
-    "vocab_bpe_pairs" -> (vocabBpePairs _)
+    "vocab_bpe_pairs" -> (vocabBpePairs _),
+    "tokenize_ids" -> (tokenizeIds _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -164,6 +203,26 @@ object Retrieval {
         |  count(*) AS n_terms
         |FROM term_s GROUP BY doc_id
         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "tokenize_ids" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CAST(i AS INT) AS pos,
+        |    toklist[CAST(i AS INT)] AS tok
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(trim(text), '\s+') AS toklist
+        |        FROM documents),
+        |  unnest(range(1, len(toklist) + 1)) AS t(i)),
+        |vocab AS (
+        |  SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok) - 1 AS id
+        |  FROM (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
+        |  ORDER BY cnt DESC, tok LIMIT 20),
+        |enc AS (
+        |  SELECT t.doc_id, t.pos, coalesce(v.id, 20) AS id,
+        |    CASE WHEN v.id IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM toks t LEFT JOIN vocab v USING (tok))
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(oov) AS BIGINT) AS n_oov,
+        |  md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos)) AS ids_fp
+        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "vocab_bpe_pairs" ->
       """WITH toks AS (
         |  SELECT doc_id,

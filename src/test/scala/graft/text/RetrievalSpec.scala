@@ -40,6 +40,22 @@ class RetrievalSpec extends SparkSpec {
     freqs.zip(freqs.tail).foreach { case (a, b) => assert(a >= b) }
   }
 
+  test("tokenize_ids: OOV path exercised, token counts conserved") {
+    val rows = Retrieval.tokenizeIds(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getAs[Long]("n_oov") > 0),
+      "vocab smaller than corpus vocabulary must produce OOV tokens")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_oov") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[String]("ids_fp").length == 32)
+    }
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum
+    val expected = graft.Tables(spark, sfDir, "documents")
+      .select(size(split(trim(col("text")), "\\s+")).as("n"))
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(total == expected, "encoding must neither drop nor add tokens")
+  }
+
   test("join_salted_skew: identical to the unsalted broadcast join") {
     val salted = graft.operators.Relational
       .joinSaltedSkew(spark, sfDir).collect()
