@@ -106,7 +106,36 @@ object Streaming {
       .orderBy(col("user_id"), col("view_id"), col("click_id"))
   }
 
+  /** Rank stage behind G8: top 3 event types per closed window. Rank
+    * is NOT streamable (a window function needs the whole partition),
+    * so this runs over CLOSED windows only — in a live pipeline it sits
+    * in `foreachBatch` over the append-mode output of
+    * [[windowCountsTransform]], where every arriving row belongs to a
+    * window the watermark has already sealed.
+    */
+  def topkPerWindow(windowed: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start"))
+      .orderBy(col("n_events").desc, col("event_type"))
+    windowed
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("window_start"), col("event_type"), col("n_events"),
+        col("rk"))
+  }
+
+  /** G8 `stream_topk` — hottest event types per tumbling hour: the
+    * windowed aggregation is the streaming half (bounded state via
+    * watermark), the per-window rank the foreachBatch half. Batch mode
+    * runs both back to back; the window-count pre-aggregation means the
+    * rank's shuffle carries O(windows × types) rows, not events.
+    */
+  def streamTopk(spark: SparkSession, dir: String): DataFrame =
+    topkPerWindow(windowCountsTransform(Tables(spark, dir, "events")))
+      .orderBy(col("window_start"), col("rk"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_topk" -> (streamTopk _),
     "stream_window_counts" -> (windowCounts _),
     "stream_first_seen" -> (firstSeen _),
     "stream_dedup" -> (dedupStream _),
@@ -114,6 +143,16 @@ object Streaming {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_topk" ->
+      """WITH wc AS (
+        |  SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT window_start, event_type, n_events, rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY window_start
+        |    ORDER BY n_events DESC, event_type) AS rk
+        |  FROM wc) r
+        |WHERE rk <= 3 ORDER BY window_start, rk""".stripMargin,
     "stream_window_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start,
         |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,

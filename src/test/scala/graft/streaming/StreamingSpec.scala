@@ -50,6 +50,37 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == Seq(("click", 2L, 3.0), ("view", 1L, 5.0)))
   }
 
+  test("stream_topk: foreachBatch rank over streamed window counts " +
+    "matches the batch path") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val q = Streaming.windowCountsTransform(events)
+      .writeStream.format("memory").queryName("wc_topk")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 10:01:00"), "click", 1.0),
+        (ts("2024-01-01 10:02:00"), "click", 1.0),
+        (ts("2024-01-01 10:03:00"), "view", 1.0),
+        (ts("2024-01-01 10:04:00"), "view", 1.0),
+        (ts("2024-01-01 10:05:00"), "view", 1.0),
+        (ts("2024-01-01 10:06:00"), "error", 1.0),
+        (ts("2024-01-01 10:07:00"), "signup", 1.0))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 15:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      val streamed = Streaming.topkPerWindow(spark.table("wc_topk"))
+        .orderBy(col("window_start"), col("rk"))
+        .collect().map(r => (r.getString(1), r.getLong(2), r.getInt(3)))
+      // closed 10:00 window: view(3) > click(2) > error/signup(1, tie
+      // broken by name)
+      assert(streamed.take(3).toSeq ==
+        Seq(("view", 3L, 1), ("click", 2L, 2), ("error", 1L, 3)))
+    } finally q.stop()
+  }
+
   test("SessionizeStream closes sessions on gap and on watermark timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
