@@ -21,6 +21,7 @@ object SparkEntry {
       etl.Etl.queries ++
       dedup.Dedup.queries ++
       ann.Ann.queries ++
+      ann.Hybrid.queries ++
       multimodal.Multimodal.queries ++
       streaming.Streaming.queries ++
       plans.TopKOps.queries
@@ -39,6 +40,7 @@ object SparkEntry {
       etl.Etl.oracle ++
       dedup.Dedup.oracle ++
       ann.Ann.oracle ++
+      ann.Hybrid.oracle ++
       multimodal.Multimodal.oracle ++
       streaming.Streaming.oracle ++
       plans.TopKOps.oracle

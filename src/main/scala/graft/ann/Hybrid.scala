@@ -1,0 +1,116 @@
+package graft.ann
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions._
+
+/** E9 `hybrid_rrf` — hybrid retrieval: a lexical arm (BM25 against the
+  * fixed query terms) and a semantic arm (embedding cosine against a
+  * fixed query vector) fused with Reciprocal Rank Fusion,
+  * rrf(d) = Σ_arms 1/(k + rank_arm(d)) with the standard k = 60 — the
+  * canonical RAG retrieval stack as one DataFrame plan.
+  *
+  * Scale shape: each arm reduces to its top-[[ArmN]] via
+  * TakeOrderedAndProject (corpus-sized scan, driver-sized result), so
+  * the fusion join and final rank run on 2×[[ArmN]] rows regardless of
+  * corpus size. Ranks come from 6-dp-rounded scores with id tiebreaks,
+  * and the RRF sum is written lexical-arm-first in both engines —
+  * rank arithmetic on exact rationals, stable everywhere.
+  */
+object Hybrid {
+
+  val RrfK = 60
+  val ArmN = 50
+  val FuseN = 20
+  val QueryVec = 0L
+
+  private def ranked(top: DataFrame, scoreCol: String, idCol: String,
+      rankName: String): DataFrame = {
+    val w = Window.orderBy(col(scoreCol).desc, col(idCol))
+    top.withColumn(rankName, row_number().over(w))
+      .select(col(idCol).as("doc_id"), col(rankName))
+  }
+
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val lexTop = graft.text.Retrieval.bm25Scores(spark, dir)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(ArmN)
+    val lex = ranked(lexTop, "bm25", "doc_id", "lex_rank")
+
+    val emb = Tables(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === QueryVec)
+      .select(col("embedding").as("q_emb"))
+    val semTop = emb.filter(col("vec_id") =!= QueryVec)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", round(cosineSim(col("embedding"), col("q_emb")), 6))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(ArmN)
+      .select(col("vec_id"), col("cos"))
+    val sem = ranked(semTop, "cos", "vec_id", "sem_rank")
+
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("sem_rank")), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(FuseN)
+      .select(col("doc_id"), col("lex_rank"), col("sem_rank"), col("rrf"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hybrid_rrf" -> (hybridRrf _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "hybrid_rrf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term IN ('spark', 'join', 'vector') GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |term_s AS (
+        |  SELECT t.doc_id, t.term,
+        |    ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS s
+        |  FROM tf t JOIN df USING (term) JOIN dl USING (doc_id)
+        |  CROSS JOIN stats),
+        |bm25 AS (
+        |  SELECT doc_id,
+        |    round(coalesce(max(CASE WHEN term = 'spark' THEN s END), 0)
+        |      + coalesce(max(CASE WHEN term = 'join' THEN s END), 0)
+        |      + coalesce(max(CASE WHEN term = 'vector' THEN s END), 0), 6)
+        |      AS bm25
+        |  FROM term_s GROUP BY doc_id),
+        |lex_top AS (
+        |  SELECT doc_id, bm25 FROM bm25
+        |  ORDER BY bm25 DESC, doc_id LIMIT 50),
+        |lex AS (
+        |  SELECT doc_id, row_number() OVER (
+        |    ORDER BY bm25 DESC, doc_id) AS lex_rank
+        |  FROM lex_top),
+        |qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+        |sem_top AS (
+        |  SELECT vec_id,
+        |    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |      CAST(q_emb AS DOUBLE[])), 6) AS cos
+        |  FROM embeddings CROSS JOIN qv WHERE vec_id <> 0
+        |  ORDER BY cos DESC, vec_id LIMIT 50),
+        |sem AS (
+        |  SELECT vec_id AS doc_id, row_number() OVER (
+        |    ORDER BY cos DESC, vec_id) AS sem_rank
+        |  FROM sem_top)
+        |SELECT doc_id, lex_rank, sem_rank,
+        |  round(coalesce(CAST(1.0 AS DOUBLE) / (60 + lex_rank), 0)
+        |    + coalesce(CAST(1.0 AS DOUBLE) / (60 + sem_rank), 0), 6) AS rrf
+        |FROM lex FULL JOIN sem USING (doc_id)
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+  )
+}

@@ -253,7 +253,52 @@ object Etl {
       .orderBy(col("shard"), col("pos"))
   }
 
+  /** A25 `etl_dq_checks` — the data-quality gate a pipeline runs before
+    * trusting a batch: PK uniqueness, FK orphan counts, domain and
+    * temporal-order violations, each as one (check, n_checked,
+    * n_violations) row. Every check reduces to a count BEFORE the union
+    * — the whole audit ships a handful of scalar rows no matter the
+    * input size — and each FK check is an anti join keyed on the FK
+    * (the PK side broadcasts when dim-sized). A real deployment runs
+    * this ON the day's delta, not the archive.
+    */
+  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = graft.Tables(spark, dir, "orders")
+    val li = graft.Tables(spark, dir, "lineitem")
+    val cust = graft.Tables(spark, dir, "customer")
+    def row(name: String, nChecked: DataFrame, nViol: DataFrame): DataFrame =
+      nChecked.crossJoin(nViol).select(lit(name).as("check_name"),
+        col("n_checked"), col("n_violations"))
+    val ordersCount = orders.agg(count(lit(1)).as("n_checked"))
+    val liCount = li.agg(count(lit(1)).as("n_checked"))
+    val pkUnique = row("orders_pk_unique", ordersCount,
+      orders.agg((count(lit(1)) - countDistinct(col("o_orderkey")))
+        .as("n_violations")))
+    val custFk = row("orders_custkey_fk", ordersCount,
+      orders.join(cust, col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations")))
+    val liFk = row("lineitem_orderkey_fk", liCount,
+      li.join(orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations")))
+    val qtyDomain = row("lineitem_qty_positive", liCount,
+      li.agg(sum(when(col("l_quantity") <= 0, 1L).otherwise(0L))
+        .as("n_violations")))
+    val priceDomain = row("orders_price_nonneg", ordersCount,
+      orders.agg(sum(when(col("o_totalprice") < 0, 1L).otherwise(0L))
+        .as("n_violations")))
+    val shipOrder = row("lineitem_ship_after_order", liCount,
+      li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .agg(sum(when(col("l_shipdate") < col("o_orderdate"), 1L)
+          .otherwise(0L)).as("n_violations")))
+    Seq(pkUnique, custFk, liFk, qtyDomain, priceDomain, shipOrder)
+      .reduce(_.unionAll(_))
+      .orderBy(col("check_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_dq_checks" -> (dqChecks _),
     "corpus_shuffle" -> (corpusShuffle _),
     "etl_incremental_agg" -> (incrementalAgg _),
     "sample_stratified" -> (sampleStratified _),
@@ -270,6 +315,39 @@ object Etl {
   )
 
   val oracle: Map[String, String] = Map(
+    "etl_dq_checks" ->
+      """SELECT * FROM (
+        |  SELECT 'orders_pk_unique' AS check_name,
+        |    (SELECT count(*) FROM orders) AS n_checked,
+        |    (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+        |      AS n_violations
+        |  UNION ALL
+        |  SELECT 'orders_custkey_fk',
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM orders WHERE NOT EXISTS (
+        |      SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+        |  UNION ALL
+        |  SELECT 'lineitem_orderkey_fk',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem WHERE NOT EXISTS (
+        |      SELECT 1 FROM orders WHERE o_orderkey = l_orderkey))
+        |  UNION ALL
+        |  SELECT 'lineitem_qty_positive',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) FROM lineitem)
+        |  UNION ALL
+        |  SELECT 'orders_price_nonneg',
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) FROM orders)
+        |  UNION ALL
+        |  SELECT 'lineitem_ship_after_order',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT CAST(sum(CASE WHEN l_shipdate < o_orderdate
+        |        THEN 1 ELSE 0 END) AS BIGINT)
+        |     FROM lineitem JOIN orders ON l_orderkey = o_orderkey))
+        |ORDER BY check_name""".stripMargin,
     "corpus_shuffle" ->
       """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
         |  FROM documents),

@@ -64,7 +64,15 @@ object Retrieval {
     * associative, so a fixed-order sum is what makes the score
     * reproducible across partitionings and engines.
     */
-  def bm25Rank(spark: SparkSession, dir: String): DataFrame = {
+  def bm25Rank(spark: SparkSession, dir: String): DataFrame =
+    bm25Scores(spark, dir)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+
+  /** Full per-document BM25 score frame (no ordering / limit) — shared
+    * by [[bm25Rank]] and the hybrid RRF fusion in `graft.ann.Hybrid`.
+    */
+  def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val tokDf = docs.select(col("doc_id"), explode(toks).as("term"))
     val dl = tokDf.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
@@ -88,8 +96,6 @@ object Retrieval {
       .agg(
         round(perTerm.reduceLeft(_ + _), 6).as("bm25"),
         count(lit(1)).as("n_terms"))
-      .orderBy(col("bm25").desc, col("doc_id"))
-      .limit(20)
   }
 
   /** C17 `vocab_bpe_pairs` — adjacent character-pair frequencies inside
