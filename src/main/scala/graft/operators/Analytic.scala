@@ -275,7 +275,71 @@ object Analytic {
       .orderBy(col("lang"), col("sample_rank"))
   }
 
+  /** The rare-event threshold for [[tsGapfill]] — high enough that the
+    * daily series actually has holes at the test SFs (a dense series
+    * exercises the join but never the fill).
+    */
+  val GapfillThreshold = 200.0
+
+  /** `ts_gapfill` — calendar gap-fill + forward fill, the standard
+    * time-series repair in front of any trend/anomaly stage: rare-event
+    * daily counts land on a dense (type × day) calendar spine built
+    * from one broadcast min/max span row; missing days get zero counts
+    * and carry the last observed daily sum forward (running `last`
+    * with ignoreNulls — one in-partition sort per type, no self-join).
+    * The spine is O(types × days) regardless of event volume.
+    */
+  def tsGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .filter(col("value") >= GapfillThreshold)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+    val span = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val cal = daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"),
+        explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("is_gap", when(col("n").isNull, 1L).otherwise(0L))
+      .withColumn("n_events", coalesce(col("n"), lit(0L)))
+      .withColumn("filled_value",
+        round(coalesce(last(col("v"), ignoreNulls = true).over(w),
+          lit(0.0)), 2))
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("is_gap"), col("filled_value"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** `robust_stats` — outlier-resistant per-group dispersion: median,
+    * MAD (median absolute deviation), IQR. Two percentile passes (the
+    * MAD's deviations need the group median first); the median frame is
+    * group-cardinality-sized and broadcasts back. The robust triple is
+    * what drives thresholding on heavy-tailed value distributions where
+    * mean/stddev are hostage to the tail.
+    */
+  def robustStats(spark: SparkSession, dir: String): DataFrame = {
+    val quart = Tables(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.5)").as("med_raw"),
+        expr("percentile(value, 0.25)").as("p25"),
+        expr("percentile(value, 0.75)").as("p75"))
+    Tables(spark, dir, "events")
+      .join(broadcast(quart), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(max(col("med_raw")), 4).as("med"),
+        round(expr("percentile(abs(value - med_raw), 0.5)"), 4).as("mad"),
+        round(max(col("p75")) - max(col("p25")), 4).as("iqr"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_gapfill" -> (tsGapfill _),
+    "robust_stats" -> (robustStats _),
     "corr_stats" -> (corrStats _),
     "regr_trend" -> (regrTrend _),
     "events_markov" -> (eventsMarkov _),
@@ -290,6 +354,38 @@ object Analytic {
   )
 
   val oracle: Map[String, String] = Map(
+    "ts_gapfill" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+        |    round(sum(value), 2) AS v
+        |  FROM events WHERE value >= 200.0 GROUP BY 1, 2),
+        |span AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+        |cal AS (
+        |  SELECT event_type,
+        |    CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+        |      AS day
+        |  FROM (SELECT DISTINCT event_type FROM daily), span)
+        |SELECT event_type, day,
+        |  coalesce(n, 0) AS n_events,
+        |  CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap,
+        |  round(coalesce(last_value(v IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0), 2)
+        |    AS filled_value
+        |FROM cal LEFT JOIN daily USING (event_type, day)
+        |ORDER BY event_type, day""".stripMargin,
+    "robust_stats" ->
+      """WITH m AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med_raw,
+        |    quantile_cont(value, 0.25) AS p25,
+        |    quantile_cont(value, 0.75) AS p75
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n_events,
+        |  round(max(m.med_raw), 4) AS med,
+        |  round(quantile_cont(abs(e.value - m.med_raw), 0.5), 4) AS mad,
+        |  round(max(m.p75) - max(m.p25), 4) AS iqr
+        |FROM events e JOIN m USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "corr_stats" ->
       """SELECT l_returnflag,
         |  round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,

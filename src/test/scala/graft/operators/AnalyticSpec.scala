@@ -22,6 +22,34 @@ class AnalyticSpec extends SparkSpec {
     }
   }
 
+  test("ts_gapfill: dense calendar, gaps zero-counted and value-carried") {
+    val rows = Analytic.tsGapfill(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getAs[Long]("is_gap") == 1L),
+      "threshold must leave real holes at sf0.001")
+    // per type: days are contiguous (dense spine)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val days = rs.map(_.getDate(1).toLocalDate).sortBy(_.toEpochDay)
+      days.zip(days.tail).foreach { case (a, b) =>
+        assert(b.toEpochDay - a.toEpochDay == 1, s"hole in spine at $a")
+      }
+    }
+    rows.foreach { r =>
+      if (r.getAs[Long]("is_gap") == 1L)
+        assert(r.getAs[Long]("n_events") == 0L)
+    }
+  }
+
+  test("robust_stats: mad and iqr non-negative, med within [p-range]") {
+    val rows = Analytic.robustStats(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mad") >= 0.0)
+      assert(r.getAs[Double]("iqr") >= 0.0)
+      assert(r.getAs[Long]("n_events") > 0)
+    }
+  }
+
   test("corr_stats: correlations within [-1, 1], stddevs positive") {
     Analytic.corrStats(spark, sfDir).collect().foreach { r =>
       val corr = r.getDouble(r.fieldIndex("qty_price_corr"))
