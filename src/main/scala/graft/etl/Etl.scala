@@ -263,37 +263,42 @@ object Etl {
     * this ON the day's delta, not the archive.
     */
   def dqChecks(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val orders = graft.Tables(spark, dir, "orders")
     val li = graft.Tables(spark, dir, "lineitem")
     val cust = graft.Tables(spark, dir, "customer")
-    def row(name: String, nChecked: DataFrame, nViol: DataFrame): DataFrame =
-      nChecked.crossJoin(nViol).select(lit(name).as("check_name"),
-        col("n_checked"), col("n_violations"))
-    val ordersCount = orders.agg(count(lit(1)).as("n_checked"))
-    val liCount = li.agg(count(lit(1)).as("n_checked"))
-    val pkUnique = row("orders_pk_unique", ordersCount,
-      orders.agg((count(lit(1)) - countDistinct(col("o_orderkey")))
-        .as("n_violations")))
-    val custFk = row("orders_custkey_fk", ordersCount,
-      orders.join(cust, col("o_custkey") === col("c_custkey"), "left_anti")
-        .agg(count(lit(1)).as("n_violations")))
-    val liFk = row("lineitem_orderkey_fk", liCount,
-      li.join(orders.select(col("o_orderkey")),
-        col("l_orderkey") === col("o_orderkey"), "left_anti")
-        .agg(count(lit(1)).as("n_violations")))
-    val qtyDomain = row("lineitem_qty_positive", liCount,
-      li.agg(sum(when(col("l_quantity") <= 0, 1L).otherwise(0L))
-        .as("n_violations")))
-    val priceDomain = row("orders_price_nonneg", ordersCount,
-      orders.agg(sum(when(col("o_totalprice") < 0, 1L).otherwise(0L))
-        .as("n_violations")))
-    val shipOrder = row("lineitem_ship_after_order", liCount,
-      li.join(orders, col("l_orderkey") === col("o_orderkey"))
-        .agg(sum(when(col("l_shipdate") < col("o_orderdate"), 1L)
-          .otherwise(0L)).as("n_violations")))
-    Seq(pkUnique, custFk, liFk, qtyDomain, priceDomain, shipOrder)
-      .reduce(_.unionAll(_))
+    // one multi-aggregate pass per table (N checks ≠ N scans), plus one
+    // pass per relationship — 4 scans of the two fact tables total
+    // instead of one per (check × operand)
+    val oStats = orders.agg(
+      count(lit(1)).as("o_n"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("pk_dups"),
+      sum(when(col("o_totalprice") < 0, 1L).otherwise(0L)).as("neg_price"))
+    val lStats = li.agg(
+      count(lit(1)).as("l_n"),
+      sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("bad_qty"))
+    val custOrphans = orders
+      .join(cust.select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("cust_orphans"))
+    val liJoined = li.select(col("l_orderkey"), col("l_shipdate"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L))
+          .as("li_orphans"),
+        sum(when(col("l_shipdate") < col("o_orderdate"), 1L).otherwise(0L))
+          .as("ship_before"))
+    val flat = oStats.crossJoin(lStats).crossJoin(custOrphans)
+      .crossJoin(liJoined)
+    flat.select(expr(
+      """stack(6,
+        |  'orders_pk_unique', o_n, pk_dups,
+        |  'orders_custkey_fk', o_n, cust_orphans,
+        |  'orders_price_nonneg', o_n, neg_price,
+        |  'lineitem_orderkey_fk', l_n, li_orphans,
+        |  'lineitem_qty_positive', l_n, bad_qty,
+        |  'lineitem_ship_after_order', l_n, ship_before)
+        |  AS (check_name, n_checked, n_violations)""".stripMargin))
       .orderBy(col("check_name"))
   }
 
