@@ -337,7 +337,101 @@ object Analytic {
       .orderBy(col("event_type"))
   }
 
+  /** `win_distribution` — value-based distribution windows: each
+    * customer's spend percentile (percent_rank) and cumulative share of
+    * customers (cume_dist) WITHIN their priority stratum. Both
+    * functions are tie-aware (rank by value, not row), so results are
+    * deterministic without an id tiebreak in the ORDER BY — and the
+    * window input is the pre-aggregated O(customers) frame.
+    */
+  def winDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val totals = Tables(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"), col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("total_d"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("total_d"))
+    // deliberately UNROUNDED: both functions are one IEEE division of
+    // integers ((rank-1)/(n-1), peers/n) — bit-identical in any engine —
+    // while rounding them hits .5-ulp ties where Spark's HALF_UP and
+    // C-library rounding disagree
+    totals
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .select(col("o_orderpriority"), col("o_custkey"),
+        round(col("total_d"), 2).cast("double").as("total_spend"),
+        col("pct_rank"), col("cume"))
+      .orderBy(col("o_orderpriority"), col("o_custkey"))
+  }
+
+  /** `abc_pareto` — cumulative-contribution classification: parts
+    * ranked by exact decimal revenue, running share against the grand
+    * total, bucketed A (first 50% of revenue) / B (to 80%) / C (tail).
+    * The running sum operates on the PRE-AGGREGATED per-part frame
+    * (O(parts), not O(lineitems)) in exact decimal — order-independent
+    * partials, deterministic share at any partitioning — and only the
+    * final share converts to double. The global-order window is the
+    * documented cost: one ordered pass over an already-reduced frame.
+    */
+  def abcPareto(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).as("rev_d"))
+    val total = perPart.agg(sum(col("rev_d")).as("total_d"))
+    val w = Window.orderBy(col("rev_d").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perPart.crossJoin(broadcast(total))
+      .withColumn("run_share",
+        round(sum(col("rev_d")).over(w).cast("double") /
+          col("total_d").cast("double"), 6))
+      .withColumn("abc_class",
+        when(col("run_share") <= 0.5, "A")
+          .when(col("run_share") <= 0.8, "B").otherwise("C"))
+      .select(col("l_partkey").as("p_partkey"),
+        round(col("rev_d"), 2).cast("double").as("revenue"),
+        col("run_share"), col("abc_class"))
+      .orderBy(col("run_share"), col("p_partkey"))
+  }
+
+  /** `events_cooccur` — event-type co-occurrence with lift: for each
+    * unordered type pair, in how many (user, day) baskets both appear,
+    * and lift = P(ab)·N / (P(a)·P(b)) against independence. The basket
+    * frame reduces to DISTINCT (user, day, type) first, so the
+    * self-join fans out at most types²/2 pairs per basket — bounded by
+    * the type cardinality, not event volume.
+    */
+  def eventsCooccur(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_type")).distinct()
+    val perType = baskets.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_type"))
+    val n = baskets.select(col("user_id"), col("day")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val a = baskets.select(col("user_id"), col("day"),
+      col("event_type").as("type_a"))
+    val b = baskets.select(col("user_id"), col("day"),
+      col("event_type").as("type_b"))
+    a.join(b, Seq("user_id", "day"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(perType.withColumnRenamed("event_type", "type_a")
+        .withColumnRenamed("n_type", "n_a")), Seq("type_a"))
+      .join(broadcast(perType.withColumnRenamed("event_type", "type_b")
+        .withColumnRenamed("n_type", "n_b")), Seq("type_b"))
+      .crossJoin(broadcast(n))
+      .withColumn("lift", round(col("n_both").cast("double") *
+        col("n_baskets") / (col("n_a") * col("n_b")), 6))
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        col("n_a"), col("n_b"), col("lift"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_distribution" -> (winDistribution _),
+    "abc_pareto" -> (abcPareto _),
+    "events_cooccur" -> (eventsCooccur _),
     "ts_gapfill" -> (tsGapfill _),
     "robust_stats" -> (robustStats _),
     "corr_stats" -> (corrStats _),
@@ -354,6 +448,62 @@ object Analytic {
   )
 
   val oracle: Map[String, String] = Map(
+    "win_distribution" ->
+      """WITH totals AS (
+        |  SELECT o_orderpriority, o_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_d
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderpriority, o_custkey,
+        |  CAST(round(total_d, 2) AS DOUBLE) AS total_spend,
+        |  percent_rank() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY total_d) AS pct_rank,
+        |  cume_dist() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY total_d) AS cume
+        |FROM totals
+        |ORDER BY o_orderpriority, o_custkey""".stripMargin,
+    "abc_pareto" ->
+      """WITH per_part AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(18,4))) AS rev_d
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(rev_d) AS total_d FROM per_part),
+        |r AS (
+        |  SELECT l_partkey, rev_d,
+        |    round(CAST(sum(rev_d) OVER (
+        |      ORDER BY rev_d DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |      / CAST(total_d AS DOUBLE), 6) AS run_share
+        |  FROM per_part CROSS JOIN t)
+        |SELECT l_partkey AS p_partkey,
+        |  CAST(round(rev_d, 2) AS DOUBLE) AS revenue, run_share,
+        |  CASE WHEN run_share <= 0.5 THEN 'A'
+        |    WHEN run_share <= 0.8 THEN 'B' ELSE 'C' END AS abc_class
+        |FROM r ORDER BY run_share, p_partkey""".stripMargin,
+    "events_cooccur" ->
+      """WITH baskets AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+        |  FROM events),
+        |per_type AS (
+        |  SELECT event_type, count(*) AS n_type FROM baskets GROUP BY 1),
+        |n AS (
+        |  SELECT count(*) AS n_baskets FROM (
+        |    SELECT DISTINCT user_id, day FROM baskets)),
+        |pairs AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS n_both
+        |  FROM baskets a JOIN baskets b
+        |    ON a.user_id = b.user_id AND a.day = b.day
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_both, pa.n_type AS n_a, pb.n_type AS n_b,
+        |  round(CAST(n_both AS DOUBLE) * n_baskets
+        |    / (pa.n_type * pb.n_type), 6) AS lift
+        |FROM pairs
+        |JOIN per_type pa ON pairs.type_a = pa.event_type
+        |JOIN per_type pb ON pairs.type_b = pb.event_type
+        |CROSS JOIN n
+        |ORDER BY type_a, type_b""".stripMargin,
     "ts_gapfill" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,

@@ -40,6 +40,41 @@ class AnalyticSpec extends SparkSpec {
     }
   }
 
+  test("win_distribution: pct_rank/cume in [0,1], cume hits 1 per stratum") {
+    val rows = Analytic.winDistribution(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p, c) = (r.getAs[Double]("pct_rank"), r.getAs[Double]("cume"))
+      assert(p >= 0.0 && p <= 1.0 && c > 0.0 && c <= 1.0)
+    }
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Double]("cume")).max == 1.0)
+    }
+  }
+
+  test("abc_pareto: share monotone to 1.0, classes partition by share") {
+    val rows = Analytic.abcPareto(spark, sfDir).collect()
+    val shares = rows.map(_.getAs[Double]("run_share"))
+    shares.zip(shares.tail).foreach { case (a, b) => assert(a <= b) }
+    assert(math.abs(shares.last - 1.0) < 1e-6)
+    rows.foreach { r =>
+      val s = r.getAs[Double]("run_share")
+      val cls = r.getAs[String]("abc_class")
+      assert(cls == (if (s <= 0.5) "A" else if (s <= 0.8) "B" else "C"))
+    }
+  }
+
+  test("events_cooccur: symmetric bounds, n_both <= min(n_a, n_b)") {
+    val rows = Analytic.eventsCooccur(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("type_a") < r.getAs[String]("type_b"))
+      assert(r.getAs[Long]("n_both") <=
+        math.min(r.getAs[Long]("n_a"), r.getAs[Long]("n_b")))
+      assert(r.getAs[Double]("lift") > 0.0)
+    }
+  }
+
   test("robust_stats: mad and iqr non-negative, med within [p-range]") {
     val rows = Analytic.robustStats(spark, sfDir).collect()
     assert(rows.nonEmpty)
