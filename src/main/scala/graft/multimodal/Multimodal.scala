@@ -134,7 +134,8 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> (mmMeta _),
     "mm_features" -> (mmFeatures _),
-    "mm_frames" -> (mmFrames _)
+    "mm_frames" -> (mmFrames _),
+    "mm_dedup" -> (mmDedup _)
   )
 
   /** The stub decoders are pure byte arithmetic, so even F2/F3 oracle
@@ -142,7 +143,57 @@ object Multimodal {
     * strpos trick (hex() → per-pair integer), then replays the fake
     * decode/resize/frame geometry in SQL.
     */
+  /** F4 `mm_dedup` — perceptual-bucket near-dup grouping for media
+    * payloads: the stub decode signature (format, 32-px dimension
+    * bands, 16-level mean-byte band) stands in for a perceptual hash;
+    * payloads sharing a bucket are duplicate candidates (keep-min-id,
+    * 10-member sample). Exact-byte dedup is mm_meta's sha256 — this is
+    * the fuzzy tier above it, and the same group-on-signature shuffle
+    * shape a real pHash would use. Buckets derive from [[mmFeatures]]'
+    * already-oracled values, so the grouping replays exactly in SQL.
+    */
+  def mmDedup(spark: SparkSession, dir: String): DataFrame =
+    mmFeatures(spark, dir)
+      .select(col("doc_id"), col("fmt"),
+        floor(col("width") / 32).cast("int").as("wband"),
+        floor(col("height") / 32).cast("int").as("hband"),
+        floor(col("mean_byte") / 16).cast("int").as("mband"))
+      .groupBy(col("fmt"), col("wband"), col("hband"), col("mband"))
+      .agg(
+        count(lit(1)).as("group_size"),
+        min(col("doc_id")).as("keep_id"),
+        array_join(slice(array_sort(collect_list(col("doc_id"))), 1, 10),
+          ",").as("sample_ids"))
+      .filter(col("group_size") >= 2)
+      .orderBy(col("fmt"), col("wband"), col("hband"), col("mband"))
+
   val oracle: Map[String, String] = Map(
+    "mm_dedup" ->
+      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents),
+        |b AS (SELECT doc_id, n,
+        |    [16 * (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1)
+        |      + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1
+        |      for i in range(1, n + 1)] AS bytes
+        |  FROM h),
+        |d AS (SELECT doc_id,
+        |    CASE n % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |      ELSE 'webp' END AS fmt,
+        |    CAST((64 + coalesce(bytes[1], 0) % 192) // 32 AS INT)
+        |      AS wband,
+        |    CAST((64 + coalesce(bytes[2], 0) % 192) // 32 AS INT)
+        |      AS hband,
+        |    CAST(floor(coalesce(round(list_avg(bytes), 4), 0.0) / 16)
+        |      AS INT) AS mband
+        |  FROM b)
+        |SELECT fmt, wband, hband, mband, count(*) AS group_size,
+        |  min(doc_id) AS keep_id,
+        |  array_to_string(list_sort(list(doc_id))[1:10], ',')
+        |    AS sample_ids
+        |FROM d GROUP BY 1, 2, 3, 4
+        |HAVING count(*) >= 2
+        |ORDER BY fmt, wband, hband, mband""".stripMargin,
     "mm_features" ->
       """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
         |    octet_length(encode(text)) AS n

@@ -42,6 +42,23 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("mm_dedup: groups >= 2, keep_id is the minimum sampled member") {
+    val rows = Multimodal.mmDedup(spark, sfDir).collect()
+    assert(rows.nonEmpty, "bucket signature must produce real groups")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("group_size") >= 2)
+      val ids = r.getAs[String]("sample_ids").split(",").map(_.toLong)
+      assert(ids.length <= 10 && ids.sameElements(ids.sorted))
+      assert(r.getAs[Long]("keep_id") == ids.head)
+    }
+    // conservation: every doc lands in exactly one bucket; group sizes
+    // over ALL buckets (incl. singletons) must sum to the corpus size
+    val total = Multimodal.mmDedup(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.sum("group_size")).head().getLong(0)
+    val singles = graft.Tables(spark, sfDir, "documents").count() - total
+    assert(singles >= 0)
+  }
+
   test("decodeStub is pure and total") {
     val a = Multimodal.decodeStub("hello".getBytes)
     assert(a == Multimodal.decodeStub("hello".getBytes))
