@@ -428,7 +428,56 @@ object Analytic {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** Histogram-sketch geometry for [[aggHistQuantiles]]: fixed
+    * data-independent bucket boundaries (width 8, clamped to 128
+    * buckets) — fixed boundaries are what make the sketch mergeable by
+    * plain count addition AND bit-deterministic under any partition /
+    * merge order, unlike sampling sketches.
+    */
+  val HistW = 8.0
+  val HistBuckets = 128
+
+  /** `agg_hist_quantiles` — mergeable-sketch quantiles, the scale path
+    * for exact `agg_percentiles`: per-(type, day) histogram partials
+    * (the sketch table a nightly job maintains) merge by count-sum into
+    * per-type histograms, and p50/p95 interpolate linearly inside the
+    * covering bucket from the cumulative counts. The query runs
+    * partial→merge explicitly while the oracle replays the same
+    * two-stage plan in SQL — the merge≡direct guarantee is inside the
+    * hash compare. Shuffles carry O(types × days × buckets) counters,
+    * never raw values; error is bounded by the bucket width (spec).
+    */
+  def aggHistQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val partials = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"),
+        least(floor(col("value") / HistW), lit(HistBuckets - 1))
+          .cast("long").as("bucket"))
+      .agg(count(lit(1)).as("pn"))
+    val merged = partials.groupBy(col("event_type"), col("bucket"))
+      .agg(sum(col("pn")).as("n"))
+    val cum = merged
+      .withColumn("cum", sum(col("n")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("n")).over(
+        Window.partitionBy(col("event_type"))))
+    def pick(q: Double, name: String): DataFrame = cum
+      .filter(col("cum") >= col("total") * q)
+      .groupBy(col("event_type"))
+      .agg(min(struct(col("bucket"), col("n"), col("cum"), col("total")))
+        .as("s"))
+      .select(col("event_type"),
+        round(col("s.bucket") * HistW.toLong +
+          lit(HistW) * (col("s.total") * q - (col("s.cum") - col("s.n"))) /
+            col("s.n"), 4).as(name))
+    cum.groupBy(col("event_type")).agg(max(col("total")).as("n_events"))
+      .join(pick(0.5, "p50_approx"), Seq("event_type"))
+      .join(pick(0.95, "p95_approx"), Seq("event_type"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_hist_quantiles" -> (aggHistQuantiles _),
     "win_distribution" -> (winDistribution _),
     "abc_pareto" -> (abcPareto _),
     "events_cooccur" -> (eventsCooccur _),
@@ -448,6 +497,39 @@ object Analytic {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_hist_quantiles" ->
+      """WITH partials AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(least(floor(value / 8), 127) AS BIGINT) AS bucket,
+        |    count(*) AS pn
+        |  FROM events GROUP BY 1, 2, 3),
+        |merged AS (
+        |  SELECT event_type, bucket, sum(pn) AS n
+        |  FROM partials GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT *,
+        |    sum(n) OVER (PARTITION BY event_type ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(n) OVER (PARTITION BY event_type) AS total
+        |  FROM merged),
+        |p50 AS (
+        |  SELECT event_type, round(min_by(bucket, bucket) * 8
+        |      + 8 * (min_by(total, bucket) * CAST(0.5 AS DOUBLE)
+        |        - (min_by(cum, bucket) - min_by(n, bucket)))
+        |        / min_by(n, bucket), 4) AS p50_approx
+        |  FROM cum WHERE cum >= total * CAST(0.5 AS DOUBLE) GROUP BY 1),
+        |p95 AS (
+        |  SELECT event_type, round(min_by(bucket, bucket) * 8
+        |      + 8 * (min_by(total, bucket) * CAST(0.95 AS DOUBLE)
+        |        - (min_by(cum, bucket) - min_by(n, bucket)))
+        |        / min_by(n, bucket), 4) AS p95_approx
+        |  FROM cum WHERE cum >= total * CAST(0.95 AS DOUBLE) GROUP BY 1)
+        |SELECT t.event_type, t.n_events, p50.p50_approx, p95.p95_approx
+        |FROM (SELECT event_type, CAST(max(total) AS BIGINT) AS n_events
+        |      FROM cum GROUP BY 1) t
+        |JOIN p50 USING (event_type)
+        |JOIN p95 USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     "win_distribution" ->
       """WITH totals AS (
         |  SELECT o_orderpriority, o_custkey,

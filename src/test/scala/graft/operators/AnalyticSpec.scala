@@ -40,6 +40,26 @@ class AnalyticSpec extends SparkSpec {
     }
   }
 
+  test("agg_hist_quantiles: within one bucket width of exact quantiles") {
+    val approx = Analytic.aggHistQuantiles(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Double]("p50_approx"), r.getAs[Double]("p95_approx"))).toMap
+    assert(approx.nonEmpty)
+    val exact = graft.Tables(spark, sfDir, "events")
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exact.foreach { case (t, (e50, e95)) =>
+      val (a50, a95) = approx(t)
+      assert(math.abs(a50 - e50) <= Analytic.HistW,
+        s"$t p50 approx $a50 vs exact $e50")
+      assert(math.abs(a95 - e95) <= Analytic.HistW,
+        s"$t p95 approx $a95 vs exact $e95")
+    }
+  }
+
   test("win_distribution: pct_rank/cume in [0,1], cume hits 1 per stratum") {
     val rows = Analytic.winDistribution(spark, sfDir).collect()
     assert(rows.nonEmpty)
