@@ -438,7 +438,31 @@ object Ann {
           (col("nrm") * col("qn")))))
   }
 
+  /** E10 `emb_kmeans` — the IVF coarse quantizer exposed as a
+    * clustering operator in its own right (data-mixing / curriculum
+    * buckets over an embedding corpus): deterministic seeds + one Lloyd
+    * mean-refinement (the exact training [[annIvf]] runs, so the same
+    * SQL replay oracles it), then per-cluster size, mean
+    * cosine-to-centroid (cohesion), and mean norm. The centroid set is
+    * driver-sized and broadcast; the report is O(cells).
+    */
+  def embKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val cents = refinedCentroids(spark, c)
+    assignCells(c, cents)
+      .join(broadcast(cents), Seq("cell_id"))
+      .withColumn("cos", cosineSim(col("embedding"), col("c_emb")))
+      .withColumn("nrm", sqrt(dotF(col("embedding"), col("embedding"))))
+      .groupBy(col("cell_id").as("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        round(avg(col("cos")), 4).as("avg_cos"),
+        round(avg(col("nrm")), 4).as("avg_norm"))
+      .orderBy(col("cluster_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_kmeans" -> (embKmeans _),
     "ann_pq" -> (annPq _),
     "ann_topk" -> (annTopK _),
     "ann_range" -> (annRange _),
@@ -533,6 +557,15 @@ object Ann {
       |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "emb_kmeans" ->
+      s"""$ivfOracleCommon
+         |SELECT a.cell_id AS cluster_id, count(*) AS n_vectors,
+         |  round(avg(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |    CAST(c.c_emb AS DOUBLE[]))), 4) AS avg_cos,
+         |  round(avg(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+         |    CAST(a.embedding AS DOUBLE[])))), 4) AS avg_norm
+         |FROM asg1 a JOIN cents c USING (cell_id)
+         |GROUP BY a.cell_id ORDER BY cluster_id""".stripMargin,
     "ann_pq" ->
       s"""WITH sv AS (SELECT vec_id, r.s AS sub,
          |    list_slice(embedding, r.s * $PqSub + 1, r.s * $PqSub + $PqSub)

@@ -152,4 +152,17 @@ class AnnSpec extends SparkSpec {
     info(s"clustered candidate recall = $recall")
     assert(recall >= 0.95)
   }
+
+  test("emb_kmeans: every vector assigned exactly once, cohesion sane") {
+    val rows = Ann.embKmeans(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val assigned = rows.map(_.getAs[Long]("n_vectors")).sum
+    val corpus = graft.Tables(spark, sfDir, "embeddings").count()
+    assert(assigned == corpus, "cluster sizes must partition the corpus")
+    rows.foreach { r =>
+      val c = r.getAs[Double]("avg_cos")
+      assert(c >= -1.0 && c <= 1.0)
+      assert(r.getAs[Double]("avg_norm") > 0.0)
+    }
+  }
 }
