@@ -438,6 +438,70 @@ object Ann {
           (col("nrm") * col("qn")))))
   }
 
+  /** E11 `ann_ivfpq` — the classic IVF-PQ composition (the layout a
+    * 100 TB vector index actually ships): the IVF coarse quantizer
+    * prunes WHICH vectors get scored (cell-pruned candidate lists, as
+    * E3) and each list entry is a [[PqM]]-byte PQ code of the vector's
+    * RESIDUAL against its cell centroid (as E8, but trained on
+    * residuals — centering removes the shared component, so the same
+    * codebook budget carries less quantization error). Scoring
+    * decomposes dot(q, v) = dot(q, c) + dot(q, r): the first term is
+    * computed once per (query, probed cell) by [[probeCells]], the
+    * second approximated by [[PqM]] ADC lookups. At rest the index
+    * stores one int cell id + [[PqM]] bytes per vector (32× cut at dim
+    * 64); per query the scan touches probed-cells × bucket candidates,
+    * each scored in m lookups. Exact float re-rank of the top
+    * [[IvfPqRerank]] restores exact ordering — deeper than the int8
+    * paths' [[QuantRerank]] because an m-lookup score is coarser than
+    * a full-width int8 dot, and re-ranking is O(list × dim) on a list
+    * that is already ≪ the probed candidate set. Oracled by composing
+    * the E3 IVF replay with the E8 Lloyd replay over residuals.
+    */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir, spread = true)
+    val refined = refinedCentroids(spark, c)
+    val asg = assignCells(c, refined)
+      .join(broadcast(refined), Seq("cell_id"))
+      .withColumn("nrm", sqrt(dotF(col("embedding"), col("embedding"))))
+      .withColumn("res", expr(
+        "zip_with(embedding, c_emb, (a, b) -> a - b)"))
+    val resFrame = asg.select(col("vec_id"), col("res").as("embedding"))
+    val cb = pqCodebook(spark, resFrame)
+    val enc = assignCodes(subvecFrame(resFrame, "embedding", "vec_id"), cb)
+      .groupBy(col("vec_id"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(sub, code))), x -> x.code)")
+        .as("codes"))
+      .join(asg.select(col("vec_id"), col("cell_id"), col("embedding"),
+        col("nrm")), Seq("vec_id"))
+    val q = queriesDf(spark, dir)
+      .withColumn("qn", sqrt(dotF(col("q_emb"), col("q_emb"))))
+    // per-query ADC table over the residual codebook: idx = sub*k+code
+    val lut = subvecFrame(q, "q_emb", "q_id")
+      .join(broadcast(cb), Seq("sub"))
+      .withColumn("d", dotF(col("sv"), col("cb_emb")))
+      .groupBy(col("q_id"))
+      .agg(map_from_entries(collect_list(struct(
+        (col("sub") * PqK + col("code")).as("idx"), col("d")))).as("lut"))
+    val probed = probeCells(q, refined).join(lut, Seq("q_id"))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("adot"), 6).desc, col("vec_id"))
+    val cand = enc.join(broadcast(probed), Seq("cell_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adot", col("qc_dot") + expr(
+        s"""aggregate(sequence(0, ${PqM - 1}), cast(0 as double),
+           |  (acc, s) -> acc + element_at(lut,
+           |    s * $PqK + element_at(codes, s + 1)))""".stripMargin))
+      .withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= IvfPqRerank)
+    topK(cand.withColumn("cos",
+      when(col("nrm") * col("qn") === 0.0, 0.0)
+        .otherwise(dotF(col("embedding"), col("q_emb")) /
+          (col("nrm") * col("qn")))))
+  }
+
+  val IvfPqRerank = 128 // deeper rerank list: ADC is coarser than int8
+
   /** E10 `emb_kmeans` — the IVF coarse quantizer exposed as a
     * clustering operator in its own right (data-mixing / curriculum
     * buckets over an embedding corpus): deterministic seeds + one Lloyd
@@ -463,6 +527,7 @@ object Ann {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_kmeans" -> (embKmeans _),
+    "ann_ivfpq" -> (annIvfPq _),
     "ann_pq" -> (annPq _),
     "ann_topk" -> (annTopK _),
     "ann_range" -> (annRange _),
@@ -607,6 +672,65 @@ object Ann {
          |  JOIN embeddings e ON e.vec_id = p.vec_id
          |  JOIN embeddings q ON q.vec_id = p.q_id
          |  WHERE p.crank <= $QuantRerank),
+         |$topKOracleTail""".stripMargin,
+    // E11: the E3 IVF replay (cents / asg1 / probed) feeding the E8
+    // Lloyd replay retrained over residuals; ADC fold replays as an
+    // ordered list_reduce (0.0 + d0 ≡ d0 in IEEE, so the Spark
+    // aggregate-from-zero and the reduce-from-first agree bit-for-bit)
+    "ann_ivfpq" ->
+      s"""$ivfOracleCommon,
+         |res AS (SELECT a.vec_id,
+         |    [CAST(CAST(a.embedding[i] AS REAL) - c.c_emb[i] AS REAL)
+         |      for i in range(1, 65)] AS res
+         |  FROM asg1 a JOIN cents c USING (cell_id)),
+         |sv AS (SELECT vec_id, r.s AS sub,
+         |    list_slice(res, r.s * $PqSub + 1, r.s * $PqSub + $PqSub) AS sv
+         |  FROM res, range(0, $PqM) r(s)),
+         |seed_ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1
+         |    AS code
+         |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $PqK)),
+         |cb0 AS (SELECT sv.sub, si.code, sv.sv AS cb_emb
+         |  FROM sv JOIN seed_ids si USING (vec_id)),
+         |${pqLloydOracle("cb0", "cb1")},
+         |${pqLloydOracle("cb1", "cb2")},
+         |a_enc AS (SELECT sv.vec_id, sv.sub, cb.code, row_number() OVER (
+         |    PARTITION BY sv.vec_id, sv.sub
+         |    ORDER BY round(list_dot_product(CAST(cb.cb_emb AS DOUBLE[]),
+         |        CAST(cb.cb_emb AS DOUBLE[]))
+         |      - 2.0 * list_dot_product(CAST(sv.sv AS DOUBLE[]),
+         |        CAST(cb.cb_emb AS DOUBLE[])), 6) ASC, cb.code ASC) AS rn
+         |  FROM sv JOIN cb2 cb USING (sub)),
+         |enc AS (SELECT vec_id, sub, code FROM a_enc WHERE rn = 1),
+         |qsv AS (SELECT vec_id AS q_id, r.s AS sub,
+         |    list_slice(embedding, r.s * $PqSub + 1, r.s * $PqSub + $PqSub)
+         |      AS sv
+         |  FROM embeddings, range(0, $PqM) r(s)
+         |  WHERE vec_id < $NumQueries),
+         |lut AS (SELECT q.q_id, cb.sub, cb.code,
+         |    list_dot_product(CAST(q.sv AS DOUBLE[]),
+         |      CAST(cb.cb_emb AS DOUBLE[])) AS d
+         |  FROM qsv q JOIN cb2 cb USING (sub)),
+         |pqd AS (SELECT e.vec_id, l.q_id,
+         |    list_reduce(array_agg(l.d ORDER BY e.sub), (a, x) -> a + x)
+         |      AS pq_dot
+         |  FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+         |  GROUP BY e.vec_id, l.q_id),
+         |cand AS (SELECT p.q_id, g.vec_id, p.qc_dot + d.pq_dot AS adot
+         |  FROM probed p
+         |  JOIN asg1 g USING (cell_id)
+         |  JOIN pqd d ON d.vec_id = g.vec_id AND d.q_id = p.q_id
+         |  WHERE g.vec_id <> p.q_id),
+         |pruned AS (SELECT q_id, vec_id, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY round(adot, 6) DESC, vec_id)
+         |      AS crank
+         |  FROM cand),
+         |scored AS (SELECT p.q_id, p.vec_id,
+         |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |      CAST(q.embedding AS DOUBLE[])) AS cos
+         |  FROM pruned p
+         |  JOIN embeddings e ON e.vec_id = p.vec_id
+         |  JOIN embeddings q ON q.vec_id = p.q_id
+         |  WHERE p.crank <= $IvfPqRerank),
          |$topKOracleTail""".stripMargin,
     "ann_lsh" ->
       s"""WITH dims AS (SELECT unnest(range(0, 64)) AS d),

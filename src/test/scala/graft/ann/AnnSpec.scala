@@ -58,6 +58,17 @@ class AnnSpec extends SparkSpec {
     assert(ivfq >= 0.3)
   }
 
+  test("ann_ivfpq recalls at least what plain IVF does") {
+    val ivf = recallAtK(neighbors(Ann.annIvf(spark, sfDir)))
+    val ivfpq = recallAtK(neighbors(Ann.annIvfPq(spark, sfDir)))
+    info(s"ann_ivf recall@5 = $ivf, ann_ivfpq recall@5 = $ivfpq")
+    // identical probed candidate set (same coarse quantizer, same
+    // multi-probe rule); the residual-PQ ADC score only picks WHICH 50
+    // reach the exact re-rank, and 50 ≫ 5 absorbs quantization error
+    assert(ivfpq >= ivf - 1e-9, s"IVF-PQ path lost recall: $ivfpq < $ivf")
+    assert(ivfpq >= 0.3)
+  }
+
   test("ann_pq recall@5 vs exact is usable (ADC + rerank covers)") {
     val r = recallAtK(neighbors(Ann.annPq(spark, sfDir)))
     info(s"ann_pq recall@5 = $r")
