@@ -369,9 +369,19 @@ object Ann {
     * scale (training touches the corpus PqIters times, each one scan +
     * one tiny shuffle).
     */
-  private[ann] def pqCodebook(spark: SparkSession, c: DataFrame): DataFrame = {
+  private[ann] def pqCodebook(spark: SparkSession, c: DataFrame): DataFrame =
+    pqTrain(spark, c, subvecFrame(c, "embedding", "vec_id"))
+
+  /** Training body with a caller-supplied subvector frame: callers that
+    * also ENCODE with the trained codebook pass a persisted `sv` so the
+    * corpus → subvector scan runs once instead of once per Lloyd round
+    * plus once for encoding (for IVF-PQ the saving is larger still —
+    * `sv` sits downstream of cell assignment, a corpus × cells scoring
+    * pass that would otherwise replay per round).
+    */
+  private[ann] def pqTrain(spark: SparkSession, c: DataFrame,
+      sv: DataFrame): DataFrame = {
     import spark.implicits._
-    val sv = subvecFrame(c, "embedding", "vec_id")
     val wseed = Window.partitionBy(col("sub")).orderBy(col("vec_id"))
     var cb = subvecFrame(c.orderBy(col("vec_id")).limit(PqK), "embedding",
         "vec_id")
@@ -404,8 +414,10 @@ object Ann {
     */
   def annPq(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir, spread = true)
-    val cb = pqCodebook(spark, c)
-    val enc = assignCodes(subvecFrame(c, "embedding", "vec_id"), cb)
+    val sv = subvecFrame(c, "embedding", "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = pqTrain(spark, c, sv)
+    val enc = assignCodes(sv, cb)
       .groupBy(col("vec_id"))
       .agg(expr(
         "transform(array_sort(collect_list(struct(sub, code))), x -> x.code)")
@@ -460,14 +472,21 @@ object Ann {
   def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir, spread = true)
     val refined = refinedCentroids(spark, c)
+    // cache the assigned+centered frame: everything downstream (codebook
+    // training, encoding, the exact re-rank's embedding/nrm columns)
+    // re-reads it, and recomputing means replaying the corpus × cells
+    // assignment scoring pass each time
     val asg = assignCells(c, refined)
       .join(broadcast(refined), Seq("cell_id"))
       .withColumn("nrm", sqrt(dotF(col("embedding"), col("embedding"))))
       .withColumn("res", expr(
         "zip_with(embedding, c_emb, (a, b) -> a - b)"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val resFrame = asg.select(col("vec_id"), col("res").as("embedding"))
-    val cb = pqCodebook(spark, resFrame)
-    val enc = assignCodes(subvecFrame(resFrame, "embedding", "vec_id"), cb)
+    val sv = subvecFrame(resFrame, "embedding", "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = pqTrain(spark, resFrame, sv)
+    val enc = assignCodes(sv, cb)
       .groupBy(col("vec_id"))
       .agg(expr(
         "transform(array_sort(collect_list(struct(sub, code))), x -> x.code)")
