@@ -18,6 +18,7 @@ object SparkEntry {
       operators.EventOps.queries ++
       text.TextOps.queries ++
       text.Retrieval.queries ++
+      text.CorpusQuality.queries ++
       etl.Etl.queries ++
       dedup.Dedup.queries ++
       ann.Ann.queries ++
@@ -37,6 +38,7 @@ object SparkEntry {
       operators.EventOps.oracle ++
       text.TextOps.oracle ++
       text.Retrieval.oracle ++
+      text.CorpusQuality.oracle ++
       etl.Etl.oracle ++
       dedup.Dedup.oracle ++
       ann.Ann.oracle ++

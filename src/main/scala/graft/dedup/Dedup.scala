@@ -364,7 +364,47 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  val SegTokens = 16 // fixed segmentation width for dedup_segments
+
+  /** D7 `dedup_segments` — segment-level corpus dedup (the
+    * paragraph-dedup / CCNet shape, with deterministic fixed-width
+    * segmentation standing in for paragraph breaks — this corpus has
+    * no newlines): each doc splits into consecutive [[SegTokens]]-token
+    * segments, segments hash and group CORPUS-WIDE, and within each
+    * hash group only the lexicographically-first (doc_id, seg_id) slot
+    * survives. Reports per-doc segment counts and the kept fraction —
+    * the signal both for pruning boilerplate segments and for dropping
+    * mostly-duplicated docs. Scale shape: the corpus-wide exchanges
+    * key on the segment hash (groupBy + join back, bucket-bounded
+    * fan-out); the rollup re-shuffles only O(segments) rows, and no
+    * stage ever holds a doc pair.
+    */
+  def dedupSegments(spark: SparkSession, dir: String): DataFrame = {
+    val segs = Tables(spark, dir, "documents")
+      .withColumn("w", TextOps.tokens(col("text")))
+      .withColumn("seg_id", explode(sequence(lit(0),
+        ceil(size(col("w")) / lit(SegTokens.toDouble)).cast("int") - 1)))
+      .select(col("doc_id"), col("seg_id"),
+        md5(array_join(slice(col("w"), col("seg_id") * SegTokens + 1,
+          lit(SegTokens)), " ")).as("seg_fp"))
+    val groups = segs.groupBy(col("seg_fp"))
+      .agg(min(struct(col("doc_id"), col("seg_id"))).as("keep"))
+    segs.join(groups, Seq("seg_fp"))
+      .withColumn("is_dup",
+        (!(col("doc_id") === col("keep.doc_id") &&
+          col("seg_id") === col("keep.seg_id"))).cast("int"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(col("is_dup")).as("n_dup_segments"))
+      .withColumn("kept_frac", round(
+        (col("n_segments") - col("n_dup_segments")) * 1.0 /
+          col("n_segments"), 4))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_segments" -> (dedupSegments _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -386,6 +426,29 @@ object Dedup {
   // (hi 3210233709 / lo 484763065), K3 0x94d049bb133111eb (hi
   // 2496678331 / lo 321982955).
   val oracle: Map[String, String] = Map(
+    // dedup_segments: Spark's min(struct(doc_id, seg_id)) ≡ the rn=1
+    // slot of a (doc_id, seg_id)-ordered window per segment hash
+    "dedup_segments" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |s0 AS (SELECT doc_id, w,
+        |    unnest(range(0, CAST(ceil(len(w) / 16.0) AS BIGINT)))
+        |      AS seg_id
+        |  FROM t),
+        |seg AS (SELECT doc_id, seg_id,
+        |    md5(array_to_string(w[seg_id*16+1 : seg_id*16+16], ' '))
+        |      AS seg_fp
+        |  FROM s0),
+        |rk AS (SELECT doc_id, seg_id, row_number() OVER (
+        |    PARTITION BY seg_fp ORDER BY doc_id, seg_id) AS rn
+        |  FROM seg)
+        |SELECT doc_id, count(*) AS n_segments,
+        |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_segments,
+        |  round((count(*) - sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END))
+        |    * 1.0 / count(*), 4) AS kept_frac
+        |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_simhash" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
         |    FROM documents),

@@ -476,11 +476,47 @@ object Analytic {
       .orderBy(col("event_type"))
   }
 
+  /** `ts_ewma` — exponentially weighted moving average over each
+    * type's daily revenue series (the trend-smoothing primitive behind
+    * drift monitors and forecast baselines). Sequential state done
+    * scale-correctly: one shuffle pre-aggregates events to the
+    * O(types × days) daily frame, then the recurrence
+    * s_t = (3·x_t + 7·s_{t−1}) / 10 runs as an in-row `aggregate`
+    * fold over the collected per-type series — per-type state never
+    * crosses rows, so there is no driver loop and no O(n) window
+    * chain. The fold runs in FIXED-POINT (bigint cents, floor
+    * division): a float recurrence with decimal weights lands its
+    * state exactly ON round-half boundaries (0.3·x of 2-dp inputs is
+    * decimal-grid), where Spark's HALF_UP-on-shortest-repr and
+    * DuckDB's binary-double rounding legitimately disagree — integer
+    * state makes every step exactly reproducible on any engine. The
+    * ≤1-cent-per-step floor bias is noise for a smoothing signal.
+    */
+  def tsEwma(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(sum(col("value")) * 100, 0).cast("long").as("cents"))
+    daily
+      .groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("day"), col("cents"))))
+        .as("series"))
+      .select(col("event_type"), col("series"),
+        posexplode(col("series")).as(Seq("p", "s")))
+      .withColumn("ewma_cents", expr(
+        """aggregate(slice(series, 2, p), element_at(series, 1).cents,
+          |  (acc, x) -> (3 * x.cents + 7 * acc) div 10)""".stripMargin))
+      .select(col("event_type"), col("s.day").as("day"),
+        (col("s.cents") / 100.0).as("rev"),
+        (col("ewma_cents") / 100.0).as("ewma"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_hist_quantiles" -> (aggHistQuantiles _),
     "win_distribution" -> (winDistribution _),
     "abc_pareto" -> (abcPareto _),
     "events_cooccur" -> (eventsCooccur _),
+    "ts_ewma" -> (tsEwma _),
     "ts_gapfill" -> (tsGapfill _),
     "robust_stats" -> (robustStats _),
     "corr_stats" -> (corrStats _),
@@ -497,6 +533,26 @@ object Analytic {
   )
 
   val oracle: Map[String, String] = Map(
+    // ts_ewma: the fixed-point fold replays as an ordered list_reduce
+    // over bigint cents — // is floor division like Spark's div on the
+    // all-positive revenue series, so every step is exactly equal; the
+    // only doubles are the final /100.0 displays of exact integers
+    "ts_ewma" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(round(sum(value) * 100, 0) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (SELECT event_type,
+        |    array_agg(cents ORDER BY day) AS cs,
+        |    array_agg(day ORDER BY day) AS days
+        |  FROM daily GROUP BY event_type),
+        |idx AS (SELECT event_type, cs, days,
+        |    unnest(range(1, len(cs) + 1)) AS i
+        |  FROM ser)
+        |SELECT event_type, days[i] AS day, cs[i] / 100.0 AS rev,
+        |  list_reduce(cs[1:i], (a, x) -> (3 * x + 7 * a) // 10) / 100.0
+        |    AS ewma
+        |FROM idx ORDER BY event_type, day""".stripMargin,
     "agg_hist_quantiles" ->
       """WITH partials AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,

@@ -1,0 +1,190 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-level quality and composition operators for training-data
+  * pipelines (SURVEY.md §2.C additions): repetition gates, a unigram
+  * language-model perplexity signal, and temperature-weighted mixture
+  * computation. These are the filters/reports that run over the WHOLE
+  * corpus right before sampling, so every plan here is either map-only
+  * per document or aggregates to a frame whose size is bounded by the
+  * vocabulary / source count, never by the document count.
+  */
+object CorpusQuality {
+
+  private def toks: Column = split(trim(col("text")), "\\s+")
+
+  /** `text_repetition` — repetition-based quality signals (the
+    * Gopher-rule family): duplicate-token fraction, most-common-token
+    * count, top-bigram fraction. All three are computed MAP-ONLY: the
+    * per-doc top token/bigram is the longest run in the doc's own
+    * sorted token/bigram array via an in-row `aggregate` fold (HOFs
+    * are fine in a projection — only Generate fan-out makes them hot;
+    * see word_shingles), so the corpus pass has zero shuffle and the
+    * flag thresholds compare exact integers, never engine-rounded
+    * floats.
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    // longest run of equal adjacent elements in a sorted string array
+    def maxRun(arr: String): String =
+      s"""aggregate($arr,
+         |  named_struct('prev', cast(null as string),
+         |    'run', cast(0 as bigint), 'best', cast(0 as bigint)),
+         |  (acc, x) -> named_struct(
+         |    'prev', x,
+         |    'run', CASE WHEN x <=> acc.prev
+         |      THEN acc.run + 1 ELSE cast(1 as bigint) END,
+         |    'best', greatest(acc.best, CASE WHEN x <=> acc.prev
+         |      THEN acc.run + 1 ELSE cast(1 as bigint) END)),
+         |  acc -> acc.best)""".stripMargin
+    Tables(spark, dir, "documents")
+      .withColumn("w", toks)
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      .withColumn("n_distinct",
+        size(array_distinct(col("w"))).cast("long"))
+      .withColumn("top_token_n", expr(maxRun("array_sort(w)")))
+      .withColumn("bigrams", expr(
+        """CASE WHEN size(w) >= 2
+          |  THEN transform(sequence(1, size(w) - 1),
+          |    i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))
+          |  ELSE array() END""".stripMargin))
+      .withColumn("top_bigram_n", expr(maxRun("array_sort(bigrams)")))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round((col("n_tokens") - col("n_distinct")) * 1.0 / col("n_tokens"), 4)
+          .as("dup_token_frac"),
+        col("top_token_n"),
+        col("top_bigram_n"),
+        // integer-exact flags: frac > threshold spelled as cross-mults
+        (((col("n_tokens") - col("n_distinct")) * 10 > col("n_tokens") * 3) ||
+          (col("top_bigram_n") * 10 > (col("n_tokens") - 1) * 2))
+          .cast("int").as("is_repetitive"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** `text_ngram_lm` — unigram language-model score per document: the
+    * corpus's own token frequencies as the model, each doc scored by
+    * mean −log2 P(token) (bits/token; e.g. the KenLM-style perplexity
+    * gate with the model reduced to unigrams). Two passes: the
+    * vocabulary aggregation (shuffle keyed on token, map-side
+    * combine), then per-(doc, token) counts join the vocab on token —
+    * join input is DISTINCT (doc, token) pairs, not raw occurrences,
+    * and the per-doc score is the count-weighted mean. The one-row
+    * corpus total rides in via crossJoin (no unpartitioned window).
+    */
+  def textNgramLm(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(toks).as("tok"))
+    val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    val perDoc = tok.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    perDoc
+      .join(vocab, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        round(
+          sum(col("c") * -log2(col("cnt") * lit(1.0) / col("total"))) /
+            sum(col("c")), 4).as("bits_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** `corpus_mix` — training-mixture computation: per-source token
+    * counts reweighted by temperature sampling (w ∝ tokens^α, α=0.7 —
+    * the multilingual/multi-domain rebalancing rule), with the
+    * expected per-source epoch count at a fixed token budget. The
+    * corpus pass is one map-side-combined aggregation to an O(sources)
+    * frame; everything after (total, weights, epochs) is arithmetic on
+    * that tiny frame with the total as a one-row broadcast.
+    */
+  def corpusMix(spark: SparkSession, dir: String): DataFrame = {
+    val Budget = 1000000L // sampled-token budget per mixture epoch
+    val perSource = Tables(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(toks)).cast("long").as("n_tokens"))
+      .withColumn("w_raw", pow(col("n_tokens").cast("double"), 0.7))
+    val total = perSource.agg(sum(col("w_raw")).as("w_total"))
+    perSource
+      .crossJoin(broadcast(total))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"),
+        round(col("w_raw") / col("w_total"), 6).as("weight"),
+        round(col("w_raw") / col("w_total") * Budget / col("n_tokens"), 4)
+          .as("epochs_at_budget"))
+      .orderBy(col("source"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> (textRepetition _),
+    "text_ngram_lm" -> (textNgramLm _),
+    "corpus_mix" -> (corpusMix _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    // the relational spelling (unnest + group + max) of the same
+    // per-doc top token/bigram the Spark side reads off a sorted-array
+    // run fold — different algorithm, same exact integers
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct
+        |  FROM t),
+        |tok AS (SELECT doc_id, unnest(w) AS tk FROM t),
+        |tc0 AS (SELECT doc_id, tk, count(*) AS c FROM tok
+        |  GROUP BY doc_id, tk),
+        |tc AS (SELECT doc_id, max(c) AS top_token_n FROM tc0
+        |  GROUP BY doc_id),
+        |bidx AS (SELECT doc_id, w,
+        |    unnest(generate_series(1, len(w) - 1)) AS i
+        |  FROM t WHERE len(w) >= 2),
+        |bg0 AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bg FROM bidx),
+        |bgc0 AS (SELECT doc_id, bg, count(*) AS c FROM bg0
+        |  GROUP BY doc_id, bg),
+        |bgc AS (SELECT doc_id, max(c) AS top_bigram_n FROM bgc0
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens, b.n_distinct,
+        |  round((b.n_tokens - b.n_distinct) * 1.0 / b.n_tokens, 4)
+        |    AS dup_token_frac,
+        |  tc.top_token_n,
+        |  coalesce(bgc.top_bigram_n, 0) AS top_bigram_n,
+        |  CAST(((b.n_tokens - b.n_distinct) * 10 > b.n_tokens * 3)
+        |    OR (coalesce(bgc.top_bigram_n, 0) * 10 > (b.n_tokens - 1) * 2)
+        |    AS INT) AS is_repetitive
+        |FROM base b JOIN tc USING (doc_id) LEFT JOIN bgc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "text_ngram_lm" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |vocab AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+        |tot AS (SELECT sum(cnt) AS total FROM vocab),
+        |pd AS (SELECT doc_id, tok, count(*) AS c FROM t
+        |  GROUP BY doc_id, tok)
+        |SELECT pd.doc_id,
+        |  CAST(sum(pd.c) AS BIGINT) AS n_tokens,
+        |  round(sum(pd.c * -log2(v.cnt * 1.0 / tot.total)) / sum(pd.c), 4)
+        |    AS bits_per_token
+        |FROM pd JOIN vocab v USING (tok) CROSS JOIN tot
+        |GROUP BY pd.doc_id ORDER BY pd.doc_id""".stripMargin,
+    "corpus_mix" ->
+      """WITH s AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT *, pow(CAST(n_tokens AS DOUBLE), 0.7) AS w_raw FROM s),
+        |tot AS (SELECT sum(w_raw) AS w_total FROM w)
+        |SELECT source, n_docs, n_tokens,
+        |  round(w_raw / w_total, 6) AS weight,
+        |  round(w_raw / w_total * 1000000 / n_tokens, 4) AS epochs_at_budget
+        |FROM w CROSS JOIN tot ORDER BY source""".stripMargin
+  )
+}

@@ -142,4 +142,26 @@ class DedupSpec extends SparkSpec {
       .select("doc_id", "is_dup").as[(Long, Int)].collect().toMap
     assert(out == Map(1L -> 0, 2L -> 1, 3L -> 0))
   }
+
+  test("dedup_segments: counts conserve and fractions bound") {
+    val rows = Dedup.dedupSegments(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_segments")
+      val d = r.getAs[Long]("n_dup_segments")
+      val f = r.getAs[Double]("kept_frac")
+      assert(n >= 1 && d >= 0 && d <= n)
+      assert(f > 0.0 || d == n)
+      assert(math.abs(f - (n - d).toDouble / n) < 1e-4)
+    }
+    // exactly ceil(tokens/16) segments per doc, corpus-wide
+    val segs = rows.map(_.getAs[Long]("n_segments")).sum
+    val expect = graft.Tables(spark, sfDir, "documents")
+      .select(ceil(size(split(trim(col("text")), "\\s+")) / 16.0).as("s"))
+      .agg(sum(col("s"))).collect()(0).getLong(0)
+    assert(segs == expect, s"segment fan-out $segs != $expect")
+    // at least one corpus-wide duplicated segment exists in testdata
+    // (short docs over a small vocab), so the operator's dup path runs
+    assert(rows.map(_.getAs[Long]("n_dup_segments")).sum > 0)
+  }
 }

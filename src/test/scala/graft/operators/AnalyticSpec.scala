@@ -22,6 +22,28 @@ class AnalyticSpec extends SparkSpec {
     }
   }
 
+  test("ts_ewma: first row anchors at rev, state stays inside prefix range") {
+    val rows = Analytic.tsEwma(spark, sfDir).collect()
+      .groupBy(_.getAs[String]("event_type"))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, series) =>
+      val byDay = series.sortBy(_.getAs[java.sql.Date]("day").toString)
+      assert(byDay.head.getAs[Double]("ewma") ==
+        byDay.head.getAs[Double]("rev"))
+      var lo = byDay.head.getAs[Double]("rev")
+      var hi = lo
+      byDay.tail.foreach { r =>
+        lo = math.min(lo, r.getAs[Double]("rev"))
+        hi = math.max(hi, r.getAs[Double]("rev"))
+        val e = r.getAs[Double]("ewma")
+        // convex combination of prefix values; the per-step <1-cent
+        // floor bias compounds to at most Σ0.7^k ≈ 3.3 cents
+        assert(e >= lo - 0.05 && e <= hi + 0.01,
+          s"ewma $e escaped prefix range [$lo, $hi]")
+      }
+    }
+  }
+
   test("ts_gapfill: dense calendar, gaps zero-counted and value-carried") {
     val rows = Analytic.tsGapfill(spark, sfDir).collect()
     assert(rows.nonEmpty)

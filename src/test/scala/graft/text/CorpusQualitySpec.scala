@@ -1,0 +1,76 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CorpusQualitySpec extends SparkSpec {
+
+  test("text_repetition: counts nest and flags agree with the fractions") {
+    val rows = CorpusQuality.textRepetition(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val d = r.getAs[Long]("n_distinct")
+      val tt = r.getAs[Long]("top_token_n")
+      val tb = r.getAs[Long]("top_bigram_n")
+      assert(d >= 1 && d <= n)
+      assert(tt >= 1 && tt <= n - d + 1, s"top token run $tt impossible")
+      assert(tb >= 0 && (n < 2 || tb <= n - 1))
+      val frac = r.getAs[Double]("dup_token_frac")
+      assert(frac >= 0.0 && frac < 1.0)
+      val flag = r.getAs[Int]("is_repetitive")
+      val expect = ((n - d) * 10 > n * 3) || (tb * 10 > (n - 1) * 2)
+      assert(flag == (if (expect) 1 else 0))
+    }
+  }
+
+  test("text_repetition: top_token_n equals the exact per-doc mode count") {
+    val df = CorpusQuality.textRepetition(spark, sfDir)
+      .select("doc_id", "top_token_n")
+    val exact = graft.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .groupBy("doc_id", "tok").count()
+      .groupBy("doc_id").agg(max("count").as("expect"))
+    val bad = df.join(exact, "doc_id")
+      .filter(col("top_token_n") =!= col("expect")).count()
+    assert(bad == 0, "sorted-run fold disagrees with groupBy mode count")
+  }
+
+  test("text_ngram_lm: bits positive, bounded by log2(corpus), n matches") {
+    val lm = CorpusQuality.textNgramLm(spark, sfDir).collect()
+    assert(lm.nonEmpty)
+    val totalToks = graft.Tables(spark, sfDir, "documents")
+      .select(explode(split(trim(col("text")), "\\s+")).as("t")).count()
+    val bound = math.log(totalToks.toDouble) / math.log(2.0) + 1e-9
+    lm.foreach { r =>
+      val b = r.getAs[Double]("bits_per_token")
+      // every token occurs ≥ once in its own doc, so P ≥ 1/total
+      assert(b > 0.0 && b <= bound, s"bits/token $b outside (0, $bound]")
+    }
+  }
+
+  test("corpus_mix: weights form a distribution, epochs = w*B/n") {
+    val rows = CorpusQuality.corpusMix(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val wsum = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wsum - 1.0) < 1e-3, s"weights sum to $wsum")
+    rows.foreach { r =>
+      val w = r.getAs[Double]("weight")
+      val n = r.getAs[Long]("n_tokens")
+      val e = r.getAs[Double]("epochs_at_budget")
+      assert(w > 0.0 && w < 1.0)
+      assert(math.abs(e - w * 1000000.0 / n) < 1e-2)
+    }
+    // temperature α < 1 flattens: small sources get MORE than their
+    // token share, large sources less
+    val toks = rows.map(_.getAs[Long]("n_tokens")).sum.toDouble
+    val smallest = rows.minBy(_.getAs[Long]("n_tokens"))
+    val largest = rows.maxBy(_.getAs[Long]("n_tokens"))
+    assert(smallest.getAs[Double]("weight") >=
+      smallest.getAs[Long]("n_tokens") / toks - 1e-9)
+    assert(largest.getAs[Double]("weight") <=
+      largest.getAs[Long]("n_tokens") / toks + 1e-9)
+  }
+}
