@@ -66,9 +66,13 @@ object CorpusPipeline {
   }
 
   def corpusPipeline(spark: SparkSession, dir: String): DataFrame = {
-    // 1. clean (whole table — the eval slice needs clean grams too)
+    // 1. clean (whole table — the eval slice needs clean grams too).
+    // Cached: three consumers (eval grams, contamination probe, the
+    // decontaminated corpus) otherwise each replay the regex clean +
+    // tokenize over the full corpus.
     val all = cleaned(
       Tables(spark, dir, "documents").select(col("doc_id"), col("text")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 2. decontamination: the eval slice leaves the corpus, and any
     // remaining doc sharing a word-ContamN-gram with it goes too
@@ -89,12 +93,16 @@ object CorpusPipeline {
       graft.functions.GraftFunctions.charEntropy(col("clean"))
         >= MinEntropy))
 
-    // 5. exact dedup: keep min doc_id per content fingerprint
+    // 5. exact dedup: keep min doc_id per content fingerprint.
+    // Cached: both the near-dup pair generation and the final
+    // survivors join read this frame — uncached, each replays stages
+    // 1–5 end to end.
     val wfp = Window.partitionBy(col("fp"))
     val exactKept = gated
       .withColumn("fp", TextOps.fingerprint(col("clean")))
       .withColumn("keep_id", min(col("doc_id")).over(wfp))
       .filter(col("doc_id") === col("keep_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 6. near-dup clusters among survivors: keep each cluster's rep
     val pairs = Dedup.ngramJaccardPairsOf(
