@@ -33,15 +33,19 @@ object Bench {
     val warmupErr: Option[String] =
       try { SparkEntry.queries("q1_agg")(spark, sfDir).count(); None }
       catch { case t: Throwable => Some(t.toString.take(200)) }
-    // (Right(seconds) on success / Left(error), task-metric delta).
+    // (Right(seconds) on success / Left(error), task-metric delta,
+    // per-stage records of this run).
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame):
-        (Either[String, Double], BenchMetrics.Snap) = {
+        (Either[String, Double], BenchMetrics.Snap,
+            Seq[BenchMetrics.StageRec]) = {
+      metrics.drainStages(spark.sparkContext) // discard stale records
       val before = metrics.snapshot(spark.sparkContext)
       val t0 = System.nanoTime()
       val r =
         try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
         catch { case t: Throwable => Left(t.toString.replaceAll("[\"\\n\\r]", " ").take(200)) }
-      (r, metrics.snapshot(spark.sparkContext) - before)
+      (r, metrics.snapshot(spark.sparkContext) - before,
+        metrics.drainStages(spark.sparkContext))
     }
     // SPARK_GRAFT_ONLY=q1_agg,ann_topk restricts the run for local
     // iteration; unset (the driver's mode) runs everything.
@@ -51,28 +55,32 @@ object Bench {
       SparkEntry.queries.filter(kv => s(kv._1)))
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       ((once(fn), once(fn)): @unchecked) match {
-        case ((Right(a), _), (Right(b), m2)) => (name, math.min(a, b), None, m2)
-        case ((r1, m1), (r2, _)) =>
-          (name, -1.0, r1.left.toOption.orElse(r2.left.toOption), m1)
+        case ((Right(a), _, _), (Right(b), m2, s2)) =>
+          (name, math.min(a, b), None, m2, s2)
+        case ((r1, m1, s1), (r2, _, _)) =>
+          (name, -1.0, r1.left.toOption.orElse(r2.left.toOption), m1, s1)
       }
     }
     def f3(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + f3(v) }
+    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val ms = results.map { case (k, _, _, m) => s"\"" + k + "\":" + m.json }
+    val ms = results.map { case (k, _, _, m, _) => s"\"" + k + "\":" + m.json }
       .mkString("{", ",", "}")
+    val stagesJson = results.map { case (k, _, _, _, s) =>
+      s"\"" + k + "\":" + s.map(_.json).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val totalsJson = results.map(_._4)
       .foldLeft(BenchMetrics.Snap(0, 0, 0, 0, 0, 0))((a, b) =>
         BenchMetrics.Snap(a.shufRead + b.shufRead, a.shufWrite + b.shufWrite,
           a.spillMem + b.spillMem, a.spillDisk + b.spillDisk,
           a.input + b.input, a.tasks + b.tasks)).json
-    val errs = results.collect { case (k, _, Some(e), _) => s"\"" + k + "\":\"" + e + "\"" } ++
+    val errs = results.collect { case (k, _, Some(e), _, _) => s"\"" + k + "\":\"" + e + "\"" } ++
       warmupErr.map(e => "\"_warmup\":\"" + e + "\"")
     val errJson = if (errs.isEmpty) "" else errs.mkString(",\"errors\":{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val detail =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"metrics":$ms,"totals":$totalsJson$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"metrics":$ms,"stages":$stagesJson,"totals":$totalsJson$errJson,"sf":"$sfDir"}"""
     // The driver keeps only the last ~2000 chars of stdout and parses the
     // bench JSON out of that tail: the full detail line (~10 KB with 85+
     // queries) never fits, which is exactly how rounds 1–2 ended up with
@@ -85,9 +93,9 @@ object Bench {
       java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
     catch { case _: Throwable => () }
     println(detail)
-    val bySlowest = results.sortBy { case (_, v, _, _) => -v }
+    val bySlowest = results.sortBy { case (_, v, _, _, _) => -v }
     val (head, rest) = bySlowest.splitAt(24)
-    val qsShort = head.sortBy(_._1).map { case (k, v, _, _) =>
+    val qsShort = head.sortBy(_._1).map { case (k, v, _, _, _) =>
       s"\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val otherSec = rest.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qsShort,"n_queries":${results.size},"other_sec":${f3(otherSec)},"sf":"$sfDir"}""")

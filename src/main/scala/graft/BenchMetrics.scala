@@ -3,7 +3,7 @@ package graft
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.SparkContext
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.GraftShim
 
 /** Cumulative task-metric counters fed by a SparkListener, so Bench can
@@ -21,6 +21,9 @@ final class BenchMetrics extends SparkListener {
   private val input     = new AtomicLong
   private val tasks     = new AtomicLong
 
+  private val stages =
+    new java.util.concurrent.ConcurrentLinkedQueue[BenchMetrics.StageRec]
+
   override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
     val m = e.taskMetrics
     if (m != null) {
@@ -31,6 +34,35 @@ final class BenchMetrics extends SparkListener {
       input.addAndGet(m.inputMetrics.bytesRead)
       tasks.incrementAndGet()
     }
+  }
+
+  /** Per-stage attribution (BENCH_DETAIL.json only — stdout has a hard
+    * tail budget): which exchange/scan inside a query carries the bytes
+    * and the wall time. The name is the stage's call site; the metrics
+    * are the stage-aggregated task metrics.
+    */
+  override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+    val si = e.stageInfo
+    val m = si.taskMetrics
+    val dur = (for (s <- si.submissionTime; c <- si.completionTime)
+      yield c - s).getOrElse(0L)
+    stages.add(BenchMetrics.StageRec(
+      si.stageId,
+      si.name.takeWhile(_ != '\n').take(60)
+        .replaceAll("[^A-Za-z0-9 ._:()$\\[\\]=#@-]", ""),
+      si.numTasks, dur,
+      if (m != null) m.shuffleReadMetrics.totalBytesRead else 0L,
+      if (m != null) m.shuffleWriteMetrics.bytesWritten else 0L,
+      if (m != null) m.inputMetrics.bytesRead else 0L))
+  }
+
+  /** Drain and return every stage completed since the last call. */
+  def drainStages(sc: SparkContext): Seq[BenchMetrics.StageRec] = {
+    GraftShim.drainListenerBus(sc)
+    val out = Seq.newBuilder[BenchMetrics.StageRec]
+    var r = stages.poll()
+    while (r != null) { out += r; r = stages.poll() }
+    out.result()
   }
 
   /** Point-in-time counter values (listener bus drained first so every
@@ -44,6 +76,14 @@ final class BenchMetrics extends SparkListener {
 }
 
 object BenchMetrics {
+  final case class StageRec(id: Int, name: String, tasks: Int, ms: Long,
+      shufRead: Long, shufWrite: Long, input: Long) {
+    def json: String =
+      s"""{"id":$id,"name":"$name","tasks":$tasks,"ms":$ms,""" +
+        s""""shuffle_read":$shufRead,"shuffle_write":$shufWrite,""" +
+        s""""input":$input}"""
+  }
+
   final case class Snap(shufRead: Long, shufWrite: Long, spillMem: Long,
       spillDisk: Long, input: Long, tasks: Long) {
     def -(o: Snap): Snap = Snap(shufRead - o.shufRead,
