@@ -511,7 +511,61 @@ object Analytic {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** `graph_pagerank` — iterative graph analytics expressed
+    * declaratively: PageRank (d = 0.85, 3 power iterations, dangling
+    * mass redistributed uniformly) over the nation-level trade network
+    * (edge cust_nation → supp_nation weighted by lineitem count). The
+    * scale split is explicit: the ONE heavy pass is the edge
+    * aggregation (fact joins → an O(nations²) edge list); the
+    * iterations run on frontier frames of O(nodes) rows joined against
+    * the broadcast transition matrix — the loop unrolls into a single
+    * Catalyst plan with no driver-side collect per step, and
+    * per-iteration cost is independent of fact-table size. Constants
+    * are spelled as the same literals in both engines (never 1−d:
+    * 1−0.85 ≠ literal-0.15 in doubles).
+    */
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables(spark, dir, "nation")
+      .select(col("n_nationkey").as("node"), col("n_name"))
+    val nC = Tables(spark, dir, "nation").count().toDouble
+    val li = Tables(spark, dir, "lineitem")
+    val ord = Tables(spark, dir, "orders")
+    val cust = Tables(spark, dir, "customer")
+    val sup = Tables(spark, dir, "supplier")
+    val edges = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .filter(cust("c_nationkey") =!= sup("s_nationkey"))
+      .groupBy(cust("c_nationkey").as("src"), sup("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val wout = Window.partitionBy(col("src"))
+    val trans = edges
+      .withColumn("p", col("w") * lit(1.0) / sum(col("w")).over(wout))
+      .select(col("src"), col("dst"), col("p"))
+    val srcs = trans.select(col("src")).distinct()
+    var pr = nation.select(col("node")).withColumn("pr", lit(1.0 / nC))
+    for (_ <- 1 to 3) {
+      val contrib = pr.join(broadcast(trans), col("node") === col("src"))
+        .groupBy(col("dst")).agg(sum(col("pr") * col("p")).as("c"))
+      val dang = pr
+        .join(broadcast(srcs), pr("node") === srcs("src"), "left_anti")
+        .agg(coalesce(sum(col("pr")), lit(0.0)).as("dang"))
+      pr = nation.select(col("node"))
+        .join(contrib, col("node") === col("dst"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          (lit(0.15) / nC + lit(0.85) *
+            (coalesce(col("c"), lit(0.0)) + col("dang") / nC)).as("pr"))
+    }
+    val wr = Window.orderBy(col("pagerank").desc, col("n_name"))
+    pr.join(broadcast(nation), Seq("node"))
+      .select(col("n_name"), round(col("pr"), 6).as("pagerank"))
+      .withColumn("rank", row_number().over(wr))
+      .orderBy(col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> (graphPagerank _),
     "agg_hist_quantiles" -> (aggHistQuantiles _),
     "win_distribution" -> (winDistribution _),
     "abc_pareto" -> (abcPareto _),
@@ -533,6 +587,53 @@ object Analytic {
   )
 
   val oracle: Map[String, String] = Map(
+    // graph_pagerank: the unrolled 3-iteration replay; rank jitter from
+    // cross-engine double-sum order is absorbed by the 6-dp round, and
+    // the damping constants are the same literals as the Spark side
+    "graph_pagerank" ->
+      """WITH e0 AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+        |    count(*) AS w
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey
+        |  GROUP BY 1, 2),
+        |t AS (SELECT src, dst,
+        |    w * 1.0 / sum(w) OVER (PARTITION BY src) AS p
+        |  FROM e0),
+        |n AS (SELECT n_nationkey AS node, n_name FROM nation),
+        |nn AS (SELECT count(*) * 1.0 AS cnt FROM n),
+        |p0 AS (SELECT node, 1.0 / cnt AS pr FROM n CROSS JOIN nn),
+        |c1 AS (SELECT t.dst AS node, sum(p0.pr * t.p) AS c
+        |  FROM p0 JOIN t ON p0.node = t.src GROUP BY t.dst),
+        |d1 AS (SELECT coalesce(sum(pr), 0.0) AS dang FROM p0
+        |  WHERE node NOT IN (SELECT DISTINCT src FROM t)),
+        |p1 AS (SELECT n.node,
+        |    0.15 / cnt + 0.85 * (coalesce(c1.c, 0.0) + d1.dang / cnt) AS pr
+        |  FROM n CROSS JOIN nn CROSS JOIN d1
+        |  LEFT JOIN c1 ON c1.node = n.node),
+        |c2 AS (SELECT t.dst AS node, sum(p1.pr * t.p) AS c
+        |  FROM p1 JOIN t ON p1.node = t.src GROUP BY t.dst),
+        |d2 AS (SELECT coalesce(sum(pr), 0.0) AS dang FROM p1
+        |  WHERE node NOT IN (SELECT DISTINCT src FROM t)),
+        |p2 AS (SELECT n.node,
+        |    0.15 / cnt + 0.85 * (coalesce(c2.c, 0.0) + d2.dang / cnt) AS pr
+        |  FROM n CROSS JOIN nn CROSS JOIN d2
+        |  LEFT JOIN c2 ON c2.node = n.node),
+        |c3 AS (SELECT t.dst AS node, sum(p2.pr * t.p) AS c
+        |  FROM p2 JOIN t ON p2.node = t.src GROUP BY t.dst),
+        |d3 AS (SELECT coalesce(sum(pr), 0.0) AS dang FROM p2
+        |  WHERE node NOT IN (SELECT DISTINCT src FROM t)),
+        |p3 AS (SELECT n.node,
+        |    0.15 / cnt + 0.85 * (coalesce(c3.c, 0.0) + d3.dang / cnt) AS pr
+        |  FROM n CROSS JOIN nn CROSS JOIN d3
+        |  LEFT JOIN c3 ON c3.node = n.node)
+        |SELECT nm.n_name, round(p3.pr, 6) AS pagerank,
+        |  row_number() OVER (ORDER BY round(p3.pr, 6) DESC, nm.n_name)
+        |    AS rank
+        |FROM p3 JOIN n nm USING (node)
+        |ORDER BY rank""".stripMargin,
     // ts_ewma: the fixed-point fold replays as an ordered list_reduce
     // over bigint cents — // is floor division like Spark's div on the
     // all-positive revenue series, so every step is exactly equal; the

@@ -121,10 +121,55 @@ object CorpusQuality {
       .orderBy(col("source"))
   }
 
+  /** `corpus_sample` — APPLY the [[corpusMix]] mixture: per-source
+    * keep-rates p = min(1, w·B / tokens) become deterministic per-doc
+    * hash thresholds (first 4 hex digits of md5(doc_id) as a uniform
+    * 16-bit draw, kept iff draw < ⌊p·65536⌋ — the same
+    * no-RNG-state, bit-reproducible sampling contract as the split /
+    * shuffle operators, so the sampled corpus is identical on any
+    * engine, any partitioning, any run). Map-only over the corpus once
+    * rates are known; rates come from the O(sources) frame broadcast
+    * back. Reports per-source achieved vs target rates.
+    */
+  def corpusSample(spark: SparkSession, dir: String): DataFrame = {
+    val Budget = 1000000L
+    val perSource = Tables(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(toks)).cast("long").as("n_tokens"))
+      .withColumn("w_raw", pow(col("n_tokens").cast("double"), 0.7))
+    val total = perSource.agg(sum(col("w_raw")).as("w_total"))
+    val rates = perSource.crossJoin(broadcast(total))
+      .withColumn("thresh", floor(
+        least(col("w_raw") / col("w_total") * Budget / col("n_tokens"),
+          lit(1.0)) * 65536).cast("long"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("thresh"))
+    Tables(spark, dir, "documents")
+      .withColumn("draw", conv(substring(
+        md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
+        .cast("long"))
+      .withColumn("n_doc_tokens", size(toks).cast("long"))
+      .join(broadcast(rates), Seq("source"))
+      .groupBy(col("source"))
+      .agg(
+        first(col("thresh")).as("thresh"),
+        first(col("n_docs")).as("n_docs"),
+        sum((col("draw") < col("thresh")).cast("long")).as("n_kept"),
+        sum(when(col("draw") < col("thresh"), col("n_doc_tokens"))
+          .otherwise(0L)).as("kept_tokens"))
+      .select(
+        col("source"), col("n_docs"), col("n_kept"), col("kept_tokens"),
+        round(col("thresh") / 65536.0, 6).as("target_rate"),
+        round(col("n_kept") * 1.0 / col("n_docs"), 4).as("achieved_rate"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_repetition" -> (textRepetition _),
     "text_ngram_lm" -> (textNgramLm _),
-    "corpus_mix" -> (corpusMix _)
+    "corpus_mix" -> (corpusMix _),
+    "corpus_sample" -> (corpusSample _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -175,6 +220,41 @@ object CorpusQuality {
         |    AS bits_per_token
         |FROM pd JOIN vocab v USING (tok) CROSS JOIN tot
         |GROUP BY pd.doc_id ORDER BY pd.doc_id""".stripMargin,
+    // corpus_sample: the 4-hex-digit uniform draw replays via strpos
+    // digit decode (md5 is lowercase hex in both engines)
+    "corpus_sample" ->
+      """WITH s AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT *, pow(CAST(n_tokens AS DOUBLE), 0.7) AS w_raw FROM s),
+        |tot AS (SELECT sum(w_raw) AS w_total FROM w),
+        |r AS (SELECT source, n_docs, n_tokens,
+        |    CAST(floor(least(w_raw / w_total * 1000000 / n_tokens, 1.0)
+        |      * 65536) AS BIGINT) AS thresh
+        |  FROM w CROSS JOIN tot),
+        |d AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_doc_tokens
+        |  FROM documents),
+        |v AS (SELECT source, n_doc_tokens,
+        |    CAST((strpos('0123456789abcdef', substr(h,1,1)) - 1) * 4096
+        |      + (strpos('0123456789abcdef', substr(h,2,1)) - 1) * 256
+        |      + (strpos('0123456789abcdef', substr(h,3,1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(h,4,1)) - 1) AS BIGINT)
+        |      AS draw
+        |  FROM d)
+        |SELECT v.source, r.n_docs,
+        |  CAST(sum(CASE WHEN draw < thresh THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(sum(CASE WHEN draw < thresh THEN n_doc_tokens ELSE 0 END)
+        |    AS BIGINT) AS kept_tokens,
+        |  round(r.thresh / 65536.0, 6) AS target_rate,
+        |  round(sum(CASE WHEN draw < thresh THEN 1 ELSE 0 END) * 1.0
+        |    / r.n_docs, 4) AS achieved_rate
+        |FROM v JOIN r USING (source)
+        |GROUP BY v.source, r.n_docs, r.thresh
+        |ORDER BY v.source""".stripMargin,
     "corpus_mix" ->
       """WITH s AS (SELECT source, count(*) AS n_docs,
         |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)

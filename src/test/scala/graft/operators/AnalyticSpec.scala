@@ -22,6 +22,17 @@ class AnalyticSpec extends SparkSpec {
     }
   }
 
+  test("graph_pagerank: ranks form a distribution, rank is a permutation") {
+    val rows = Analytic.graphPagerank(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val mass = rows.map(_.getAs[Double]("pagerank")).sum
+    // damping + dangling redistribution conserve probability mass
+    assert(math.abs(mass - 1.0) < 1e-3, s"pagerank mass $mass")
+    rows.foreach(r => assert(r.getAs[Double]("pagerank") > 0.0))
+    val ranks = rows.map(_.getAs[Int]("rank")).sorted
+    assert(ranks.toSeq == (1 to rows.length))
+  }
+
   test("ts_ewma: first row anchors at rev, state stays inside prefix range") {
     val rows = Analytic.tsEwma(spark, sfDir).collect()
       .groupBy(_.getAs[String]("event_type"))

@@ -51,6 +51,25 @@ class CorpusQualitySpec extends SparkSpec {
     }
   }
 
+  test("corpus_sample: deterministic, counts nest, rates consistent") {
+    val a = CorpusQuality.corpusSample(spark, sfDir).collect()
+    val b = CorpusQuality.corpusSample(spark, sfDir).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+      "hash sampling must be bit-reproducible across runs")
+    a.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val k = r.getAs[Long]("n_kept")
+      assert(k >= 0 && k <= n)
+      val t = r.getAs[Double]("target_rate")
+      assert(t > 0.0 && t <= 1.0)
+      // 16-bit uniform draw: achieved tracks target within binomial
+      // noise (generous bound for the small per-source doc counts)
+      val ach = r.getAs[Double]("achieved_rate")
+      assert(math.abs(ach - t) <= 3.0 * math.sqrt(t * (1 - t) / n) + 0.2,
+        s"achieved $ach vs target $t over $n docs")
+    }
+  }
+
   test("corpus_mix: weights form a distribution, epochs = w*B/n") {
     val rows = CorpusQuality.corpusMix(spark, sfDir).collect()
     assert(rows.nonEmpty)
