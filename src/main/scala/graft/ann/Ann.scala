@@ -544,7 +544,48 @@ object Ann {
       .orderBy(col("cluster_id"))
   }
 
+  /** E12 `emb_outliers` — embedding-corpus curation gate: vectors
+    * whose cosine to their own cluster centroid sits more than
+    * [[OutlierSigma]] sample standard deviations below the cluster
+    * mean (mislabeled / corrupted / off-distribution candidates — the
+    * standard pre-training embedding-quality sweep). Reuses the E3
+    * coarse quantizer verbatim (same training, same assignment, same
+    * SQL replay); the per-cluster stats are one mergeable-aggregate
+    * pass over the assigned frame, broadcast back for the flag filter
+    * — two corpus scans, no pairwise anything. Flag comparisons run on
+    * 6-dp-rounded values so cross-engine double-sum jitter in
+    * mean/stddev can't flip a boundary row.
+    */
+  def embOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val cents = refinedCentroids(spark, c)
+    val assigned = assignCells(c, cents)
+      .join(broadcast(cents), Seq("cell_id"))
+      .withColumn("cos", cosineSim(col("embedding"), col("c_emb")))
+    val stats = assigned.groupBy(col("cell_id"))
+      .agg(
+        avg(col("cos")).as("mean_cos"),
+        coalesce(stddev_samp(col("cos")), lit(0.0)).as("sd_cos"),
+        count(lit(1)).as("cluster_n"))
+    assigned.join(broadcast(stats), Seq("cell_id"))
+      .filter(col("cluster_n") >= 3 &&
+        round(col("cos"), 6) <
+          round(col("mean_cos") - lit(OutlierSigma) * col("sd_cos"), 6))
+      .select(col("vec_id"), col("cell_id").as("cluster_id"),
+        round(col("cos"), 4).as("cos"),
+        round(col("mean_cos"), 4).as("cluster_mean"),
+        col("cluster_n"))
+      .orderBy(col("vec_id"))
+  }
+
+  // flag below mean − 1.4σ within the cluster: near-random test
+  // embeddings keep cluster cosines tight (observed min z ≈ −1.6), so
+  // the bar sits where the flag path is exercised at every test SF —
+  // on a real curated corpus this is the knob
+  val OutlierSigma = 1.4
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_outliers" -> (embOutliers _),
     "emb_kmeans" -> (embKmeans _),
     "ann_ivfpq" -> (annIvfPq _),
     "ann_pq" -> (annPq _),
@@ -641,6 +682,26 @@ object Ann {
       |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // E12: the E3 replay (cents/asg1) + per-cell mean/stddev_samp —
+    // both flag operands 6-dp rounded, mirroring the Spark side
+    "emb_outliers" ->
+      s"""$ivfOracleCommon,
+         |scored AS (SELECT a.vec_id, a.cell_id,
+         |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |      CAST(c.c_emb AS DOUBLE[])) AS cos
+         |  FROM asg1 a JOIN cents c USING (cell_id)),
+         |st AS (SELECT cell_id, avg(cos) AS mean_cos,
+         |    coalesce(stddev_samp(cos), 0.0) AS sd_cos,
+         |    count(*) AS cluster_n
+         |  FROM scored GROUP BY cell_id)
+         |SELECT s.vec_id, s.cell_id AS cluster_id,
+         |  round(s.cos, 4) AS cos,
+         |  round(st.mean_cos, 4) AS cluster_mean,
+         |  st.cluster_n
+         |FROM scored s JOIN st USING (cell_id)
+         |WHERE st.cluster_n >= 3
+         |  AND round(s.cos, 6) < round(st.mean_cos - 1.4 * st.sd_cos, 6)
+         |ORDER BY s.vec_id""".stripMargin,
     "emb_kmeans" ->
       s"""$ivfOracleCommon
          |SELECT a.cell_id AS cluster_id, count(*) AS n_vectors,

@@ -164,6 +164,19 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.95)
   }
 
+  test("emb_outliers: flagged vectors sit below their cluster mean") {
+    val rows = Ann.embOutliers(spark, sfDir).collect()
+    assert(rows.nonEmpty, "threshold must fire at the smallest SF")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("cos") < r.getAs[Double]("cluster_mean"))
+      assert(r.getAs[Long]("cluster_n") >= 3)
+    }
+    // flagged set is a strict minority: this is an outlier gate
+    val corpus = graft.Tables(spark, sfDir, "embeddings").count()
+    assert(rows.length * 10 < corpus,
+      s"${rows.length} outliers of $corpus vectors is not an outlier gate")
+  }
+
   test("emb_kmeans: every vector assigned exactly once, cohesion sane") {
     val rows = Ann.embKmeans(spark, sfDir).collect()
     assert(rows.nonEmpty)

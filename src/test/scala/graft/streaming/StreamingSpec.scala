@@ -275,6 +275,70 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((100L, 200L), (101L, 200L)))
   }
 
+  test("AnomalyStream alarms only outside the trailing-mean band") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[KeyedCount]
+    val q = AnomalyStream.anomalies(mem.toDS())
+      .writeStream.format("memory").queryName("anomalies")
+      .outputMode("append").start()
+    try {
+      // 3 quiet days build the baseline (no alarms possible yet)
+      mem.addData(
+        KeyedCount("view", "2024-01-01", 100),
+        KeyedCount("view", "2024-01-02", 110),
+        KeyedCount("view", "2024-01-03", 90))
+      q.processAllAvailable()
+      // day 4 in-band (no alarm), day 5 flood (alarm), day 6 collapse
+      mem.addData(KeyedCount("view", "2024-01-04", 120))
+      q.processAllAvailable()
+      mem.addData(KeyedCount("view", "2024-01-05", 500))
+      q.processAllAvailable()
+      mem.addData(KeyedCount("view", "2024-01-06", 10))
+      q.processAllAvailable()
+
+      val rows = spark.sql("SELECT day, n, ratio FROM anomalies")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(rows == Set(("2024-01-05", 500L), ("2024-01-06", 10L)))
+      // flood enters the trailing window: day-6 baseline includes 500
+      val r6 = spark.sql("SELECT baseline FROM anomalies WHERE day = '2024-01-06'")
+        .collect()(0).getDouble(0)
+      assert(r6 > 120.0, s"day-6 baseline $r6 must include the flood")
+    } finally q.stop()
+  }
+
+  test("AnomalyStream agrees with its own rule replayed in batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val days = (1 to 20).map(i => KeyedCount("e", f"2024-01-$i%02d",
+      if (i % 7 == 0) 400 else 95 + i))
+    val mem = MemoryStream[KeyedCount]
+    val q = AnomalyStream.anomalies(mem.toDS())
+      .writeStream.format("memory").queryName("anomalies2")
+      .outputMode("append").start()
+    try {
+      days.grouped(3).foreach { batch => // arbitrary batch boundaries
+        mem.addData(batch: _*); q.processAllAvailable()
+      }
+      val streamed = spark.sql("SELECT day FROM anomalies2")
+        .collect().map(_.getString(0)).toSet
+      // replay sequentially (the batch-of-record rule)
+      var hist = List.empty[Double]
+      val expected = Set.newBuilder[String]
+      days.foreach { d =>
+        if (hist.size >= AnomalyStream.MinBaseline) {
+          val base = hist.sum / hist.size
+          val ratio = d.n / base
+          if (ratio > AnomalyStream.MaxRatio ||
+            ratio < 1.0 / AnomalyStream.MaxRatio) expected += d.day
+        }
+        hist = (d.n.toDouble :: hist).take(AnomalyStream.Trail)
+      }
+      assert(streamed == expected.result(),
+        "stream (any batching) must equal the sequential rule")
+    } finally q.stop()
+  }
+
   test("DeltaAlertStream emits new/changed alerts only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
