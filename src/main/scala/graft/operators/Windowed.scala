@@ -136,7 +136,30 @@ object Windowed {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** `win_hopping` — hopping (sliding) time-window aggregation: 1-hour
+    * windows advancing every 15 minutes, so each event lands in
+    * duration/slide = 4 overlapping windows (the smoothing shape
+    * dashboards and rate-limit monitors read). Spark's `window()`
+    * generates the per-event window memberships inline — a map-only
+    * 4× fan-out, shuffled once on (window, type); no self-join, no
+    * per-window rescans. The same aggregation is streaming-legal
+    * against a watermark (the tumbling form runs live as G1).
+    */
+  def winHopping(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_hopping" -> (winHopping _),
     "win_moving_avg" -> (movingAvg _),
     "win_rank_topn" -> (rankTopN _),
     "win_running_sum" -> (runningSum _),
@@ -147,6 +170,22 @@ object Windowed {
   )
 
   val oracle: Map[String, String] = Map(
+    // win_hopping: each event expands to its 4 hop memberships (the
+    // 15-min bucket minus h hops, h ∈ 0..3) — same epoch-aligned grid
+    // as Spark's window(ts, '1 hour', '15 minutes')
+    "win_hopping" ->
+      """WITH g AS (SELECT time_bucket(INTERVAL '15 minutes', ts) AS b,
+        |    event_type, value
+        |  FROM events),
+        |h AS (SELECT b - (hh.h * INTERVAL '15 minutes') AS window_start,
+        |    event_type, value
+        |  FROM g, (SELECT unnest(range(0, 4)) AS h) hh)
+        |SELECT window_start,
+        |  window_start + INTERVAL '1 hour' AS window_end,
+        |  event_type, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM h GROUP BY 1, 2, 3
+        |ORDER BY window_start, event_type""".stripMargin,
     "win_moving_avg" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
         |    round(sum(value), 2) AS day_value

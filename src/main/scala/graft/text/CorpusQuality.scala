@@ -94,6 +94,52 @@ object CorpusQuality {
       .orderBy(col("doc_id"))
   }
 
+  /** `text_bigram_lm` — bigram language-model score per document
+    * (one step up from [[textNgramLm]]'s unigram model, the shape real
+    * perplexity gates use): P(w|prev) Laplace-smoothed over the
+    * corpus's own bigram counts, each doc scored by mean
+    * −log2 P(w_i | w_{i−1}) over its token transitions. The model
+    * tables (bigram counts, prev-token totals, vocab size) come from
+    * one exploded pass; docs join the model on the bigram key with
+    * DISTINCT per-doc transition counts, so the join input is bounded
+    * by distinct transitions, not raw tokens. All probabilities are
+    * ratios of exact integer counts — the only doubles are the final
+    * log/mean, guarded by the 4-dp round.
+    */
+  def textBigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .withColumn("w", toks)
+      .filter(size(col("w")) >= 2)
+    val trans = docs
+      .select(col("doc_id"), col("w"),
+        explode(expr(
+          """transform(sequence(1, size(w) - 1),
+            |  i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"""
+            .stripMargin)).as("bg"))
+      .select(col("doc_id"), col("bg"))
+    val bgCounts = trans.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+      .withColumn("prev", substring_index(col("bg"), " ", 1))
+    val prevCounts = bgCounts.groupBy(col("prev"))
+      .agg(sum(col("c_bg")).as("c_prev"))
+    val vocabSize = Tables(spark, dir, "documents")
+      .select(explode(toks).as("tok")).agg(
+        countDistinct(col("tok")).as("v"))
+    val perDoc = trans.groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+    perDoc
+      .join(bgCounts, Seq("bg"))
+      .join(prevCounts, Seq("prev"))
+      .crossJoin(broadcast(vocabSize))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_transitions"),
+        round(
+          sum(col("c") * -log2((col("c_bg") + lit(1.0)) /
+            (col("c_prev") + col("v")))) / sum(col("c")), 4)
+          .as("bits_per_transition"))
+      .orderBy(col("doc_id"))
+  }
+
   /** `corpus_mix` — training-mixture computation: per-source token
     * counts reweighted by temperature sampling (w ∝ tokens^α, α=0.7 —
     * the multilingual/multi-domain rebalancing rule), with the
@@ -168,6 +214,7 @@ object CorpusQuality {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_repetition" -> (textRepetition _),
     "text_ngram_lm" -> (textNgramLm _),
+    "text_bigram_lm" -> (textBigramLm _),
     "corpus_mix" -> (corpusMix _),
     "corpus_sample" -> (corpusSample _)
   )
@@ -206,6 +253,31 @@ object CorpusQuality {
         |    AS INT) AS is_repetitive
         |FROM base b JOIN tc USING (doc_id) LEFT JOIN bgc USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "text_bigram_lm" ->
+      """WITH d AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents WHERE len(string_split_regex(trim(text), '\s+'))
+        |    >= 2),
+        |idx AS (SELECT doc_id, w,
+        |    unnest(generate_series(1, len(w) - 1)) AS i
+        |  FROM d),
+        |tr AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bg FROM idx),
+        |bgc AS (SELECT bg, count(*) AS c_bg,
+        |    string_split(bg, ' ')[1] AS prev
+        |  FROM tr GROUP BY bg),
+        |pc AS (SELECT prev, sum(c_bg) AS c_prev FROM bgc GROUP BY prev),
+        |vs AS (SELECT count(DISTINCT tok) AS v FROM (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents)),
+        |pd AS (SELECT doc_id, bg, count(*) AS c FROM tr
+        |  GROUP BY doc_id, bg)
+        |SELECT pd.doc_id,
+        |  CAST(sum(pd.c) AS BIGINT) AS n_transitions,
+        |  round(sum(pd.c * -log2((b.c_bg + 1.0) / (p.c_prev + vs.v)))
+        |    / sum(pd.c), 4) AS bits_per_transition
+        |FROM pd JOIN bgc b USING (bg) JOIN pc p ON p.prev = b.prev
+        |CROSS JOIN vs
+        |GROUP BY pd.doc_id ORDER BY pd.doc_id""".stripMargin,
     "text_ngram_lm" ->
       """WITH t AS (SELECT doc_id,
         |    unnest(string_split_regex(trim(text), '\s+')) AS tok

@@ -22,6 +22,21 @@ class AnalyticSpec extends SparkSpec {
     }
   }
 
+  test("win_hopping: every event lands in exactly duration/slide windows") {
+    val rows = Windowed.winHopping(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_events")).sum
+    val events = graft.Tables(spark, sfDir, "events").count()
+    assert(total == 4 * events,
+      s"hop fan-out $total != 4 × $events (1h windows / 15min hops)")
+    rows.foreach { r =>
+      val s = r.getAs[java.sql.Timestamp]("window_start")
+      val e = r.getAs[java.sql.Timestamp]("window_end")
+      assert(e.getTime - s.getTime == 3600 * 1000L)
+      assert(s.getTime % (15 * 60 * 1000L) == 0, "start off the hop grid")
+    }
+  }
+
   test("graph_pagerank: ranks form a distribution, rank is a permutation") {
     val rows = Analytic.graphPagerank(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -51,6 +51,20 @@ class CorpusQualitySpec extends SparkSpec {
     }
   }
 
+  test("text_bigram_lm: transitions = tokens−1, bits positive/bounded") {
+    val lm = CorpusQuality.textBigramLm(spark, sfDir)
+    val toks = graft.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        (size(split(trim(col("text")), "\\s+")) - 1).cast("long").as("t1"))
+    val bad = lm.join(toks, "doc_id")
+      .filter(col("n_transitions") =!= col("t1")).count()
+    assert(bad == 0, "every adjacent token pair must be scored once")
+    lm.collect().foreach { r =>
+      val b = r.getAs[Double]("bits_per_transition")
+      assert(b > 0.0 && b < 64.0, s"bits/transition $b out of range")
+    }
+  }
+
   test("corpus_sample: deterministic, counts nest, rates consistent") {
     val a = CorpusQuality.corpusSample(spark, sfDir).collect()
     val b = CorpusQuality.corpusSample(spark, sfDir).collect()
