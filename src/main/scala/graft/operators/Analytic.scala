@@ -539,9 +539,17 @@ object Analytic {
       .groupBy(cust("c_nationkey").as("src"), sup("s_nationkey").as("dst"))
       .agg(count(lit(1)).as("w"))
     val wout = Window.partitionBy(col("src"))
-    val trans = edges
+    // materialize the O(nations²) transition matrix to the driver (the
+    // k-means pattern, see refinedCentroids): every unrolled iteration
+    // reads it, and as a live plan each read would replay the
+    // fact-scale edge aggregation subtree — as a local relation the
+    // iterations never touch the fact tables
+    import spark.implicits._
+    val transLocal = edges
       .withColumn("p", col("w") * lit(1.0) / sum(col("w")).over(wout))
       .select(col("src"), col("dst"), col("p"))
+      .as[(Int, Int, Double)].collect().toSeq.sortBy(t => (t._1, t._2))
+    val trans = transLocal.toDF("src", "dst", "p")
     val srcs = trans.select(col("src")).distinct()
     var pr = nation.select(col("node")).withColumn("pr", lit(1.0 / nC))
     for (_ <- 1 to 3) {
