@@ -31,7 +31,12 @@ object Retrieval {
     * rank order (score desc, term) is engine-stable.
     */
   def textTfidf(spark: SparkSession, dir: String): DataFrame = {
+    // the corpus ships as one file at test SFs → one scan split; spread
+    // so the explode/count hot loop uses every core (same trade as the
+    // ANN spread paths — worth it when per-row work dominates the one
+    // small shuffle; a multi-file 100 TB corpus splits naturally)
     val docs = Tables(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
     val tf = docs.select(col("doc_id"), explode(toks).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
