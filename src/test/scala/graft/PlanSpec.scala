@@ -84,4 +84,41 @@ class PlanSpec extends SparkSpec {
       "user_id equi-key must drive a real join, not a cartesian")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("text_repetition: map-only, the sole exchange is the final sort") {
+    val p = plan("text_repetition")
+    val n = countOccurrences(p, "+- Exchange")
+    assert(n <= 1, s"run folds must not shuffle tokens, got $n")
+  }
+
+  test("win_hopping: one shuffle on (window, type), no join anywhere") {
+    val p = plan("win_hopping")
+    val n = countOccurrences(p, "+- Exchange")
+    assert(n <= 2, s"expected agg + final-sort exchanges only, got $n")
+    assert(!p.contains("Join"), "hop expansion must be map-side, not a join")
+  }
+
+  test("corpus_sample: rate table broadcasts, corpus never shuffles raw") {
+    val p = plan("corpus_sample")
+    assert(p.contains("BroadcastHashJoin"),
+      "the O(sources) rate table must broadcast back")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus side must not shuffle into the rate join")
+  }
+
+  test("dedup_segments: exchanges key on the segment hash / doc rollup only") {
+    val p = plan("dedup_segments")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "segment dedup must never form doc pairs")
+  }
+
+  test("graph_pagerank: iterations read a local relation, not the fact scan") {
+    val p = plan("graph_pagerank")
+    // the transition matrix is driver-materialized: the lineitem scan
+    // must appear ZERO times in the final plan (edges were consumed at
+    // build time), leaving only frontier-sized joins
+    assert(!p.contains("lineitem"),
+      "unrolled iterations must not replay the fact-table subtree")
+  }
 }
