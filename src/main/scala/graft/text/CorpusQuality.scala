@@ -211,7 +211,54 @@ object CorpusQuality {
       .orderBy(col("source"))
   }
 
+  val BpeIters = 3
+
+  /** `bpe_train` — BPE tokenizer training, the real iterative loop
+    * (vocab_bpe_pairs computes one round's counts; this RUNS the
+    * merges): classic BPE over the word-frequency table — each word a
+    * space-separated char sequence, each round counts adjacent-pair
+    * frequencies (weighted by word freq), picks the argmax (count
+    * desc, pair asc — integer counts, so the choice is exact on any
+    * engine), and rewrites sequences with the merged symbol. The
+    * corpus is touched ONCE (word-freq aggregation, the standard BPE
+    * preprocessing); rounds run over the O(vocab) frequency table with
+    * only the chosen pair driver-materialized per round (one row — the
+    * k-means pattern again). Emits the merge table: the artifact a
+    * tokenizer ships.
+    */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    var words = Tables(spark, dir, "documents")
+      .select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .withColumn("seq", expr(
+        """array_join(transform(sequence(1, char_length(w)),
+          |  i -> substring(w, i, 1)), ' ')""".stripMargin))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairsOf = expr(
+      """CASE WHEN size(split(seq, ' ')) >= 2
+        |  THEN transform(sequence(1, size(split(seq, ' ')) - 1),
+        |    i -> concat(element_at(split(seq, ' '), i), ' ',
+        |      element_at(split(seq, ' '), i + 1)))
+        |  ELSE array() END""".stripMargin)
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    for (k <- 1 to BpeIters) {
+      val top = words
+        .select(col("freq"), explode(pairsOf).as("pr"))
+        .groupBy(col("pr")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pr")).limit(1)
+        .as[(String, Long)].collect()(0)
+      merges += ((k, top._1, top._2))
+      words = words.withColumn("seq",
+        expr(s"replace(seq, '${top._1.replace("'", "\\'")}', " +
+          s"'${top._1.replace(" ", "").replace("'", "\\'")}')"))
+    }
+    merges.result().toDF("iteration", "merged_pair", "pair_count")
+      .orderBy(col("iteration"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_train" -> (bpeTrain _),
     "text_repetition" -> (textRepetition _),
     "text_ngram_lm" -> (textNgramLm _),
     "text_bigram_lm" -> (textBigramLm _),
@@ -219,7 +266,43 @@ object CorpusQuality {
     "corpus_sample" -> (corpusSample _)
   )
 
+  /** One unrolled BPE round for the oracle: pair counts over `in`,
+    * argmax to `t`, rewritten sequences to `out`.
+    */
+  private def bpeRoundOracle(in: String, t: String, out: String): String =
+    s"""p_$t AS (SELECT pr, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT freq, unnest(CASE WHEN len(s) >= 2
+       |      THEN [s[i] || ' ' || s[i+1] for i in range(1, len(s))]
+       |      ELSE [] END) AS pr
+       |    FROM (SELECT freq, string_split(seq, ' ') AS s FROM $in))
+       |  GROUP BY pr),
+       |$t AS (SELECT pr, cnt FROM p_$t ORDER BY cnt DESC, pr LIMIT 1),
+       |$out AS (SELECT v.w, v.freq,
+       |    replace(v.seq, $t.pr, replace($t.pr, ' ', '')) AS seq
+       |  FROM $in v CROSS JOIN $t)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // bpe_train: 3 unrolled merge rounds; integer pair counts with a
+    // lexicographic tie-break make every argmax engine-exact, and
+    // replace() is literal left-to-right in both engines
+    "bpe_train" ->
+      s"""WITH words AS (SELECT w, count(*) AS freq FROM (
+         |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+         |    FROM documents)
+         |  GROUP BY w),
+         |w0 AS (SELECT w, freq,
+         |    array_to_string([w[i] for i in range(1, len(w) + 1)], ' ')
+         |      AS seq
+         |  FROM words),
+         |${bpeRoundOracle("w0", "t1", "w1")},
+         |${bpeRoundOracle("w1", "t2", "w2")},
+         |${bpeRoundOracle("w2", "t3", "w3")}
+         |SELECT * FROM (
+         |  SELECT 1 AS iteration, pr AS merged_pair, cnt AS pair_count
+         |  FROM t1
+         |  UNION ALL SELECT 2, pr, cnt FROM t2
+         |  UNION ALL SELECT 3, pr, cnt FROM t3)
+         |ORDER BY iteration""".stripMargin,
     // the relational spelling (unnest + group + max) of the same
     // per-doc top token/bigram the Spark side reads off a sorted-array
     // run fold — different algorithm, same exact integers

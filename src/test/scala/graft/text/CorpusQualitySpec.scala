@@ -51,6 +51,23 @@ class CorpusQualitySpec extends SparkSpec {
     }
   }
 
+  test("bpe_train: 3 deterministic merges, round 1 = the global top pair") {
+    val a = CorpusQuality.bpeTrain(spark, sfDir).collect()
+    val b = CorpusQuality.bpeTrain(spark, sfDir).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    assert(a.map(_.getAs[Int]("iteration")).toSeq == Seq(1, 2, 3))
+    val pairs = a.map(_.getAs[String]("merged_pair"))
+    assert(pairs.distinct.length == 3, "a pair must not merge twice")
+    pairs.foreach(p => assert(p.count(_ == ' ') == 1))
+    a.foreach(r => assert(r.getAs[Long]("pair_count") > 0))
+    // round 1 sees the unmerged corpus: its count must equal the top
+    // char-pair frequency that vocab_bpe_pairs reports
+    val top = graft.text.Retrieval.vocabBpePairs(spark, sfDir)
+      .collect()(0).getAs[Long]("pair_freq")
+    assert(a(0).getAs[Long]("pair_count") == top,
+      "round-1 merge count must match the corpus top pair frequency")
+  }
+
   test("text_bigram_lm: transitions = tokens−1, bits positive/bounded") {
     val lm = CorpusQuality.textBigramLm(spark, sfDir)
     val toks = graft.Tables(spark, sfDir, "documents")
