@@ -85,6 +85,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q6_revenue: every predicate pushed, two-column scan") {
+    val p = plan("q6_revenue")
+    for (f <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(p.contains(s"IsNotNull($f)"), s"$f must reach PushedFilters")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"))
+    val out = p.linesIterator.find(_.startsWith("Output")).get
+    assert(out.startsWith("Output [4]"),
+      s"scan must read only the filter+agg columns, got: $out")
+  }
+
+  test("q14_promo / q5_local_supplier: dims broadcast, facts never do") {
+    for (q <- Seq("q14_promo", "q5_local_supplier")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: dims must broadcast")
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian")
+    }
+  }
+
+  test("q42-style aggregate pushdown: q1_agg partial-aggregates map-side") {
+    val p = plan("q1_agg")
+    assert(countOccurrences(p, "HashAggregate") >= 2,
+      "sum/avg must partial-aggregate before the exchange")
+  }
+
   test("text_repetition: map-only, the sole exchange is the final sort") {
     val p = plan("text_repetition")
     val n = countOccurrences(p, "+- Exchange")
