@@ -470,7 +470,7 @@ object Ann {
     * the E3 IVF replay with the E8 Lloyd replay over residuals.
     */
   def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
-    val c = corpus(spark, dir, spread = true)
+    val c = corpus(spark, dir)
     val refined = refinedCentroids(spark, c)
     // cache the assigned+centered frame: everything downstream (codebook
     // training, encoding, the exact re-rank's embedding/nrm columns)
