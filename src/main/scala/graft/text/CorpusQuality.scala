@@ -211,6 +211,38 @@ object CorpusQuality {
       .orderBy(col("source"))
   }
 
+  val ChunkTokens = 64 // chunk width
+  val ChunkStride = 48 // stride (64 − 48 = 16-token overlap)
+
+  /** `text_chunks` — overlapping context-window chunking (RAG indexing
+    * / long-doc training prep): each doc splits into
+    * [[ChunkTokens]]-token windows advancing by [[ChunkStride]], so
+    * consecutive chunks share a 16-token overlap and no boundary
+    * sentence is ever lost to a cut. Map-only explode per doc — chunk
+    * count, ids, text hashes and exact token spans are all derived
+    * per-row, and the fan-out is len/stride ≈ 1.3×, not quadratic.
+    * Emits (chunk_id, span, n_tokens, md5) — the frame an embedding or
+    * index job consumes next.
+    */
+  def textChunks(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("w", toks)
+      .withColumn("n", size(col("w")))
+      .withColumn("chunk_id", explode(expr(
+        s"""sequence(0, int(greatest(ceil((n - $ChunkTokens)
+           |  / cast($ChunkStride as double)), 0)))""".stripMargin)))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * ChunkStride + 1).as("tok_start"),
+        least(col("chunk_id") * ChunkStride + ChunkTokens, col("n"))
+          .as("tok_end"),
+        expr(s"""size(slice(w, chunk_id * $ChunkStride + 1, $ChunkTokens))""")
+          .cast("long").as("n_tokens"),
+        md5(expr(
+          s"array_join(slice(w, chunk_id * $ChunkStride + 1, $ChunkTokens), ' ')"))
+          .as("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
   val BpeIters = 3
 
   /** `bpe_train` — BPE tokenizer training, the real iterative loop
@@ -259,6 +291,7 @@ object CorpusQuality {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_train" -> (bpeTrain _),
+    "text_chunks" -> (textChunks _),
     "text_repetition" -> (textRepetition _),
     "text_ngram_lm" -> (textNgramLm _),
     "text_bigram_lm" -> (textBigramLm _),
@@ -282,6 +315,24 @@ object CorpusQuality {
        |  FROM $in v CROSS JOIN $t)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "text_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS w,
+        |    len(string_split_regex(trim(text), '\s+')) AS n
+        |  FROM documents),
+        |c AS (SELECT doc_id, w, n,
+        |    unnest(range(0,
+        |      CAST(greatest(ceil((n - 64) / 48.0), 0) AS BIGINT) + 1))
+        |      AS chunk_id
+        |  FROM t)
+        |SELECT doc_id, chunk_id,
+        |  chunk_id * 48 + 1 AS tok_start,
+        |  least(chunk_id * 48 + 64, n) AS tok_end,
+        |  CAST(len(w[chunk_id*48+1 : chunk_id*48+64]) AS BIGINT)
+        |    AS n_tokens,
+        |  md5(array_to_string(w[chunk_id*48+1 : chunk_id*48+64], ' '))
+        |    AS chunk_fp
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     // bpe_train: 3 unrolled merge rounds; integer pair counts with a
     // lexicographic tie-break make every argmax engine-exact, and
     // replace() is literal left-to-right in both engines

@@ -275,6 +275,35 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((100L, 200L), (101L, 200L)))
   }
 
+  test("win_hopping's aggregation is streaming-legal under a watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    // the exact win_hopping shape: 1h windows / 15min hops + watermark
+    val q = events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"))
+      .writeStream.format("memory").queryName("hop")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts("2024-01-01 10:05:00"), "click", 1.0))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 15:00:00"), "late", 1.0)) // close windows
+      q.processAllAvailable()
+      val starts = spark.sql(
+        "SELECT window_start FROM hop WHERE event_type = 'click'")
+        .collect().map(_.getTimestamp(0).toString).sorted
+      // duration/slide = 4 overlapping windows contain 10:05
+      assert(starts.toSeq == Seq("2024-01-01 09:15:00.0",
+        "2024-01-01 09:30:00.0", "2024-01-01 09:45:00.0",
+        "2024-01-01 10:00:00.0"))
+    } finally q.stop()
+  }
+
   test("AnomalyStream alarms only outside the trailing-mean band") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -51,6 +51,31 @@ class CorpusQualitySpec extends SparkSpec {
     }
   }
 
+  test("text_chunks: full coverage with overlap, no token lost to a cut") {
+    val rows = CorpusQuality.textChunks(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val lens = graft.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { case (doc, cs) =>
+      val n = lens(doc)
+      val sorted = cs.sortBy(_.getAs[Int]("chunk_id"))
+      assert(sorted.head.getAs[Int]("tok_start") == 1)
+      assert(sorted.last.getAs[Int]("tok_end") == n,
+        s"doc $doc: last chunk must reach token $n")
+      // consecutive chunks overlap (stride < width) and never skip
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Int]("tok_start") <= a.getAs[Int]("tok_end") + 1)
+        case _ => ()
+      }
+      sorted.foreach { c =>
+        assert(c.getAs[Long]("n_tokens") ==
+          c.getAs[Int]("tok_end") - c.getAs[Int]("tok_start") + 1)
+      }
+    }
+  }
+
   test("bpe_train: 3 deterministic merges, round 1 = the global top pair") {
     val a = CorpusQuality.bpeTrain(spark, sfDir).collect()
     val b = CorpusQuality.bpeTrain(spark, sfDir).collect()
