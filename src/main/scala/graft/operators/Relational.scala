@@ -252,6 +252,40 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** `hll_overlap` — sketch ALGEBRA over the B35 sketch table:
+    * audience overlap |A ∩ B| between two event types by
+    * inclusion–exclusion (|A| + |B| − |A ∪ B|), where |A ∪ B| is just
+    * the register-max merge of the SAME stored daily partials — no
+    * revisit of raw events, no exact-distinct shuffle of user ids.
+    * This is the query shape sketch tables exist for: any pairwise
+    * (or k-way, by the same algebra) audience question answered from
+    * KB-sized stored state. Estimates are the deterministic HLL's, so
+    * the oracle replays all three exactly; the ±error bound on the
+    * derived overlap (3 estimates' errors compound) is pinned in spec
+    * against the exact intersection.
+    */
+  def hllOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HllSketch._
+    val (ta, tb) = ("view", "purchase")
+    val daily = Tables(spark, dir, "events")
+      .filter(col("event_type").isin(ta, tb))
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hllAgg(col("user_id")).as("sk"))
+    val perType = daily.groupBy(col("event_type"))
+      .agg(hllEstimate(hllMerge(col("sk"))).as("est"))
+    val union = daily.agg(hllEstimate(hllMerge(col("sk"))).as("approx_union"))
+    perType.filter(col("event_type") === ta)
+      .select(col("est").as("approx_a"))
+      .crossJoin(perType.filter(col("event_type") === tb)
+        .select(col("est").as("approx_b")))
+      .crossJoin(union)
+      .select(
+        lit(ta).as("type_a"), lit(tb).as("type_b"),
+        col("approx_a"), col("approx_b"), col("approx_union"),
+        (col("approx_a") + col("approx_b") - col("approx_union"))
+          .as("approx_overlap"))
+  }
+
   /** `q13_custdist` — TPC-H Q13: customer order-count distribution.
     * The canonical outer-join + double-aggregation shape: customers
     * LEFT OUTER their (filtered) orders so zero-order customers count,
@@ -442,6 +476,7 @@ object Relational {
     "q18_large_orders" -> (q18LargeOrders _),
     "q13_custdist" -> (q13Custdist _),
     "agg_hll_partial" -> (aggHllPartial _),
+    "hll_overlap" -> (hllOverlap _),
     "unpivot_metrics" -> (unpivotMetrics _),
     "agg_grouping_sets" -> (aggGroupingSets _),
     "etl_scd2" -> (etlScd2 _)
@@ -511,6 +546,24 @@ object Relational {
          |  FROM events GROUP BY 1)
          |SELECT h.grp AS event_type, dy.n_days, h.approx AS approx_users
          |FROM hll h JOIN days dy USING (grp) ORDER BY event_type""".stripMargin,
+    // hll_overlap: three sketch groups (each type + their union) through
+    // the same kernel; register max is associative, so sketching the
+    // union's distinct set equals merging the stored partials
+    "hll_overlap" ->
+      s"""WITH d AS (
+         |  SELECT DISTINCT event_type AS grp, user_id AS x FROM events
+         |  WHERE event_type IN ('view', 'purchase')
+         |  UNION
+         |  SELECT DISTINCT 'both' AS grp, user_id FROM events
+         |  WHERE event_type IN ('view', 'purchase')),
+         |$hllOracleKernel
+         |SELECT 'view' AS type_a, 'purchase' AS type_b,
+         |  a.approx AS approx_a, b.approx AS approx_b,
+         |  u.approx AS approx_union,
+         |  a.approx + b.approx - u.approx AS approx_overlap
+         |FROM hll a, hll b, hll u
+         |WHERE a.grp = 'view' AND b.grp = 'purchase'
+         |  AND u.grp = 'both'""".stripMargin,
     "join_bloom_prefilter" ->
       """SELECT date_trunc('month', o_orderdate) AS order_month,
         |  count(*) AS n_lineitems,

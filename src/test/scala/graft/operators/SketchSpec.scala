@@ -21,6 +21,26 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("hll_overlap tracks the exact audience intersection") {
+    val r = Relational.hllOverlap(spark, sfDir).collect()(0)
+    val users = Tables(spark, sfDir, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+    val a = users.filter(col("event_type") === "view")
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    val b = users.filter(col("event_type") === "purchase")
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    val exact = (a & b).size
+    val est = r.getAs[Long]("approx_overlap")
+    // three ±1.6%-ish estimates compound through the subtraction; the
+    // bound scales with the UNION size (the error base), not the
+    // intersection
+    val slack = math.max(5L, ((a | b).size * 0.08).toLong)
+    assert(math.abs(est - exact) <= slack,
+      s"overlap estimate $est vs exact $exact (slack $slack)")
+    assert(r.getAs[Long]("approx_union") <=
+      r.getAs[Long]("approx_a") + r.getAs[Long]("approx_b"))
+  }
+
   test("merging daily HLL partials equals sketching the whole range") {
     import graft.functions.HllSketch._
     val ev = Tables(spark, sfDir, "events")
