@@ -181,6 +181,30 @@ object Etl {
         round(avg(col("n_chars")), 4).as("avg_chars"))
       .orderBy(col("split"))
 
+  /** A27 `sample_weighted` — weighted k-sampling without replacement
+    * (Efraimidis–Spirakis A-Res): each doc draws a deterministic
+    * uniform u from its md5 (6 hex digits, +0.5 to stay inside (0,1)),
+    * gets key u^(1/w) with w = its length weight, and the global top-k
+    * keys win — longer docs proportionally likelier, no RNG state,
+    * identical sample on any engine/run/partitioning. The rank runs on
+    * the 10-dp-rounded key with doc_id tiebreak (engine-jitter guard),
+    * and TakeOrderedAndProject keeps it a map-side heap, not a global
+    * sort.
+    */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val k = 50
+    Tables(spark, dir, "documents")
+      .withColumn("u",
+        (conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+          1, 6), 16, 10).cast("double") + 0.5) / (1 << 24).toDouble)
+      .withColumn("key", round(
+        pow(col("u"), lit(1.0) / col("n_chars").cast("double")), 10))
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("n_chars").as("weight"), col("key"))
+      .orderBy(col("doc_id"))
+  }
+
   /** A17 `sample_stratified` — per-stratum deterministic downsampling:
     * each language keeps a different fraction, selected by comparing
     * the doc's md5 bucket to a per-stratum hex threshold ('80' = 50%,
@@ -307,6 +331,7 @@ object Etl {
     "corpus_shuffle" -> (corpusShuffle _),
     "etl_incremental_agg" -> (incrementalAgg _),
     "sample_stratified" -> (sampleStratified _),
+    "sample_weighted" -> (sampleWeighted _),
     "etl_extract" -> (extract _),
     "etl_normalize" -> (normalize _),
     "etl_snapshot_new" -> (snapshotNew _),
@@ -369,6 +394,29 @@ object Etl {
       """SELECT event_type, CAST(ts AS DATE) AS day,
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
+    // sample_weighted: 6-hex-digit uniform via strpos decode (md5 is
+    // lowercase in both engines); pow jitter absorbed by the 10-dp
+    // round before ranking
+    "sample_weighted" ->
+      """WITH h AS (SELECT doc_id, n_chars,
+        |    md5(CAST(doc_id AS VARCHAR)) AS hx
+        |  FROM documents),
+        |u AS (SELECT doc_id, n_chars,
+        |    (CAST((strpos('0123456789abcdef', substr(hx,1,1)) - 1) AS DOUBLE)
+        |       * 1048576
+        |     + (strpos('0123456789abcdef', substr(hx,2,1)) - 1) * 65536
+        |     + (strpos('0123456789abcdef', substr(hx,3,1)) - 1) * 4096
+        |     + (strpos('0123456789abcdef', substr(hx,4,1)) - 1) * 256
+        |     + (strpos('0123456789abcdef', substr(hx,5,1)) - 1) * 16
+        |     + (strpos('0123456789abcdef', substr(hx,6,1)) - 1)
+        |     + 0.5) / 16777216.0 AS uu
+        |  FROM h),
+        |k AS (SELECT doc_id, n_chars,
+        |    round(pow(uu, 1.0 / CAST(n_chars AS DOUBLE)), 10) AS key
+        |  FROM u),
+        |top AS (SELECT * FROM k ORDER BY key DESC, doc_id LIMIT 50)
+        |SELECT doc_id, n_chars AS weight, key FROM top
+        |ORDER BY doc_id""".stripMargin,
     "sample_stratified" ->
       """WITH h AS (SELECT lang,
         |    CAST(substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
