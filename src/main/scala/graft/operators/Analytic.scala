@@ -572,7 +572,39 @@ object Analytic {
       .orderBy(col("rank"))
   }
 
+  /** `orders_open_by_day` — temporal state counting ("how many orders
+    * were in flight on each date") by SWEEP-LINE, not interval
+    * explosion: each order contributes a +1 at its open date and a −1
+    * the day after its last shipment, the deltas aggregate to one row
+    * per distinct date, and a running sum over that O(dates) frame
+    * recovers the concurrent-open count at every change point. The
+    * naive spelling explodes span-length rows per order (unbounded at
+    * 100 TB — a year-open order is 365 rows); the sweep is exactly two
+    * rows per order regardless of span, and the only window runs over
+    * the pre-aggregated calendar frame (the documented tiny-frame
+    * global window).
+    */
+  def ordersOpenByDay(spark: SparkSession, dir: String): DataFrame = {
+    val close = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("close_day"))
+    val spans = Tables(spark, dir, "orders")
+      .join(close, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(to_date(col("o_orderdate")).as("open_day"),
+        greatest(coalesce(col("close_day"), to_date(col("o_orderdate"))),
+          to_date(col("o_orderdate"))).as("close_day"))
+    val deltas = spans.select(col("open_day").as("day"), lit(1L).as("d"))
+      .unionAll(spans.select(date_add(col("close_day"), 1).as("day"),
+        lit(-1L).as("d")))
+      .groupBy(col("day")).agg(sum(col("d")).as("delta"))
+    deltas
+      .withColumn("n_open",
+        sum(col("delta")).over(Window.orderBy(col("day"))))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_open_by_day" -> (ordersOpenByDay _),
     "graph_pagerank" -> (graphPagerank _),
     "agg_hist_quantiles" -> (aggHistQuantiles _),
     "win_distribution" -> (winDistribution _),
@@ -595,6 +627,24 @@ object Analytic {
   )
 
   val oracle: Map[String, String] = Map(
+    "orders_open_by_day" ->
+      """WITH cl AS (SELECT l_orderkey,
+        |    max(CAST(l_shipdate AS DATE)) AS close_day
+        |  FROM lineitem GROUP BY l_orderkey),
+        |sp AS (SELECT CAST(o.o_orderdate AS DATE) AS open_day,
+        |    greatest(coalesce(cl.close_day, CAST(o.o_orderdate AS DATE)),
+        |      CAST(o.o_orderdate AS DATE)) AS close_day
+        |  FROM orders o LEFT JOIN cl ON o.o_orderkey = cl.l_orderkey),
+        |dl AS (SELECT day, CAST(sum(d) AS BIGINT) AS delta FROM (
+        |    SELECT open_day AS day, 1 AS d FROM sp
+        |    UNION ALL
+        |    SELECT close_day + INTERVAL 1 DAY, -1 FROM sp)
+        |  GROUP BY day)
+        |SELECT CAST(day AS DATE) AS day, delta,
+        |  CAST(sum(delta) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_open
+        |FROM dl ORDER BY day""".stripMargin,
     // graph_pagerank: the unrolled 3-iteration replay; rank jitter from
     // cross-engine double-sum order is absorbed by the 6-dp round, and
     // the damping constants are the same literals as the Spark side

@@ -22,6 +22,32 @@ class AnalyticSpec extends SparkSpec {
     }
   }
 
+  test("orders_open_by_day: sweep conserves, matches a direct count") {
+    val rows = Analytic.ordersOpenByDay(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("delta")).sum == 0,
+      "every +1 open must have its -1 close")
+    rows.foreach(r => assert(r.getAs[Long]("n_open") >= 0))
+    assert(rows.last.getAs[Long]("n_open") == 0,
+      "after the last close date nothing is open")
+    // cross-check a mid-series change point against a direct count
+    val mid = rows(rows.length / 2)
+    val day = mid.getAs[java.sql.Date]("day")
+    val direct = {
+      val li = graft.Tables(spark, sfDir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(max(to_date(col("l_shipdate"))).as("close_day"))
+      graft.Tables(spark, sfDir, "orders")
+        .join(li, col("o_orderkey") === col("l_orderkey"), "left")
+        .filter(to_date(col("o_orderdate")) <= lit(day) &&
+          coalesce(col("close_day"), to_date(col("o_orderdate")))
+            >= lit(day))
+        .count()
+    }
+    assert(mid.getAs[Long]("n_open") == direct,
+      s"sweep count at $day disagrees with the direct interval count")
+  }
+
   test("win_hopping: every event lands in exactly duration/slide windows") {
     val rows = Windowed.winHopping(spark, sfDir).collect()
     assert(rows.nonEmpty)
