@@ -21,9 +21,15 @@ import graft.text.TextOps
   */
 object Dedup {
 
-  /** Documents with whitespace tokens + distinct word-3-gram shingles. */
+  /** Documents with whitespace tokens + distinct word-3-gram shingles.
+    * The corpus ships as one file at test SFs → one scan split; spread
+    * so the shingle/hash kernels use every core (per-row work dominates
+    * the one small shuffle — the ANN-paths trade; a multi-file 100 TB
+    * corpus splits naturally).
+    */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("toks", TextOps.tokens(col("text")))
       .withColumn("shingles", TextOps.wordShingles(col("toks")))
 
