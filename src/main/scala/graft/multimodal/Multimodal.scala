@@ -135,6 +135,7 @@ object Multimodal {
     "mm_meta" -> (mmMeta _),
     "mm_features" -> (mmFeatures _),
     "mm_frames" -> (mmFrames _),
+    "mm_audio_energy" -> (mmAudioEnergy _),
     "mm_dedup" -> (mmDedup _)
   )
 
@@ -143,6 +144,42 @@ object Multimodal {
     * strpos trick (hex() → per-pair integer), then replays the fake
     * decode/resize/frame geometry in SQL.
     */
+  case class MmAudioWin(doc_id: Long, win_idx: Int, n_samples: Int,
+      rms: Double, peak: Int)
+
+  val AudioWindow = 100 // samples per analysis window
+
+  /** F5 `mm_audio_energy` — audio-shaped signal analysis over binary
+    * payloads: bytes as 8-bit PCM samples, split into consecutive
+    * [[AudioWindow]]-sample windows, per-window RMS energy and peak
+    * amplitude (centered at 128) — the VAD/silence-trim front end of
+    * an audio pipeline, with the decode stubbed (bytes ARE the
+    * samples) and the windowing/flatMap fan-out real. RMS stays
+    * bit-exact cross-engine because the sum of squares is integer
+    * arithmetic; the only floats are one division and one sqrt.
+    */
+  def mmAudioEnergy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id").cast("long"), col("text").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val nw = (bytes.length + AudioWindow - 1) / AudioWindow
+        (0 until nw).iterator.map { w =>
+          val s = bytes.slice(w * AudioWindow,
+            math.min((w + 1) * AudioWindow, bytes.length))
+            .map(b => (b & 0xff) - 128)
+          val sumSq = s.foldLeft(0L)((a, x) => a + x.toLong * x)
+          MmAudioWin(id, w, s.length,
+            math.sqrt(sumSq.toDouble / s.length),
+            s.map(math.abs).max)
+        }
+      }
+      .toDF()
+      .withColumn("rms", round(col("rms"), 4))
+      .orderBy(col("doc_id"), col("win_idx"))
+  }
+
   /** F4 `mm_dedup` — perceptual-bucket near-dup grouping for media
     * payloads: the stub decode signature (format, 32-px dimension
     * bands, 16-level mean-byte band) stands in for a perceptual hash;
@@ -237,6 +274,30 @@ object Multimodal {
         |    list_slice(bytes, off + 1, least(off + 32, n))), 4), 0.0)
         |    AS mean_byte
         |FROM w ORDER BY doc_id, frame_idx""".stripMargin,
+    // F5: byte decode via the hex trick, then integer sum-of-squares
+    // per window — the division and sqrt are the only floats, so the
+    // 4-dp round never sits on a boundary
+    "mm_audio_energy" ->
+      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents),
+        |b AS (SELECT doc_id, n,
+        |    [16 * (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1)
+        |      + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1 - 128
+        |      for i in range(1, n + 1)] AS s
+        |  FROM h),
+        |w AS (SELECT doc_id, n, s,
+        |    unnest(range(0, (n + 99) // 100)) AS win_idx
+        |  FROM b),
+        |sl AS (SELECT doc_id, win_idx,
+        |    s[win_idx*100 + 1 : least((win_idx+1)*100, n)] AS win
+        |  FROM w)
+        |SELECT doc_id, CAST(win_idx AS INT) AS win_idx,
+        |  CAST(len(win) AS INT) AS n_samples,
+        |  round(sqrt(CAST(list_sum([CAST(x*x AS BIGINT) for x in win])
+        |    AS DOUBLE) / len(win)), 4) AS rms,
+        |  CAST(list_max([abs(x) for x in win]) AS INT) AS peak
+        |FROM sl ORDER BY doc_id, win_idx""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id,
         |  octet_length(encode(text)) AS n_bytes,

@@ -42,6 +42,31 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("mm_audio_energy: windows tile the payload, amplitudes bounded") {
+    val rows = Multimodal.mmAudioEnergy(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val perDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    val sizes = graft.Tables(spark, sfDir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text").cast("binary"))
+          .as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    perDoc.foreach { case (doc, ws) =>
+      // windows are consecutive and cover every byte exactly once
+      assert(ws.map(_.getAs[Int]("n_samples")).sum == sizes(doc))
+      assert(ws.map(_.getAs[Int]("win_idx")).sorted.toSeq ==
+        (0 until ws.length))
+      ws.foreach { w =>
+        val rms = w.getAs[Double]("rms")
+        val peak = w.getAs[Int]("peak")
+        assert(rms >= 0.0 && rms <= 128.0)
+        assert(peak >= 0 && peak <= 128)
+        assert(rms <= peak + 1e-9, "RMS cannot exceed the peak")
+      }
+    }
+  }
+
   test("mm_dedup: groups >= 2, keep_id is the minimum sampled member") {
     val rows = Multimodal.mmDedup(spark, sfDir).collect()
     assert(rows.nonEmpty, "bucket signature must produce real groups")
