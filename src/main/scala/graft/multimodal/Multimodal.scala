@@ -136,6 +136,7 @@ object Multimodal {
     "mm_features" -> (mmFeatures _),
     "mm_frames" -> (mmFrames _),
     "mm_audio_energy" -> (mmAudioEnergy _),
+    "mm_embed_topk" -> (mmEmbedTopK _),
     "mm_dedup" -> (mmDedup _)
   )
 
@@ -178,6 +179,41 @@ object Multimodal {
       .toDF()
       .withColumn("rms", round(col("rms"), 4))
       .orderBy(col("doc_id"), col("win_idx"))
+  }
+
+  /** F6 `mm_embed_topk` — cross-modal retrieval plumbing: media
+    * payloads → embedding vectors → nearest-neighbor search, end to
+    * end. The embedder is the stub tier (a 64-bucket byte histogram —
+    * a real CLIP/CLAP encoder slots into the same per-partition map),
+    * and the search is the E1 shape verbatim: queries broadcast,
+    * corpus scanned once, deterministic 6-dp-rounded rank. Cosine over
+    * integer-valued histograms stays bit-exact cross-engine — every
+    * sum is exact integer arithmetic until the final division.
+    */
+  def mmEmbedTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, dir, "documents")
+      .select(col("doc_id").cast("long"), col("text").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val h = new Array[Float](64)
+        bytes.foreach(b => h((b & 0xff) >> 2) += 1f)
+        (id, h)
+      }
+      .toDF("doc_id", "emb")
+    val q = emb.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("q_id"), col("emb").as("q_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(round(col("cos"), 6).desc, col("doc_id"))
+    emb.join(broadcast(q), col("doc_id") =!= col("q_id"))
+      .withColumn("cos",
+        graft.functions.GraftFunctions.cosineSim(col("emb"), col("q_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("doc_id").as("neighbor_id"), col("rank"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy(col("q_id"), col("rank"))
   }
 
   /** F4 `mm_dedup` — perceptual-bucket near-dup grouping for media
@@ -298,6 +334,33 @@ object Multimodal {
         |    AS DOUBLE) / len(win)), 4) AS rms,
         |  CAST(list_max([abs(x) for x in win]) AS INT) AS peak
         |FROM sl ORDER BY doc_id, win_idx""".stripMargin,
+    // F6: hex byte decode → 64-bucket histogram → the E1 cosine/rank
+    // replay; histogram counts are integers, so the cosine matches to
+    // the last bit before the guard rounds
+    "mm_embed_topk" ->
+      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents),
+        |b AS (SELECT doc_id,
+        |    [(16 * (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1)
+        |      + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) // 4
+        |      for i in range(1, n + 1)] AS bk
+        |  FROM h),
+        |e AS (SELECT doc_id,
+        |    [CAST(len(list_filter(bk, x -> x = k)) AS DOUBLE)
+        |      for k in range(0, 64)] AS emb
+        |  FROM b),
+        |q AS (SELECT doc_id AS q_id, emb AS q_emb FROM e
+        |  WHERE doc_id < 10),
+        |scored AS (SELECT q.q_id, e.doc_id,
+        |    list_cosine_similarity(e.emb, q.q_emb) AS cos
+        |  FROM e CROSS JOIN q WHERE e.doc_id <> q.q_id),
+        |ranked AS (SELECT q_id, doc_id, cos, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY round(cos, 6) DESC, doc_id)
+        |      AS rank
+        |  FROM scored)
+        |SELECT q_id, doc_id AS neighbor_id, rank, round(cos, 4) AS cos
+        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id,
         |  octet_length(encode(text)) AS n_bytes,

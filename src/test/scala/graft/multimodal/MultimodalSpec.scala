@@ -67,6 +67,21 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("mm_embed_topk: 5 ranked neighbors per query, self excluded") {
+    val rows = Multimodal.mmEmbedTopK(spark, sfDir).collect()
+    val perQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(perQ.size == 10)
+    perQ.foreach { case (q, ns) =>
+      assert(ns.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 5))
+      assert(!ns.exists(_.getAs[Long]("neighbor_id") == q))
+      // byte histograms are all-positive vectors: cosines sit in (0,1]
+      ns.foreach { n =>
+        val c = n.getAs[Double]("cos")
+        assert(c > 0.0 && c <= 1.0)
+      }
+    }
+  }
+
   test("mm_dedup: groups >= 2, keep_id is the minimum sampled member") {
     val rows = Multimodal.mmDedup(spark, sfDir).collect()
     assert(rows.nonEmpty, "bucket signature must produce real groups")
