@@ -181,6 +181,43 @@ object Etl {
         round(avg(col("n_chars")), 4).as("avg_chars"))
       .orderBy(col("split"))
 
+  /** A28 `etl_merge_cdc` — MERGE INTO semantics from a change-log (the
+    * Delta/Iceberg upsert-with-deletes shape, as a pure computation):
+    * events act as CDC records per key ('error' → DELETE, anything
+    * else → UPSERT of the latest value), the last op per key wins
+    * (event-time order, event_id tiebreak), and the merge against the
+    * base snapshot classifies every surviving row as kept / updated /
+    * inserted — deletes drop out. One window over the change-log keyed
+    * on the merge key + one full-outer join against the base: the
+    * exact shuffle plan a table-format MERGE executes, with the
+    * decision matrix spelled out instead of hidden in a writer.
+    */
+  def etlMergeCdc(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val lastOp = Tables(spark, dir, "events")
+      .withColumn("op",
+        when(col("event_type") === "error", "D").otherwise("U"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id").as("key"), col("op"),
+        round(col("value"), 2).as("new_value"))
+    val base = Tables(spark, dir, "customer")
+      .select(col("c_custkey").cast("long").as("key"),
+        round(col("c_acctbal"), 2).as("base_value"))
+    base.join(lastOp, Seq("key"), "full_outer")
+      .withColumn("status",
+        when(col("op").isNull, "kept")
+          .when(col("op") === "D", "deleted")
+          .when(col("base_value").isNull, "inserted")
+          .otherwise("updated"))
+      .filter(col("status") =!= "deleted")
+      .select(col("key"),
+        coalesce(col("new_value"), col("base_value")).as("value"),
+        col("status"))
+      .orderBy(col("key"))
+  }
+
   /** A27 `sample_weighted` — weighted k-sampling without replacement
     * (Efraimidis–Spirakis A-Res): each doc draws a deterministic
     * uniform u from its md5 (6 hex digits, +0.5 to stay inside (0,1)),
@@ -332,6 +369,7 @@ object Etl {
     "etl_incremental_agg" -> (incrementalAgg _),
     "sample_stratified" -> (sampleStratified _),
     "sample_weighted" -> (sampleWeighted _),
+    "etl_merge_cdc" -> (etlMergeCdc _),
     "etl_extract" -> (extract _),
     "etl_normalize" -> (normalize _),
     "etl_snapshot_new" -> (snapshotNew _),
@@ -394,6 +432,26 @@ object Etl {
       """SELECT event_type, CAST(ts AS DATE) AS day,
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
+    "etl_merge_cdc" ->
+      """WITH last AS (SELECT user_id AS key, op,
+        |    round(value, 2) AS new_value FROM (
+        |    SELECT user_id, value,
+        |      CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) t WHERE rn = 1),
+        |base AS (SELECT CAST(c_custkey AS BIGINT) AS key,
+        |    round(c_acctbal, 2) AS base_value
+        |  FROM customer),
+        |m AS (SELECT coalesce(b.key, l.key) AS key, l.op,
+        |    l.new_value, b.base_value,
+        |    CASE WHEN l.op IS NULL THEN 'kept'
+        |      WHEN l.op = 'D' THEN 'deleted'
+        |      WHEN b.base_value IS NULL THEN 'inserted'
+        |      ELSE 'updated' END AS status
+        |  FROM base b FULL OUTER JOIN last l ON b.key = l.key)
+        |SELECT key, coalesce(new_value, base_value) AS value, status
+        |FROM m WHERE status <> 'deleted' ORDER BY key""".stripMargin,
     // sample_weighted: 6-hex-digit uniform via strpos decode (md5 is
     // lowercase in both engines); pow jitter absorbed by the 10-dp
     // round before ranking
