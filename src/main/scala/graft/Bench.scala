@@ -44,6 +44,12 @@ object Bench {
       val r =
         try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
         catch { case t: Throwable => Left(t.toString.replaceAll("[\"\\n\\r]", " ").take(200)) }
+        // queries that persist() intermediates (ann_pq, corpus_pipeline,
+        // bpe_train, …) would otherwise leak cached frames into executor
+        // storage for the remaining ~145 queries of the run; each timed
+        // run builds (and pays for) its own caches, so dropping them
+        // here keeps runs independent AND honest
+        finally spark.catalog.clearCache()
       (r, metrics.snapshot(spark.sparkContext) - before,
         metrics.drainStages(spark.sparkContext))
     }

@@ -192,7 +192,12 @@ object Multimodal {
     */
   def mmEmbedTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // empty payloads embed to the zero vector, whose cosine is
+    // engine-defined (Spark's cosineSim yields 0.0, DuckDB's
+    // list_cosine_similarity NaN) — exclude them on BOTH sides so the
+    // corpus is identical cross-engine
     val emb = Tables(spark, dir, "documents")
+      .filter(length(col("text")) > 0)
       .select(col("doc_id").cast("long"), col("text").cast("binary"))
       .as[(Long, Array[Byte])]
       .map { case (id, bytes) =>
@@ -340,7 +345,7 @@ object Multimodal {
     "mm_embed_topk" ->
       """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
         |    octet_length(encode(text)) AS n
-        |  FROM documents),
+        |  FROM documents WHERE octet_length(encode(text)) > 0),
         |b AS (SELECT doc_id,
         |    [(16 * (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1)
         |      + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) // 4

@@ -366,23 +366,50 @@ object Analytic {
   /** `abc_pareto` — cumulative-contribution classification: parts
     * ranked by exact decimal revenue, running share against the grand
     * total, bucketed A (first 50% of revenue) / B (to 80%) / C (tail).
+    *
     * The running sum operates on the PRE-AGGREGATED per-part frame
-    * (O(parts), not O(lineitems)) in exact decimal — order-independent
-    * partials, deterministic share at any partitioning — and only the
-    * final share converts to double. The global-order window is the
-    * documented cost: one ordered pass over an already-reduced frame.
+    * (O(parts)) in exact decimal, but parts is still SF-linear, so a
+    * bare `Window.orderBy` (single-partition global sort) would be a
+    * one-task stage at 100 TB. Scale-safe spelling of a global
+    * cumulative sum: range-partition on the global sort key, prefix-sum
+    * WITHIN each partition in parallel, then add back per-partition
+    * offsets — an O(numPartitions) frame that cumulates on the driver
+    * scale (32 rows) and broadcasts. `persist()` pins ONE
+    * materialization of the range exchange so the offsets branch and
+    * the row branch cannot disagree on sampled partition bounds
+    * (RangePartitioner bounds are sample-derived and not stable across
+    * re-executions). Exact decimal partials keep run_share
+    * order-independent, so the result is bit-identical to the
+    * single-window spelling the oracle uses.
     */
   def abcPareto(spark: SparkSession, dir: String): DataFrame = {
+    val nPart = spark.sparkContext.defaultParallelism
     val perPart = Tables(spark, dir, "lineitem")
       .groupBy(col("l_partkey"))
       .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
         .cast("decimal(18,4)")).as("rev_d"))
-    val total = perPart.agg(sum(col("rev_d")).as("total_d"))
-    val w = Window.orderBy(col("rev_d").desc, col("l_partkey"))
+    val ranged = perPart
+      .repartitionByRange(nPart, col("rev_d").desc, col("l_partkey"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    // O(numPartitions) rows: the one place a global-order window is
+    // safe — it cumulates partition subtotals, never data rows.
+    val offOrd = Window.orderBy(col("pid"))
+    val offsets = ranged.groupBy(col("pid"))
+      .agg(sum(col("rev_d")).as("part_d"))
+      .select(col("pid"),
+        coalesce(sum(col("part_d")).over(
+            offOrd.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0).cast("decimal(38,4)")).as("off_d"),
+        sum(col("part_d")).over(
+          offOrd.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)).as("total_d"))
+    val wIn = Window.partitionBy(col("pid"))
+      .orderBy(col("rev_d").desc, col("l_partkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perPart.crossJoin(broadcast(total))
+    ranged.join(broadcast(offsets), Seq("pid"))
       .withColumn("run_share",
-        round(sum(col("rev_d")).over(w).cast("double") /
+        round((sum(col("rev_d")).over(wIn) + col("off_d")).cast("double") /
           col("total_d").cast("double"), 6))
       .withColumn("abc_class",
         when(col("run_share") <= 0.5, "A")
@@ -490,7 +517,12 @@ object Analytic {
     * decimal-grid), where Spark's HALF_UP-on-shortest-repr and
     * DuckDB's binary-double rounding legitimately disagree — integer
     * state makes every step exactly reproducible on any engine. The
-    * ≤1-cent-per-step floor bias is noise for a smoothing signal.
+    * ≤1-cent-per-step floor bias is noise for a smoothing signal. The
+    * division is spelled as a TRUE floor (subtract pmod, then exact
+    * div) because Spark's `div` truncates toward zero while DuckDB's
+    * `//` floors — they'd diverge the first time a daily sum went
+    * negative (refund-heavy day); floor-consistent integer math keeps
+    * the recurrence engine-exact for any sign.
     */
   def tsEwma(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables(spark, dir, "events")
@@ -504,7 +536,8 @@ object Analytic {
         posexplode(col("series")).as(Seq("p", "s")))
       .withColumn("ewma_cents", expr(
         """aggregate(slice(series, 2, p), element_at(series, 1).cents,
-          |  (acc, x) -> (3 * x.cents + 7 * acc) div 10)""".stripMargin))
+          |  (acc, x) -> (3 * x.cents + 7 * acc
+          |    - pmod(3 * x.cents + 7 * acc, 10)) div 10)""".stripMargin))
       .select(col("event_type"), col("s.day").as("day"),
         (col("s.cents") / 100.0).as("rev"),
         (col("ewma_cents") / 100.0).as("ewma"))

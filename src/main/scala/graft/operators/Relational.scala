@@ -190,9 +190,12 @@ object Relational {
   }
 
   /** `q18_large_orders` — TPC-H Q18 shape: aggregate-then-semi-join.
-    * The HAVING subquery produces few keys → broadcast back against the
-    * fact side, so the big join is map-side; the heavy work is one
-    * partial-aggregated groupBy on the natural key.
+    * The HAVING set is fact-derived, so its cardinality grows with SF —
+    * a hard `broadcast()` hint here would force millions of keys into
+    * every executor at 100 TB (broadcast-OOM). No hint: AQE sees the
+    * runtime size of the aggregate and picks broadcast when it IS small
+    * (it is at test SFs) and shuffle join when it isn't. The heavy work
+    * stays one partial-aggregated groupBy on the natural key either way.
     */
   def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
@@ -200,7 +203,7 @@ object Relational {
     val bigKeys = li.groupBy(col("l_orderkey"))
       .agg(sum(col("l_quantity")).as("total_qty"))
       .filter(col("total_qty") > 300)
-    ord.join(broadcast(bigKeys), ord("o_orderkey") === bigKeys("l_orderkey"))
+    ord.join(bigKeys, ord("o_orderkey") === bigKeys("l_orderkey"))
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
         round(col("o_totalprice"), 2).as("o_totalprice"),
         round(col("total_qty"), 2).as("total_qty"))

@@ -47,11 +47,19 @@ object AnomalyStream {
     sorted.foreach { r =>
       if (hist.size >= MinBaseline) {
         val base = hist.sum / hist.size
-        val ratio = r.n / base
-        if (ratio > MaxRatio || ratio < 1.0 / MaxRatio)
-          out += VolumeAnomaly(key, r.day, r.n,
-            math.round(base * 10000).toDouble / 10000,
-            math.round(ratio * 10000).toDouble / 10000)
+        if (base == 0) {
+          // all-zero history: any nonzero count is an anomaly, but the
+          // ratio is undefined — emit the documented sentinel (-1.0)
+          // instead of letting n/0 push Infinity/NaN downstream
+          if (r.n > 0)
+            out += VolumeAnomaly(key, r.day, r.n, 0.0, -1.0)
+        } else {
+          val ratio = r.n / base
+          if (ratio > MaxRatio || ratio < 1.0 / MaxRatio)
+            out += VolumeAnomaly(key, r.day, r.n,
+              math.round(base * 10000).toDouble / 10000,
+              math.round(ratio * 10000).toDouble / 10000)
+        }
       }
       hist = (r.n.toDouble :: hist).take(Trail)
     }

@@ -281,9 +281,20 @@ object CorpusQuality {
         .orderBy(col("cnt").desc, col("pr")).limit(1)
         .as[(String, Long)].collect()(0)
       merges += ((k, top._1, top._2))
-      words = words.withColumn("seq",
-        expr(s"replace(seq, '${top._1.replace("'", "\\'")}', " +
-          s"'${top._1.replace(" ", "").replace("'", "\\'")}')"))
+      // Boundary-anchored rewrite: a bare replace(seq, 'x y', 'xy')
+      // can merge across symbol boundaries once multi-char symbols
+      // exist (symbol 'ax' + 'y' would match 'x y'). Widening every
+      // separator to TWO spaces and anchoring the pattern with one
+      // space on each side makes each match consume only half of each
+      // boundary, so adjacent occurrences ('x y x y') still all merge
+      // — exactly the left-to-right non-overlapping rewrite real BPE
+      // does. The oracle mirrors the same spelling.
+      val esc = (s: String) => s.replace("'", "\\'")
+      val pat = esc(top._1.replace(" ", "  "))
+      val sym = esc(top._1.replace(" ", ""))
+      words = words.withColumn("seq", expr(
+        s"trim(replace(replace(concat(' ', replace(seq, ' ', '  '), ' '), " +
+          s"' $pat ', ' $sym '), '  ', ' '))"))
     }
     merges.result().toDF("iteration", "merged_pair", "pair_count")
       .orderBy(col("iteration"))
@@ -311,7 +322,9 @@ object CorpusQuality {
        |  GROUP BY pr),
        |$t AS (SELECT pr, cnt FROM p_$t ORDER BY cnt DESC, pr LIMIT 1),
        |$out AS (SELECT v.w, v.freq,
-       |    replace(v.seq, $t.pr, replace($t.pr, ' ', '')) AS seq
+       |    trim(replace(replace(' ' || replace(v.seq, ' ', '  ') || ' ',
+       |      ' ' || replace($t.pr, ' ', '  ') || ' ',
+       |      ' ' || replace($t.pr, ' ', '') || ' '), '  ', ' ')) AS seq
        |  FROM $in v CROSS JOIN $t)""".stripMargin
 
   val oracle: Map[String, String] = Map(

@@ -323,7 +323,12 @@ object TextOps {
     * long tail at 100 TB) never happens.
     */
   def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
-    val tokens = Tables(spark, dir, "documents").select(explode(toks).as("tok"))
+    // single-file corpus arrives as one scan split; spread BEFORE the
+    // explode so both passes (MG sketch, exact verify) use every core —
+    // same trade as text_tfidf / the dedup family.
+    val tokens = Tables(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(explode(toks).as("tok"))
     val row = tokens.agg(
       graft.functions.MisraGries.misraGries(col("tok"), MgCapacity)
         .as("sketch"),
