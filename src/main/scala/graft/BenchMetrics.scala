@@ -38,18 +38,24 @@ final class BenchMetrics extends SparkListener {
 
   /** Per-stage attribution (BENCH_DETAIL.json only — stdout has a hard
     * tail budget): which exchange/scan inside a query carries the bytes
-    * and the wall time. The name is the stage's call site; the metrics
-    * are the stage-aggregated task metrics.
+    * and the wall time. The name is the stage's SQL operators (RDD
+    * scope names, innermost first — under AQE the callsite is always
+    * `withThreadLocalCaptured`, so the scopes are what identify the
+    * exchange/codegen-span/scan); falls back to the callsite for
+    * non-SQL stages. Metrics are the stage-aggregated task metrics.
     */
   override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
     val si = e.stageInfo
     val m = si.taskMetrics
     val dur = (for (s <- si.submissionTime; c <- si.completionTime)
       yield c - s).getOrElse(0L)
+    val scopes = GraftShim.stageScopeNames(si)
+    val name =
+      if (scopes.nonEmpty) scopes.mkString(" < ")
+      else si.name.takeWhile(_ != '\n')
     stages.add(BenchMetrics.StageRec(
       si.stageId,
-      si.name.takeWhile(_ != '\n').take(60)
-        .replaceAll("[^A-Za-z0-9 ._:()$\\[\\]=#@-]", ""),
+      name.take(80).replaceAll("[^A-Za-z0-9 ._:()$\\[\\]=#@<-]", ""),
       si.numTasks, dur,
       if (m != null) m.shuffleReadMetrics.totalBytesRead else 0L,
       if (m != null) m.shuffleWriteMetrics.bytesWritten else 0L,

@@ -1,0 +1,134 @@
+package graft.etl
+
+import java.io.{BufferedReader, InputStreamReader, PrintWriter}
+import java.net.Socket
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** A29 `AlertSink` — the delivery boundary for conditional alerts,
+  * closing the reference's last pipeline step (it SENDS the new-records
+  * email over SMTP, aiesec.py:236-249; graft previously built the
+  * payload but stopped there).
+  *
+  * The contract is deliberately tiny — subject + HTML body — because
+  * everything upstream of it is distributed and everything downstream
+  * of it is not: an alert is O(delta) by construction (the reference
+  * mails a handful of cards), so the sink runs driver-side on an
+  * already-aggregated payload. Implementations:
+  *
+  *  - [[AlertSink.Noop]] — delivery unconfigured (the default).
+  *  - [[DirectoryAlertSink]] — one .html file per alert in a local
+  *    directory; the audit trail / local-dev sink.
+  *  - [[SmtpAlertSink]] — minimal RFC 5321 client (EHLO / MAIL FROM /
+  *    RCPT TO / DATA / QUIT, UTF-8 HTML MIME), matching the
+  *    reference's `smtplib` usage. Host/port/addresses come from
+  *    explicit config; nothing sends unless the caller provides them.
+  */
+trait AlertSink {
+  def send(subject: String, htmlBody: String): Unit
+}
+
+object AlertSink {
+
+  /** Delivery unconfigured: alerts are dropped (the payload is still
+    * returned/persisted by the pipeline — only the push is skipped).
+    */
+  object Noop extends AlertSink {
+    override def send(subject: String, htmlBody: String): Unit = ()
+  }
+
+  val MaxCards = 1000 // an alert is a digest, not a data export
+
+  /** Render a (small, already-aggregated) frame as the reference's
+    * HTML-card email body (≈ aiesec.py:216-233): one card per row,
+    * first column as the card title, remaining columns as labeled
+    * lines. Caps at [[MaxCards]] rows — alerts summarize deltas, they
+    * don't ship tables.
+    */
+  def renderCards(df: DataFrame): String = {
+    val cols = df.columns.toSeq
+    val rows = df.limit(MaxCards + 1).collect().toSeq
+    require(rows.size <= MaxCards,
+      s"AlertSink.renderCards is a digest renderer: aggregate first (>$MaxCards rows)")
+    def esc(v: Any): String = Option(v).map(_.toString).getOrElse("")
+      .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val cards = rows.map { (r: Row) =>
+      val fields = cols.tail.zipWithIndex.map { case (c, i) =>
+        s"<p>$c: ${esc(r.get(i + 1))}</p>"
+      }.mkString
+      s"""<div class="card"><h2>${esc(r.get(0))}</h2>$fields</div>"""
+    }.mkString("\n")
+    s"<html><body>\n$cards\n</body></html>"
+  }
+}
+
+/** File-per-alert sink: `dir/<version>.html` (+ a `.subject` sidecar).
+  * The local-dev / audit-trail delivery path; also what you point a
+  * separate mailer daemon at when the cluster can't reach SMTP.
+  */
+class DirectoryAlertSink(dir: String) extends AlertSink {
+
+  private def slug(s: String): String =
+    s.replaceAll("[^A-Za-z0-9._-]+", "_").take(120)
+
+  override def send(subject: String, htmlBody: String): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val base = slug(subject)
+    // never clobber an earlier alert: suffix a sequence number
+    val name = Iterator.from(0)
+      .map(i => if (i == 0) base else s"$base.$i")
+      .find(n => !Files.exists(Paths.get(dir, s"$n.html"))).get
+    Files.writeString(Paths.get(dir, s"$name.html"), htmlBody)
+    Files.writeString(Paths.get(dir, s"$name.subject"), subject)
+  }
+}
+
+/** Minimal SMTP delivery (≈ the reference's smtplib block,
+  * aiesec.py:236-249) — plain-socket RFC 5321 dialogue with a UTF-8
+  * HTML MIME payload. No TLS/AUTH: this targets the in-network relay
+  * host pattern; credentials-bearing setups should front it with a
+  * local relay. Every response is checked and a non-2xx/3xx code
+  * fails loudly — a dropped alert must never look delivered.
+  */
+class SmtpAlertSink(host: String, port: Int, from: String,
+    to: Seq[String]) extends AlertSink {
+  require(to.nonEmpty, "SmtpAlertSink: at least one recipient")
+
+  override def send(subject: String, htmlBody: String): Unit = {
+    val socket = new Socket(host, port)
+    try {
+      val in = new BufferedReader(
+        new InputStreamReader(socket.getInputStream, "UTF-8"))
+      val out = new PrintWriter(
+        new java.io.OutputStreamWriter(socket.getOutputStream, "UTF-8"))
+      def expect(codes: Set[Int]): Unit = {
+        // multi-line replies: "250-..." continues, "250 ..." ends
+        var line = in.readLine()
+        while (line != null && line.length >= 4 && line.charAt(3) == '-')
+          line = in.readLine()
+        require(line != null && line.length >= 3 &&
+          codes.contains(line.take(3).toInt), s"SMTP: unexpected reply '$line'")
+      }
+      def cmd(s: String, codes: Set[Int]): Unit = {
+        out.print(s + "\r\n"); out.flush(); expect(codes)
+      }
+      expect(Set(220))
+      cmd(s"EHLO graft", Set(250))
+      cmd(s"MAIL FROM:<$from>", Set(250))
+      to.foreach(r => cmd(s"RCPT TO:<$r>", Set(250, 251)))
+      cmd("DATA", Set(354))
+      val headers = Seq(
+        s"From: $from",
+        s"To: ${to.mkString(", ")}",
+        s"Subject: $subject",
+        "MIME-Version: 1.0",
+        "Content-Type: text/html; charset=UTF-8")
+      // dot-stuffing per RFC 5321 §4.5.2
+      val body = htmlBody.linesIterator
+        .map(l => if (l.startsWith(".")) "." + l else l).mkString("\r\n")
+      cmd(headers.mkString("\r\n") + "\r\n\r\n" + body + "\r\n.", Set(250))
+      cmd("QUIT", Set(221))
+    } finally socket.close()
+  }
+}

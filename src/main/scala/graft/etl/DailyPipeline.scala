@@ -55,14 +55,27 @@ object DailyPipeline {
         .as("organization"))
       .filter(col("id").isNotNull)
 
+  /** @param xlsxSnapshots rotate snapshots as .xlsx files (the
+    *        reference's exact medium — lets a migrating user keep
+    *        their existing Today/Yesterday.xlsx cycle) instead of
+    *        parquet (the scale default).
+    * @param alertSink where the conditional alert is DELIVERED
+    *        (≈ aiesec.py:236-249's SMTP send): the HTML-card digest of
+    *        the new rows goes here when the delta is non-empty.
+    *        Defaults to no delivery — the payload is still returned.
+    */
   def run(spark: SparkSession, cardsPath: String, storeRoot: String,
-      version: String, reportDir: String): Result = {
+      version: String, reportDir: String,
+      xlsxSnapshots: Boolean = false,
+      alertSink: AlertSink = AlertSink.Noop): Result = {
     // 1-2: ingest + normalize
     val today = normalize(
       spark.read.format("graft-cards").load(cardsPath))
 
     // 3: rotate the keyed snapshot (keeps this + previous)
-    val store = new SnapshotStore(spark, storeRoot, "id")
+    val store =
+      if (xlsxSnapshots) new XlsxSnapshotStore(spark, storeRoot, "id")
+      else new SnapshotStore(spark, storeRoot, "id")
     store.rotate(today, version)
 
     // 4: delta — new ids vs the previous snapshot
@@ -84,10 +97,14 @@ object DailyPipeline {
         Some(p)
       } else None
 
-    // 6: conditional alert
+    // 6: conditional alert — build the digest AND deliver it
     val alert =
-      if (nNew > 0) Some(s"ALERT: $nNew new records in $version")
-      else None
+      if (nNew > 0) {
+        val subject = s"ALERT: $nNew new records in $version"
+        alertSink.send(subject,
+          AlertSink.renderCards(newRows.orderBy(col("id"))))
+        Some(subject)
+      } else None
 
     Result(today.count(), nNew, alert, todayPath, newPath)
   }

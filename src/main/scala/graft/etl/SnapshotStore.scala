@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions._
   */
 class SnapshotStore(spark: SparkSession, root: String, key: String) {
 
-  private def dir(version: String) = s"$root/v=$version"
+  /** Filename suffix of one snapshot ("" = parquet directory). */
+  protected def suffix: String = ""
+
+  protected def dir(version: String) = s"$root/v=$version$suffix"
 
   def write(df: DataFrame, version: String): Unit =
     df.write.mode("overwrite").parquet(dir(version))
@@ -27,7 +30,8 @@ class SnapshotStore(spark: SparkSession, root: String, key: String) {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("v=")).map(_.stripPrefix("v=")).sorted
+      .filter(n => n.startsWith("v=") && n.endsWith(suffix))
+      .map(_.stripPrefix("v=").stripSuffix(suffix)).sorted
   }
 
   def read(version: String): DataFrame = spark.read.parquet(dir(version))
@@ -84,4 +88,28 @@ class SnapshotStore(spark: SparkSession, root: String, key: String) {
     case (Some(t), None) => t.withColumn("status", lit("added"))
     case _ => spark.emptyDataFrame
   }
+}
+
+/** [[SnapshotStore]] persisted as .xlsx files (`root/v=<version>.xlsx`)
+  * via the `graft-xlsx` DSv2 source — byte-for-byte the reference's
+  * snapshot medium (Today.xlsx / Yesterday.xlsx, aiesec.py:20-21,131,
+  * 137), so a user migrating mid-cycle can point graft at their
+  * EXISTING xlsx snapshots and the delta logic keeps working. Read-back
+  * schema is inferred (narrowest type per column); deltas compare
+  * snapshot-to-snapshot, both sides inferred identically. Parquet
+  * (the base class) remains the right medium once migration is done —
+  * xlsx trades scale for reference-compat, which is the point here.
+  */
+class XlsxSnapshotStore(spark: SparkSession, root: String, key: String)
+    extends SnapshotStore(spark, root, key) {
+
+  override protected def suffix: String = ".xlsx"
+
+  override def write(df: DataFrame, version: String): Unit = {
+    new java.io.File(root).mkdirs()
+    df.write.format("graft-xlsx").mode("overwrite").save(dir(version))
+  }
+
+  override def read(version: String): DataFrame =
+    spark.read.format("graft-xlsx").load(dir(version))
 }

@@ -1,0 +1,152 @@
+package graft.etl
+
+import java.util.zip.ZipFile
+
+import org.w3c.dom.Element
+
+import org.apache.spark.sql.types._
+
+/** Xlsx READ support (the reverse of [[XlsxSink]]): parse a worksheet
+  * out of the OOXML zip into raw string cells, with schema inference.
+  * Closes the reference's snapshot round-trip — it reads
+  * `Yesterday.xlsx` back before the anti-join (aiesec.py:137), so a
+  * migrating user with existing xlsx snapshots needs a read path, not
+  * just the styled writer.
+  *
+  * Parsing is JDK-only (ZipFile + DOM — an .xlsx is a small report
+  * file by the same contract the write side enforces, so DOM's
+  * whole-document materialization is fine). Handles the cell styles
+  * real-world writers emit: inline strings (what XlsxSink writes),
+  * shared strings (what openpyxl/Excel write), numbers, booleans, and
+  * formula string results.
+  */
+object XlsxRead {
+
+  /** Header names + data rows as raw strings (null = empty cell). */
+  case class RawSheet(header: IndexedSeq[String],
+      rows: IndexedSeq[IndexedSeq[String]])
+
+  def readRaw(path: String): RawSheet = {
+    val zf = new ZipFile(path)
+    try {
+      def slurp(name: String): Option[Array[Byte]] =
+        Option(zf.getEntry(name)).map { e =>
+          val is = zf.getInputStream(e)
+          try is.readAllBytes() finally is.close()
+        }
+      val shared = slurp("xl/sharedStrings.xml")
+        .map(parseSharedStrings).getOrElse(IndexedSeq.empty)
+      val sheet = slurp("xl/worksheets/sheet1.xml").getOrElse(
+        throw new IllegalArgumentException(
+          s"$path: no xl/worksheets/sheet1.xml — not a single-sheet xlsx"))
+      parseSheet(sheet, shared)
+    } finally zf.close()
+  }
+
+  /** Hardened DOM parse: no DTDs / external entities (untrusted files). */
+  private def parseDom(bytes: Array[Byte]): org.w3c.dom.Document = {
+    val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    f.setNamespaceAware(true)
+    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    f.setXIncludeAware(false)
+    f.setExpandEntityReferences(false)
+    f.newDocumentBuilder().parse(new java.io.ByteArrayInputStream(bytes))
+  }
+
+  private def elems(parent: Element, local: String): Seq[Element] = {
+    val nl = parent.getElementsByTagNameNS("*", local)
+    (0 until nl.getLength).map(nl.item(_).asInstanceOf[Element])
+  }
+
+  private def parseSharedStrings(bytes: Array[Byte]): IndexedSeq[String] = {
+    val doc = parseDom(bytes)
+    val sis = doc.getElementsByTagNameNS("*", "si")
+    (0 until sis.getLength).map { i =>
+      // rich text splits one string over several <r><t> runs — join them
+      elems(sis.item(i).asInstanceOf[Element], "t")
+        .map(_.getTextContent).mkString
+    }
+  }
+
+  /** "BC12" → 0-based column index 54. */
+  private def colIndex(ref: String): Int =
+    ref.takeWhile(_.isLetter).foldLeft(0)((n, c) => n * 26 + (c - 'A' + 1)) - 1
+
+  private def cellValue(c: Element, shared: IndexedSeq[String]): String = {
+    def v: Option[String] = elems(c, "v").headOption.map(_.getTextContent)
+    c.getAttribute("t") match {
+      case "s" => v.map(s => shared(s.trim.toInt)).orNull
+      case "inlineStr" => elems(c, "is").headOption
+        .map(is => elems(is, "t").map(_.getTextContent).mkString).orNull
+      case "b" => v.map(s => if (s.trim == "1") "true" else "false").orNull
+      case _ => v.orNull // "str" (formula result) and plain numbers
+    }
+  }
+
+  private def parseSheet(bytes: Array[Byte],
+      shared: IndexedSeq[String]): RawSheet = {
+    val doc = parseDom(bytes)
+    val rowNodes = doc.getElementsByTagNameNS("*", "row")
+    val rows = (0 until rowNodes.getLength).map { i =>
+      val cells = elems(rowNodes.item(i).asInstanceOf[Element], "c")
+      val byIdx = cells.map(c => colIndex(c.getAttribute("r")) ->
+        cellValue(c, shared)).toMap
+      (byIdx, if (byIdx.isEmpty) -1 else byIdx.keys.max)
+    }
+    if (rows.isEmpty) return RawSheet(IndexedSeq.empty, IndexedSeq.empty)
+    val width = rows.map(_._2).max + 1
+    def materialize(m: Map[Int, String]): IndexedSeq[String] =
+      (0 until width).map(m.getOrElse(_, null))
+    val header = materialize(rows.head._1).zipWithIndex
+      .map { case (h, i) => if (h == null || h.isEmpty) s"_c$i" else h }
+    RawSheet(header, rows.tail.map(r => materialize(r._1)))
+  }
+
+  private def isLong(s: String): Boolean =
+    try { s.toLong; true } catch { case _: NumberFormatException => false }
+  private def isDouble(s: String): Boolean =
+    try { s.toDouble; true } catch { case _: NumberFormatException => false }
+  private def isBool(s: String): Boolean =
+    s == "true" || s == "false"
+
+  /** Narrowest of long < double < boolean < string that fits every
+    * non-null value of each column (all-null → string).
+    */
+  def inferSchema(raw: RawSheet): StructType =
+    StructType(raw.header.zipWithIndex.map { case (name, i) =>
+      val vs = raw.rows.map(_(i)).filter(_ != null)
+      val dt: DataType =
+        if (vs.isEmpty) StringType
+        else if (vs.forall(isLong)) LongType
+        else if (vs.forall(isDouble)) DoubleType
+        else if (vs.forall(isBool)) BooleanType
+        else StringType
+      StructField(name, dt, nullable = true)
+    })
+
+  /** Raw cell string → external Scala value for `dt` (null passes
+    * through; unparseable values fail loudly with cell context).
+    */
+  def convert(s: String, dt: DataType, colName: String): Any = {
+    if (s == null) return null
+    try dt match {
+      case StringType => s
+      case LongType => s.toLong
+      case IntegerType => s.toInt
+      case ShortType => s.toShort
+      case DoubleType => s.toDouble
+      case FloatType => s.toFloat
+      case BooleanType => s.toBoolean
+      case d: DecimalType => BigDecimal(s).setScale(d.scale)
+      case DateType => java.sql.Date.valueOf(s)
+      case TimestampType => java.sql.Timestamp.valueOf(s)
+      case other => throw new IllegalArgumentException(
+        s"graft-xlsx: unsupported read type $other")
+    } catch {
+      case e: IllegalArgumentException if e.getMessage != null &&
+          e.getMessage.startsWith("graft-xlsx") => throw e
+      case _: Exception => throw new IllegalArgumentException(
+        s"graft-xlsx: column '$colName': cannot parse '$s' as $dt")
+    }
+  }
+}

@@ -4,30 +4,42 @@ import java.util.{Map => JMap}
 
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.etl.XlsxSink
+import graft.etl.{XlsxRead, XlsxSink}
 
-/** DataSource V2 WRITE path for the styled Excel report sink (A9):
+/** DataSource V2 READ + WRITE paths for the styled Excel report format
+  * (A9/A28):
   *
   * {{{
   * df.write.format("graft-xlsx")
   *   .mode("overwrite")
   *   .option("highlight", "premium=Yes")   // ≈ aiesec.py:168 cond. fill
   *   .save("/reports/today.xlsx")
+  *
+  * spark.read.format("graft-xlsx")         // ≈ aiesec.py:137 read-back
+  *   .load("/reports/yesterday.xlsx")      // schema inferred, or
+  * spark.read.format("graft-xlsx").schema(s).load(...)
   * }}}
   *
-  * Executor writers serialize their (bounded) row slices into commit
-  * messages; the driver-side `commit` renders the single styled
+  * Write: executor writers serialize their (bounded) row slices into
+  * commit messages; the driver-side `commit` renders the single styled
   * workbook in partition order. This inverts the usual DSv2 flow on
   * purpose: an .xlsx is one small file by contract (reports are
   * aggregated before writing — the XlsxSink row cap enforces it), so
   * the only distributed work is producing the rows.
+  *
+  * Read: one InputPartition (same one-small-file contract — there is
+  * nothing to split), column pruning honored, schema inferred
+  * narrowest-type per column unless user-specified. Reads both what
+  * XlsxSink writes (inline strings) and what openpyxl/Excel write
+  * (shared strings), so existing reference snapshots load as-is.
   */
 class XlsxWriteSource extends TableProvider with DataSourceRegister {
 
@@ -35,20 +47,33 @@ class XlsxWriteSource extends TableProvider with DataSourceRegister {
 
   override def supportsExternalMetadata(): Boolean = true
 
-  // write-only source: schema always comes from the DataFrame
+  // Write path: schema comes from the DataFrame (this returns empty).
+  // Read path: infer from the file when it exists.
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    new StructType()
+    Option(options.get("path"))
+      .filter(p => new java.io.File(p).isFile)
+      .map(p => XlsxRead.inferSchema(XlsxRead.readRaw(p)))
+      .getOrElse(new StructType())
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    new XlsxTable(schema)
+    new XlsxTable(schema, Option(properties.get("path")))
 }
 
-class XlsxTable(schema: StructType) extends Table with SupportsWrite {
+class XlsxTable(schema: StructType, path: Option[String])
+    extends Table with SupportsWrite with SupportsRead {
   override def name(): String = "graft-xlsx"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    val p = Option(options.get("path")).orElse(path).getOrElse(
+      throw new IllegalArgumentException("graft-xlsx: path required"))
+    new XlsxScanBuilder(schema, p)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
@@ -127,4 +152,57 @@ class XlsxWriterFactory(schema: StructType) extends DataWriterFactory {
       override def abort(): Unit = ()
       override def close(): Unit = ()
     }
+}
+
+class XlsxScanBuilder(fullSchema: StructType, path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = fullSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // keep the file's field order; honor the pruned set
+    required = StructType(
+      fullSchema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
+
+  override def build(): Scan = new Scan with Batch {
+    override def readSchema(): StructType = required
+    override def toBatch: Batch = this
+    // one small file by the write side's contract → one partition
+    override def planInputPartitions(): Array[InputPartition] =
+      Array(XlsxInputPartition(path))
+    override def createReaderFactory(): PartitionReaderFactory =
+      new XlsxPartitionReaderFactory(required)
+  }
+}
+
+case class XlsxInputPartition(path: String) extends InputPartition
+
+class XlsxPartitionReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val path = partition.asInstanceOf[XlsxInputPartition].path
+    new PartitionReader[InternalRow] {
+      private val raw = XlsxRead.readRaw(path)
+      private val colIdx = schema.fields.map { f =>
+        val i = raw.header.indexOf(f.name)
+        require(i >= 0, s"graft-xlsx: column '${f.name}' not in $path " +
+          raw.header.mkString("(", ", ", ")"))
+        i
+      }
+      private val toRow = CatalystTypeConverters
+        .createToCatalystConverter(schema)
+      private var pos = -1
+
+      override def next(): Boolean = { pos += 1; pos < raw.rows.length }
+      override def get(): InternalRow = {
+        val r = raw.rows(pos)
+        val vals = schema.fields.zip(colIdx).map { case (f, i) =>
+          XlsxRead.convert(r(i), f.dataType, f.name)
+        }
+        toRow(org.apache.spark.sql.Row.fromSeq(vals.toIndexedSeq))
+          .asInstanceOf[InternalRow]
+      }
+      override def close(): Unit = ()
+    }
+  }
 }

@@ -78,6 +78,21 @@ object GraftShim {
   def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
     sc.listenerBus.waitUntilEmpty()
 
+  /** SQL-operator attribution for a completed stage: the distinct RDD
+    * operation-scope names inside it, innermost first (e.g.
+    * "Exchange < WholeStageCodegen (3) < Scan parquet"). Under AQE the
+    * stage CALLSITE is always `withThreadLocalCaptured at
+    * CompletableFuture` — useless for plan audits — while the RDD
+    * scopes still carry the physical operator names.
+    * (`RDDOperationScope` is `private[spark]`, hence here.)
+    */
+  def stageScopeNames(
+      si: org.apache.spark.scheduler.StageInfo): Seq[String] = {
+    val names = si.rddInfos.sortBy(-_.id)
+      .flatMap(_.scope).map(_.name)
+    names.distinct.take(4).toSeq
+  }
+
   def removeOptimization(spark: SparkSession,
       r: org.apache.spark.sql.catalyst.rules.Rule[
         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {

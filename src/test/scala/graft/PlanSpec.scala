@@ -145,4 +145,61 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("lineitem"),
       "unrolled iterations must not replay the fact-table subtree")
   }
+
+  // ---- TPC-H family q2-q22: the invariants that keep these shapes
+  // viable at 100 TB, pinned per query so a regression (a lost
+  // pushdown, a join degrading to cartesian) fails CI, not the bench.
+
+  private val tpchFamily = Seq(
+    "q2_min_cost_supp", "q8_market_share", "q9_profit",
+    "q11_important_stock", "q12_shipmode", "q15_top_supplier",
+    "q16_parts_supp", "q17_small_qty", "q19_disjunctive",
+    "q20_potential_promo", "q21_waiting", "q22_global_sales")
+
+  test("q2-q22: every scan pushes filters, dims broadcast, no cartesian") {
+    for (q <- tpchFamily) {
+      val p = plan(q)
+      assert(!p.contains("PushedFilters: []"),
+        s"$q: a scan lost its pushed filters")
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: dimension joins must broadcast")
+    }
+  }
+
+  test("q11/q22: nested-loop joins only against one-row aggregates") {
+    // the documented pattern: a scalar threshold (one row) broadcast
+    // back — O(1) build side at any scale. More than the known two
+    // means a real join degraded.
+    for (q <- Seq("q11_important_stock", "q22_global_sales"))
+      assert(countOccurrences(plan(q), "BroadcastNestedLoopJoin") <= 2,
+        s"$q: unexpected nested-loop join beyond the scalar-threshold pair")
+  }
+
+  test("q18_large_orders: no forced broadcast on the fact-derived HAVING set") {
+    // the HAVING key set is SF-linear: a broadcast HINT would OOM at
+    // 100 TB. Size-based planning may still CHOOSE broadcast at test
+    // SF — what must never return is the unconditional hint.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val hints = SparkEntry.queries("q18_large_orders")(spark, sfDir)
+      .queryExecution.optimizedPlan
+      .collect { case j: Join => j.hint }
+    assert(hints.forall(h => h.leftHint.isEmpty && h.rightHint.isEmpty),
+      s"q18 must leave join strategy to size estimates/AQE, got $hints")
+  }
+
+  test("abc_pareto: cumulative share runs partitioned, off one cached scan") {
+    val p = plan("abc_pareto")
+    // the O(parts) running sum must be partition-parallel: its window
+    // spec carries the range-partition id, never a bare global order
+    assert("sum\\(rev_d#\\d+\\) windowspecdefinition\\(pid#".r
+      .findFirstIn(p).isDefined,
+      "rev_d cumulative window must be partitioned by pid")
+    // both branches (offsets + rows) must read the persisted range
+    // exchange, not re-run the lineitem aggregate (the explain text
+    // repeats the cached subtree under each InMemoryTableScan — that's
+    // printing, not re-execution)
+    assert(p.contains("InMemoryTableScan"),
+      "offsets and row branches must share the cached ranged frame")
+  }
 }

@@ -67,4 +67,34 @@ class DailyPipelineSpec extends SparkSpec {
     val r3 = DailyPipeline.run(spark, day3.toString, store, "2026-08-13", reports)
     assert(r3.nNew == 0 && r3.alert.isEmpty && r3.newReport.isEmpty)
   }
+
+  test("xlsx snapshot mode: the reference's exact Today/Yesterday cycle") {
+    val root = Files.createTempDirectory("dailyx")
+    val day1 = root.resolve("day1"); Files.createDirectories(day1)
+    val day2 = root.resolve("day2"); Files.createDirectories(day2)
+    val store = root.resolve("store").toString
+    val reports = root.resolve("reports").toString
+
+    Files.writeString(day1.resolve("page.html"),
+      card(1, "Intern A", "de", "Yes", "12 applicants", "6 weeks") +
+        card(2, "Intern B", "eg", "No", "3 applicants", "."))
+    val r1 = DailyPipeline.run(spark, day1.toString, store, "2026-08-11",
+      reports, xlsxSnapshots = true)
+    assert(r1.nToday == 2 && r1.nNew == 2)
+    // the snapshot store now holds bona-fide xlsx files
+    assert(new java.io.File(s"$store/v=2026-08-11.xlsx").isFile)
+
+    Files.writeString(day2.resolve("page.html"),
+      card(1, "Intern A", "de", "Yes", "15 applicants", "6 weeks") +
+        card(3, "Intern C", "fr", "Yes", "1 applicant", "8 weeks"))
+    val r2 = DailyPipeline.run(spark, day2.toString, store, "2026-08-12",
+      reports, xlsxSnapshots = true)
+    // the delta anti-join ran against a read-back xlsx snapshot
+    assert(r2.nNew == 1)
+    val n2 = sheet(r2.newReport.get)
+    assert(n2.contains("Intern C") && !n2.contains("Intern A"))
+    // rotation keeps two xlsx versions, like Today/Yesterday
+    assert(new java.io.File(s"$store/v=2026-08-12.xlsx").isFile &&
+      new java.io.File(s"$store/v=2026-08-11.xlsx").isFile)
+  }
 }

@@ -1,0 +1,124 @@
+package graft.sources
+
+import java.io.{BufferedOutputStream, FileOutputStream}
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.etl.XlsxRead
+
+/** A28 `graft-xlsx` READ path: write→read round-trip through the DSv2
+  * source, schema inference, shared-string files (what openpyxl/Excel
+  * write — the reference's Yesterday.xlsx, aiesec.py:137), column
+  * pruning, and user-specified schemas.
+  */
+class XlsxReadSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory("xlsxr").resolve(name).toString
+
+  test("write -> read round-trip preserves values and infers types") {
+    import spark.implicits._
+    val path = tmp("rt.xlsx")
+    Seq(
+      (1L, "acme & söhne", true, 10.5),
+      (2L, "zorg <quoted>", false, 3.25)
+    ).toDF("id", "name", "premium", "score")
+      .coalesce(1).orderBy("id")
+      .write.format("graft-xlsx").mode("overwrite").save(path)
+
+    val back = spark.read.format("graft-xlsx").load(path)
+    assert(back.schema == StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("premium", BooleanType), StructField("score", DoubleType))))
+    assert(back.orderBy("id").collect().toSeq == Seq(
+      Row(1L, "acme & söhne", true, 10.5),
+      Row(2L, "zorg <quoted>", false, 3.25)))
+  }
+
+  test("empty cells read as null; mixed columns fall back to string") {
+    import spark.implicits._
+    val path = tmp("nulls.xlsx")
+    Seq(
+      ("a", Some(1L), "1"),
+      ("b", None, "x")
+    ).toDF("k", "n", "mixed")
+      .coalesce(1).orderBy("k")
+      .write.format("graft-xlsx").mode("overwrite").save(path)
+
+    val back = spark.read.format("graft-xlsx").load(path)
+    assert(back.schema("n").dataType == LongType)
+    assert(back.schema("mixed").dataType == StringType)
+    assert(back.orderBy("k").collect().toSeq == Seq(
+      Row("a", 1L, "1"), Row("b", null, "x")))
+  }
+
+  test("column pruning honors the projected subset") {
+    import spark.implicits._
+    val path = tmp("prune.xlsx")
+    Seq((1L, "x", 2.0)).toDF("id", "name", "score")
+      .write.format("graft-xlsx").mode("overwrite").save(path)
+    val projected = spark.read.format("graft-xlsx").load(path)
+      .select("score", "id")
+    assert(projected.collect().toSeq == Seq(Row(2.0, 1L)))
+  }
+
+  test("user-specified schema overrides inference") {
+    import spark.implicits._
+    val path = tmp("user.xlsx")
+    Seq((7L, "2024-05-01")).toDF("n", "day")
+      .write.format("graft-xlsx").mode("overwrite").save(path)
+    val s = StructType(Seq(
+      StructField("n", IntegerType), StructField("day", DateType)))
+    val back = spark.read.format("graft-xlsx").schema(s).load(path)
+    assert(back.collect().toSeq ==
+      Seq(Row(7, java.sql.Date.valueOf("2024-05-01"))))
+  }
+
+  test("shared-string workbooks (openpyxl/Excel style) parse identically") {
+    // hand-rolled minimal workbook using t="s" cells + sharedStrings.xml
+    // — the layout the reference's snapshots actually have
+    val path = tmp("shared.xlsx")
+    val sheet =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
+        |<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>41</v></c></row>
+        |<row r="3"><c r="A3" t="s"><v>3</v></c><c r="B3"><v>42</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val shared =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="4" uniqueCount="4">
+        |<si><t>name</t></si><si><t>n</t></si>
+        |<si><r><t>ali</t></r><r><t>ce</t></r></si><si><t>bob</t></si>
+        |</sst>""".stripMargin
+    val zos = new ZipOutputStream(
+      new BufferedOutputStream(new FileOutputStream(path)))
+    try {
+      def put(n: String, c: String): Unit = {
+        zos.putNextEntry(new ZipEntry(n)); zos.write(c.getBytes("UTF-8"))
+        zos.closeEntry()
+      }
+      put("xl/worksheets/sheet1.xml", sheet)
+      put("xl/sharedStrings.xml", shared)
+    } finally zos.close()
+
+    val back = spark.read.format("graft-xlsx").load(path)
+    assert(back.schema("n").dataType == LongType)
+    // rich-text runs (<r><t>ali</t></r><r><t>ce</t></r>) join to "alice"
+    assert(back.orderBy("name").collect().toSeq ==
+      Seq(Row("alice", 41L), Row("bob", 42L)))
+  }
+
+  test("sparse rows materialize missing trailing cells as null") {
+    val raw = XlsxRead.RawSheet(
+      header = IndexedSeq("a", "b"),
+      rows = IndexedSeq(IndexedSeq("1", null), IndexedSeq("2", "x")))
+    assert(XlsxRead.inferSchema(raw)("a").dataType == LongType)
+    assert(XlsxRead.inferSchema(raw)("b").dataType == StringType)
+  }
+}
