@@ -13,6 +13,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
       operators.Analytic.queries ++
+      operators.CurationOps.queries ++
       operators.TpchExtra.queries ++
       operators.Windowed.queries ++
       operators.EventOps.queries ++
@@ -33,6 +34,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Relational.oracle ++
       operators.Analytic.oracle ++
+      operators.CurationOps.oracle ++
       operators.TpchExtra.oracle ++
       operators.Windowed.oracle ++
       operators.EventOps.oracle ++

@@ -1,0 +1,308 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.TextOps
+
+/** Round-4 curation / pipeline additions (SURVEY.md §2 A31, B71, C26,
+  * D8, E13): late-data audit, the bucketed scale path for keyless
+  * interval joins, vocabulary coverage, directed containment dedup,
+  * and embedding whitening.
+  *
+  * House rules apply: declarative plans, exact integer arithmetic
+  * wherever a ratio could land on a round-half boundary (basis-point
+  * floor division instead of float rounding), deterministic
+  * tie-breaks, and a DuckDB oracle per operator.
+  */
+object CurationOps {
+
+  val LateDelay = "INTERVAL 10 MINUTES" // watermark lateness bound
+
+  /** A31 `etl_late_data` — late-arrival audit, the batch twin of a
+    * streaming watermark: per user, the running max event time over
+    * arrival order (event_id) is the watermark; an event whose ts
+    * trails it by more than [[LateDelay]] would have been dropped by
+    * a streaming window with that delay. The audit tells you what
+    * delay bound the data actually needs before you pick one. One
+    * window + one agg, both keyed on user_id — a single shuffle.
+    * Lateness is reported in whole seconds via exact integer micros
+    * (floor division; non-negative by construction).
+    */
+  def etlLateData(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("wm", max(col("ts")).over(w))
+      .withColumn("late", col("ts") < col("wm") - expr(LateDelay))
+      .withColumn("late_sec",
+        when(col("late"),
+          expr("(unix_micros(wm) - unix_micros(ts)) div 1000000"))
+          .otherwise(lit(0L)))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
+        max(col("late_sec")).as("max_late_sec"))
+      .orderBy(col("user_id"))
+  }
+
+  val WindowDays = 7 // attribution window length (days, inclusive start)
+
+  /** B71 `interval_join_bucketed` — keyless interval join via epoch
+    * bucketing, the scale path a plain range predicate doesn't have:
+    * with no equi key, Catalyst can only nested-loop an
+    * interval-overlap join (O(n·m) at 100 TB). Bucketing makes one:
+    * each interval EXPLODES into the (bounded, here ≤[[WindowDays]])
+    * day buckets it covers, points bucket to their own day, and the
+    * join becomes a plain hash equi-join on the bucket with the range
+    * predicate re-checked at bucket grain. Second scale lever: the
+    * measures here are ADDITIVE and the interval endpoints align to
+    * the bucket grain, so points pre-aggregate to ONE row per bucket
+    * BEFORE the join — the join output is O(intervals·days), never
+    * O(matching point pairs) (52M rows at sf0.1 without it, 210 K
+    * with; at 100 TB the difference is the job). Sub-bucket endpoints
+    * or non-additive measures ⇒ skip the pre-agg and join raw points,
+    * re-checking the exact predicate after — the bucketing still
+    * carries the join. Workload: shipments attributed to urgent-order
+    * processing windows ([o_orderdate, +6d]).
+    */
+  def intervalJoinBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val win = Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"),
+        to_date(col("o_orderdate")).as("w_start"),
+        date_add(to_date(col("o_orderdate")), WindowDays - 1).as("w_end"))
+    val buckets = win.withColumn("day",
+      explode(sequence(col("w_start"), col("w_end"))))
+    val daily = Tables(spark, dir, "lineitem")
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(count(lit(1)).as("n_day"), sum(col("l_quantity")).as("qty_day"))
+    buckets.join(daily, Seq("day"))
+      // bucket-grain predicate re-check: redundant here (the buckets
+      // tile the window exactly) but REQUIRED the moment buckets are
+      // coarser than the interval — kept so the pattern is correct by
+      // construction, and Catalyst folds it cheaply
+      .filter(col("day").between(col("w_start"), col("w_end")))
+      .groupBy(col("o_orderkey"))
+      .agg(sum(col("n_day")).as("n_shipments"),
+        round(sum(col("qty_day")), 2).as("sum_qty"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val VocabK = 100 // reference vocabulary size
+
+  /** C26 `vocab_coverage` — per-document out-of-vocabulary rate
+    * against the corpus top-[[VocabK]] vocabulary: the cheap proxy
+    * for "will my tokenizer shred this document" and a standard
+    * corpus-quality gate. The vocabulary is O(K) → broadcast; the
+    * corpus side is one explode + one left join + one per-doc agg.
+    * OOV rate ships as exact basis points (floor division) — a float
+    * ratio of small integers can land exactly on a round-half
+    * boundary (1/32 = 0.03125) where the engines' rounding modes
+    * legitimately disagree.
+    */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok"))
+      .limit(VocabK)
+      .select(col("tok"), lit(1).as("in_v"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_bp",
+        expr("(n_oov * 10000) div n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ContainTauBp = 7000 // containment threshold (basis points)
+
+  /** D8 `dedup_containment` — DIRECTED near-duplicate detection:
+    * containment C(a→b) = |shingles(a) ∩ shingles(b)| / |shingles(a)|
+    * flags documents mostly INSIDE another (quotes, boilerplate
+    * wrappers, subset pages) that symmetric Jaccard under-scores when
+    * the container is much larger. Same scale shape as D2: inverted
+    * index on 8-byte hashed shingles, df-capped buckets (≤ the D2 cap)
+    * so no hot shingle fans out quadratically, exact counting of
+    * candidate pairs only — never all pairs. Scores ship as exact
+    * basis points.
+    */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val wg = Window.partitionBy(col("g"))
+    val ex = Tables(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        explode(TextOps.wordShingles(TextOps.tokens(col("text")))).as("gs"))
+      .select(col("doc_id"), xxhash64(col("gs")).as("g"))
+      .withColumn("df", count(lit(1)).over(wg))
+      .filter(col("df") <= graft.dedup.Dedup.MaxShingleDf)
+      .select(col("doc_id"), col("g"))
+      .localCheckpoint() // one materialization feeds sizes + both join sides
+    val sz = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
+    ex.as("a")
+      .join(ex.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sz.select(col("doc_id").as("ia"), col("na")), "ia")
+      .withColumn("containment_bp",
+        expr("(n_common * 10000) div na"))
+      .filter(col("containment_bp") >= ContainTauBp)
+      .select(col("ia"), col("ib"), col("na"), col("n_common"),
+        col("containment_bp"))
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  /** E13 `emb_whiten` — diagonal whitening for embedding curation:
+    * per-dimension mean/std over the corpus, each vector re-expressed
+    * in z-scores, then scored by whitened norm (how atypical) and max
+    * |z| (is one dimension dominating — the rogue-feature signal).
+    * Scale/determinism design: the cross-row moment sums are the ONE
+    * place float addition order would leak the partitioning, so
+    * components are quantized to exact integer micro-units
+    * (floor(x·1e6) — floor, not round: floor of a double is
+    * engine-exact) and summed as integers — order-independent,
+    * engine-exact, statistically identical for curation. All per-row
+    * math stays in deterministic double lanes (the emb_stats-proven
+    * fold/dot idiom). Sums stay in i64 up to ~10^8 vectors; widen to
+    * decimal partials beyond.
+    */
+  def embWhiten(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val stats = emb
+      .select(posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("d"),
+        floor(col("x").cast("double") * lit(1e6)).cast("long").as("xi"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n"), sum(col("xi")).as("s1"),
+        sum(expr("xi * xi")).as("s2"))
+      .withColumn("mu",
+        col("s1").cast("double") / (col("n").cast("double") * lit(1e6)))
+      .withColumn("sd", sqrt(
+        greatest(
+          col("s2").cast("double") / (col("n").cast("double") * lit(1e12))
+            - col("mu") * col("mu"),
+          lit(0.0)) + lit(1e-9)))
+    val arrs = stats
+      .agg(
+        array_sort(collect_list(struct(col("d"), col("mu")))).as("ms"),
+        array_sort(collect_list(struct(col("d"), col("sd")))).as("ss"))
+      .select(
+        expr("transform(ms, e -> e.mu)").as("mu"),
+        expr("transform(ss, e -> e.sd)").as("sd"))
+    emb.crossJoin(broadcast(arrs))
+      .withColumn("wv", expr(
+        """zip_with(zip_with(embedding, mu,
+          |  (x, m) -> cast(x as double) - m), sd, (c, s) -> c / s)"""
+          .stripMargin))
+      .select(col("vec_id"), col("label"),
+        round(sqrt(expr(
+          """aggregate(zip_with(wv, wv, (x, y) -> x * y),
+            |  cast(0 as double), (acc, v) -> acc + v)""".stripMargin)), 4)
+          .as("w_norm"),
+        round(expr("array_max(transform(wv, x -> abs(x)))"), 4).as("z_max"))
+      .orderBy(col("vec_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_late_data" -> (etlLateData _),
+    "interval_join_bucketed" -> (intervalJoinBucketed _),
+    "vocab_coverage" -> (vocabCoverage _),
+    "dedup_containment" -> (dedupContainment _),
+    "emb_whiten" -> (embWhiten _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "etl_late_data" ->
+      """WITH w AS (SELECT user_id, event_id, ts,
+        |    max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wm
+        |  FROM events),
+        |l AS (SELECT user_id,
+        |    CASE WHEN ts < wm - INTERVAL 10 MINUTE THEN 1 ELSE 0 END
+        |      AS late,
+        |    CASE WHEN ts < wm - INTERVAL 10 MINUTE
+        |      THEN (epoch_us(wm) - epoch_us(ts)) // 1000000
+        |      ELSE 0 END AS late_sec
+        |  FROM w)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(late) AS BIGINT) AS n_late,
+        |  CAST(max(late_sec) AS BIGINT) AS max_late_sec
+        |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "interval_join_bucketed" ->
+      """SELECT o.o_orderkey, count(*) AS n_shipments,
+        |  round(sum(l.l_quantity), 2) AS sum_qty
+        |FROM orders o JOIN lineitem l
+        |  ON CAST(l.l_shipdate AS DATE)
+        |     BETWEEN CAST(o.o_orderdate AS DATE)
+        |     AND CAST(o.o_orderdate AS DATE) + 6
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY o.o_orderkey ORDER BY o.o_orderkey""".stripMargin,
+    "vocab_coverage" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |v AS (SELECT tok FROM (
+        |    SELECT tok, count(*) AS c FROM t GROUP BY tok
+        |    ORDER BY c DESC, tok LIMIT 100)),
+        |j AS (SELECT t.doc_id,
+        |    CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM t LEFT JOIN v ON t.tok = v.tok)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(oov) AS BIGINT) AS n_oov,
+        |  CAST((sum(oov) * 10000) // count(*) AS BIGINT) AS oov_bp
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_containment" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w
+        |    FROM documents),
+        |s AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+        |    THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |      for i in range(1, len(w) - 1)] ELSE [] END) sh FROM t),
+        |e0 AS (SELECT doc_id, unnest(sh) g FROM s),
+        |keep AS (SELECT g FROM e0 GROUP BY g HAVING count(*) <= 50),
+        |e AS (SELECT e0.* FROM e0 JOIN keep USING (g)),
+        |sz AS (SELECT doc_id, count(*) na FROM e GROUP BY doc_id),
+        |p AS (SELECT a.doc_id ia, b.doc_id ib, count(*) n_common
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT ia, ib, sa.na, n_common,
+        |  CAST((n_common * 10000) // sa.na AS BIGINT) AS containment_bp
+        |FROM p JOIN sz sa ON sa.doc_id = ia
+        |WHERE (n_common * 10000) // sa.na >= 7000
+        |ORDER BY ia, ib""".stripMargin,
+    "emb_whiten" ->
+      """WITH e AS (SELECT
+        |    unnest(range(1, len(embedding) + 1)) AS d,
+        |    unnest([CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+        |      for x in embedding]) AS xi
+        |  FROM embeddings),
+        |s AS (SELECT d, count(*) AS n, sum(xi) AS s1, sum(xi * xi) AS s2
+        |  FROM e GROUP BY d),
+        |st AS (SELECT d,
+        |    CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6) AS mu,
+        |    sqrt(greatest(
+        |      CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12)
+        |        - (CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6))
+        |          * (CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6)),
+        |      0.0) + 1e-9) AS sd
+        |  FROM s),
+        |a AS (SELECT list(mu ORDER BY d) AS mu, list(sd ORDER BY d) AS sd
+        |  FROM st),
+        |w AS (SELECT vec_id, label,
+        |    [(CAST(embedding[i] AS DOUBLE) - a.mu[i]) / a.sd[i]
+        |      for i in range(1, len(embedding) + 1)] AS wv
+        |  FROM embeddings CROSS JOIN a)
+        |SELECT vec_id, label,
+        |  round(sqrt(list_dot_product(wv, wv)), 4) AS w_norm,
+        |  round(list_max([abs(x) for x in wv]), 4) AS z_max
+        |FROM w ORDER BY vec_id""".stripMargin
+  )
+}

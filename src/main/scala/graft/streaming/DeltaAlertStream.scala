@@ -3,7 +3,9 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
+
+import graft.etl.AlertSink
 
 /** One observation of a keyed value (e.g. one scraped card). */
 case class KeyedValue(key: String, value: Double, ts: Timestamp)
@@ -30,6 +32,26 @@ object DeltaAlertStream {
       .flatMapGroupsWithState[Double, DeltaAlert](
         OutputMode.Append, GroupStateTimeout.NoTimeout)(detect)
   }
+
+  /** Delivery tail for the alert stream: each non-empty micro-batch
+    * becomes ONE digest through an [[AlertSink]] (the streaming
+    * counterpart of DailyPipeline step 6 — same renderer, same sinks,
+    * so batch and stream alerts look identical to the recipient).
+    * `foreachBatch` runs driver-side on delta-sized frames by
+    * construction (only new/changed keys reach it); bodies cap at
+    * [[AlertSink.MaxCards]] cards with the true count in the subject.
+    * Caller owns checkpoint/trigger and `.start()`.
+    */
+  def deliver(alerts: Dataset[DeltaAlert],
+      sink: AlertSink): DataStreamWriter[DeltaAlert] =
+    alerts.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[DeltaAlert], batchId: Long) =>
+        val n = batch.count()
+        if (n > 0) sink.send(
+          s"ALERT: $n delta(s) in batch $batchId",
+          AlertSink.renderCards(batch.orderBy("key", "kind")
+            .limit(AlertSink.MaxCards).toDF()))
+      }
 
   private def detect(key: String, rows: Iterator[KeyedValue],
       state: GroupState[Double]): Iterator[DeltaAlert] = {

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CurationOpsSpec extends SparkSpec {
+
+  test("interval_join_bucketed: the bucket trick yields a hash join, " +
+      "never a nested loop") {
+    val p = CurationOps.intervalJoinBucketed(spark, sfDir)
+      .queryExecution.explainString(FormattedMode)
+    // without the bucket equi-key this plan is a BroadcastNestedLoopJoin
+    // (O(n·m) at scale) — the operator exists to make it a hash join
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"interval join degraded to a product:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"))
+  }
+
+  test("interval_join_bucketed: equals the naive range predicate join") {
+    import spark.implicits._
+    val bucketed = CurationOps.intervalJoinBucketed(spark, sfDir)
+    val orders = graft.Tables(spark, sfDir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val naive = orders.join(graft.Tables(spark, sfDir, "lineitem"),
+        to_date(col("l_shipdate")).between(to_date(col("o_orderdate")),
+          date_add(to_date(col("o_orderdate")), 6)))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_shipments"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+    assert(bucketed.count() == naive.count())
+    assert(bucketed.join(naive,
+      Seq("o_orderkey", "n_shipments", "sum_qty")).count() == naive.count())
+  }
+
+  test("dedup_containment: a strict subset document scores 10000 bp") {
+    import spark.implicits._
+    // doc 2 is a strict prefix of doc 1 → every shingle of 2 is in 1
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "totally unrelated words only here nothing shared"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("contain")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // reuse the other tables from sfDir? containment only reads documents
+    val out = CurationOps.dedupContainment(spark, tmp.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(out.toSeq == Seq((2L, 1L, 10000L)))
+  }
+
+  test("vocab_coverage: an all-in-vocab doc is 0 bp; oov counts exact") {
+    val out = CurationOps.vocabCoverage(spark, sfDir)
+    import spark.implicits._
+    val rows = out.select("n_tokens", "n_oov", "oov_bp")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, oov, bp) =>
+      assert(oov <= n && bp == oov * 10000 / n)
+    }
+  }
+
+  test("etl_late_data: a constructed straggler is flagged with its lag") {
+    import spark.implicits._
+    val ev = Seq(
+      // arrival order = event_id; user 1's third arrival is 30 min
+      // behind its watermark
+      (1L, "2024-01-01 10:00:00", 7L),
+      (2L, "2024-01-01 11:00:00", 7L),
+      (3L, "2024-01-01 10:30:00", 7L),
+      (4L, "2024-01-01 10:59:00", 8L)) // within 10 min of wm: not late
+      .toDF("event_id", "s", "user_id")
+      // the driver's events layout stores ts as raw NANOSECOND longs
+      // (parquet TIMESTAMP(NANOS)); Tables() floor-converts to micros
+      .select(col("event_id"),
+        (unix_micros(to_timestamp(col("s"))) * 1000L).as("ts"),
+        col("user_id"), lit("t").as("event_type"), lit(1.0).as("value"),
+        lit("{}").as("props"))
+    val tmp = java.nio.file.Files.createTempDirectory("late")
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = CurationOps.etlLateData(spark, tmp.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(out == Seq((7L, 3L, 1L, 1800L), (8L, 1L, 0L, 0L)))
+  }
+
+  test("emb_whiten: whitened dims have ~0 mean and ~unit spread") {
+    import spark.implicits._
+    val out = CurationOps.embWhiten(spark, sfDir)
+    val rows = out.select("w_norm", "z_max").as[(Double, Double)].collect()
+    assert(rows.nonEmpty)
+    // whitened norm concentrates around sqrt(dims)=8 for 64-dim data;
+    // allow generous slack — this is a sanity envelope, not the oracle
+    val avgNorm = rows.map(_._1).sum / rows.length
+    assert(avgNorm > 6.0 && avgNorm < 10.0, s"avg w_norm=$avgNorm")
+    rows.foreach { case (n, z) => assert(z > 0 && z <= n + 1e-9) }
+  }
+}

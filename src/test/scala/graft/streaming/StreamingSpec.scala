@@ -394,4 +394,32 @@ class StreamingSpec extends SparkSpec {
         ("b", "changed", 9.0), ("c", "new", 3.0)))
     } finally q.stop()
   }
+
+  test("DeltaAlertStream.deliver: one digest per non-empty micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sent = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]
+    val sink = new graft.etl.AlertSink {
+      override def send(subject: String, body: String): Unit =
+        sent.add((subject, body))
+    }
+    val mem = MemoryStream[KeyedValue]
+    val q = DeltaAlertStream.deliver(
+      DeltaAlertStream.alerts(mem.toDS()), sink).start()
+    try {
+      mem.addData(KeyedValue("a", 1.0, ts("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      mem.addData(KeyedValue("a", 1.0, ts("2024-01-02 00:00:00"))) // no delta
+      q.processAllAvailable()
+      mem.addData(KeyedValue("a", 5.0, ts("2024-01-03 00:00:00")))
+      q.processAllAvailable()
+      val msgs = sent.toArray(Array.empty[(String, String)]).toSeq
+      // exactly 2 deliveries: the unchanged batch must NOT send
+      assert(msgs.size == 2)
+      assert(msgs.head._1.startsWith("ALERT: 1 delta"))
+      assert(msgs.head._2.contains("""<div class="card"><h2>a</h2>"""))
+      assert(msgs(1)._2.contains("<p>kind: changed</p>") &&
+        msgs(1)._2.contains("<p>new_value: 5.0</p>"))
+    } finally q.stop()
+  }
 }
