@@ -363,7 +363,52 @@ object Etl {
       .orderBy(col("check_name"))
   }
 
+  /** A32 `etl_profile` — per-column data profiling (the discovery pass
+    * every migration/DQ effort starts with): row count, null count,
+    * distinct count, min/max per column, long-form one row per column.
+    * ONE pass over the table computes every aggregate (no per-column
+    * rescans — the naive UNION-ALL spelling the oracle uses scans once
+    * per column); the stack() unpivot is map-side. Profiled values are
+    * exact integers/strings — numeric min/max stringified AFTER the
+    * aggregate so ordering stays numeric but output stays cross-engine
+    * formatting-safe.
+    */
+  def etlProfile(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    def nulls(col0: String) =
+      sum(when(col(col0).isNull, 1L).otherwise(0L)).as(s"${col0}_nulls")
+    c.agg(
+        count(lit(1)).as("n"),
+        nulls("c_custkey"), countDistinct(col("c_custkey")).as("c_custkey_d"),
+        min(col("c_custkey")).cast("string").as("c_custkey_min"),
+        max(col("c_custkey")).cast("string").as("c_custkey_max"),
+        nulls("c_name"), countDistinct(col("c_name")).as("c_name_d"),
+        min(col("c_name")).as("c_name_min"),
+        max(col("c_name")).as("c_name_max"),
+        nulls("c_mktsegment"),
+        countDistinct(col("c_mktsegment")).as("c_mktsegment_d"),
+        min(col("c_mktsegment")).as("c_mktsegment_min"),
+        max(col("c_mktsegment")).as("c_mktsegment_max"),
+        nulls("c_nationkey"),
+        countDistinct(col("c_nationkey")).as("c_nationkey_d"),
+        min(col("c_nationkey")).cast("string").as("c_nationkey_min"),
+        max(col("c_nationkey")).cast("string").as("c_nationkey_max"))
+      .select(expr(
+        """stack(4,
+          |  'c_custkey', n, c_custkey_nulls, c_custkey_d,
+          |    c_custkey_min, c_custkey_max,
+          |  'c_mktsegment', n, c_mktsegment_nulls, c_mktsegment_d,
+          |    c_mktsegment_min, c_mktsegment_max,
+          |  'c_name', n, c_name_nulls, c_name_d, c_name_min, c_name_max,
+          |  'c_nationkey', n, c_nationkey_nulls, c_nationkey_d,
+          |    c_nationkey_min, c_nationkey_max)
+          |  AS (col_name, n_rows, n_nulls, n_distinct, min_val, max_val)"""
+          .stripMargin))
+      .orderBy(col("col_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_profile" -> (etlProfile _),
     "etl_dq_checks" -> (dqChecks _),
     "corpus_shuffle" -> (corpusShuffle _),
     "etl_incremental_agg" -> (incrementalAgg _),
@@ -383,6 +428,39 @@ object Etl {
   )
 
   val oracle: Map[String, String] = Map(
+    // the oracle intentionally takes the naive one-scan-per-column
+    // UNION ALL spelling — same numbers, 4× the scans the operator pays
+    "etl_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'c_custkey' AS col_name, count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_nulls,
+        |    count(DISTINCT c_custkey) AS n_distinct,
+        |    CAST(min(c_custkey) AS VARCHAR) AS min_val,
+        |    CAST(max(c_custkey) AS VARCHAR) AS max_val
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'c_mktsegment', count(*),
+        |    CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    count(DISTINCT c_mktsegment),
+        |    min(c_mktsegment), max(c_mktsegment)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'c_name', count(*),
+        |    CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    count(DISTINCT c_name), min(c_name), max(c_name)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'c_nationkey', count(*),
+        |    CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    count(DISTINCT c_nationkey),
+        |    CAST(min(c_nationkey) AS VARCHAR),
+        |    CAST(max(c_nationkey) AS VARCHAR)
+        |  FROM customer)
+        |ORDER BY col_name""".stripMargin,
     "etl_dq_checks" ->
       """SELECT * FROM (
         |  SELECT 'orders_pk_unique' AS check_name,

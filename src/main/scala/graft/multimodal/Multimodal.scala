@@ -131,7 +131,34 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  val MinRunLen = 8 // minimum printable run worth extracting
+
+  /** F7 `mm_strings` — printable-text extraction from binary payloads
+    * (the `strings(1)` pass of media triage, and the stub tier for an
+    * OCR/ASR transcript extractor: a real decoder slots into the same
+    * per-row map and feeds the SAME downstream columns): maximal runs
+    * of ≥ [[MinRunLen]] printable ASCII chars, with run count, total
+    * extracted chars, and a bounded preview of the first run. Output
+    * feeds the C-section text gates (quality, langid, dedup) — the
+    * multimodal→text bridge. Map-only, zero shuffle before the
+    * deterministic sort.
+    */
+  def mmStrings(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .withColumn("txt", decode(col("payload"), "UTF-8"))
+      .withColumn("runs",
+        expr(s"regexp_extract_all(txt, '[ -~]{$MinRunLen,}', 0)"))
+      .select(col("doc_id"),
+        size(col("runs")).as("n_runs"),
+        expr("aggregate(transform(runs, r -> length(r)), 0, (a, x) -> a + x)")
+          .as("extracted_chars"),
+        when(size(col("runs")) > 0,
+          substring(col("runs").getItem(0), 1, 40)).as("first_run"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_strings" -> (mmStrings _),
     "mm_meta" -> (mmMeta _),
     "mm_features" -> (mmFeatures _),
     "mm_frames" -> (mmFrames _),
@@ -246,6 +273,18 @@ object Multimodal {
       .orderBy(col("fmt"), col("wband"), col("hband"), col("mband"))
 
   val oracle: Map[String, String] = Map(
+    // F7: same regex engine semantics both sides — maximal greedy runs
+    // of the ASCII-printable class; payload bytes ARE the utf-8 text
+    "mm_strings" ->
+      """WITH r AS (SELECT doc_id,
+        |    regexp_extract_all(text, '[ -~]{8,}') AS runs
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(runs) AS INT) AS n_runs,
+        |  CAST(coalesce(list_sum([length(x) for x in runs]), 0) AS INT)
+        |    AS extracted_chars,
+        |  CASE WHEN len(runs) > 0 THEN runs[1][1:40] END AS first_run
+        |FROM r ORDER BY doc_id""".stripMargin,
     "mm_dedup" ->
       """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
         |    octet_length(encode(text)) AS n
