@@ -26,7 +26,11 @@ object XlsxRead {
   case class RawSheet(header: IndexedSeq[String],
       rows: IndexedSeq[IndexedSeq[String]])
 
-  def readRaw(path: String): RawSheet = {
+  /** @param sheet worksheet selector: None = the first sheet; Some(s)
+    *        = a sheet NAME from the workbook (exact match), or a
+    *        1-based position when `s` is numeric.
+    */
+  def readRaw(path: String, sheet: Option[String] = None): RawSheet = {
     val zf = new ZipFile(path)
     try {
       def slurp(name: String): Option[Array[Byte]] =
@@ -36,11 +40,47 @@ object XlsxRead {
         }
       val shared = slurp("xl/sharedStrings.xml")
         .map(parseSharedStrings).getOrElse(IndexedSeq.empty)
-      val sheet = slurp("xl/worksheets/sheet1.xml").getOrElse(
-        throw new IllegalArgumentException(
-          s"$path: no xl/worksheets/sheet1.xml — not a single-sheet xlsx"))
-      parseSheet(sheet, shared)
+      val entry = resolveSheetEntry(slurp, sheet, path)
+      val bytes = slurp(entry).getOrElse(throw new IllegalArgumentException(
+        s"$path: worksheet part '$entry' missing from the archive"))
+      parseSheet(bytes, shared)
     } finally zf.close()
+  }
+
+  /** Worksheet zip-entry for the requested sheet, via workbook.xml
+    * (sheet name → relationship id) + workbook.xml.rels (rId →
+    * worksheet target). Falls back to the sheet1.xml convention when
+    * the workbook part is absent (minimal writers, XlsxSink included).
+    */
+  private def resolveSheetEntry(slurp: String => Option[Array[Byte]],
+      sheet: Option[String], path: String): String = {
+    val wb = slurp("xl/workbook.xml")
+    if (wb.isEmpty)
+      return "xl/worksheets/sheet1.xml"
+    val sheets = elems(parseDom(wb.get).getDocumentElement, "sheet")
+      .map(s => (s.getAttribute("name"),
+        Option(s.getAttributeNS(
+          "http://schemas.openxmlformats.org/officeDocument/2006/relationships",
+          "id")).filter(_.nonEmpty).getOrElse(s.getAttribute("r:id"))))
+    require(sheets.nonEmpty, s"$path: workbook declares no sheets")
+    val (name, rid) = sheet match {
+      case None => sheets.head
+      case Some(s) if s.forall(_.isDigit) && s.nonEmpty =>
+        val i = s.toInt
+        require(i >= 1 && i <= sheets.length,
+          s"$path: sheet index $i out of 1..${sheets.length}")
+        sheets(i - 1)
+      case Some(s) => sheets.find(_._1 == s).getOrElse(
+        throw new IllegalArgumentException(s"$path: no sheet named '$s' " +
+          sheets.map(_._1).mkString("(", ", ", ")")))
+    }
+    val target = slurp("xl/_rels/workbook.xml.rels").flatMap { rels =>
+      elems(parseDom(rels).getDocumentElement, "Relationship")
+        .find(_.getAttribute("Id") == rid)
+        .map(_.getAttribute("Target"))
+    }.getOrElse(s"worksheets/sheet${sheets.indexWhere(_._1 == name) + 1}.xml")
+    if (target.startsWith("/")) target.stripPrefix("/")
+    else s"xl/$target"
   }
 
   /** Hardened DOM parse: no DTDs / external entities (untrusted files). */

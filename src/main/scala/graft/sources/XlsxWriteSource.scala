@@ -48,11 +48,13 @@ class XlsxWriteSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 
   // Write path: schema comes from the DataFrame (this returns empty).
-  // Read path: infer from the file when it exists.
+  // Read path: infer from the file when it exists. `sheet` option
+  // selects the worksheet (name or 1-based index; default first).
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     Option(options.get("path"))
       .filter(p => new java.io.File(p).isFile)
-      .map(p => XlsxRead.inferSchema(XlsxRead.readRaw(p)))
+      .map(p => XlsxRead.inferSchema(
+        XlsxRead.readRaw(p, Option(options.get("sheet")))))
       .getOrElse(new StructType())
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -72,7 +74,7 @@ class XlsxTable(schema: StructType, path: Option[String])
       options: CaseInsensitiveStringMap): ScanBuilder = {
     val p = Option(options.get("path")).orElse(path).getOrElse(
       throw new IllegalArgumentException("graft-xlsx: path required"))
-    new XlsxScanBuilder(schema, p)
+    new XlsxScanBuilder(schema, p, Option(options.get("sheet")))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -154,7 +156,8 @@ class XlsxWriterFactory(schema: StructType) extends DataWriterFactory {
     }
 }
 
-class XlsxScanBuilder(fullSchema: StructType, path: String)
+class XlsxScanBuilder(fullSchema: StructType, path: String,
+    sheet: Option[String])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
 
@@ -168,21 +171,23 @@ class XlsxScanBuilder(fullSchema: StructType, path: String)
     override def toBatch: Batch = this
     // one small file by the write side's contract → one partition
     override def planInputPartitions(): Array[InputPartition] =
-      Array(XlsxInputPartition(path))
+      Array(XlsxInputPartition(path, sheet))
     override def createReaderFactory(): PartitionReaderFactory =
       new XlsxPartitionReaderFactory(required)
   }
 }
 
-case class XlsxInputPartition(path: String) extends InputPartition
+case class XlsxInputPartition(path: String, sheet: Option[String])
+  extends InputPartition
 
 class XlsxPartitionReaderFactory(schema: StructType)
     extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
-    val path = partition.asInstanceOf[XlsxInputPartition].path
+    val part = partition.asInstanceOf[XlsxInputPartition]
+    val path = part.path
     new PartitionReader[InternalRow] {
-      private val raw = XlsxRead.readRaw(path)
+      private val raw = XlsxRead.readRaw(path, part.sheet)
       private val colIdx = schema.fields.map { f =>
         val i = raw.header.indexOf(f.name)
         require(i >= 0, s"graft-xlsx: column '${f.name}' not in $path " +

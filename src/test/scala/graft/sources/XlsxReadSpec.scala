@@ -114,6 +114,56 @@ class XlsxReadSpec extends SparkSpec {
       Seq(Row("alice", 41L), Row("bob", 42L)))
   }
 
+  test("multi-sheet workbooks: select by name or 1-based index") {
+    val path = tmp("multi.xlsx")
+    def sheetXml(tag: String, v: Long): String =
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+         |<sheetData>
+         |<row r="1"><c r="A1" t="inlineStr"><is><t>k</t></is></c></row>
+         |<row r="2"><c r="A2"><v>$v</v></c></row>
+         |</sheetData></worksheet>""".stripMargin
+    val workbook =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        | xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets>
+        |<sheet name="summary" sheetId="1" r:id="rId1"/>
+        |<sheet name="detail" sheetId="2" r:id="rId2"/>
+        |</sheets></workbook>""".stripMargin
+    val rels =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+        |<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/>
+        |</Relationships>""".stripMargin
+    val zos = new ZipOutputStream(
+      new BufferedOutputStream(new FileOutputStream(path)))
+    try {
+      def put(n: String, c: String): Unit = {
+        zos.putNextEntry(new ZipEntry(n)); zos.write(c.getBytes("UTF-8"))
+        zos.closeEntry()
+      }
+      put("xl/workbook.xml", workbook)
+      put("xl/_rels/workbook.xml.rels", rels)
+      put("xl/worksheets/sheet1.xml", sheetXml("summary", 1L))
+      put("xl/worksheets/sheet2.xml", sheetXml("detail", 2L))
+    } finally zos.close()
+
+    def readK(opts: Map[String, String]): Long =
+      opts.foldLeft(spark.read.format("graft-xlsx")) {
+        case (r, (k, v)) => r.option(k, v)
+      }.load(path).collect()(0).getLong(0)
+    assert(readK(Map.empty) == 1L)              // default: first sheet
+    assert(readK(Map("sheet" -> "detail")) == 2L)
+    assert(readK(Map("sheet" -> "2")) == 2L)
+    assert(readK(Map("sheet" -> "summary")) == 1L)
+    val e = intercept[Exception] {
+      XlsxRead.readRaw(path, Some("nope"))
+    }
+    assert(e.getMessage.contains("no sheet named"))
+  }
+
   test("sparse rows materialize missing trailing cells as null") {
     val raw = XlsxRead.RawSheet(
       header = IndexedSeq("a", "b"),
