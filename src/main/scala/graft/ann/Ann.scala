@@ -105,16 +105,51 @@ object Ann {
     topK(cand.withColumn("cos", cosineSim(col("embedding"), col("q_emb"))))
   }
 
-  val IvfSeedMod = 31 // ~n/31 cells; bucket size stays ~31 at any SF
+  /** Cap on the quantizer TRAINING sample (IVF coarse centroids, PQ
+    * codebooks). Training is the only stage that must see many rows at
+    * once; everything downstream (assignment, encoding, scoring) is a
+    * map over the full corpus against the broadcast trained model. So
+    * the sample is what bounds the design at 100 TB: seeds, Lloyd
+    * refinement aggregates, and the driver-collected centroid set are
+    * all ≤ cap-sized regardless of corpus size — without it the E3
+    * coarse quantizer's n/31 centroid set grows with the corpus and
+    * stops being broadcastable. 256 here so the sample path bites (and
+    * is DuckDB-verified) at every test SF; on a real corpus this knob
+    * sits around 10⁵ — the mechanics are identical.
+    */
+  val TrainCap = 256L
+
+  /** Deterministic 16-bit uniform draw per vector — first 4 hex digits
+    * of md5(vec_id), the same no-RNG-state sampling contract as the
+    * corpus_sample / split operators, so the training set is identical
+    * on any engine, any partitioning, any run.
+    */
+  private[ann] def sampleDraw: org.apache.spark.sql.Column =
+    conv(substring(md5(col("vec_id").cast("string").cast("binary")), 1, 4),
+      16, 10).cast("long")
+
+  /** Keep-threshold targeting ≈[[TrainCap]] sampled vectors: one
+    * column-pruned count (metadata-only on parquet) fixes the rate;
+    * kept iff draw < ⌊min(1, cap/n)·65536⌋. Callers compute this on the
+    * UN-repartitioned corpus so the count never executes a shuffle.
+    */
+  private[ann] def sampleThresh(c: DataFrame): Long = {
+    val n = math.max(c.count(), 1L)
+    math.floor(math.min(1.0, TrainCap.toDouble / n) * 65536).toLong
+  }
+
+  val IvfSeedMod = 31 // seeds = sampled ids % 31; ≈ min(n, cap)/31 cells
   val IvfProbes = 4      // floor: always probe this many nearest cells
   val IvfMaxProbes = 8   // ceiling for margin-expanded probing
   val IvfProbeMargin = 0.05 // extra cells must be within this of the best
 
   /** E3 `ann_ivf` — IVF (inverted-file) ANN with a k-means-lite coarse
-    * quantizer: deterministic seed centroids → one Lloyd mean-refinement
-    * → cell assignment; queries multi-probe their nearest cells.
-    * Centroids are tiny (≈n/31 × dim) and broadcast; the corpus is
-    * scanned twice (refine + assign) and shuffled once on cell_id.
+    * quantizer: deterministic seed centroids and one Lloyd
+    * mean-refinement over the bounded [[TrainCap]] training sample →
+    * full-corpus cell assignment; queries multi-probe their nearest
+    * cells. Centroids are bounded (≤ cap/31 × dim) and broadcast at any
+    * corpus size; the full corpus is scanned once for assignment, the
+    * sample twice for training.
     *
     * Multi-probe rule: the [[IvfProbes]] nearest cells always probe
     * (the recall floor), and cells ranked up to [[IvfMaxProbes]] probe
@@ -127,7 +162,7 @@ object Ann {
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
-    val refined = refinedCentroids(spark, c)
+    val refined = refinedCentroids(spark, c, sampleThresh(c))
     val assigned = assignCells(c, refined)
     val probed = probeCells(queriesDf(spark, dir), refined)
     val cand = assigned.join(broadcast(probed), Seq("cell_id"))
@@ -157,19 +192,24 @@ object Ann {
           struct(round(col("c_cos"), 6).as("c"), (-col("cell_id")).as("t")))
           .as("cell_id"))
 
-  /** Deterministic seeds + one Lloyd mean-refinement via the vector_avg
-    * custom aggregate (single groupBy, mergeable partials — no
-    * posexplode into dim× rows). Centroids are tiny (cells × dim);
-    * materialize them to the driver between passes — the k-means
-    * pattern — so consumers read a local relation instead of re-running
-    * the refinement subtree.
+  /** Coarse-quantizer training on the bounded [[TrainCap]] sample:
+    * deterministic seeds (sampled ids % [[IvfSeedMod]]) + one Lloyd
+    * mean-refinement over the SAMPLED vectors via the vector_avg custom
+    * aggregate (single groupBy, mergeable partials — no posexplode into
+    * dim× rows). Only training is sample-bounded; the full corpus is
+    * assigned to the trained centroids afterwards by the callers. The
+    * centroid set is ≤ cap/31 × dim — driver-collectable and
+    * broadcastable at ANY corpus size, which full-corpus seeding was
+    * not (n/31 centroids grow with n). `thresh` comes from
+    * [[sampleThresh]] on the un-repartitioned corpus.
     */
   private[ann] def refinedCentroids(spark: SparkSession,
-      c: DataFrame): DataFrame = {
+      c: DataFrame, thresh: Long): DataFrame = {
     import spark.implicits._
-    val seeds = c.filter(col("vec_id") % IvfSeedMod === 0)
+    val tr = c.filter(sampleDraw < thresh)
+    val seeds = tr.filter(col("vec_id") % IvfSeedMod === 0)
       .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
-    val rows = assignCells(c, seeds)
+    val rows = assignCells(tr, seeds)
       .groupBy(col("cell_id"))
       .agg(graft.functions.VectorAvg.vectorAvg(col("embedding"))
         .as("c_emb"))
@@ -191,7 +231,7 @@ object Ann {
     */
   def annIvfQ(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir, spread = true)
-    val refined = refinedCentroids(spark, c)
+    val refined = refinedCentroids(spark, c, sampleThresh(corpus(spark, dir)))
     val enc = assignCells(c, refined)
       .join(broadcast(refined), Seq("cell_id"))
       .withColumn("nrm", sqrt(dotF(col("embedding"), col("embedding"))))
@@ -362,33 +402,40 @@ object Ann {
         min_by(col("code"),
           struct(round(col("d2"), 6).as("d"), col("code").as("t"))).as("code"))
 
-  /** Per-subspace k-means-lite codebook: deterministic seeds (the first
-    * [[PqK]] vectors by vec_id, split into subvectors) + [[PqIters]]
-    * Lloyd rounds via the vector_avg mergeable aggregate. The codebook
-    * is m × k × (dim/m) floats — trivially driver-sized at any corpus
-    * scale (training touches the corpus PqIters times, each one scan +
-    * one tiny shuffle).
+  /** Per-subspace k-means-lite codebook on the bounded [[TrainCap]]
+    * sample: deterministic seeds (the first [[PqK]] SAMPLED vectors by
+    * vec_id, split into subvectors) + [[PqIters]] Lloyd rounds via the
+    * vector_avg mergeable aggregate. The codebook is m × k × (dim/m)
+    * floats — trivially driver-sized — and training now touches ≤ cap
+    * subvector rows per round instead of the whole corpus; only the
+    * ENCODE pass (one map against the broadcast codebook) sees every
+    * vector, which is the shape a 100 TB index build needs.
     */
   private[ann] def pqCodebook(spark: SparkSession, c: DataFrame): DataFrame =
-    pqTrain(spark, c, subvecFrame(c, "embedding", "vec_id"))
+    pqTrain(spark, c, subvecFrame(c, "embedding", "vec_id"), sampleThresh(c))
 
   /** Training body with a caller-supplied subvector frame: callers that
     * also ENCODE with the trained codebook pass a persisted `sv` so the
     * corpus → subvector scan runs once instead of once per Lloyd round
     * plus once for encoding (for IVF-PQ the saving is larger still —
     * `sv` sits downstream of cell assignment, a corpus × cells scoring
-    * pass that would otherwise replay per round).
+    * pass that would otherwise replay per round). Lloyd rounds read
+    * only the ≤[[TrainCap]] sampled rows of `sv` (`thresh` from
+    * [[sampleThresh]]); seeds come from the same sample so the oracle
+    * can replay the training set exactly.
     */
   private[ann] def pqTrain(spark: SparkSession, c: DataFrame,
-      sv: DataFrame): DataFrame = {
+      sv: DataFrame, thresh: Long): DataFrame = {
     import spark.implicits._
     val wseed = Window.partitionBy(col("sub")).orderBy(col("vec_id"))
-    var cb = subvecFrame(c.orderBy(col("vec_id")).limit(PqK), "embedding",
-        "vec_id")
+    var cb = subvecFrame(
+        c.filter(sampleDraw < thresh).orderBy(col("vec_id")).limit(PqK),
+        "embedding", "vec_id")
       .withColumn("code", row_number().over(wseed) - 1)
       .select(col("sub"), col("code"), col("sv").as("cb_emb"))
+    val svTr = sv.filter(sampleDraw < thresh)
     for (_ <- 1 to PqIters) {
-      val rows = assignCodes(sv, cb)
+      val rows = assignCodes(svTr, cb)
         .groupBy(col("sub"), col("code"))
         .agg(graft.functions.VectorAvg.vectorAvg(col("sv")).as("cb_emb"))
         .as[(Int, Int, Array[Float])].collect().toSeq.sortBy(r => (r._1, r._2))
@@ -413,10 +460,13 @@ object Ann {
     * here separately.
     */
   def annPq(spark: SparkSession, dir: String): DataFrame = {
+    // thresh and training seeds read the un-spread corpus (no shuffle
+    // behind the count / TakeOrdered); Lloyd reads the persisted sv
+    val th = sampleThresh(corpus(spark, dir))
     val c = corpus(spark, dir, spread = true)
     val sv = subvecFrame(c, "embedding", "vec_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cb = pqTrain(spark, c, sv)
+    val cb = pqTrain(spark, corpus(spark, dir), sv, th)
     val enc = assignCodes(sv, cb)
       .groupBy(col("vec_id"))
       .agg(expr(
@@ -471,7 +521,8 @@ object Ann {
     */
   def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
-    val refined = refinedCentroids(spark, c)
+    val th = sampleThresh(c)
+    val refined = refinedCentroids(spark, c, th)
     // cache the assigned+centered frame: everything downstream (codebook
     // training, encoding, the exact re-rank's embedding/nrm columns)
     // re-reads it, and recomputing means replaying the corpus × cells
@@ -485,7 +536,7 @@ object Ann {
     val resFrame = asg.select(col("vec_id"), col("res").as("embedding"))
     val sv = subvecFrame(resFrame, "embedding", "vec_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cb = pqTrain(spark, resFrame, sv)
+    val cb = pqTrain(spark, resFrame, sv, th)
     val enc = assignCodes(sv, cb)
       .groupBy(col("vec_id"))
       .agg(expr(
@@ -531,7 +582,7 @@ object Ann {
     */
   def embKmeans(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
-    val cents = refinedCentroids(spark, c)
+    val cents = refinedCentroids(spark, c, sampleThresh(c))
     assignCells(c, cents)
       .join(broadcast(cents), Seq("cell_id"))
       .withColumn("cos", cosineSim(col("embedding"), col("c_emb")))
@@ -558,7 +609,7 @@ object Ann {
     */
   def embOutliers(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
-    val cents = refinedCentroids(spark, c)
+    val cents = refinedCentroids(spark, c, sampleThresh(c))
     val assigned = assignCells(c, cents)
       .join(broadcast(cents), Seq("cell_id"))
       .withColumn("cos", cosineSim(col("embedding"), col("c_emb")))
@@ -612,19 +663,39 @@ object Ann {
     * an ordered list_reduce so even its double sums are bit-equal.
     */
 
-  /** One Lloyd round of the PQ oracle: argmin-assign every subvector
-    * to codebook `cb` (same rounded `|c|² − 2·sv·c` ranking and
-    * min-code tiebreak as [[assignCodes]]), then per-(sub, code)
-    * component means cast to REAL — mirrors one `pqCodebook` pass.
+  /** The training-sample replay (see [[sampleThresh]]/[[sampleDraw]]):
+    * the 4-hex-digit md5 uniform draw decodes via strpos (md5 is
+    * lowercase hex in both engines — same kernel as the corpus_sample
+    * oracle) against ⌊min(1, cap/n)·65536⌋.
     */
-  private def pqLloydOracle(cb: String, out: String): String =
+  private val smpCte: String =
+    s"""smp AS (SELECT * FROM embeddings
+       |  WHERE CAST((strpos('0123456789abcdef',
+       |        substr(md5(CAST(vec_id AS VARCHAR)),1,1)) - 1) * 4096
+       |      + (strpos('0123456789abcdef',
+       |        substr(md5(CAST(vec_id AS VARCHAR)),2,1)) - 1) * 256
+       |      + (strpos('0123456789abcdef',
+       |        substr(md5(CAST(vec_id AS VARCHAR)),3,1)) - 1) * 16
+       |      + (strpos('0123456789abcdef',
+       |        substr(md5(CAST(vec_id AS VARCHAR)),4,1)) - 1) AS BIGINT)
+       |    < (SELECT CAST(floor(least(1.0, $TrainCap * 1.0 / count(*))
+       |        * 65536) AS BIGINT) FROM embeddings))""".stripMargin
+
+  /** One Lloyd round of the PQ oracle: argmin-assign every TRAINING
+    * subvector (`svt`, the sampled rows) to codebook `cb` (same rounded
+    * `|c|² − 2·sv·c` ranking and min-code tiebreak as [[assignCodes]]),
+    * then per-(sub, code) component means cast to REAL — mirrors one
+    * sample-bounded `pqTrain` pass.
+    */
+  private def pqLloydOracle(cb: String, out: String,
+      svt: String = "svt"): String =
     s"""a_$out AS (SELECT sv.vec_id, sv.sub, sv.sv, cb.code, row_number()
        |    OVER (PARTITION BY sv.vec_id, sv.sub
        |    ORDER BY round(list_dot_product(CAST(cb.cb_emb AS DOUBLE[]),
        |        CAST(cb.cb_emb AS DOUBLE[]))
        |      - 2.0 * list_dot_product(CAST(sv.sv AS DOUBLE[]),
        |        CAST(cb.cb_emb AS DOUBLE[])), 6) ASC, cb.code ASC) AS rn
-       |  FROM sv JOIN $cb cb USING (sub)),
+       |  FROM $svt sv JOIN $cb cb USING (sub)),
        |m_$out AS (SELECT sub, code, d,
        |    CAST(avg(CAST(sv[d] AS DOUBLE)) AS REAL) AS cv
        |  FROM a_$out, range(1, ${PqSub + 1}) r(d) WHERE rn = 1
@@ -633,23 +704,26 @@ object Ann {
        |  FROM m_$out GROUP BY sub, code)""".stripMargin
   private val M64 = "CAST('18446744073709551616' AS HUGEINT)"
 
-  /** Shared oracle prefix for E3/E7: seed cells → assign (argmax on
-    * 6-dp rounded cosine, min-cell tiebreak) → one Lloyd refinement →
-    * re-assign → margin-expanded multi-probe (floor 4 / ceiling 8 /
-    * 0.05). Mirrors [[refinedCentroids]]/[[assignCells]]/[[probeCells]].
+  /** Shared oracle prefix for E3/E7: training-sample replay → sampled
+    * seed cells → assign the SAMPLE (argmax on 6-dp rounded cosine,
+    * min-cell tiebreak) → one Lloyd refinement over the sample →
+    * re-assign the FULL corpus → margin-expanded multi-probe (floor 4 /
+    * ceiling 8 / 0.05). Mirrors [[refinedCentroids]]/[[assignCells]]/
+    * [[probeCells]] including the [[TrainCap]] sample bound.
     */
   private val ivfOracleCommon: String =
-    s"""WITH seeds AS (SELECT vec_id AS cell_id, embedding AS c_emb
-       |  FROM embeddings WHERE vec_id % $IvfSeedMod = 0),
+    s"""WITH $smpCte,
+       |seeds AS (SELECT vec_id AS cell_id, embedding AS c_emb
+       |  FROM smp WHERE vec_id % $IvfSeedMod = 0),
        |a0 AS (SELECT e.vec_id, s.cell_id, row_number() OVER (
        |    PARTITION BY e.vec_id ORDER BY round(list_cosine_similarity(
        |      CAST(e.embedding AS DOUBLE[]), CAST(s.c_emb AS DOUBLE[])), 6)
        |      DESC, s.cell_id ASC) AS rn
-       |  FROM embeddings e CROSS JOIN seeds s),
+       |  FROM smp e CROSS JOIN seeds s),
        |asg0 AS (SELECT vec_id, cell_id FROM a0 WHERE rn = 1),
        |cent AS (SELECT a.cell_id, r.d,
        |    CAST(avg(CAST(e.embedding[r.d] AS DOUBLE)) AS REAL) AS cv
-       |  FROM asg0 a JOIN embeddings e USING (vec_id), range(1, 65) r(d)
+       |  FROM asg0 a JOIN smp e USING (vec_id), range(1, 65) r(d)
        |  GROUP BY a.cell_id, r.d),
        |cents AS (SELECT cell_id, array_agg(cv ORDER BY d) AS c_emb
        |  FROM cent GROUP BY cell_id),
@@ -712,13 +786,15 @@ object Ann {
          |FROM asg1 a JOIN cents c USING (cell_id)
          |GROUP BY a.cell_id ORDER BY cluster_id""".stripMargin,
     "ann_pq" ->
-      s"""WITH sv AS (SELECT vec_id, r.s AS sub,
+      s"""WITH $smpCte,
+         |sv AS (SELECT vec_id, r.s AS sub,
          |    list_slice(embedding, r.s * $PqSub + 1, r.s * $PqSub + $PqSub)
          |      AS sv
          |  FROM embeddings, range(0, $PqM) r(s)),
+         |svt AS (SELECT sv.* FROM sv JOIN smp USING (vec_id)),
          |seed_ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1
          |    AS code
-         |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $PqK)),
+         |  FROM (SELECT vec_id FROM smp ORDER BY vec_id LIMIT $PqK)),
          |cb0 AS (SELECT sv.sub, si.code, sv.sv AS cb_emb
          |  FROM sv JOIN seed_ids si USING (vec_id)),
          |${pqLloydOracle("cb0", "cb1")},
@@ -766,9 +842,10 @@ object Ann {
          |sv AS (SELECT vec_id, r.s AS sub,
          |    list_slice(res, r.s * $PqSub + 1, r.s * $PqSub + $PqSub) AS sv
          |  FROM res, range(0, $PqM) r(s)),
+         |svt AS (SELECT sv.* FROM sv JOIN smp USING (vec_id)),
          |seed_ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1
          |    AS code
-         |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $PqK)),
+         |  FROM (SELECT vec_id FROM smp ORDER BY vec_id LIMIT $PqK)),
          |cb0 AS (SELECT sv.sub, si.code, sv.sv AS cb_emb
          |  FROM sv JOIN seed_ids si USING (vec_id)),
          |${pqLloydOracle("cb0", "cb1")},

@@ -14,6 +14,15 @@ import org.apache.spark.sql.functions._
   * versions are anti / full-outer joins on the snapshot key — one
   * shuffle, linear in snapshot size, no driver-side row handling.
   */
+object SnapshotStore {
+  /** Filename suffixes of every snapshot medium. [[SnapshotStore.versions]]
+    * classifies directory entries against this list so each store sees
+    * only its own medium; a subclass adding a new medium registers its
+    * suffix here.
+    */
+  private[etl] val KnownSuffixes: Seq[String] = Seq(".xlsx")
+}
+
 class SnapshotStore(spark: SparkSession, root: String, key: String) {
 
   /** Filename suffix of one snapshot ("" = parquet directory). */
@@ -24,13 +33,20 @@ class SnapshotStore(spark: SparkSession, root: String, key: String) {
   def write(df: DataFrame, version: String): Unit =
     df.write.mode("overwrite").parquet(dir(version))
 
-  /** Sorted ascending — last is the latest. */
+  /** Sorted ascending — last is the latest. Only entries in THIS
+    * store's medium are listed: an entry's medium is its recognized
+    * filename suffix ("" = parquet directory), so a root holding both
+    * xlsx and parquet snapshots mid-migration (docs/SCHEDULING.md)
+    * never leaks a `.xlsx` file into the parquet store's version list
+    * (where `read` would crash on it) or vice versa.
+    */
   def versions: Seq[String] = {
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(n => n.startsWith("v=") && n.endsWith(suffix))
+      .filter(n => n.startsWith("v=") &&
+        SnapshotStore.KnownSuffixes.find(n.endsWith).getOrElse("") == suffix)
       .map(_.stripPrefix("v=").stripSuffix(suffix)).sorted
   }
 

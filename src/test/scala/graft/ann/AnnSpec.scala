@@ -107,6 +107,35 @@ class AnnSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("quantizer training sample: bounded, deterministic, vacuous under cap") {
+    import spark.implicits._
+    val c = graft.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val th = Ann.sampleThresh(c)
+    val tr = c.filter(Ann.sampleDraw < lit(th))
+    val n = c.count()
+    val kept = tr.count()
+    info(s"corpus $n, thresh $th, sampled $kept (cap ${Ann.TrainCap})")
+    // binomial around cap: the sample is BOUNDED — never a corpus-scale
+    // fraction once n exceeds the cap — and never empty
+    assert(kept > 0)
+    if (n > Ann.TrainCap) {
+      assert(th < 65536, "sampling must bite when the corpus exceeds the cap")
+      assert(kept <= Ann.TrainCap * 3 / 2, s"sample $kept far above cap")
+    }
+    // deterministic: the same filter re-evaluated selects the same ids
+    val a = tr.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = c.filter(Ann.sampleDraw < lit(th))
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+    // a corpus at-or-under the cap trains on every vector (thresh tops
+    // out at 65536, above any 16-bit draw)
+    val small = (0L until 50L).map(i => (i, Array.fill(4)(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    assert(Ann.sampleThresh(small) == 65536L)
+    assert(small.filter(Ann.sampleDraw < lit(65536L)).count() == 50L)
+  }
+
   test("ivf multi-probe stays within [IvfProbes, IvfMaxProbes] per query") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

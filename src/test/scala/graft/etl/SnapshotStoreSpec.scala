@@ -42,4 +42,29 @@ class SnapshotStoreSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(d3 == Map(2L -> "removed", 3L -> "unchanged"))
   }
+
+  test("xlsx → parquet migration: media never mix in one root") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snapmix").toString
+    val xlsx = new XlsxSnapshotStore(spark, root, "id")
+    xlsx.rotate(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), "2026-08-10")
+    xlsx.rotate(Seq((2L, "b"), (3L, "c")).toDF("id", "name"), "2026-08-11")
+    assert(xlsx.versions == Seq("2026-08-10", "2026-08-11"))
+
+    // the SCHEDULING.md migration flow: switch the job to parquet mode
+    // against the SAME root — the parquet store must not list (or try
+    // to read) the xlsx snapshots left behind
+    val pq = new SnapshotStore(spark, root, "id")
+    assert(pq.versions.isEmpty)
+    assert(pq.newRows.isEmpty)
+
+    pq.rotate(Seq((3L, "c"), (4L, "d")).toDF("id", "name"), "2026-08-12")
+    assert(pq.versions == Seq("2026-08-12"))
+    assert(pq.latest.get.count() == 2)
+
+    // and the xlsx store, still pointed at the root, ignores parquet
+    assert(xlsx.versions == Seq("2026-08-10", "2026-08-11"))
+    assert(xlsx.latest.get.select("id").as[Long].collect().sorted
+      .toSeq == Seq(2L, 3L))
+  }
 }
