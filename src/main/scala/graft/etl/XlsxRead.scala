@@ -17,8 +17,11 @@ import org.apache.spark.sql.types._
   * file by the same contract the write side enforces, so DOM's
   * whole-document materialization is fine). Handles the cell styles
   * real-world writers emit: inline strings (what XlsxSink writes),
-  * shared strings (what openpyxl/Excel write), numbers, booleans, and
-  * formula string results.
+  * shared strings (what openpyxl/Excel write), numbers, booleans,
+  * formula string results, date/datetime serials (via the styles
+  * part's numFmt — surfaced as DateType/TimestampType), and cells
+  * whose optional `r` reference is absent (positioned after the
+  * previous cell, per OOXML).
   */
 object XlsxRead {
 
@@ -40,10 +43,12 @@ object XlsxRead {
         }
       val shared = slurp("xl/sharedStrings.xml")
         .map(parseSharedStrings).getOrElse(IndexedSeq.empty)
+      val styles = slurp("xl/styles.xml")
+        .map(parseStyleDateKinds).getOrElse(IndexedSeq.empty)
       val entry = resolveSheetEntry(slurp, sheet, path)
       val bytes = slurp(entry).getOrElse(throw new IllegalArgumentException(
         s"$path: worksheet part '$entry' missing from the archive"))
-      parseSheet(bytes, shared)
+      parseSheet(bytes, shared, styles)
     } finally zf.close()
   }
 
@@ -112,25 +117,96 @@ object XlsxRead {
   private def colIndex(ref: String): Int =
     ref.takeWhile(_.isLetter).foldLeft(0)((n, c) => n * 26 + (c - 'A' + 1)) - 1
 
-  private def cellValue(c: Element, shared: IndexedSeq[String]): String = {
+  /** Per-cellXf date classification from xl/styles.xml: 0 = not a
+    * date format, 1 = date, 2 = timestamp. Builtin numFmtIds cover
+    * what Excel/openpyxl emit by default (14-17 and the East Asian
+    * 27-36 are dates; 18-21/45-47 times and 22 datetime map to
+    * timestamp); custom <numFmt> codes classify by their format
+    * letters after stripping quoted literals, [..] sections, and
+    * escapes — y/d mean a date part, h a time part.
+    */
+  private def parseStyleDateKinds(bytes: Array[Byte]): IndexedSeq[Int] = {
+    val doc = parseDom(bytes)
+    val custom = elems(doc.getDocumentElement, "numFmt").map { e =>
+      val code = e.getAttribute("formatCode")
+        .replaceAll("\"[^\"]*\"", "").replaceAll("\\[[^\\]]*\\]", "")
+        .replaceAll("\\\\.", "").toLowerCase
+      val kind =
+        if (code.contains("y") || code.contains("d"))
+          if (code.contains("h")) 2 else 1
+        else if (code.contains("h")) 2
+        else 0
+      e.getAttribute("numFmtId").toInt -> kind
+    }.toMap
+    val builtin: Map[Int, Int] =
+      ((14 to 17) ++ (27 to 36)).map(_ -> 1).toMap ++
+        ((18 to 21) ++ (45 to 47) :+ 22).map(_ -> 2).toMap
+    val cellXfs = elems(doc.getDocumentElement, "cellXfs").headOption
+      .map(elems(_, "xf")).getOrElse(Seq.empty)
+    cellXfs.map { xf =>
+      val id = Option(xf.getAttribute("numFmtId")).filter(_.nonEmpty)
+        .map(_.toInt).getOrElse(0)
+      custom.getOrElse(id, builtin.getOrElse(id, 0))
+    }.toIndexedSeq
+  }
+
+  /** Excel serial number → ISO date / timestamp string (epoch
+    * 1899-12-30, the convention every modern writer uses for dates
+    * past the 1900-02-29 ghost; sub-day fraction rounds to seconds).
+    */
+  private def serialToString(serial: Double, kind: Int): String = {
+    val days = math.floor(serial).toLong
+    val secsRaw = math.round((serial - days) * 86400.0)
+    val (d, secs) = if (secsRaw >= 86400L) (days + 1, 0L) else (days, secsRaw)
+    val ld = java.time.LocalDate.of(1899, 12, 30).plusDays(d)
+    if (kind == 1) ld.toString
+    else java.time.LocalDateTime
+      .of(ld, java.time.LocalTime.ofSecondOfDay(secs))
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss"))
+  }
+
+  private def cellValue(c: Element, shared: IndexedSeq[String],
+      styles: IndexedSeq[Int]): String = {
     def v: Option[String] = elems(c, "v").headOption.map(_.getTextContent)
     c.getAttribute("t") match {
       case "s" => v.map(s => shared(s.trim.toInt)).orNull
       case "inlineStr" => elems(c, "is").headOption
         .map(is => elems(is, "t").map(_.getTextContent).mkString).orNull
       case "b" => v.map(s => if (s.trim == "1") "true" else "false").orNull
-      case _ => v.orNull // "str" (formula result) and plain numbers
+      case _ => // "str" (formula result) and plain numbers
+        val kind = Option(c.getAttribute("s")).filter(_.nonEmpty)
+          .flatMap(s => scala.util.Try(s.toInt).toOption)
+          .filter(i => i >= 0 && i < styles.length)
+          .map(styles).getOrElse(0)
+        // a date-styled NUMERIC cell is an Excel serial date — surface
+        // it as the ISO string the schema inference and converters
+        // understand; string formula results pass through untouched
+        v.map { s =>
+          if (kind != 0 && isDouble(s.trim)) serialToString(s.trim.toDouble, kind)
+          else s
+        }.orNull
     }
   }
 
-  private def parseSheet(bytes: Array[Byte],
-      shared: IndexedSeq[String]): RawSheet = {
+  private def parseSheet(bytes: Array[Byte], shared: IndexedSeq[String],
+      styles: IndexedSeq[Int]): RawSheet = {
     val doc = parseDom(bytes)
     val rowNodes = doc.getElementsByTagNameNS("*", "row")
     val rows = (0 until rowNodes.getLength).map { i =>
       val cells = elems(rowNodes.item(i).asInstanceOf[Element], "c")
-      val byIdx = cells.map(c => colIndex(c.getAttribute("r")) ->
-        cellValue(c, shared)).toMap
+      // OOXML makes the cell reference `r` OPTIONAL: a cell without it
+      // sits one right of the previous cell (or at column 0). Tracking
+      // the running position instead of requiring `r` keeps data from
+      // third-party minimal writers from being silently dropped.
+      var next = 0
+      val byIdx = cells.map { c =>
+        val ref = c.getAttribute("r")
+        val idx = if (ref.takeWhile(_.isLetter).isEmpty) next
+          else colIndex(ref)
+        next = idx + 1
+        idx -> cellValue(c, shared, styles)
+      }.toMap
       (byIdx, if (byIdx.isEmpty) -1 else byIdx.keys.max)
     }
     if (rows.isEmpty) return RawSheet(IndexedSeq.empty, IndexedSeq.empty)
@@ -148,9 +224,15 @@ object XlsxRead {
     try { s.toDouble; true } catch { case _: NumberFormatException => false }
   private def isBool(s: String): Boolean =
     s == "true" || s == "false"
+  private def isDate(s: String): Boolean =
+    s.length == 10 && s.matches("\\d{4}-\\d{2}-\\d{2}")
+  private def isTimestamp(s: String): Boolean =
+    s.matches("\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}(\\.\\d+)?")
 
-  /** Narrowest of long < double < boolean < string that fits every
-    * non-null value of each column (all-null → string).
+  /** Narrowest of long < double < boolean < date < timestamp < string
+    * that fits every non-null value of each column (all-null →
+    * string). Date-styled numeric cells arrive from [[parseSheet]] as
+    * ISO strings, so a date column round-trips to DateType.
     */
   def inferSchema(raw: RawSheet): StructType =
     StructType(raw.header.zipWithIndex.map { case (name, i) =>
@@ -160,6 +242,8 @@ object XlsxRead {
         else if (vs.forall(isLong)) LongType
         else if (vs.forall(isDouble)) DoubleType
         else if (vs.forall(isBool)) BooleanType
+        else if (vs.forall(isDate)) DateType
+        else if (vs.forall(isTimestamp)) TimestampType
         else StringType
       StructField(name, dt, nullable = true)
     })

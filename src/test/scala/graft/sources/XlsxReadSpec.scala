@@ -164,6 +164,73 @@ class XlsxReadSpec extends SparkSpec {
     assert(e.getMessage.contains("no sheet named"))
   }
 
+  private def putZip(path: String, entries: (String, String)*): Unit = {
+    val zos = new ZipOutputStream(
+      new BufferedOutputStream(new FileOutputStream(path)))
+    try entries.foreach { case (n, c) =>
+      zos.putNextEntry(new ZipEntry(n)); zos.write(c.getBytes("UTF-8"))
+      zos.closeEntry()
+    } finally zos.close()
+  }
+
+  test("cells without the optional r reference keep their position") {
+    // OOXML makes `r` optional; minimal third-party writers omit it.
+    // Cells without it sit one right of the previous cell — silently
+    // dropping them is data loss on exactly the files the read path
+    // exists for. Row 3 mixes explicit and implicit references.
+    val path = tmp("noref.xlsx")
+    val sheet =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<sheetData>
+        |<row><c t="inlineStr"><is><t>a</t></is></c><c t="inlineStr"><is><t>b</t></is></c><c t="inlineStr"><is><t>c</t></is></c></row>
+        |<row><c><v>1</v></c><c><v>2</v></c><c><v>3</v></c></row>
+        |<row r="3"><c r="A3"><v>4</v></c><c><v>5</v></c><c r="C3"><v>6</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    putZip(path, "xl/worksheets/sheet1.xml" -> sheet)
+    val back = spark.read.format("graft-xlsx").load(path)
+    assert(back.schema.fieldNames.toSeq == Seq("a", "b", "c"))
+    assert(back.orderBy("a").collect().toSeq ==
+      Seq(Row(1L, 2L, 3L), Row(4L, 5L, 6L)))
+  }
+
+  test("date-styled serial cells surface as DateType / TimestampType") {
+    // openpyxl-shaped workbook: dates are NUMBERS carrying a date
+    // numFmt through the styles part (builtin 14 = date; custom 164
+    // with date+time letters = datetime). Un-styled numbers stay long.
+    val path = tmp("dates.xlsx")
+    val day = java.time.LocalDate.of(2024, 5, 1)
+    val serial = java.time.temporal.ChronoUnit.DAYS
+      .between(java.time.LocalDate.of(1899, 12, 30), day)
+    val styles =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<numFmts count="1"><numFmt numFmtId="164" formatCode="yyyy\-mm\-dd\ hh:mm:ss"/></numFmts>
+        |<cellXfs count="3">
+        |<xf numFmtId="0" fontId="0" fillId="0" borderId="0" xfId="0"/>
+        |<xf numFmtId="14" fontId="0" fillId="0" borderId="0" xfId="0" applyNumberFormat="1"/>
+        |<xf numFmtId="164" fontId="0" fillId="0" borderId="0" xfId="0" applyNumberFormat="1"/>
+        |</cellXfs></styleSheet>""".stripMargin
+    val sheet =
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+         |<sheetData>
+         |<row r="1"><c r="A1" t="inlineStr"><is><t>day</t></is></c><c r="B1" t="inlineStr"><is><t>ts</t></is></c><c r="C1" t="inlineStr"><is><t>plain</t></is></c></row>
+         |<row r="2"><c r="A2" s="1"><v>$serial</v></c><c r="B2" s="2"><v>$serial.5</v></c><c r="C2"><v>$serial</v></c></row>
+         |</sheetData></worksheet>""".stripMargin
+    putZip(path,
+      "xl/worksheets/sheet1.xml" -> sheet,
+      "xl/styles.xml" -> styles)
+    val back = spark.read.format("graft-xlsx").load(path)
+    assert(back.schema("day").dataType == DateType)
+    assert(back.schema("ts").dataType == TimestampType)
+    assert(back.schema("plain").dataType == LongType)
+    assert(back.collect().toSeq == Seq(Row(
+      java.sql.Date.valueOf("2024-05-01"),
+      java.sql.Timestamp.valueOf("2024-05-01 12:00:00"),
+      serial)))
+  }
+
   test("sparse rows materialize missing trailing cells as null") {
     val raw = XlsxRead.RawSheet(
       header = IndexedSeq("a", "b"),
