@@ -6,8 +6,11 @@ import org.apache.spark.sql.SparkSession
   * codegen / shuffle-service warmup isn't billed to whichever query
   * happens to run first; queries run in sorted-name order and each is
   * timed twice with the min reported (standard guard against one-off
-  * GC / co-tenant noise — observed run-to-run spread on this host is
-  * close to 2×).
+  * GC / co-tenant noise). Noise calibration (SURVEY §8g): two rounds
+  * benched the IDENTICAL binary at 106.6 s vs 86.1 s total with
+  * per-query swings up to 5× — so treat sub-2× per-query wall deltas
+  * as co-tenant noise unless a named stage's task metrics moved; the
+  * task-metric totals below are the scale-stable signal.
   *
   * A query that throws is reported as -1 (not its wall time) and named
   * in an "errors" object, so a crashing query can't masquerade as a

@@ -23,6 +23,7 @@ object SparkEntry {
       etl.Etl.queries ++
       dedup.Dedup.queries ++
       ann.Ann.queries ++
+      ann.EmbPca.queries ++
       ann.Hybrid.queries ++
       multimodal.Multimodal.queries ++
       streaming.Streaming.queries ++
@@ -44,6 +45,7 @@ object SparkEntry {
       etl.Etl.oracle ++
       dedup.Dedup.oracle ++
       ann.Ann.oracle ++
+      ann.EmbPca.oracle ++
       ann.Hybrid.oracle ++
       multimodal.Multimodal.oracle ++
       streaming.Streaming.oracle ++

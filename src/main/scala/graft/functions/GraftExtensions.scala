@@ -29,6 +29,8 @@ object GraftExtensions {
       intLit(args(1), "rhp_sigs"), intLit(args(2), "rhp_sigs")))
     registerFunction(spark, "z_value", args => ZValue(args(0), args(1)))
     registerFunction(spark, "char_entropy", args => CharEntropy(args(0)))
+    registerFunction(spark, "gram_upper",
+      args => GramUpper(args(0)).toAggregateExpression())
   }
 
   private[functions] def intLit(e: Expression, fn: String): Int = e match {
@@ -84,6 +86,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("char_entropy"),
       info("char_entropy", classOf[CharEntropy]),
       (args: Seq[Expression]) => CharEntropy(args(0))))
+    ext.injectFunction((FunctionIdentifier("gram_upper"),
+      info("gram_upper", classOf[GramUpper]),
+      (args: Seq[Expression]) => GramUpper(args(0)).toAggregateExpression()))
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
     ext.injectOptimizerRule(_ => graft.plans.RewriteRankFilterToTopK)
   }
