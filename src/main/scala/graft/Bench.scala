@@ -62,10 +62,17 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = only.fold(SparkEntry.queries)(s =>
       SparkEntry.queries.filter(kv => s(kv._1)))
+    // Each query's reported triple (wall, task metrics, stage records)
+    // comes from ONE run — the faster of the two — so BENCH_DETAIL's
+    // stage durations sum to ≈ the reported wall and hotspot ranking
+    // never mixes a cold iteration's stages with a warm iteration's
+    // wall (or vice versa). drainStages at each run's start resets the
+    // queue, so records can't leak across runs either.
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       ((once(fn), once(fn)): @unchecked) match {
-        case ((Right(a), _, _), (Right(b), m2, s2)) =>
-          (name, math.min(a, b), None, m2, s2)
+        case ((Right(a), m1, s1), (Right(b), m2, s2)) =>
+          val (m, s) = if (a <= b) (m1, s1) else (m2, s2)
+          (name, math.min(a, b), None, m, s)
         case ((r1, m1, s1), (r2, _, _)) =>
           (name, -1.0, r1.left.toOption.orElse(r2.left.toOption), m1, s1)
       }

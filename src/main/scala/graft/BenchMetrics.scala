@@ -43,6 +43,9 @@ final class BenchMetrics extends SparkListener {
     * `withThreadLocalCaptured`, so the scopes are what identify the
     * exchange/codegen-span/scan); falls back to the callsite for
     * non-SQL stages. Metrics are the stage-aggregated task metrics.
+    * Bench drains this queue at the start of every timed run and
+    * reports the records of the SAME run it reports the wall for, so
+    * stage rows never mix iterations (SURVEY §8g).
     */
   override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
     val si = e.stageInfo

@@ -57,10 +57,24 @@ object Main {
     val r = DailyPipeline.run(spark, cardsDir, storeRoot, version,
       reportDir, xlsxSnapshots = args.contains("--xlsx-snapshots"),
       alertSink = parseSink(args))
-    s"""{"version":"$version","n_today":${r.nToday},""" +
+    s"""{"version":${jstr(version)},"n_today":${r.nToday},""" +
       s""""n_new":${r.nNew},"alerted":${r.alert.isDefined},""" +
-      s""""today_report":"${r.todayReport}"}"""
+      s""""today_report":${jstr(r.todayReport)}}"""
   }
+
+  /** JSON string literal with full escaping (quote, backslash, control
+    * chars) — a version or path containing `"` or `\` must still yield
+    * parseable summary JSON for whatever cron wrapper reads it.
+    */
+  private[graft] def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -90,10 +90,19 @@ class DirectoryAlertSink(dir: String) extends AlertSink {
   * host pattern; credentials-bearing setups should front it with a
   * local relay. Every response is checked and a non-2xx/3xx code
   * fails loudly — a dropped alert must never look delivered.
+  *
+  * Injection hygiene: addresses are validated at construction (no
+  * CR/LF/angle brackets — they would terminate or fake an SMTP
+  * command), and the subject header strips CR/LF so alert content can
+  * never smuggle extra headers (Bcc:) or commands into the dialogue.
   */
 class SmtpAlertSink(host: String, port: Int, from: String,
     to: Seq[String]) extends AlertSink {
   require(to.nonEmpty, "SmtpAlertSink: at least one recipient")
+  (from +: to).foreach { a =>
+    require(!a.exists(c => c == '\r' || c == '\n' || c == '<' || c == '>'),
+      s"SmtpAlertSink: illegal address '${a.replaceAll("[\\r\\n]", " ")}'")
+  }
 
   override def send(subject: String, htmlBody: String): Unit = {
     val socket = new Socket(host, port)
@@ -118,10 +127,11 @@ class SmtpAlertSink(host: String, port: Int, from: String,
       cmd(s"MAIL FROM:<$from>", Set(250))
       to.foreach(r => cmd(s"RCPT TO:<$r>", Set(250, 251)))
       cmd("DATA", Set(354))
+      val subj = subject.replaceAll("[\\r\\n]+", " ")
       val headers = Seq(
         s"From: $from",
         s"To: ${to.mkString(", ")}",
-        s"Subject: $subject",
+        s"Subject: $subj",
         "MIME-Version: 1.0",
         "Content-Type: text/html; charset=UTF-8")
       // dot-stuffing per RFC 5321 §4.5.2

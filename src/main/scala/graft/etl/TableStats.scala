@@ -29,33 +29,64 @@ object TableStats {
       smallFiles: Long, smallFileRatio: Double,
       sizeSkew: Double, recommendCompact: Boolean)
 
+  /** Driver memory stays O(1) no matter how many files the table has:
+    * the size stats stream off `listStatusIterator` into scalar
+    * accumulators (never a retained per-file array/map), and the
+    * per-file row counts aggregate DISTRIBUTEDLY — only their O(1)
+    * min/max/sum rollup is collected. Per-file detail is available
+    * bounded via [[skewOffenders]].
+    */
   def report(spark: SparkSession, path: String): Report = {
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(new Path(path))
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => (s.getPath.toUri.toString, s.getLen))
-    require(files.nonEmpty, s"no parquet files under $path")
-    val rowsPerFile = spark.read.parquet(path)
+    val it = fs.listStatusIterator(new Path(path))
+    var n = 0L; var total = 0L; var small = 0L
+    var mnB = Long.MaxValue; var mxB = 0L
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile && s.getPath.getName.endsWith(".parquet")) {
+        n += 1; total += s.getLen
+        mnB = math.min(mnB, s.getLen); mxB = math.max(mxB, s.getLen)
+        if (s.getLen < SmallFileBytes) small += 1
+      }
+    }
+    require(n > 0, s"no parquet files under $path")
+    val rs = spark.read.parquet(path)
       .groupBy(input_file_name().as("f")).count()
-      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
-    val sizes = files.map(_._2)
-    val rows = files.map { case (f, _) => rowsPerFile.getOrElse(f, 0L) }
-    val small = sizes.count(_ < SmallFileBytes).toLong
-    val avg = sizes.sum.toDouble / sizes.length
+      .agg(count(lit(1)).as("files_with_rows"), sum("count").as("rows"),
+        min("count").as("min_rows"), max("count").as("max_rows"))
+      .collect()(0)
+    val filesWithRows = rs.getLong(0)
+    val totalRows = if (rs.isNullAt(1)) 0L else rs.getLong(1)
+    // a file absent from the scan groups is a zero-row file
+    val minRows =
+      if (filesWithRows < n || rs.isNullAt(2)) 0L else rs.getLong(2)
+    val maxRows = if (rs.isNullAt(3)) 0L else rs.getLong(3)
+    val avg = total.toDouble / n
     Report(
-      nFiles = files.length,
-      totalBytes = sizes.sum,
-      totalRows = rows.sum,
-      minFileBytes = sizes.min, maxFileBytes = sizes.max,
+      nFiles = n,
+      totalBytes = total,
+      totalRows = totalRows,
+      minFileBytes = mnB, maxFileBytes = mxB,
       avgFileBytes = avg,
-      minFileRows = rows.min, maxFileRows = rows.max,
+      minFileRows = minRows, maxFileRows = maxRows,
       smallFiles = small,
-      smallFileRatio = small.toDouble / sizes.length,
-      sizeSkew = if (avg == 0) 0.0 else sizes.max / avg,
-      recommendCompact =
-        sizes.length > 1 && small.toDouble / sizes.length >= CompactRatio)
+      smallFileRatio = small.toDouble / n,
+      sizeSkew = if (avg == 0) 0.0 else mxB / avg,
+      recommendCompact = n > 1 && small.toDouble / n >= CompactRatio)
   }
+
+  /** The `n` most row-heavy files (the offenders a re-shard targets
+    * first): distributed TakeOrderedAndProject — the collect any
+    * consumer does on this is bounded by `n`, never O(files).
+    */
+  def skewOffenders(spark: SparkSession, path: String,
+      n: Int = 10): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("rows"))
+      .orderBy(col("rows").desc, col("file"))
+      .limit(n)
 
   /** The report as a one-row DataFrame, for pipelines that persist
     * table-health history alongside the data.

@@ -44,6 +44,22 @@ class MainSpec extends SparkSpec {
     assert(new java.io.File(alerts.toString).list().exists(_.endsWith(".html")))
   }
 
+  test("summary JSON escapes quotes, backslashes and control chars") {
+    assert(Main.jstr("plain") == "\"plain\"")
+    assert(Main.jstr("ver\"si\\on") == "\"ver\\\"si\\\\on\"")
+    assert(Main.jstr("a\nb\rc\tde") == "\"a\\nb\\rc\\td\\u0001e\"")
+    // a hostile version string still yields machine-parseable JSON:
+    // every quote inside the literal is escaped
+    val j = Main.jstr("""v"1\2""" + "\n")
+    val inner = j.substring(1, j.length - 1)
+    var i = 0; var bare = 0
+    while (i < inner.length) {
+      if (inner(i) == '\\') i += 2
+      else { if (inner(i) == '"') bare += 1; i += 1 }
+    }
+    assert(bare == 0, s"unescaped quote survives in $j")
+  }
+
   test("run: wrong positional arity fails with usage") {
     val e = intercept[IllegalArgumentException] {
       Main.run(spark, Array("only", "three", "args"))

@@ -100,6 +100,52 @@ class AlertSinkSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("SmtpAlertSink: CR/LF can't smuggle headers or commands") {
+    // injection via addresses is rejected at construction
+    intercept[IllegalArgumentException] {
+      new SmtpAlertSink("127.0.0.1", 25,
+        "a@x\r\nRCPT TO:<evil@x>", Seq("ops@example.org"))
+    }
+    intercept[IllegalArgumentException] {
+      new SmtpAlertSink("127.0.0.1", 25,
+        "a@x", Seq("ops@example.org>\r\nDATA"))
+    }
+    // injection via the subject collapses to one sanitized header
+    val server = new ServerSocket(0)
+    val received = new java.lang.StringBuilder
+    val t = new Thread(() => {
+      val s = server.accept()
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(s.getInputStream, "UTF-8"))
+      val out = new java.io.PrintWriter(
+        new java.io.OutputStreamWriter(s.getOutputStream, "UTF-8"))
+      def reply(r: String): Unit = { out.print(r + "\r\n"); out.flush() }
+      reply("220 fake")
+      var inData = false
+      var line = in.readLine()
+      while (line != null) {
+        received.append(line).append('\n')
+        if (inData) { if (line == ".") { inData = false; reply("250 ok") } }
+        else if (line.startsWith("DATA")) { inData = true; reply("354 go") }
+        else if (line.startsWith("QUIT")) { reply("221 bye"); line = null }
+        else reply("250 OK")
+        if (line != null) line = in.readLine()
+      }
+      s.close()
+    })
+    t.start()
+    try {
+      new SmtpAlertSink("127.0.0.1", server.getLocalPort,
+        "graft@example.org", Seq("ops@example.org"))
+        .send("ALERT\r\nBcc: evil@example.org", "<html></html>")
+      t.join(5000)
+      val dialogue = received.toString
+      assert(dialogue.contains("Subject: ALERT Bcc: evil@example.org"))
+      assert(!dialogue.linesIterator.exists(_.startsWith("Bcc:")),
+        "CRLF in the subject must not become its own header line")
+    } finally server.close()
+  }
+
   test("DailyPipeline delivers the new-records digest through the sink") {
     val root = Files.createTempDirectory("dailya")
     val day1 = root.resolve("day1"); Files.createDirectories(day1)

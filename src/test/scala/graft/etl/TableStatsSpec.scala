@@ -24,6 +24,26 @@ class TableStatsSpec extends SparkSpec {
     assert(r.recommendCompact)
   }
 
+  test("many-file layout: O(1) rollup + bounded offender list") {
+    import spark.implicits._
+    val out = tmp()
+    // force a 64-file layout; one fat partition to make a skew offender
+    (1L to 20000L).map(i => (if (i % 4 == 0) 0L else i, s"v$i"))
+      .toDF("k", "v")
+      .repartition(64, org.apache.spark.sql.functions.col("k"))
+      .write.parquet(out)
+    val r = TableStats.report(spark, out)
+    assert(r.nFiles >= 32, s"expected a many-file layout, got ${r.nFiles}")
+    assert(r.totalRows == 20000)
+    assert(r.maxFileRows >= 5000, "the hashed-together keys form a fat file")
+    // the offender list is the ONLY per-file surface, and it is bounded
+    val off = TableStats.skewOffenders(spark, out, 5).collect()
+    assert(off.length == 5)
+    assert(off.head.getAs[Long]("rows") == r.maxFileRows)
+    assert(off.map(_.getAs[Long]("rows")).toSeq.sorted.reverse ==
+      off.map(_.getAs[Long]("rows")).toSeq)
+  }
+
   test("compacted single file: no recommendation, skew = 1") {
     import spark.implicits._
     val out = tmp()
