@@ -188,6 +188,22 @@ class PlanSpec extends SparkSpec {
       s"q18 must leave join strategy to size estimates/AQE, got $hints")
   }
 
+  test("corpus_pipeline: persisted clean frame reused, anti-joins broadcast") {
+    val p = plan("corpus_pipeline")
+    // the 7-stage pipeline persists the cleaned/gated frame once and
+    // every later stage (decontaminate, fingerprint, dedup-drop) reads
+    // the cache — the documents parquet must never rescan per stage
+    assert(p.contains("InMemoryTableScan"),
+      "clean/gate persist point must be active")
+    // decontaminate and the dup-drop are anti-joins against broadcast
+    // sets (eval shingles, dup doc ids) — at 100 TB the corpus side
+    // must stay map-side, never shuffle into a sort-merge anti-join
+    assert(countOccurrences(p, "BroadcastHashJoin LeftAnti") >= 2,
+      "decontaminate + dup-drop must be broadcast anti-joins")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "corpus-side must never shuffle raw docs into a join")
+  }
+
   test("abc_pareto: cumulative share runs partitioned, off one cached scan") {
     val p = plan("abc_pareto")
     // the O(parts) running sum must be partition-parallel: its window
