@@ -300,7 +300,54 @@ object CorpusQuality {
       .orderBy(col("iteration"))
   }
 
+  val QcDim = 1024     // hashed bag-of-words feature buckets
+  val QcMult = 2654435761L // Knuth multiplicative hash spreads bucket→weight
+  val QcMod = 1997L    // prime weight lattice: w ∈ [−998, 998] ⊂ ℤ
+  val QcHalf = 998L
+  val QcScale = 250.0  // logit scale: score_int / (n_tokens · QcScale)
+
+  /** `quality_classifier` — model-based quality gate, the fasttext-
+    * style linear classifier every production corpus pipeline runs
+    * after the rule-based gates (CCNet/LLaMA-shape: hashed bag-of-words
+    * features × a trained weight vector → sigmoid keep-probability).
+    * Features are [[QcDim]]-bucket hashed token counts; the "trained"
+    * weight vector is a deterministic lattice w(b) = (b·[[QcMult]] mod
+    * [[QcMod]]) − [[QcHalf]] standing in for real learned weights (no
+    * trainable deps in this environment) — the plumbing is exactly what
+    * a real model needs: at scale the weight array is a broadcast
+    * O(QcDim) lookup, and here it collapses into the expression itself.
+    *
+    * Scale shape: ZERO shuffle — the per-doc logit is an in-row
+    * `aggregate` fold over the token array (integer accumulation, so
+    * the score is exact and order-independent: no float-sum
+    * partitioning leak), and the keep flag compares the INTEGER logit
+    * numerator against 0 (sigmoid ≥ 0.5 ⟺ score_int ≥ 0), so the
+    * gate can never flip on engine rounding. The only doubles are the
+    * reported logit/sigmoid, guarded by 6/4-dp rounds.
+    */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("toks", toks)
+      .withColumn("score_int", expr(
+        s"""aggregate(toks, CAST(0 AS BIGINT), (acc, t) ->
+           |  acc + (((CAST(conv(substring(md5(CAST(t AS BINARY)), 1, 4),
+           |    16, 10) AS BIGINT) % $QcDim) * $QcMult) % $QcMod
+           |    - $QcHalf))""".stripMargin))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("logit_raw",
+        col("score_int") / (col("n_tokens") * lit(QcScale)))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("score_int"),
+        round(col("logit_raw"), 6).as("logit"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("logit_raw"))), 4)
+          .as("score"),
+        (col("score_int") >= 0).cast("int").as("keep"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_classifier" -> (qualityClassifier _),
     "bpe_train" -> (bpeTrain _),
     "text_chunks" -> (textChunks _),
     "text_repetition" -> (textRepetition _),
@@ -474,6 +521,30 @@ object CorpusQuality {
         |FROM v JOIN r USING (source)
         |GROUP BY v.source, r.n_docs, r.thresh
         |ORDER BY v.source""".stripMargin,
+    // quality_classifier: the 4-hex-digit md5 bucket replays via the
+    // same strpos digit decode as corpus_sample; the weight lattice and
+    // score are pure BIGINT arithmetic, so list_sum is order-free-exact
+    "quality_classifier" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(list_sum([
+        |      ((((strpos('0123456789abcdef', substr(md5(tok),1,1)) - 1)
+        |          * 4096
+        |        + (strpos('0123456789abcdef', substr(md5(tok),2,1)) - 1)
+        |          * 256
+        |        + (strpos('0123456789abcdef', substr(md5(tok),3,1)) - 1)
+        |          * 16
+        |        + (strpos('0123456789abcdef', substr(md5(tok),4,1)) - 1))
+        |        % 1024) * 2654435761) % 1997 - 998
+        |      for tok in toks]) AS BIGINT) AS score_int
+        |  FROM t)
+        |SELECT doc_id, n_tokens, score_int,
+        |  round(score_int / (n_tokens * 250.0), 6) AS logit,
+        |  round(1.0 / (1.0 + exp(-(score_int / (n_tokens * 250.0)))), 4)
+        |    AS score,
+        |  CASE WHEN score_int >= 0 THEN 1 ELSE 0 END AS keep
+        |FROM b ORDER BY doc_id""".stripMargin,
     "corpus_mix" ->
       """WITH s AS (SELECT source, count(*) AS n_docs,
         |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)

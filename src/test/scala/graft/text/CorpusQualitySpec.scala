@@ -148,4 +148,43 @@ class CorpusQualitySpec extends SparkSpec {
     assert(largest.getAs[Double]("weight") <=
       largest.getAs[Long]("n_tokens") / toks + 1e-9)
   }
+
+  test("quality_classifier: integer score replays per-token, gate exact") {
+    val rows = CorpusQuality.qualityClassifier(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // replay the hashed-BoW linear model in plain Scala for a sample
+    def weight(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 4)
+      val b = java.lang.Long.parseLong(hex, 16) % CorpusQuality.QcDim
+      (b * CorpusQuality.QcMult) % CorpusQuality.QcMod - CorpusQuality.QcHalf
+    }
+    val docs = graft.Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    rows.take(25).foreach { r =>
+      val toks = docs(r.getAs[Long]("doc_id")).trim.split("\\s+")
+      val expect = toks.map(weight).sum
+      assert(r.getAs[Long]("score_int") == expect,
+        s"doc ${r.getAs[Long]("doc_id")}: fold disagrees with replay")
+      assert(r.getAs[Long]("n_tokens") == toks.length)
+      // the gate is the INTEGER sign, immune to float rounding
+      assert(r.getAs[Int]("keep") == (if (expect >= 0) 1 else 0))
+      val logit = r.getAs[Double]("logit")
+      assert(math.abs(logit - expect.toDouble / (toks.length * 250.0))
+        < 1e-6)
+      val s = r.getAs[Double]("score")
+      assert(s >= 0.0 && s <= 1.0)
+      assert((s >= 0.5) == (expect >= 0) || math.abs(s - 0.5) < 1e-9)
+    }
+  }
+
+  test("quality_classifier: map-only — the sole exchange is the sort") {
+    val p = CorpusQuality.qualityClassifier(spark, sfDir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    val n = p.sliding("+- Exchange".length).count(_ == "+- Exchange")
+    assert(n <= 1, s"classifier must not shuffle tokens, got $n exchanges")
+  }
 }
