@@ -368,6 +368,60 @@ object Ann {
           (col("nrm") * col("qn")))))
   }
 
+  val BqRerank = 128 // 1-bit codes are coarse: rerank pool deeper than int8's
+
+  /** E15 `ann_bq` — binary (1-bit sign) quantization, the extreme end
+    * of the compression ladder (E6 int8 = 4×, E8 PQ = 32×, this = 32×
+    * with NO codebook and a 2-instruction distance): each vector keeps
+    * only its per-dimension sign bits, packed into two 32-bit words
+    * (bits 0–31 / 32–63 — two BIGINTs holding u32 values, so checked
+    * 64-bit arithmetic can never overflow in any engine). Candidate
+    * distance is the Hamming distance `bit_count(lo⊕lo′) +
+    * bit_count(hi⊕hi′)` — pure codegen integer ops, no array traversal
+    * — which is monotone in angular distance for sign codes; the top
+    * [[BqRerank]] per query re-rank with the exact float cosine.
+    *
+    * Scale shape: the corpus at rest is 8 bytes/vector (vs 256 float),
+    * so the scan is bandwidth-trivial; scoring is one xor+popcount per
+    * candidate word pair inside whole-stage codegen; queries broadcast;
+    * the only shuffle is the per-query window over the rerank pool.
+    * Packing is integer-exact (sign of a float is bit-stable), so the
+    * codes — and therefore the candidate pool and the final top-k —
+    * replay identically in the DuckDB oracle.
+    */
+  def annBq(spark: SparkSession, dir: String): DataFrame = {
+    def packed(df: DataFrame, emb: String): DataFrame = df
+      .withColumn("lo", expr(
+        s"""aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, i) ->
+           |  acc + CASE WHEN $emb[i] > 0
+           |    THEN shiftleft(CAST(1 AS BIGINT), i)
+           |    ELSE CAST(0 AS BIGINT) END)""".stripMargin))
+      .withColumn("hi", expr(
+        s"""aggregate(sequence(32, 63), CAST(0 AS BIGINT), (acc, i) ->
+           |  acc + CASE WHEN $emb[i] > 0
+           |    THEN shiftleft(CAST(1 AS BIGINT), i - 32)
+           |    ELSE CAST(0 AS BIGINT) END)""".stripMargin))
+    val c = packed(corpus(spark, dir, spread = true), "embedding")
+      .withColumn("nrm", sqrt(dotF(col("embedding"), col("embedding"))))
+      .select(col("vec_id"), col("embedding"), col("lo"), col("hi"),
+        col("nrm"))
+    val q = packed(queriesDf(spark, dir), "q_emb")
+      .withColumn("qn", sqrt(dotF(col("q_emb"), col("q_emb"))))
+      .select(col("q_id"), col("q_emb"), col("lo").as("qlo"),
+        col("hi").as("qhi"), col("qn"))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("hd").asc, col("vec_id"))
+    val cand = c.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("hd", expr(
+        "bit_count(lo ^ qlo) + bit_count(hi ^ qhi)"))
+      .withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= BqRerank)
+    topK(cand.withColumn("cos",
+      when(col("nrm") * col("qn") === 0.0, 0.0)
+        .otherwise(dotF(col("embedding"), col("q_emb")) /
+          (col("nrm") * col("qn")))))
+  }
+
   val PqM = 8      // subspaces
   val PqSub = 8    // dims per subspace (PqM * PqSub = embedding dim)
   val PqK = 16     // centroids per subspace codebook
@@ -643,6 +697,7 @@ object Ann {
     "ann_topk" -> (annTopK _),
     "ann_range" -> (annRange _),
     "ann_quantized" -> (annQuantized _),
+    "ann_bq" -> (annBq _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_ivfq" -> (annIvfQ _),
@@ -960,6 +1015,31 @@ object Ann {
          |    list_cosine_similarity(CAST(embedding AS DOUBLE[]),
          |      CAST(q_emb AS DOUBLE[])) AS cos
          |  FROM pruned WHERE crank <= $QuantRerank),
+         |$topKOracleTail""".stripMargin,
+    // ann_bq: sign-bit packing into two u32 words (BIGINT-held, so no
+    // checked-shift overflow), Hamming via bit_count(xor(..)) per word
+    "ann_bq" ->
+      s"""WITH pk AS (SELECT vec_id, embedding,
+         |    CAST(list_sum([CASE WHEN embedding[i+1] > 0
+         |      THEN (1::BIGINT << i) ELSE 0 END
+         |      for i in range(0, 32)]) AS BIGINT) AS lo,
+         |    CAST(list_sum([CASE WHEN embedding[i+1] > 0
+         |      THEN (1::BIGINT << (i - 32)) ELSE 0 END
+         |      for i in range(32, 64)]) AS BIGINT) AS hi
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb,
+         |    lo AS qlo, hi AS qhi FROM pk WHERE vec_id < $NumQueries),
+         |cand AS (SELECT c.vec_id, c.embedding, q.q_id, q.q_emb,
+         |    bit_count(xor(c.lo, q.qlo)) + bit_count(xor(c.hi, q.qhi))
+         |      AS hd
+         |  FROM pk c CROSS JOIN q WHERE c.vec_id <> q.q_id),
+         |pruned AS (SELECT q_id, vec_id, embedding, q_emb, row_number()
+         |    OVER (PARTITION BY q_id ORDER BY hd ASC, vec_id) AS crank
+         |  FROM cand),
+         |scored AS (SELECT q_id, vec_id,
+         |    list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+         |      CAST(q_emb AS DOUBLE[])) AS cos
+         |  FROM pruned WHERE crank <= $BqRerank),
          |$topKOracleTail""".stripMargin,
     "ann_ivf" ->
       s"""$ivfOracleCommon,

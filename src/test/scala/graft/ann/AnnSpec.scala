@@ -156,6 +156,39 @@ class AnnSpec extends SparkSpec {
     assert(atFloor >= 15, "margin expansion fired for most queries")
   }
 
+  test("ann_bq recall@5 vs exact is usable (128-deep rerank covers)") {
+    val r = recallAtK(neighbors(Ann.annBq(spark, sfDir)))
+    info(s"ann_bq recall@5 = $r")
+    // 1-bit codes are the coarsest signal in the ladder; the 128-deep
+    // exact rerank is what carries recall
+    assert(r >= 0.3, s"binary-quantization recall too low: $r")
+  }
+
+  test("ann_bq sign codes replay per-vector, words stay in u32 range") {
+    import spark.implicits._
+    val packed = graft.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        expr("""aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, i) ->
+          acc + CASE WHEN embedding[i] > 0
+            THEN shiftleft(CAST(1 AS BIGINT), i)
+            ELSE CAST(0 AS BIGINT) END)""").as("lo"),
+        expr("""aggregate(sequence(32, 63), CAST(0 AS BIGINT), (acc, i) ->
+          acc + CASE WHEN embedding[i] > 0
+            THEN shiftleft(CAST(1 AS BIGINT), i - 32)
+            ELSE CAST(0 AS BIGINT) END)""").as("hi"))
+      .as[(Long, Array[Float], Long, Long)].collect()
+    assert(packed.nonEmpty)
+    packed.take(50).foreach { case (id, emb, lo, hi) =>
+      val expLo = emb.take(32).zipWithIndex
+        .collect { case (v, i) if v > 0 => 1L << i }.sum
+      val expHi = emb.drop(32).zipWithIndex
+        .collect { case (v, i) if v > 0 => 1L << i }.sum
+      assert(lo == expLo && hi == expHi, s"vec $id pack mismatch")
+      assert(lo >= 0 && lo < (1L << 32) && hi >= 0 && hi < (1L << 32),
+        s"vec $id words left u32 range")
+    }
+  }
+
   test("ann_quantized recall@5 vs exact is near-perfect (rerank covers)") {
     val r = recallAtK(neighbors(Ann.annQuantized(spark, sfDir)))
     info(s"ann_quantized recall@5 = $r")
