@@ -21,11 +21,22 @@ object CorpusStream {
 
   val DedupHorizon = "1 hour"
 
-  /** Streaming transform over a (doc_id, ts, text) stream. */
+  /** Streaming transform over a (doc_id, ts, text) stream. The C27
+    * model-based quality score rides along as a column (it is a pure
+    * per-row projection — the same [[graft.text.CorpusQuality
+    * .classifierScoreInt]] the batch query uses), so downstream
+    * consumers can gate on `qc_keep` without a second scoring pass.
+    */
   def intake(docs: DataFrame): DataFrame =
     CorpusPipeline.qualityGate(CorpusPipeline.cleaned(
       docs
         .withWatermark("ts", DedupHorizon)
         .dropDuplicatesWithinWatermark("doc_id")))
-      .select("doc_id", "ts", "clean", "n_tokens")
+      .withColumn("qc_score_int",
+        graft.text.CorpusQuality.classifierScoreInt)
+      .withColumn("qc_keep",
+        (org.apache.spark.sql.functions.col("qc_score_int") >= 0)
+          .cast("int"))
+      .select("doc_id", "ts", "clean", "n_tokens", "qc_score_int",
+        "qc_keep")
 }

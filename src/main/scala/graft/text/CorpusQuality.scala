@@ -325,14 +325,20 @@ object CorpusQuality {
     * gate can never flip on engine rounding. The only doubles are the
     * reported logit/sigmoid, guarded by 6/4-dp rounds.
     */
+  /** The classifier's integer logit numerator over a `toks` array
+    * column — a pure projection, so the batch query and the streaming
+    * intake ([[graft.streaming.CorpusStream]]) share one scoring path.
+    */
+  def classifierScoreInt: Column = expr(
+    s"""aggregate(toks, CAST(0 AS BIGINT), (acc, t) ->
+       |  acc + (((CAST(conv(substring(md5(CAST(t AS BINARY)), 1, 4),
+       |    16, 10) AS BIGINT) % $QcDim) * $QcMult) % $QcMod
+       |    - $QcHalf))""".stripMargin)
+
   def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .withColumn("toks", toks)
-      .withColumn("score_int", expr(
-        s"""aggregate(toks, CAST(0 AS BIGINT), (acc, t) ->
-           |  acc + (((CAST(conv(substring(md5(CAST(t AS BINARY)), 1, 4),
-           |    16, 10) AS BIGINT) % $QcDim) * $QcMult) % $QcMod
-           |    - $QcHalf))""".stripMargin))
+      .withColumn("score_int", classifierScoreInt)
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("logit_raw",
         col("score_int") / (col("n_tokens") * lit(QcScale)))

@@ -222,11 +222,16 @@ class StreamingSpec extends SparkSpec {
       mem.addData((3L, ts("2024-01-01 10:02:00"), good))
       q.processAllAvailable()
       val rows = spark.sql(
-        "SELECT doc_id, n_tokens FROM corpus_intake ORDER BY doc_id")
-        .collect().map(r => (r.getLong(0), r.getInt(1)))
+        """SELECT doc_id, n_tokens, qc_score_int, qc_keep
+          |FROM corpus_intake ORDER BY doc_id""".stripMargin)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
       assert(rows.map(_._1).toSeq == Seq(1L, 3L))
-      rows.foreach { case (_, n) =>
+      rows.foreach { case (_, n, scoreInt, keep) =>
         assert(n >= graft.etl.CorpusPipeline.MinTokens)
+        // the C27 score rides along and its gate is the integer sign —
+        // same contract as the batch quality_classifier query
+        assert(keep == (if (scoreInt >= 0) 1 else 0))
       }
     } finally q.stop()
   }
