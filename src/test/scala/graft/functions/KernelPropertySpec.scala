@@ -122,4 +122,61 @@ class KernelPropertySpec extends AnyFunSuite {
       h >= 0.0 && h <= hi + 1e-9 && math.abs(h - hShuf) < 1e-9
     })
   }
+
+  // The two newest kernels live as SQL expressions; these properties
+  // run on the pure-Scala replays that the operator specs pin
+  // bit-exactly against the production expressions on real data
+  // (CorpusQualitySpec / AnnSpec), so they transfer.
+
+  private def qcWeight(tok: String): Long = {
+    import graft.text.CorpusQuality.{QcDim, QcMult, QcMod, QcHalf}
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(tok.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 4)
+    (java.lang.Long.parseLong(hex, 16) % QcDim) * QcMult % QcMod - QcHalf
+  }
+
+  test("qc weight lattice: bounded, deterministic, both signs reachable") {
+    import graft.text.CorpusQuality.QcHalf
+    val toks = Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty))
+    check(Prop.forAll(toks) { ts =>
+      ts.forall { t =>
+        val w = qcWeight(t)
+        w >= -QcHalf && w <= QcHalf && w == qcWeight(t)
+      }
+    })
+    // a degenerate lattice (all-one-sign) would make the gate constant
+    val ws = (0 until 1024).map(b =>
+      (b.toLong * graft.text.CorpusQuality.QcMult) %
+        graft.text.CorpusQuality.QcMod - QcHalf)
+    assert(ws.exists(_ > 0) && ws.exists(_ < 0))
+  }
+
+  private def bqPack(v: Seq[Float]): (Long, Long) = {
+    val lo = v.take(32).zipWithIndex
+      .collect { case (x, i) if x > 0 => 1L << i }.sum
+    val hi = v.drop(32).zipWithIndex
+      .collect { case (x, i) if x > 0 => 1L << i }.sum
+    (lo, hi)
+  }
+
+  private def bqHamming(a: (Long, Long), b: (Long, Long)): Int =
+    java.lang.Long.bitCount(a._1 ^ b._1) +
+      java.lang.Long.bitCount(a._2 ^ b._2)
+
+  test("bq packing: u32 words, hamming metric, single-sign-flip = 1") {
+    val vec64 = Gen.listOfN(64, Gen.chooseNum(-5f, 5f))
+    check(Prop.forAll(vec64, vec64, Gen.chooseNum(0, 63)) { (v, w, i) =>
+      val (pl, ph) = bqPack(v)
+      val hSelf = bqHamming((pl, ph), (pl, ph))
+      val hvw = bqHamming((pl, ph), bqPack(w))
+      // flip exactly dimension i's sign (avoid 0: sign(0) is 'not > 0')
+      val flipped = v.updated(i, if (v(i) > 0) -1f else 1f)
+      val hFlip = bqHamming((pl, ph), bqPack(flipped))
+      pl >= 0 && pl < (1L << 32) && ph >= 0 && ph < (1L << 32) &&
+        hSelf == 0 && hvw >= 0 && hvw <= 64 &&
+        hvw == bqHamming(bqPack(w), (pl, ph)) &&
+        hFlip == 1
+    })
+  }
 }
