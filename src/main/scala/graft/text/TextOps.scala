@@ -342,6 +342,57 @@ object TextOps {
       .orderBy(col("tok"))
   }
 
+  val CmsD = 4      // hash rows
+  val CmsW = 256    // buckets per row — sketch state is CmsD×CmsW cells
+  val CmsProbeK = 10
+
+  /** Bucket of `tok` in CMS hash row `j`: the house 4-hex-digit md5
+    * draw over "j:tok", mod [[CmsW]] — deterministic, engine-exact.
+    */
+  private def cmsBucket(j: Column, tok: Column): Column =
+    conv(substring(md5(concat(j.cast("string"), lit(":"), tok)
+      .cast("binary")), 1, 4), 16, 10).cast("long") % CmsW
+
+  /** C28 `sketch_cms` — Count-Min point-frequency sketch, the
+    * complement of C11's Misra-Gries (MG returns the exact θ-heavy SET;
+    * CMS answers point frequency queries for ANY key from bounded
+    * state): [[CmsD]]×[[CmsW]] counter cells, estimate = min over rows
+    * of the key's cell — always ≥ exact, overestimate bounded by
+    * collisions. Probes the corpus's exact top-[[CmsProbeK]] tokens so
+    * the oracle can compare estimate vs exact.
+    *
+    * Scale shape: the ×[[CmsD]] Generate fan-out collapses in map-side
+    * combine to ≤ D×W rows per partition — the shuffle carries sketch
+    * cells, never tokens; the counter table is O(D×W) ≈ KB and
+    * broadcast back to the (tiny) probe side. Counter sum is exact
+    * integer aggregation, so sketch build, probe, and min all replay
+    * identically in DuckDB. Like the B35 HLL partials, cells are
+    * mergeable across shards/days by plain addition — the incremental
+    * maintenance story at 100 TB.
+    */
+  def sketchCms(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = Tables(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(explode(toks).as("tok"))
+    val counters = tokens
+      .select(col("tok"), explode(sequence(lit(0), lit(CmsD - 1))).as("j"))
+      .withColumn("bucket", cmsBucket(col("j"), col("tok")))
+      .groupBy(col("j"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val probes = tokens.groupBy(col("tok"))
+      .agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("tok")).limit(CmsProbeK)
+    probes
+      .select(col("tok"), col("exact_n"),
+        explode(sequence(lit(0), lit(CmsD - 1))).as("j"))
+      .withColumn("bucket", cmsBucket(col("j"), col("tok")))
+      .join(broadcast(counters), Seq("j", "bucket"))
+      .groupBy(col("tok"), col("exact_n"))
+      .agg(min(col("c")).as("cms_est"))
+      .withColumn("over_n", col("cms_est") - col("exact_n"))
+      .orderBy(col("tok"))
+  }
+
   val ContamMod = 20 // every 20th doc stands in for the held-out eval set
   val ContamN = 4    // overlap n-gram length (13-gram in prod; testdata
                      // vocab is ~31 words, so 4 keeps the signal real)
@@ -388,6 +439,7 @@ object TextOps {
     "text_entropy" -> (textEntropy _),
     "decontaminate" -> (decontaminate _),
     "heavy_hitters" -> (heavyHitters _),
+    "sketch_cms" -> (sketchCms _),
     "pack_sequences" -> (packSequences _),
     "vocab_topk" -> (vocabTopK _),
     "text_tokens" -> (textTokens _),
@@ -402,6 +454,51 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // sketch_cms: counters and probes replay with the strpos 4-hex
+    // decode of md5('j:tok'); every step is exact integer arithmetic
+    "sketch_cms" ->
+      """WITH tk AS (SELECT unnest(
+        |    string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |jr AS (SELECT unnest(range(0, 4)) AS j),
+        |cells AS (SELECT jr.j,
+        |    ((strpos('0123456789abcdef',
+        |        substr(md5(CAST(jr.j AS VARCHAR) || ':' || tok),1,1)) - 1)
+        |      * 4096
+        |     + (strpos('0123456789abcdef',
+        |        substr(md5(CAST(jr.j AS VARCHAR) || ':' || tok),2,1)) - 1)
+        |      * 256
+        |     + (strpos('0123456789abcdef',
+        |        substr(md5(CAST(jr.j AS VARCHAR) || ':' || tok),3,1)) - 1)
+        |      * 16
+        |     + (strpos('0123456789abcdef',
+        |        substr(md5(CAST(jr.j AS VARCHAR) || ':' || tok),4,1)) - 1))
+        |      % 256 AS bucket
+        |  FROM tk CROSS JOIN jr),
+        |counters AS (SELECT j, bucket, count(*) AS c
+        |  FROM cells GROUP BY j, bucket),
+        |ex AS (SELECT tok, count(*) AS exact_n FROM tk GROUP BY tok),
+        |pr AS (SELECT tok, exact_n FROM ex
+        |  ORDER BY exact_n DESC, tok LIMIT 10),
+        |pc AS (SELECT pr.tok, pr.exact_n, jr.j,
+        |    ((strpos('0123456789abcdef',
+        |        substr(md5(CAST(jr.j AS VARCHAR) || ':' || pr.tok),1,1))
+        |        - 1) * 4096
+        |     + (strpos('0123456789abcdef',
+        |        substr(md5(CAST(jr.j AS VARCHAR) || ':' || pr.tok),2,1))
+        |        - 1) * 256
+        |     + (strpos('0123456789abcdef',
+        |        substr(md5(CAST(jr.j AS VARCHAR) || ':' || pr.tok),3,1))
+        |        - 1) * 16
+        |     + (strpos('0123456789abcdef',
+        |        substr(md5(CAST(jr.j AS VARCHAR) || ':' || pr.tok),4,1))
+        |        - 1)) % 256 AS bucket
+        |  FROM pr CROSS JOIN jr),
+        |est AS (SELECT pc.tok, pc.exact_n, min(c.c) AS cms_est
+        |  FROM pc JOIN counters c USING (j, bucket)
+        |  GROUP BY pc.tok, pc.exact_n)
+        |SELECT tok, exact_n, cms_est, cms_est - exact_n AS over_n
+        |FROM est ORDER BY tok""".stripMargin,
     "text_bigrams" ->
       """WITH t AS (SELECT doc_id,
         |    string_split_regex(trim(text), '\s+') AS w

@@ -102,4 +102,34 @@ class TextOpsSpec extends SparkSpec {
     // one distinct matched gram; doc 22 must not appear at all
     assert(got.toSeq == Seq((21L, 1L)))
   }
+
+  test("sketch_cms: estimate ≥ exact on every probe, state stays D×W") {
+    val rows = TextOps.sketchCms(spark, sfDir).collect()
+    assert(rows.length == TextOps.CmsProbeK)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_n")
+      val est = r.getAs[Long]("cms_est")
+      val over = r.getAs[Long]("over_n")
+      // the count-min inequality: collisions only ADD
+      assert(est >= exact, s"${r.getAs[String]("tok")}: est $est < $exact")
+      assert(over == est - exact && over >= 0)
+    }
+    // the sketch itself is bounded state: the counter table holds at
+    // most D×W cells, every bucket in range, regardless of corpus size
+    // (the 100-TB contract) — rebuilt here with the same hash spelling
+    val counters = graft.Tables(spark, sfDir, "documents")
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .select(col("tok"),
+        explode(sequence(lit(0), lit(TextOps.CmsD - 1))).as("j"))
+      .withColumn("bucket",
+        conv(substring(md5(concat(col("j").cast("string"), lit(":"),
+          col("tok")).cast("binary")), 1, 4), 16, 10).cast("long")
+          % TextOps.CmsW)
+      .groupBy("j", "bucket").count()
+    assert(counters.count() <= TextOps.CmsD.toLong * TextOps.CmsW,
+      "counter table exceeded its D*W bound")
+    val badBucket = counters
+      .filter(col("bucket") < 0 || col("bucket") >= TextOps.CmsW).count()
+    assert(badBucket == 0, "bucket left [0, W) range")
+  }
 }
