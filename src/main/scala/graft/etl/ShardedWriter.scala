@@ -34,4 +34,26 @@ object ShardedWriter {
     Option(new File(path).listFiles())
       .map(_.count(f => f.getName.endsWith(".parquet"))).getOrElse(0)
   }
+
+  /** Same size-targeted, range-ordered sharding, but emitting
+    * gzip-compressed JSONL — the standard interchange format training
+    * dataloaders consume. One bounded `.json.gz` per task; at 100 TB
+    * the shape is identical to the parquet arm (the only difference is
+    * the serializer), so the layout/ordering guarantees carry over.
+    * Returns the shard file count.
+    */
+  def writeJsonl(df: DataFrame, path: String, sortKey: String,
+      targetRows: Long): Int = {
+    require(targetRows > 0, "ShardedWriter: targetRows must be positive")
+    val n = df.count()
+    val shards = math.max(1, math.ceil(n.toDouble / targetRows).toInt)
+    df.repartitionByRange(shards, col(sortKey))
+      .sortWithinPartitions(sortKey)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRows)
+      .option("compression", "gzip")
+      .json(path)
+    Option(new File(path).listFiles())
+      .map(_.count(f => f.getName.endsWith(".json.gz"))).getOrElse(0)
+  }
 }

@@ -58,6 +58,24 @@ object Streaming {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** G10 streaming sketch maintenance: the incremental arm of the B35
+    * HLL sketch table, run live — per-(hour-window, type) HLL register
+    * partials maintained by the state store as events arrive, emitting
+    * the KB-sized mergeable sketch rows a periodic batch rollup then
+    * merges for any time-range distinct-count question (the archive is
+    * never rescanned; exactly the B35 contract, incrementally fed).
+    * Register-max merge is associative AND idempotent, so stream-built
+    * partials merge to the SAME estimate a batch pass over the same
+    * rows produces — pinned in spec.
+    */
+  def sketchMaintenanceTransform(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(graft.functions.HllSketch.hllAgg(col("user_id")).as("sk"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("sk"))
+
   /** G5 `stream_dedup` — batch equivalent: one survivor per event_id
     * (min ts, then min value as the deterministic tiebreak).
     */

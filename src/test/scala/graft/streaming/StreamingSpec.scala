@@ -178,6 +178,48 @@ class StreamingSpec extends SparkSpec {
     assert(sessions == Set((2L, 3.0), (1L, 4.0)))
   }
 
+  test("streaming HLL sketch maintenance merges to the batch estimate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.HllSketch._
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = Streaming.sketchMaintenanceTransform(
+      mem.toDF().toDF("user_id", "ts", "event_type"))
+      .writeStream.format("memory").queryName("sketch_stream")
+      .outputMode("complete").start()
+    try {
+      // two micro-batches, overlapping users across windows and types
+      mem.addData(
+        (1L, ts("2024-01-01 10:05:00"), "view"),
+        (2L, ts("2024-01-01 10:10:00"), "view"),
+        (1L, ts("2024-01-01 11:05:00"), "view"),
+        (3L, ts("2024-01-01 10:20:00"), "purchase"))
+      q.processAllAvailable()
+      mem.addData(
+        (2L, ts("2024-01-01 11:30:00"), "view"),
+        (4L, ts("2024-01-01 10:40:00"), "view"),
+        (3L, ts("2024-01-01 11:45:00"), "purchase"))
+      q.processAllAvailable()
+      val partials = spark.table("sketch_stream")
+      // one partial per (window, type) that saw data
+      assert(partials.count() == 4)
+      // periodic rollup: merging the stream-built partials per type
+      // must equal the batch estimate over the same rows — register
+      // max is associative and idempotent, so EXACT equality holds
+      val merged = partials.groupBy($"event_type")
+        .agg(hllEstimate(hllMerge($"sk")).as("est"))
+        .as[(String, Long)].collect().toMap
+      val batch = Seq(
+        (1L, "view"), (2L, "view"), (1L, "view"), (3L, "purchase"),
+        (2L, "view"), (4L, "view"), (3L, "purchase"))
+        .toDF("user_id", "event_type")
+        .groupBy($"event_type")
+        .agg(hllEstimate(hllAgg($"user_id")).as("est"))
+        .as[(String, Long)].collect().toMap
+      assert(merged == batch, s"stream-merged $merged != batch $batch")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark drops re-deliveries of the same key") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
