@@ -544,6 +544,51 @@ object Analytic {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** `ts_holt` — Holt's linear-trend smoothing (double exponential):
+    * the canonical one-step-ahead forecast baseline, one level up from
+    * [[tsEwma]]'s single-state recurrence. Per type-day revenue series:
+    * l_t = (5·x_t + 5·(l_{t−1} + t_{t−1}))/10 (α = 0.5),
+    * t_t = (3·(l_t − l_{t−1}) + 7·t_{t−1})/10 (β = 0.3),
+    * forecast_next = l_t + t_t. Same scale shape as ts_ewma: one
+    * shuffle to the O(types × days) daily frame, recurrence as an
+    * in-row fold, no driver loop, no window chain. Same fixed-point
+    * discipline too — bigint cents with TRUE floor division (subtract
+    * pmod, then exact div) — but the state is now a PAIR, carried as a
+    * named_struct accumulator; the trend can go negative on a dip, so
+    * the floor spelling (not truncation) is what keeps Spark and the
+    * oracle's `//` on identical integers at every step.
+    */
+  def tsHolt(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(sum(col("value")) * 100, 0).cast("long").as("cents"))
+    // the new level appears inside the trend update; SQL lambdas have
+    // no let-binding, so l_t's expression repeats (same integers)
+    val lNew = "(5 * x.cents + 5 * (acc.l + acc.t)" +
+      " - pmod(5 * x.cents + 5 * (acc.l + acc.t), 10)) div 10"
+    daily
+      .groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("day"), col("cents"))))
+        .as("series"))
+      .select(col("event_type"), col("series"),
+        posexplode(col("series")).as(Seq("p", "s")))
+      .withColumn("st", expr(
+        s"""aggregate(slice(series, 2, p),
+           |  named_struct('l', element_at(series, 1).cents,
+           |               't', CAST(0 AS BIGINT)),
+           |  (acc, x) -> named_struct(
+           |    'l', $lNew,
+           |    't', (3 * (($lNew) - acc.l) + 7 * acc.t
+           |      - pmod(3 * (($lNew) - acc.l) + 7 * acc.t, 10))
+           |      div 10))""".stripMargin))
+      .select(col("event_type"), col("s.day").as("day"),
+        (col("s.cents") / 100.0).as("rev"),
+        (col("st.l") / 100.0).as("level"),
+        (col("st.t") / 100.0).as("trend"),
+        ((col("st.l") + col("st.t")) / 100.0).as("forecast_next"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** `graph_pagerank` — iterative graph analytics expressed
     * declaratively: PageRank (d = 0.85, 3 power iterations, dangling
     * mass redistributed uniformly) over the nation-level trade network
@@ -644,6 +689,7 @@ object Analytic {
     "abc_pareto" -> (abcPareto _),
     "events_cooccur" -> (eventsCooccur _),
     "ts_ewma" -> (tsEwma _),
+    "ts_holt" -> (tsHolt _),
     "ts_gapfill" -> (tsGapfill _),
     "robust_stats" -> (robustStats _),
     "corr_stats" -> (corrStats _),
@@ -658,6 +704,42 @@ object Analytic {
     "win_first_last" -> (winFirstLast _),
     "sample_pergroup" -> (samplePergroup _)
   )
+
+  /** The ts_holt oracle's fold body, composed here because the new
+    * level appears inside the trend update and every /10 must be the
+    * floor spelling — expanding by hand invites the exact off-by-one
+    * this replaces.
+    */
+  private val tsHoltOracle: String = {
+    val S = "10000000000"
+    val O = "5000000000"
+    def lfloor(n: String) = s"(($n) - ((($n) % 10 + 10) % 10)) // 10"
+    val l = s"(a // $S)"
+    val t = s"(a % $S - $O)"
+    val l2 = lfloor(s"5 * x + 5 * ($l + $t)")
+    val t2 = lfloor(s"3 * (($l2) - $l) + 7 * $t")
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |    CAST(round(sum(value) * 100, 0) AS BIGINT) AS cents
+       |  FROM events GROUP BY 1, 2),
+       |ser AS (SELECT event_type,
+       |    array_agg(CAST(cents AS HUGEINT) ORDER BY day) AS cs,
+       |    array_agg(day ORDER BY day) AS days
+       |  FROM daily GROUP BY event_type),
+       |idx AS (SELECT event_type, cs, days,
+       |    unnest(range(1, len(cs) + 1)) AS i
+       |  FROM ser),
+       |st AS (SELECT event_type, days, cs, i,
+       |    list_reduce(
+       |      list_prepend(cs[1] * $S + $O, cs[2:i]),
+       |      (a, x) -> ($l2) * $S + ($t2) + $O) AS packed
+       |  FROM idx)
+       |SELECT event_type, days[i] AS day, cs[i] / 100.0 AS rev,
+       |  (packed // $S) / 100.0 AS level,
+       |  (packed % $S - $O) / 100.0 AS trend,
+       |  ((packed // $S) + (packed % $S - $O)) / 100.0 AS forecast_next
+       |FROM st ORDER BY event_type, day""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "orders_open_by_day" ->
@@ -745,6 +827,17 @@ object Analytic {
         |  list_reduce(cs[1:i], (a, x) -> (3 * x + 7 * a) // 10) / 100.0
         |    AS ewma
         |FROM idx ORDER BY event_type, day""".stripMargin,
+    // ts_holt: the two-state fold replays as a list_reduce whose
+    // accumulator packs (level, trend) into one HUGEINT — DuckDB's
+    // list_reduce fixes acc type = element type, so the series is cast
+    // to HUGEINT and the packed init is prepended (level·1e10 + trend
+    // + 5e9). DuckDB's integer // TRUNCATES toward zero, so each /10
+    // step spells the TRUE floor ((n − pmod(n,10)) // 10, with pmod as
+    // ((n%10+10)%10)) — matching Spark's pmod-floor exactly on the
+    // negative numerators a dipping trend produces. The packed acc
+    // itself stays ≥ 0 (positive-revenue level, |trend| < 5e9), so the
+    // unpack's plain // and % are exact.
+    "ts_holt" -> tsHoltOracle,
     "agg_hist_quantiles" ->
       """WITH partials AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,

@@ -96,6 +96,38 @@ class AnalyticSpec extends SparkSpec {
     }
   }
 
+  test("ts_holt: fold replays the sequential recurrence exactly") {
+    val rows = Analytic.tsHolt(spark, sfDir).collect()
+      .groupBy(_.getAs[String]("event_type"))
+    assert(rows.nonEmpty)
+    def floorDiv10(n: Long): Long = Math.floorDiv(n, 10L)
+    rows.foreach { case (tpe, series) =>
+      val byDay = series.sortBy(_.getAs[java.sql.Date]("day").toString)
+      // sequential replay in cents (the definition, not the fold)
+      var l = math.round(byDay.head.getAs[Double]("rev") * 100)
+      var t = 0L
+      byDay.zipWithIndex.foreach { case (r, i) =>
+        if (i > 0) {
+          val x = math.round(r.getAs[Double]("rev") * 100)
+          val lNew = floorDiv10(5 * x + 5 * (l + t))
+          t = floorDiv10(3 * (lNew - l) + 7 * t)
+          l = lNew
+        }
+        assert(math.round(r.getAs[Double]("level") * 100) == l,
+          s"$tpe day $i: level diverged from the sequential replay")
+        assert(math.round(r.getAs[Double]("trend") * 100) == t,
+          s"$tpe day $i: trend diverged from the sequential replay")
+        assert(r.getAs[Double]("forecast_next") ==
+          (l + t) / 100.0, "forecast must be level + trend")
+      }
+    }
+    // the data must dip somewhere: a negative trend is what separates
+    // the floor spelling from truncation — untested otherwise
+    assert(Analytic.tsHolt(spark, sfDir).collect()
+      .exists(_.getAs[Double]("trend") < 0),
+      "test series must exercise negative trend (floor-div path)")
+  }
+
   test("ts_gapfill: dense calendar, gaps zero-counted and value-carried") {
     val rows = Analytic.tsGapfill(spark, sfDir).collect()
     assert(rows.nonEmpty)
