@@ -35,21 +35,22 @@ object EmbPca {
   def embPca(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    // exact integer accumulation: Gram upper triangle via the custom
-    // aggregate; per-dim micro-unit sums via posexplode (64 groups,
-    // map-side partials)
+    // exact integer accumulation, ONE distributed pass: Gram upper
+    // triangle via the custom aggregate, plus the 64 per-dim
+    // micro-unit sums as sibling aggregate columns in the SAME agg —
+    // all mergeable partials, no second scan, no posexplode fan-out
     val withQ = c.withColumn("q", expr(
       "transform(embedding, x -> cast(floor(cast(x as double) * 1e6) as bigint))"))
-    val gRow = withQ.agg(
-      graft.functions.GramUpper.gramUpper(col("embedding")).as("g"),
-      count(lit(1)).as("n")).collect()(0)
+    val aggs =
+      graft.functions.GramUpper.gramUpper(col("embedding")).as("g") +:
+      count(lit(1)).as("n") +:
+      (0 until Dim).map(i => sum(col("q").getItem(i)).as(s"s$i"))
+    val gRow = withQ.agg(aggs.head, aggs.tail: _*).collect()(0)
     val g = gRow.getSeq[Long](0)
     val n = gRow.getLong(1)
     require(g.length == Dim * (Dim + 1) / 2,
       s"emb_pca: expected dim $Dim, got gram of ${g.length}")
-    val s = withQ.select(posexplode(col("q")).as(Seq("d", "qv")))
-      .groupBy(col("d")).agg(sum(col("qv")).as("s"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val s = (0 until Dim).map(i => i -> gRow.getAs[Long](s"s$i")).toMap
     // covariance C = G/n − (S/n)(S/n)ᵀ, elementwise off exact integers
     // (micro-unit² scale — scale cancels in the direction)
     val cm = Array.ofDim[Double](Dim, Dim)

@@ -20,20 +20,35 @@ import org.apache.spark.sql.functions._
   */
 object ShardedWriter {
 
-  /** Writes `df` under `path`, returns the parquet file count. */
-  def write(df: DataFrame, path: String, sortKey: String,
-      targetRows: Long): Int = {
+  import org.apache.spark.sql.DataFrameWriter
+  import org.apache.spark.sql.Row
+
+  /** The shared sharding pipeline: range-partition to the row target,
+    * sort within shards, cap file size, hand the configured writer to
+    * the serializer, count the resulting shard files. Both output arms
+    * are thin serializer choices over this — the sharding math lives
+    * exactly once.
+    */
+  private def sharded(df: DataFrame, path: String, sortKey: String,
+      targetRows: Long, fileSuffix: String)(
+      serialize: (DataFrameWriter[Row], String) => Unit): Int = {
     require(targetRows > 0, "ShardedWriter: targetRows must be positive")
     val n = df.count()
     val shards = math.max(1, math.ceil(n.toDouble / targetRows).toInt)
-    df.repartitionByRange(shards, col(sortKey))
-      .sortWithinPartitions(sortKey)
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", targetRows)
-      .parquet(path)
+    serialize(
+      df.repartitionByRange(shards, col(sortKey))
+        .sortWithinPartitions(sortKey)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", targetRows),
+      path)
     Option(new File(path).listFiles())
-      .map(_.count(f => f.getName.endsWith(".parquet"))).getOrElse(0)
+      .map(_.count(f => f.getName.endsWith(fileSuffix))).getOrElse(0)
   }
+
+  /** Writes `df` under `path`, returns the parquet file count. */
+  def write(df: DataFrame, path: String, sortKey: String,
+      targetRows: Long): Int =
+    sharded(df, path, sortKey, targetRows, ".parquet")(_.parquet(_))
 
   /** Same size-targeted, range-ordered sharding, but emitting
     * gzip-compressed JSONL — the standard interchange format training
@@ -43,17 +58,7 @@ object ShardedWriter {
     * Returns the shard file count.
     */
   def writeJsonl(df: DataFrame, path: String, sortKey: String,
-      targetRows: Long): Int = {
-    require(targetRows > 0, "ShardedWriter: targetRows must be positive")
-    val n = df.count()
-    val shards = math.max(1, math.ceil(n.toDouble / targetRows).toInt)
-    df.repartitionByRange(shards, col(sortKey))
-      .sortWithinPartitions(sortKey)
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", targetRows)
-      .option("compression", "gzip")
-      .json(path)
-    Option(new File(path).listFiles())
-      .map(_.count(f => f.getName.endsWith(".json.gz"))).getOrElse(0)
-  }
+      targetRows: Long): Int =
+    sharded(df, path, sortKey, targetRows, ".json.gz")(
+      _.option("compression", "gzip").json(_))
 }

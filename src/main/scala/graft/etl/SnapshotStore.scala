@@ -15,12 +15,12 @@ import org.apache.spark.sql.functions._
   * shuffle, linear in snapshot size, no driver-side row handling.
   */
 object SnapshotStore {
-  /** Filename suffixes of every snapshot medium. [[SnapshotStore.versions]]
-    * classifies directory entries against this list so each store sees
-    * only its own medium; a subclass adding a new medium registers its
-    * suffix here.
+  /** Trailing dot-extension, the marker of a non-parquet snapshot
+    * medium. Version ids are dates ("2026-08-10"), which never carry
+    * one, so the bare-suffix parquet store can exclude ANY foreign
+    * medium — registered or not — without a central suffix registry.
     */
-  private[etl] val KnownSuffixes: Seq[String] = Seq(".xlsx")
+  private[etl] val DotExtension = "\\.[A-Za-z0-9]+$".r
 }
 
 class SnapshotStore(spark: SparkSession, root: String, key: String) {
@@ -44,10 +44,19 @@ class SnapshotStore(spark: SparkSession, root: String, key: String) {
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(n => n.startsWith("v=") &&
-        SnapshotStore.KnownSuffixes.find(n.endsWith).getOrElse("") == suffix)
-      .map(_.stripPrefix("v=").stripSuffix(suffix)).sorted
+    else {
+      // medium classification without a central registry: a store
+      // with a real suffix owns exactly the entries ending in it; the
+      // bare-suffix parquet store owns entries with NO trailing
+      // dot-extension (version ids are dates — a dot-extension can
+      // only be another medium's marker, known to us or not)
+      def mine(version: String): Boolean =
+        if (suffix.nonEmpty) version.endsWith(suffix)
+        else SnapshotStore.DotExtension.findFirstIn(version).isEmpty
+      fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith("v=") && mine(n))
+        .map(_.stripPrefix("v=").stripSuffix(suffix)).sorted
+    }
   }
 
   def read(version: String): DataFrame = spark.read.parquet(dir(version))

@@ -181,9 +181,14 @@ object XlsxRead {
           .map(styles).getOrElse(0)
         // a date-styled NUMERIC cell is an Excel serial date — surface
         // it as the ISO string the schema inference and converters
-        // understand; string formula results pass through untouched
+        // understand. Only typeless cells carry serials: a t="str"
+        // formula RESULT is text even when the cell wears a date style
+        // (e.g. TEXT(...) under a date xf), so it passes through
+        // untouched no matter how numeric it looks.
+        val isStr = c.getAttribute("t") == "str"
         v.map { s =>
-          if (kind != 0 && isDouble(s.trim)) serialToString(s.trim.toDouble, kind)
+          if (!isStr && kind != 0 && isDouble(s.trim))
+            serialToString(s.trim.toDouble, kind)
           else s
         }.orNull
     }

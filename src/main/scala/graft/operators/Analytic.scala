@@ -714,8 +714,13 @@ object Analytic {
     val S = "10000000000"
     val O = "5000000000"
     def lfloor(n: String) = s"(($n) - ((($n) % 10 + 10) % 10)) // 10"
-    val l = s"(a // $S)"
-    val t = s"(a % $S - $O)"
+    // the unpack must ALSO be floor-consistent: a sharp enough dip can
+    // drive the level itself negative (packed < 0), where DuckDB's
+    // truncating // and sign-of-dividend % would unpack garbage
+    def unpackMod(a: String) = s"((($a) % $S + $S) % $S)"
+    def unpackDiv(a: String) = s"((($a) - ${unpackMod(a)}) // $S)"
+    val l = unpackDiv("a")
+    val t = s"(${unpackMod("a")} - $O)"
     val l2 = lfloor(s"5 * x + 5 * ($l + $t)")
     val t2 = lfloor(s"3 * (($l2) - $l) + 7 * $t")
     s"""WITH daily AS (
@@ -735,9 +740,10 @@ object Analytic {
        |      (a, x) -> ($l2) * $S + ($t2) + $O) AS packed
        |  FROM idx)
        |SELECT event_type, days[i] AS day, cs[i] / 100.0 AS rev,
-       |  (packed // $S) / 100.0 AS level,
-       |  (packed % $S - $O) / 100.0 AS trend,
-       |  ((packed // $S) + (packed % $S - $O)) / 100.0 AS forecast_next
+       |  ${unpackDiv("packed")} / 100.0 AS level,
+       |  (${unpackMod("packed")} - $O) / 100.0 AS trend,
+       |  (${unpackDiv("packed")}
+       |    + (${unpackMod("packed")} - $O)) / 100.0 AS forecast_next
        |FROM st ORDER BY event_type, day""".stripMargin
   }
 

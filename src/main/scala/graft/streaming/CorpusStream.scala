@@ -22,10 +22,16 @@ object CorpusStream {
   val DedupHorizon = "1 hour"
 
   /** Streaming transform over a (doc_id, ts, text) stream. The C27
-    * model-based quality score rides along as a column (it is a pure
-    * per-row projection — the same [[graft.text.CorpusQuality
-    * .classifierScoreInt]] the batch query uses), so downstream
-    * consumers can gate on `qc_keep` without a second scoring pass.
+    * model-based quality score rides along as a column — the same
+    * [[graft.text.CorpusQuality.classifierScoreInt]] projection the
+    * batch query uses, applied here to the intake's CLEANED token
+    * stream (post control-char scrub), which is the right input at
+    * this stage: scoring happens after cleanup, exactly as the batch
+    * corpus_pipeline orders its stages. (The standalone batch
+    * quality_classifier query scores raw-text tokens, so a doc whose
+    * tokenization changes under cleaning can score differently there
+    * — same model, different stage input.) Downstream consumers gate
+    * on `qc_keep` without a second scoring pass.
     */
   def intake(docs: DataFrame): DataFrame =
     CorpusPipeline.qualityGate(CorpusPipeline.cleaned(

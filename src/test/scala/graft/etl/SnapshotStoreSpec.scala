@@ -67,4 +67,24 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(xlsx.latest.get.select("id").as[Long].collect().sorted
       .toSeq == Seq(2L, 3L))
   }
+
+  test("a subclass with an unregistered suffix still lists its snapshots") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snapcustom").toString
+    // a downstream medium no central registry has heard of — the
+    // store knows its own suffix, and the parquet store excludes any
+    // dot-extension entry, so both directions classify correctly
+    class V2Store(s: org.apache.spark.sql.SparkSession, r: String)
+        extends SnapshotStore(s, r, "id") {
+      override protected def suffix: String = ".v2"
+    }
+    val v2 = new V2Store(spark, root)
+    v2.rotate(Seq((1L, "a")).toDF("id", "name"), "2026-08-10")
+    v2.rotate(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), "2026-08-11")
+    assert(v2.versions == Seq("2026-08-10", "2026-08-11"))
+    assert(v2.latest.get.count() == 2)
+    // the plain parquet store at the same root must not see them
+    val pq = new SnapshotStore(spark, root, "id")
+    assert(pq.versions.isEmpty)
+  }
 }

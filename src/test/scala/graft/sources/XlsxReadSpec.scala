@@ -231,6 +231,33 @@ class XlsxReadSpec extends SparkSpec {
       serial)))
   }
 
+  test("str-formula results under a date style pass through untouched") {
+    // a TEXT(...) formula result can wear a date xf while its value is
+    // genuinely a string — numeric-looking text must NOT be rewritten
+    // into a date (only typeless cells carry serials)
+    val path = tmp("strfmla.xlsx")
+    val styles =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<cellXfs count="2">
+        |<xf numFmtId="0" fontId="0" fillId="0" borderId="0" xfId="0"/>
+        |<xf numFmtId="14" fontId="0" fillId="0" borderId="0" xfId="0" applyNumberFormat="1"/>
+        |</cellXfs></styleSheet>""".stripMargin
+    val sheet =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>code</t></is></c></row>
+        |<row r="2"><c r="A2" t="str" s="1"><f>TEXT(1,"0")</f><v>45413</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    putZip(path,
+      "xl/worksheets/sheet1.xml" -> sheet,
+      "xl/styles.xml" -> styles)
+    val back = spark.read.format("graft-xlsx").load(path)
+    assert(back.collect().map(_.get(0)).toSeq == Seq(45413L),
+      "string formula result must keep its text value, not a date")
+  }
+
   test("sparse rows materialize missing trailing cells as null") {
     val raw = XlsxRead.RawSheet(
       header = IndexedSeq("a", "b"),
