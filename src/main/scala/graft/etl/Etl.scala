@@ -407,7 +407,65 @@ object Etl {
       .orderBy(col("col_name"))
   }
 
+  /** PSI band edges (industry-conventional): < 0.1 stable, < 0.25
+    * moderate shift, else shifted. Compared on the round(·, 6) score so
+    * the verdict can only flip where the score itself already differs.
+    */
+  private val PsiModerate = 0.1
+  private val PsiShifted = 0.25
+
+  /** A32 `etl_drift_psi` — distribution-drift audit between two time
+    * slices (Population Stability Index, the standard model-monitoring
+    * drift score): the event span splits at its exact integer-microsecond
+    * midpoint (one broadcast min/max row) into a baseline and a current
+    * half, values land in fixed-width bins (`floor(value / 5)` capped at
+    * 9 — halving and floor on doubles are bit-exact cross-engine, no
+    * cents dance needed), and per type
+    * PSI = Σ_bins (p − q) · ln(p / q) over Laplace-smoothed shares
+    * ((n+1)/(N+bins) — integer-count rationals, so empty bins stay
+    * defined without an epsilon fudge). One fact-scale shuffle down to
+    * the O(types × bins) frame; the window totals, shares, and the ln
+    * all run on that ~50-row frame. ln is double math, guarded by
+    * round(·, 6) like every cross-engine float comparison here.
+    */
+  def etlDriftPsi(spark: SparkSession, dir: String): DataFrame =
+    driftPsi(Tables(spark, dir, "events"))
+
+  /** [[etlDriftPsi]]'s core on any (event_type, ts, value) frame. */
+  def driftPsi(events: DataFrame): DataFrame = {
+    val e = events.select(col("event_type"),
+      unix_micros(col("ts")).as("us"),
+      least(floor(col("value") / 5).cast("int"), lit(9)).as("bin"))
+    val span = e.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+    val counts = e.crossJoin(broadcast(span))
+      .withColumn("is_base",
+        when(col("us") < expr("lo + (hi - lo) div 2"), 1L).otherwise(0L))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(sum(col("is_base")).as("nb"),
+        sum(lit(1L) - col("is_base")).as("nc"))
+    val spine = e.select(col("event_type")).distinct()
+      .crossJoin(events.sparkSession.range(0, 10)
+        .select(col("id").cast("int").as("bin")))
+    val wt = Window.partitionBy(col("event_type"))
+    spine.join(counts, Seq("event_type", "bin"), "left")
+      .na.fill(0L, Seq("nb", "nc"))
+      .withColumn("tb", sum(col("nb")).over(wt))
+      .withColumn("tc", sum(col("nc")).over(wt))
+      .withColumn("p", (col("nb") + lit(1.0)) / (col("tb") + lit(10.0)))
+      .withColumn("q", (col("nc") + lit(1.0)) / (col("tc") + lit(10.0)))
+      .groupBy(col("event_type"))
+      .agg(max(col("tb")).as("n_base"), max(col("tc")).as("n_cur"),
+        round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6)
+          .as("psi"))
+      .withColumn("band",
+        when(col("psi") < PsiModerate, "stable")
+          .when(col("psi") < PsiShifted, "moderate")
+          .otherwise("shifted"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_drift_psi" -> (etlDriftPsi _),
     "etl_profile" -> (etlProfile _),
     "etl_dq_checks" -> (dqChecks _),
     "corpus_shuffle" -> (corpusShuffle _),
@@ -428,6 +486,41 @@ object Etl {
   )
 
   val oracle: Map[String, String] = Map(
+    // etl_drift_psi: same midpoint split (integer-µs floor div), same
+    // fixed-width bins, same Laplace-smoothed shares; ln in double with
+    // the shared round(·, 6) guard
+    "etl_drift_psi" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us,
+        |    least(CAST(floor(value / 5) AS INT), 9) AS bin FROM events),
+        |span AS (SELECT min(us) AS lo, max(us) AS hi FROM e),
+        |c AS (SELECT event_type, bin,
+        |    CAST(sum(CASE WHEN us < lo + (hi - lo) // 2
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |    CAST(sum(CASE WHEN us < lo + (hi - lo) // 2
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS nc
+        |  FROM e CROSS JOIN span GROUP BY 1, 2),
+        |sb AS (SELECT event_type, CAST(unnest(range(0, 10)) AS INT) AS bin
+        |  FROM (SELECT DISTINCT event_type FROM e)),
+        |f AS (SELECT sb.event_type, sb.bin,
+        |    coalesce(nb, 0) AS nb, coalesce(nc, 0) AS nc
+        |  FROM sb LEFT JOIN c
+        |    ON sb.event_type = c.event_type AND sb.bin = c.bin),
+        |t AS (SELECT event_type, nb, nc,
+        |    sum(nb) OVER (PARTITION BY event_type) AS tb,
+        |    sum(nc) OVER (PARTITION BY event_type) AS tc FROM f),
+        |s AS (SELECT event_type, tb, tc,
+        |    (nb + 1.0) / (tb + 10.0) AS p,
+        |    (nc + 1.0) / (tc + 10.0) AS q FROM t),
+        |r AS (SELECT event_type,
+        |    CAST(max(tb) AS BIGINT) AS n_base,
+        |    CAST(max(tc) AS BIGINT) AS n_cur,
+        |    round(sum((p - q) * ln(p / q)), 6) AS psi
+        |  FROM s GROUP BY event_type)
+        |SELECT event_type, n_base, n_cur, psi,
+        |  CASE WHEN psi < 0.1 THEN 'stable'
+        |       WHEN psi < 0.25 THEN 'moderate'
+        |       ELSE 'shifted' END AS band
+        |FROM r ORDER BY event_type""".stripMargin,
     // the oracle intentionally takes the naive one-scan-per-column
     // UNION ALL spelling — same numbers, 4× the scans the operator pays
     "etl_profile" ->

@@ -260,18 +260,25 @@ object Analytic {
 
   /** `sample_pergroup` — deterministic per-group k-sample: the first 10
     * docs per language in md5(doc_id) order. Engine- and run-stable
-    * (the hash IS the ordering), one shuffle on the group key, and the
-    * per-group window state is O(k) after the rank filter. The
-    * uniform-without-replacement sampler you can re-run over 100 TB and
-    * get the same rows.
+    * (the hash IS the ordering), and planned on the H5 bounded-heap
+    * [[graft.plans.TopKPerGroup]] operator rather than a window: each
+    * task keeps an O(groups × k) heap, ships only survivors into the
+    * group-key shuffle, and never sorts a full partition — a window
+    * row_number must sort EVERY doc per language before the rank
+    * filter drops all but 10, which at 100 TB is a corpus-wide sort
+    * for a 50-row answer. The uniform-without-replacement sampler you
+    * can re-run over 100 TB and get the same rows.
     */
   def samplePergroup(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    Tables(spark, dir, "documents")
-      .withColumn("sample_rank", row_number().over(w).cast("long"))
-      .filter(col("sample_rank") <= 10)
-      .select(col("lang"), col("sample_rank"), col("doc_id"), col("n_chars"))
+    val hashed = Tables(spark, dir, "documents")
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        md5(col("doc_id").cast("string")).as("h"))
+    graft.plans.TopKOps.topK(hashed,
+        groupBy = Seq("lang"),
+        orderBy = Seq("h" -> true, "doc_id" -> true),
+        k = 10, rankName = "sample_rank")
+      .select(col("lang"), col("sample_rank").cast("long").as("sample_rank"),
+        col("doc_id"), col("n_chars"))
       .orderBy(col("lang"), col("sample_rank"))
   }
 

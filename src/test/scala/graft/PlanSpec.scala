@@ -218,4 +218,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"),
       "offsets and row branches must share the cached ranged frame")
   }
+
+  test("sample_pergroup: bounded-heap TopKExec, never a full window sort") {
+    val p = plan("sample_pergroup")
+    // the sampler must plan on the H5 operator (partial map-side heap
+    // + final heap after the lang shuffle), not sort every doc per
+    // language to keep 10 — that window spelling is a corpus-wide
+    // sort at 100 TB
+    assert(countOccurrences(p, "TopK (") >= 2,
+      s"expected partial+final TopKExec, plan:\n$p")
+    assert(!p.contains(" Window "),
+      "sampler must not fall back to a window sort")
+  }
 }
