@@ -649,6 +649,55 @@ object Ann {
       .orderBy(col("cluster_id"))
   }
 
+  /** Total sample target for E16 — balanced across however many
+    * clusters the quantizer finds (per-cluster budget = this div k).
+    */
+  val ClusterSampleBudget = 120L
+
+  /** E16 `emb_cluster_sample` — cluster-balanced semantic sampling,
+    * the data-mixing step after E10's clustering: web-scale corpora
+    * are semantically lopsided, and uniform sampling reproduces the
+    * lopsidedness. Here each E10 cluster gets an equal slice of the
+    * budget (target = budget div k), turned into a per-cluster
+    * keep-rate min(1, target / n_c) and then into the same
+    * deterministic 16-bit md5 threshold as C22 — so an over-represented
+    * cluster downsamples hard while a rare cluster keeps everything,
+    * and the selected set is bit-reproducible on any engine or
+    * partitioning (the draw is salted `cs:` so it is independent of
+    * the quantizer's training-sample draw). The cluster assignment is
+    * one broadcast-centroid corpus pass (cached — the rate table and
+    * the final rollup both read it); the rate table is O(clusters) and
+    * broadcasts back. Output pins the exact sample identity per
+    * cluster via the md5 of the ordered kept-id list.
+    */
+  def embClusterSample(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val cents = refinedCentroids(spark, c, sampleThresh(c))
+    val k = math.max(cents.count(), 1L)
+    val target = ClusterSampleBudget / k
+    val assigned = assignCells(c, cents)
+      .select(col("vec_id"), col("cell_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rates = assigned.groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .withColumn("thresh",
+        floor(least(lit(1.0), lit(target.toDouble) / col("n_vectors"))
+          * 65536).cast("long"))
+    val draw = conv(substring(md5(concat(lit("cs:"),
+        col("vec_id").cast("string")).cast("binary")), 1, 4), 16, 10)
+      .cast("long")
+    assigned.join(broadcast(rates), Seq("cell_id"))
+      .withColumn("kept_id", when(draw < col("thresh"), col("vec_id")))
+      .groupBy(col("cell_id").as("cluster_id"))
+      .agg(
+        first(col("n_vectors")).as("n_vectors"),
+        first(col("thresh")).as("thresh"),
+        count(col("kept_id")).as("n_kept"),
+        md5(array_join(transform(sort_array(collect_list(col("kept_id"))),
+          _.cast("string")), ",").cast("binary")).as("kept_fp"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** E12 `emb_outliers` — embedding-corpus curation gate: vectors
     * whose cosine to their own cluster centroid sits more than
     * [[OutlierSigma]] sample standard deviations below the cluster
@@ -692,6 +741,7 @@ object Ann {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_outliers" -> (embOutliers _),
     "emb_kmeans" -> (embKmeans _),
+    "emb_cluster_sample" -> (embClusterSample _),
     "ann_ivfpq" -> (annIvfPq _),
     "ann_pq" -> (annPq _),
     "ann_topk" -> (annTopK _),
@@ -840,6 +890,38 @@ object Ann {
          |    CAST(a.embedding AS DOUBLE[])))), 4) AS avg_norm
          |FROM asg1 a JOIN cents c USING (cell_id)
          |GROUP BY a.cell_id ORDER BY cluster_id""".stripMargin,
+    // emb_cluster_sample: E10's assignment replay + the C22 threshold
+    // kernel on the `cs:`-salted draw; sample identity pinned by the
+    // md5 of the ordered kept-id list
+    "emb_cluster_sample" ->
+      s"""$ivfOracleCommon,
+         |kn AS (SELECT count(*) AS k FROM cents),
+         |rates AS (SELECT cell_id, count(*) AS n_vectors,
+         |    CAST(floor(least(1.0,
+         |        ($ClusterSampleBudget // k) * 1.0 / count(*)) * 65536)
+         |      AS BIGINT) AS thresh
+         |  FROM asg1 CROSS JOIN kn GROUP BY cell_id, k),
+         |kept AS (SELECT a.cell_id, r.n_vectors, r.thresh,
+         |    CASE WHEN CAST((strpos('0123456789abcdef',
+         |          substr(md5('cs:' || CAST(a.vec_id AS VARCHAR)),1,1))
+         |          - 1) * 4096
+         |        + (strpos('0123456789abcdef',
+         |          substr(md5('cs:' || CAST(a.vec_id AS VARCHAR)),2,1))
+         |          - 1) * 256
+         |        + (strpos('0123456789abcdef',
+         |          substr(md5('cs:' || CAST(a.vec_id AS VARCHAR)),3,1))
+         |          - 1) * 16
+         |        + (strpos('0123456789abcdef',
+         |          substr(md5('cs:' || CAST(a.vec_id AS VARCHAR)),4,1))
+         |          - 1) AS BIGINT) < r.thresh
+         |      THEN a.vec_id END AS kept_id
+         |  FROM asg1 a JOIN rates r USING (cell_id))
+         |SELECT cell_id AS cluster_id,
+         |  max(n_vectors) AS n_vectors, max(thresh) AS thresh,
+         |  count(kept_id) AS n_kept,
+         |  md5(coalesce(string_agg(CAST(kept_id AS VARCHAR), ','
+         |    ORDER BY kept_id), '')) AS kept_fp
+         |FROM kept GROUP BY cell_id ORDER BY cluster_id""".stripMargin,
     "ann_pq" ->
       s"""WITH $smpCte,
          |sv AS (SELECT vec_id, r.s AS sub,

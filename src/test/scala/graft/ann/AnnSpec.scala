@@ -251,4 +251,26 @@ class AnnSpec extends SparkSpec {
       assert(r.getAs[Double]("avg_norm") > 0.0)
     }
   }
+  test("emb_cluster_sample: balanced budget, small clusters intact, " +
+      "deterministic") {
+    val rows = Ann.embClusterSample(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val corpusN = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum == corpusN,
+      "every corpus vector must belong to exactly one cluster")
+    rows.foreach { r =>
+      val (n, thresh, kept) = (r.getAs[Long]("n_vectors"),
+        r.getAs[Long]("thresh"), r.getAs[Long]("n_kept"))
+      assert(thresh >= 0 && thresh <= 65536)
+      assert(kept >= 0 && kept <= n)
+      // a cluster at-or-under its budget slice keeps everything
+      if (thresh == 65536) assert(kept == n)
+      if (kept == 0)
+        assert(r.getAs[String]("kept_fp") ==
+          "d41d8cd98f00b204e9800998ecf8427e") // md5("")
+    }
+    // bit-reproducible: a second full run selects the identical sample
+    val again = Ann.embClusterSample(spark, sfDir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }
