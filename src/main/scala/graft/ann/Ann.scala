@@ -654,6 +654,106 @@ object Ann {
     */
   val ClusterSampleBudget = 120L
 
+  val MmrCandidates = 20 // relevance pool depth per query
+  val MmrK = 5           // diversified results per query
+
+  /** E17 `ann_mmr` — Maximal Marginal Relevance diversified top-k
+    * (Carbonell & Goldstein '98), the retrieval-diversity pass RAG
+    * stacks run after plain similarity: plain top-k returns K
+    * near-duplicates of each other when the corpus is redundant; MMR
+    * greedily picks argmax λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s), so
+    * each pick is relevant AND far from what's already selected.
+    *
+    * Scale shape: the only corpus-sized work is the E1 candidate scan
+    * (broadcast queries, corpus never shuffles) down to
+    * [[MmrCandidates]] per query; candidate scoring and the pairwise
+    * sim table stay declarative (codegen cosine), and the greedy loop
+    * itself runs per-query inside ONE cogroup on q_id — bounded
+    * sequential state (C candidates, C² sims ≈ constants) is exactly
+    * the justified-imperative case, and it beats unrolling the steps
+    * into the plan by ~10× wall (each unrolled step references the
+    * selection three times, so the DAG pays ~6 shuffle stages × K
+    * steps for groups of 400 values). Determinism: rel and pairwise
+    * sims are 6-dp rounded before any ranking, each step's score is
+    * INTEGER fixed-point, ties break on candidate id — so the greedy
+    * path, and therefore the whole selection, replays bit-identically
+    * in the DuckDB oracle (the same steps unrolled in SQL).
+    *
+    * Why fixed-point: λ·rel with λ = 0.7 over a 6-dp-rounded rel lands
+    * EXACTLY on 7-decimal half boundaries (0.7 × 0.371485 =
+    * 0.2600395), where Spark's decimal HALF_UP and DuckDB's
+    * binary-double rounding disagree — the same trap ts_ewma/ts_holt
+    * document. So rel and pairwise sims become exact micro-units
+    * (round(x·10⁶) as bigint) and the MMR score is the exact integer
+    * 7·rel_µ − 3·msim_µ, divided by 10⁷ only for display.
+    */
+  def annMmr(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    import spark.implicits._
+    val wRel = Window.partitionBy(col("q_id"))
+      .orderBy(col("rel").desc, col("cid"))
+    val cand = corpus(spark, dir)
+      .crossJoin(broadcast(queriesDf(spark, dir)))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("rel",
+        round(cosineSim(col("embedding"), col("q_emb")), 6))
+      .select(col("q_id"), col("vec_id").as("cid"), col("rel"),
+        col("embedding"))
+      .withColumn("rn", row_number().over(wRel))
+      .filter(col("rn") <= MmrCandidates)
+      .drop("rn")
+      .withColumn("rel_u", round(col("rel") * 1e6, 0).cast("long"))
+      .persist(MEMORY_AND_DISK)
+    val pairs = cand.select(col("q_id"), col("cid").as("a_id"),
+        col("embedding").as("a_emb"))
+      .join(cand.select(col("q_id"), col("cid").as("b_id"),
+        col("embedding").as("b_emb")), Seq("q_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("q_id"), col("a_id"), col("b_id"),
+        round(round(cosineSim(col("a_emb"), col("b_emb")), 6) * 1e6, 0)
+          .cast("long").as("sim_u"))
+    val candDs = cand.select(col("q_id"), col("cid"), col("rel_u"))
+      .as[(Long, Long, Long)]
+    val pairDs = pairs.as[(Long, Long, Long, Long)]
+    val picked = candDs.groupByKey(_._1)
+      .cogroup(pairDs.groupByKey(_._1)) { (q, cs, ps) =>
+        // candidates scanned in cid order with a strict `>`, so ties
+        // keep the LOWEST cid — the same (score desc, cid asc) order
+        // the SQL replay's window uses
+        val cands = cs.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+        val sim = ps.map(p => (p._2, p._3) -> p._4).toMap
+        val chosen = scala.collection.mutable.LinkedHashMap
+          .empty[Long, Long] // cid -> score_u, insertion = pick order
+        val msim = scala.collection.mutable.HashMap.empty[Long, Long]
+        while (chosen.size < MmrK && chosen.size < cands.length) {
+          var bestCid = -1L
+          var bestScore = Long.MinValue
+          cands.foreach { case (cid, relU) =>
+            if (!chosen.contains(cid)) {
+              val score =
+                if (chosen.isEmpty) 7L * relU
+                else 7L * relU - 3L * msim(cid)
+              if (score > bestScore) { bestScore = score; bestCid = cid }
+            }
+          }
+          chosen(bestCid) = bestScore
+          cands.foreach { case (cid, _) =>
+            if (!chosen.contains(cid)) {
+              val s = sim((cid, bestCid))
+              if (msim.get(cid).forall(_ < s)) msim(cid) = s
+            }
+          }
+        }
+        chosen.iterator.zipWithIndex.map { case ((cid, s), i) =>
+          (q, i + 1, cid, s)
+        }
+      }
+    picked.toDF("q_id", "rank", "cid", "score_u")
+      .select(col("q_id"), col("rank"), col("cid").as("neighbor_id"),
+        (col("score_u") / lit(1e7)).as("mmr_score"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** E16 `emb_cluster_sample` — cluster-balanced semantic sampling,
     * the data-mixing step after E10's clustering: web-scale corpora
     * are semantically lopsided, and uniform sampling reproduces the
@@ -696,6 +796,96 @@ object Ann {
         md5(array_join(transform(sort_array(collect_list(col("kept_id"))),
           _.cast("string")), ",").cast("binary")).as("kept_fp"))
       .orderBy(col("cluster_id"))
+  }
+
+  val SemDedupTau = 0.4 // within-cluster near-dup cosine bar
+
+  /** D9 `dedup_semantic` — cluster-scoped semantic deduplication
+    * (the SemDeDup recipe, Abbas et al. '23): embedding near-dup
+    * removal made tractable by comparing pairs ONLY inside the same
+    * E10 cluster. The global exact variant (D5) is quadratic in the
+    * corpus; here the coarse quantizer first partitions the corpus
+    * into k cells, and the pairwise pass runs per cell — O(Σ m_c²)
+    * with m_c ≈ n/k, so k is the knob that bounds per-cluster work at
+    * any corpus size (at 100 TB raise the cap so cells stay ~10⁴).
+    * Duplicate rule = the reference implementation's upper-triangular
+    * scan: a vector is a duplicate iff some LOWER-id vector in its
+    * cluster has cosine ≥ [[SemDedupTau]]; the kept representative is
+    * the min id (`dup_of`), exactly D1's keep-min-id convention.
+    *
+    * Plan shape: quantizer trains on the bounded sample, the one
+    * corpus pass assigns cells (cached — pair join and final rollup
+    * both read it), the self-join shuffles BOTH sides on cell_id only
+    * (co-partitioned sort-merge, no broadcast of anything
+    * corpus-sized), and the dup rollup + left join key on vec_id.
+    * Threshold compares on 6-dp-rounded cosine and the reported max
+    * similarity rounds per-pair to 4 dp before the max — both
+    * engine-exact, so the flag set replays identically in the oracle.
+    */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val c = corpus(spark, dir)
+    val cents = refinedCentroids(spark, c, sampleThresh(c))
+    val asg = assignCells(c, cents)
+      .withColumn("nrm", sqrt(dotF(col("embedding"), col("embedding"))))
+      .persist(MEMORY_AND_DISK)
+    val a = asg.select(col("cell_id"), col("vec_id").as("ia"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = asg.select(col("cell_id"), col("vec_id").as("ib"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val dups = a.join(b, Seq("cell_id"))
+      .filter(col("ia") < col("ib"))
+      .withColumn("cos",
+        when(col("na") * col("nb") === 0.0, 0.0)
+          .otherwise(dotF(col("ea"), col("eb")) / (col("na") * col("nb"))))
+      .filter(round(col("cos"), 6) >= SemDedupTau)
+      .groupBy(col("ib").as("vec_id"))
+      .agg(min(col("ia")).as("kept"),
+        max(round(col("cos"), 4)).as("mx"))
+    asg.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell_id").as("cluster_id"),
+        col("kept").isNotNull.cast("int").as("is_dup"),
+        coalesce(col("kept"), lit(-1L)).as("dup_of"),
+        coalesce(col("mx"), lit(0.0)).as("max_cos"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** E18 `emb_hard_negatives` — hard-negative mining for contrastive /
+    * retrieval training: for each anchor, the corpus vectors MOST
+    * similar to it that carry a DIFFERENT label — the negatives that
+    * actually move an embedding model (random negatives are trivially
+    * separable; the informative ones sit just outside the decision
+    * boundary, which is exactly "highest cosine, wrong label").
+    *
+    * Plan shape is E1's broadcast-query scan verbatim with the label
+    * inequality fused into the join predicate: anchors broadcast, the
+    * corpus never shuffles, wrong-label rows score dot-only on hoisted
+    * norms, and the per-anchor top-k goes through the same
+    * rank-on-rounded-cosine window the H7 rewrite turns into a
+    * bounded-heap TopK — per-anchor state is O(k) regardless of corpus
+    * size.
+    */
+  def embHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val full = Tables(spark, dir, "embeddings")
+    val c = full.select(col("vec_id"), col("embedding"), col("label"))
+      .withColumn("nrm", sqrt(dotF(col("embedding"), col("embedding"))))
+    val q = full.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("anchor_label"))
+      .withColumn("qn", sqrt(dotF(col("q_emb"), col("q_emb"))))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("cos"), 6).desc, col("vec_id"))
+    c.join(broadcast(q), col("label") =!= col("anchor_label"))
+      .withColumn("cos",
+        when(col("nrm") * col("qn") === 0.0, 0.0)
+          .otherwise(dotF(col("embedding"), col("q_emb")) /
+            (col("nrm") * col("qn"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("anchor_label"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("label").as("neg_label"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy(col("q_id"), col("rank"))
   }
 
   /** E12 `emb_outliers` — embedding-corpus curation gate: vectors
@@ -742,6 +932,9 @@ object Ann {
     "emb_outliers" -> (embOutliers _),
     "emb_kmeans" -> (embKmeans _),
     "emb_cluster_sample" -> (embClusterSample _),
+    "ann_mmr" -> (annMmr _),
+    "dedup_semantic" -> (dedupSemantic _),
+    "emb_hard_negatives" -> (embHardNegatives _),
     "ann_ivfpq" -> (annIvfPq _),
     "ann_pq" -> (annPq _),
     "ann_topk" -> (annTopK _),
@@ -853,6 +1046,30 @@ object Ann {
        |  WHERE rn <= $IvfProbes OR (rn <= $IvfMaxProbes
        |    AND round(q_cos, 6) >= best - $IvfProbeMargin))""".stripMargin
 
+  /** Unrolled MMR greedy steps 2..[[MmrK]] for the oracle: each step
+    * unions the picks so far, anti-joins them out of the pool, takes
+    * each survivor's max pairwise sim INTO the selected set, and
+    * re-ranks on the re-rounded score — the exact replay of one
+    * iteration of [[annMmr]]'s loop.
+    */
+  private def mmrOracleSteps: String = (2 to MmrK).map { t =>
+    val prev = (1 until t).map(i => s"SELECT * FROM sel$i")
+      .mkString(" UNION ALL ")
+    s"""selu${t - 1} AS ($prev),
+       |r$t AS (SELECT c.q_id, c.cid,
+       |    7 * c.rel_u - 3 * max(p.sim_u) AS score_u
+       |  FROM cand c
+       |  LEFT JOIN selu${t - 1} x ON x.q_id = c.q_id AND x.cid = c.cid
+       |  JOIN pairs p ON p.q_id = c.q_id AND p.a_id = c.cid
+       |  JOIN selu${t - 1} s ON s.q_id = p.q_id AND s.cid = p.b_id
+       |  WHERE x.cid IS NULL
+       |  GROUP BY c.q_id, c.cid, c.rel_u),
+       |sel$t AS (SELECT q_id, cid, score_u, $t AS rank FROM (SELECT q_id,
+       |    cid, score_u, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY score_u DESC, cid) AS rn FROM r$t) WHERE rn = 1),"""
+      .stripMargin
+  }.mkString("\n")
+
   private val topKOracleTail: String =
     """ranked AS (SELECT q_id, vec_id, cos, row_number() OVER (
       |    PARTITION BY q_id ORDER BY round(cos, 6) DESC, vec_id) AS rank
@@ -890,6 +1107,39 @@ object Ann {
          |    CAST(a.embedding AS DOUBLE[])))), 4) AS avg_norm
          |FROM asg1 a JOIN cents c USING (cell_id)
          |GROUP BY a.cell_id ORDER BY cluster_id""".stripMargin,
+    // dedup_semantic: E10's assignment replay, then the SemDeDup
+    // upper-triangular within-cluster scan — dup iff a lower-id
+    // cluster-mate is ≥ τ on the 6-dp-rounded cosine
+    "dedup_semantic" ->
+      s"""$ivfOracleCommon,
+         |prs AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |      CAST(b.embedding AS DOUBLE[])), 6) AS c6,
+         |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |      CAST(b.embedding AS DOUBLE[])), 4) AS c4
+         |  FROM asg1 a JOIN asg1 b
+         |    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id),
+         |dups AS (SELECT ib AS vec_id, min(ia) AS kept, max(c4) AS mx
+         |  FROM prs WHERE c6 >= $SemDedupTau GROUP BY ib)
+         |SELECT g.vec_id, g.cell_id AS cluster_id,
+         |  CAST(d.kept IS NOT NULL AS INT) AS is_dup,
+         |  coalesce(d.kept, -1) AS dup_of,
+         |  coalesce(d.mx, 0.0) AS max_cos
+         |FROM asg1 g LEFT JOIN dups d USING (vec_id)
+         |ORDER BY g.vec_id""".stripMargin,
+    "emb_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb,
+         |    label AS anchor_label
+         |  FROM embeddings WHERE vec_id < $NumQueries),
+         |s AS (SELECT q.q_id, q.anchor_label, e.vec_id, e.label,
+         |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |      CAST(q.q_emb AS DOUBLE[])) AS cos
+         |  FROM embeddings e JOIN q ON e.label <> q.anchor_label),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY round(cos, 6) DESC, vec_id) AS rn FROM s)
+         |SELECT q_id, anchor_label, rn AS rank, vec_id AS neighbor_id,
+         |  label AS neg_label, round(cos, 4) AS cos
+         |FROM r WHERE rn <= $K ORDER BY q_id, rank""".stripMargin,
     // emb_cluster_sample: E10's assignment replay + the C22 threshold
     // kernel on the `cs:`-salted draw; sample identity pinned by the
     // md5 of the ordered kept-id list
@@ -1194,6 +1444,36 @@ object Ann {
         |  round(min(norm), 4) AS min_norm,
         |  round(max(norm), 4) AS max_norm
         |FROM n GROUP BY label ORDER BY label""".stripMargin,
+    // ann_mmr: candidate pool + pairwise sims all 6-dp rounded, then
+    // the greedy loop unrolled step by step (see mmrOracleSteps)
+    "ann_mmr" ->
+      s"""WITH cand0 AS (SELECT q.vec_id AS q_id, e.vec_id AS cid,
+         |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |      CAST(q.embedding AS DOUBLE[])), 6) AS rel, e.embedding
+         |  FROM embeddings e CROSS JOIN embeddings q
+         |  WHERE q.vec_id < $NumQueries AND e.vec_id <> q.vec_id),
+         |cand AS (SELECT q_id, cid,
+         |    CAST(round(rel * 1000000, 0) AS BIGINT) AS rel_u, embedding
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY rel DESC, cid) AS rn FROM cand0)
+         |  WHERE rn <= $MmrCandidates),
+         |pairs AS (SELECT a.q_id, a.cid AS a_id, b.cid AS b_id,
+         |    CAST(round(round(list_cosine_similarity(
+         |        CAST(a.embedding AS DOUBLE[]),
+         |        CAST(b.embedding AS DOUBLE[])), 6) * 1000000, 0)
+         |      AS BIGINT) AS sim_u
+         |  FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.cid <> b.cid),
+         |sel1 AS (SELECT q_id, cid, score_u, 1 AS rank FROM (SELECT q_id,
+         |    cid, 7 * rel_u AS score_u, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY 7 * rel_u DESC, cid)
+         |      AS rn FROM cand)
+         |  WHERE rn = 1),
+         |$mmrOracleSteps
+         |allsel AS (${(1 to MmrK).map(i => s"SELECT * FROM sel$i")
+        .mkString(" UNION ALL ")})
+         |SELECT q_id, rank, cid AS neighbor_id,
+         |  score_u / 10000000.0 AS mmr_score
+         |FROM allsel ORDER BY q_id, rank""".stripMargin,
     "ann_topk" ->
       """WITH q AS (SELECT vec_id q_id, embedding q_emb FROM embeddings
         |    WHERE vec_id < 10),

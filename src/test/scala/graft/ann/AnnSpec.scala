@@ -273,4 +273,113 @@ class AnnSpec extends SparkSpec {
     val again = Ann.embClusterSample(spark, sfDir).collect()
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+  test("dedup_semantic: flags agree with brute-force within-cluster " +
+      "pairs and every dup pair is a true D5 near-dup") {
+    val out = Ann.dedupSemantic(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val cluster = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val n = math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (n == 0) 0 else d / n
+    }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var dups = 0
+    out.foreach { r =>
+      val (id, cl) = (r.getLong(0), r.getLong(1))
+      val isDup = r.getInt(2) == 1
+      // brute-force: does a lower-id same-cluster mate clear the bar?
+      val expected = cluster.exists { case (o, ocl) =>
+        o < id && ocl == cl && r6(cos(embs(o), embs(id))) >= Ann.SemDedupTau
+      }
+      assert(isDup == expected, s"vec $id flag $isDup != $expected")
+      if (isDup) {
+        dups += 1
+        val kept = r.getLong(3)
+        assert(kept < id && cluster(kept) == cl)
+        // the flagged pair is a genuine near-dup by the GLOBAL D5 rule
+        assert(r6(cos(embs(kept), embs(id))) >= Ann.SemDedupTau)
+      } else assert(r.getLong(3) == -1L)
+    }
+    info(s"semantic dups flagged: $dups of ${out.length}")
+    assert(dups > 0, "threshold never fired — spec exercises nothing")
+  }
+  test("emb_hard_negatives: exactly the top-k wrong-label vectors " +
+      "per anchor") {
+    val rows = Ann.embHardNegatives(spark, sfDir).collect()
+    val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray,
+        r.getInt(2))).toSeq
+    val labels = all.map(t => t._1 -> t._3).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val n = math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (n == 0) 0 else d / n
+    }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == Ann.NumQueries)
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      val got = sorted.map(_.getAs[Long]("neighbor_id")).toSeq
+      assert(got.length == Ann.K && got.distinct.length == got.length)
+      // every row is cross-label, and matches the brute-force top-k
+      rs.foreach(r => assert(
+        r.getAs[Int]("neg_label") != r.getAs[Int]("anchor_label")))
+      val anchor = all.find(_._1 == q).get
+      val want = all
+        .filter(t => t._3 != anchor._3)
+        .map(t => (t._1, r6(cos(anchor._2, t._2))))
+        .sortBy { case (id, c) => (-c, id) }
+        .take(Ann.K).map(_._1)
+      assert(got == want, s"anchor $q: $got != $want")
+      assert(labels(got.head) != anchor._3)
+    }
+  }
+  test("ann_mmr: rank-1 is the exact top-1, sets are diverse and " +
+      "deterministic") {
+    val mmr = Ann.annMmr(spark, sfDir).collect()
+    val byQ = mmr.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rows) =>
+      val ids = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("neighbor_id"))
+      assert(ids.length == Ann.MmrK && ids.distinct.length == ids.length)
+      assert(!ids.contains(q))
+      // the first MMR pick maximizes pure relevance = the exact top-1
+      assert(ids.head == exact(q).head,
+        s"query $q rank-1 ${ids.head} != exact top-1 ${exact(q).head}")
+    }
+    // diversity: the MMR set's mean pairwise cosine must not exceed the
+    // plain top-5 set's (that's the whole point of the re-ranking)
+    def meanPairSim(sets: Map[Long, Seq[Long]]): Double = {
+      val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .collect().map(r => r.getLong(0) ->
+          r.getSeq[Float](1).toArray).toMap
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+        val n = math.sqrt(a.map(x => x.toDouble * x).sum) *
+          math.sqrt(b.map(x => x.toDouble * x).sum)
+        if (n == 0) 0 else d / n
+      }
+      val sims = for {
+        (_, ids) <- sets.toSeq
+        i <- ids.indices; j <- (i + 1) until ids.length
+      } yield cos(embs(ids(i)), embs(ids(j)))
+      sims.sum / sims.size
+    }
+    val mmrSets = byQ.map { case (q, rows) =>
+      q -> rows.map(_.getAs[Long]("neighbor_id")).toSeq }
+    val d1 = meanPairSim(mmrSets)
+    val d2 = meanPairSim(exact)
+    info(s"mean pairwise cosine: mmr=$d1 top5=$d2")
+    assert(d1 <= d2 + 1e-9, "MMR must not be less diverse than top-k")
+    val again = Ann.annMmr(spark, sfDir).collect()
+    assert(mmr.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }
