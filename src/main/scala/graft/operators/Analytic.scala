@@ -596,6 +596,55 @@ object Analytic {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** `ts_changepoint` — offline CUSUM changepoint detection over each
+    * type's daily event-volume series: "did the level shift, and on
+    * which day" — the question behind the reference's daily
+    * snapshot-diff alerts, answered over the whole history instead of
+    * one day pair. With cum_t the running count, T the series total,
+    * and n the day count, the scaled CUSUM statistic
+    * n·S_t = n·cum_t − t·T is INTEGER-exact (no mean, no floats); the
+    * changepoint is the day maximizing |n·S_t| (earliest on ties) and
+    * the shift flag is the λ=3 Brownian-bridge bar 2·stat > 3·n·√T,
+    * compared SQUARED — 4·stat² > 9·n²·T — in decimal(38,0) /
+    * HUGEINT so both sides stay exact integers at any corpus size
+    * (stat ≤ n·T would overflow a bigint squared long before the data
+    * stops fitting a cluster). Scale shape: one fact-scale map-side-
+    * combined shuffle down to the O(types × days) daily frame; cumsum,
+    * argmax, and the flag all run there.
+    */
+  def tsChangepoint(spark: SparkSession, dir: String): DataFrame =
+    changepoint(Tables(spark, dir, "events"))
+
+  /** [[tsChangepoint]]'s core on any (event_type, ts) frame. */
+  def changepoint(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val wt = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val cum = daily
+      .withColumn("p", row_number().over(wt))
+      .withColumn("cum", sum(col("n")).over(wt))
+    val tot = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("n")).as("total"))
+    val wr = Window.partitionBy(col("event_type"))
+      .orderBy(col("a").desc, col("p"))
+    cum.join(tot, Seq("event_type"))
+      // t = n has S_t = 0 by construction; a boundary "changepoint"
+      // at the last day would be the no-change case anyway
+      .filter(col("p") < col("n_days"))
+      .withColumn("a",
+        abs(col("n_days") * col("cum") - col("p") * col("total")))
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n_days"), col("total"),
+        col("day").as("cp_day"), col("a").as("stat"),
+        (lit(4).cast("decimal(38,0)") * col("a") * col("a") >
+          lit(9).cast("decimal(38,0)") * col("n_days") * col("n_days")
+            * col("total"))
+          .cast("int").as("flagged"))
+      .orderBy(col("event_type"))
+  }
+
   /** `graph_pagerank` — iterative graph analytics expressed
     * declaratively: PageRank (d = 0.85, 3 power iterations, dangling
     * mass redistributed uniformly) over the nation-level trade network
@@ -697,6 +746,7 @@ object Analytic {
     "events_cooccur" -> (eventsCooccur _),
     "ts_ewma" -> (tsEwma _),
     "ts_holt" -> (tsHolt _),
+    "ts_changepoint" -> (tsChangepoint _),
     "ts_gapfill" -> (tsGapfill _),
     "robust_stats" -> (robustStats _),
     "corr_stats" -> (corrStats _),
@@ -851,6 +901,28 @@ object Analytic {
     // itself stays ≥ 0 (positive-revenue level, |trend| < 5e9), so the
     // unpack's plain // and % are exact.
     "ts_holt" -> tsHoltOracle,
+    // ts_changepoint: integer scaled-CUSUM replay — window cumsum,
+    // argmax on (|nS| desc, position asc), squared 3σ bar in HUGEINT
+    "ts_changepoint" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    count(*) AS n FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, count(*) AS n_days,
+        |    CAST(sum(n) AS BIGINT) AS total FROM daily GROUP BY 1),
+        |cum AS (SELECT event_type, day,
+        |    CAST(row_number() OVER w AS INT) AS p,
+        |    CAST(sum(n) OVER w AS BIGINT) AS cum
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |ns AS (SELECT c.event_type, c.day, c.p, t.n_days, t.total,
+        |    abs(t.n_days * c.cum - c.p * t.total) AS a
+        |  FROM cum c JOIN tot t USING (event_type)
+        |  WHERE c.p < t.n_days),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY a DESC, p ASC) AS rn FROM ns)
+        |SELECT event_type, n_days, total, day AS cp_day, a AS stat,
+        |  CAST(4 * CAST(a AS HUGEINT) * a >
+        |    9 * CAST(n_days AS HUGEINT) * n_days * total AS INT)
+        |    AS flagged
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
     "agg_hist_quantiles" ->
       """WITH partials AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,

@@ -123,6 +123,72 @@ object CurationOps {
       .orderBy(col("doc_id"))
   }
 
+  /** C29 `text_vocab_kl` — per-source vocabulary drift: KL divergence
+    * of each source's token distribution from the corpus-wide one over
+    * the corpus top-[[VocabK]] vocabulary plus an OOV bucket. The
+    * domain-mixture diagnostic next to `corpus_mix`: A33's PSI watches
+    * VALUE drift between time slices; this watches LEXICAL drift
+    * between mixture components — a source with high KL is far from
+    * the blend it feeds (different domain, different language,
+    * boilerplate flood) and is the first place to look when the
+    * mixture underperforms. Shares are Laplace-smoothed integer-count
+    * rationals (c+1)/(n+V+1) with V the REALIZED vocab size (≤
+    * [[VocabK]]; using the cap when fewer tokens exist would
+    * sub-normalize both sides and let "KL" go negative), so empty
+    * cells stay defined without an epsilon, both distributions sum to
+    * exactly 1, and both engines form IDENTICAL doubles before the ln;
+    * the ln itself is double math behind the shared round(·, 6)
+    * guard. Scale shape: the fact-scale explode feeds (a) the O(V)
+    * vocab head via TakeOrderedAndProject, (b) O(sources) totals, and
+    * (c) map-side-combined (source × vocab-token) counts; the spine
+    * join, OOV fold, and KL sum all run on O(sources × V) rows.
+    */
+  def textVocabKl(spark: SparkSession, dir: String): DataFrame =
+    vocabKl(Tables(spark, dir, "documents"))
+
+  /** [[textVocabKl]]'s core on any (source, text) frame. */
+  def vocabKl(docs: DataFrame): DataFrame = {
+    val tk = docs
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val vocab = tk.groupBy(col("tok"))
+      .agg(count(lit(1)).as("cq"))
+      .orderBy(col("cq").desc, col("tok"))
+      .limit(VocabK)
+    val srcTotal = tk.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+    val nTotal = srcTotal.agg(sum(col("ns")).as("n"))
+    val srcVocab = tk
+      .join(broadcast(vocab.select(col("tok"))), Seq("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("cs"))
+    // dense (source × vocab) spine so absent tokens smooth to 1/(n+V+1)
+    val cells = srcTotal.select(col("source"))
+      .crossJoin(broadcast(vocab))
+      .join(srcVocab, Seq("source", "tok"), "left")
+      .na.fill(0L, Seq("cs"))
+    val vocabMass = vocab
+      .agg(sum(col("cq")).as("vq"), count(lit(1)).as("vc"))
+    val oov = cells.groupBy(col("source")).agg(sum(col("cs")).as("vs"))
+      .join(srcTotal, Seq("source"))
+      .crossJoin(broadcast(vocabMass))
+      .crossJoin(broadcast(nTotal))
+      .select(col("source"), lit("<oov>").as("tok"),
+        (col("ns") - col("vs")).as("cs"), (col("n") - col("vq")).as("cq"))
+    val terms = cells.select(col("source"), col("tok"), col("cs"), col("cq"))
+      .unionByName(oov)
+      .join(srcTotal, Seq("source"))
+      .crossJoin(broadcast(nTotal))
+      .crossJoin(broadcast(vocabMass.select(col("vc"))))
+      .withColumn("p",
+        (col("cs") + lit(1.0)) / (col("ns") + col("vc") + lit(1.0)))
+      .withColumn("q",
+        (col("cq") + lit(1.0)) / (col("n") + col("vc") + lit(1.0)))
+    terms.groupBy(col("source"))
+      .agg(max(col("ns")).as("n_tokens"),
+        max(when(col("tok") === "<oov>", col("cs"))).as("n_oov"),
+        round(sum(col("p") * log(col("p") / col("q"))), 6).as("kl"))
+      .orderBy(col("source"))
+  }
+
   val ContainTauBp = 7000 // containment threshold (basis points)
 
   /** D8 `dedup_containment` — DIRECTED near-duplicate detection:
@@ -216,6 +282,7 @@ object CurationOps {
     "etl_late_data" -> (etlLateData _),
     "interval_join_bucketed" -> (intervalJoinBucketed _),
     "vocab_coverage" -> (vocabCoverage _),
+    "text_vocab_kl" -> (textVocabKl _),
     "dedup_containment" -> (dedupContainment _),
     "emb_whiten" -> (embWhiten _)
   )
@@ -260,6 +327,41 @@ object CurationOps {
         |  CAST(sum(oov) AS BIGINT) AS n_oov,
         |  CAST((sum(oov) * 10000) // count(*) AS BIGINT) AS oov_bp
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // text_vocab_kl: same top-V vocab head as vocab_coverage, dense
+    // source×vocab spine + OOV bucket, Laplace rationals, guarded ln
+    "text_vocab_kl" ->
+      """WITH t AS (SELECT source,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |v AS (SELECT tok, c AS cq FROM (
+        |    SELECT tok, count(*) AS c FROM t GROUP BY tok
+        |    ORDER BY c DESC, tok LIMIT 100)),
+        |st AS (SELECT source, count(*) AS ns FROM t GROUP BY source),
+        |nt AS (SELECT CAST(sum(ns) AS BIGINT) AS n FROM st),
+        |sv AS (SELECT t.source, t.tok, count(*) AS cs
+        |  FROM t JOIN v ON t.tok = v.tok GROUP BY 1, 2),
+        |cells AS (SELECT s.source, v.tok,
+        |    CAST(coalesce(sv.cs, 0) AS BIGINT) AS cs,
+        |    CAST(v.cq AS BIGINT) AS cq
+        |  FROM (SELECT source FROM st) s CROSS JOIN v
+        |  LEFT JOIN sv ON sv.source = s.source AND sv.tok = v.tok),
+        |vm AS (SELECT CAST(sum(cq) AS BIGINT) AS vq,
+        |    count(*) AS vc FROM v),
+        |oov AS (SELECT c.source, '<oov>' AS tok,
+        |    CAST(st.ns - sum(c.cs) AS BIGINT) AS cs,
+        |    CAST(nt.n - vm.vq AS BIGINT) AS cq
+        |  FROM cells c JOIN st USING (source)
+        |  CROSS JOIN vm CROSS JOIN nt
+        |  GROUP BY c.source, st.ns, vm.vq, nt.n),
+        |terms AS (SELECT u.source, u.tok, u.cs, u.cq, st.ns, nt.n,
+        |    (u.cs + 1.0) / (st.ns + vm.vc + 1.0) AS p,
+        |    (u.cq + 1.0) / (nt.n + vm.vc + 1.0) AS q
+        |  FROM (SELECT * FROM cells UNION ALL SELECT * FROM oov) u
+        |  JOIN st USING (source) CROSS JOIN nt CROSS JOIN vm)
+        |SELECT source, CAST(max(ns) AS BIGINT) AS n_tokens,
+        |  max(CASE WHEN tok = '<oov>' THEN cs END) AS n_oov,
+        |  round(sum(p * ln(p / q)), 6) AS kl
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
     "dedup_containment" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w
         |    FROM documents),

@@ -10,6 +10,47 @@ import graft.SparkSpec
   */
 class AnalyticSpec extends SparkSpec {
 
+  private def cpEvents(rows: Seq[(String, Int)]) = {
+    import spark.implicits._
+    // one event per (type, day-offset) tuple, midnight UTC + offset days
+    rows.map { case (t, d) =>
+      (t, new java.sql.Timestamp(1704067200000L + d * 86400000L))
+    }.toDF("event_type", "ts")
+  }
+
+  test("ts_changepoint: a planted level shift is found at its boundary " +
+      "and flagged; a flat series is not flagged") {
+    // step: 2/day for days 0..9, then 20/day for days 10..19 — the
+    // max-|nS| day is the last low day; flat: 5/day for 20 days
+    val step = (0 until 10).flatMap(d => Seq.fill(2)(("step", d))) ++
+      (10 until 20).flatMap(d => Seq.fill(20)(("step", d)))
+    val flat = (0 until 20).flatMap(d => Seq.fill(5)(("flat", d)))
+    val out = Analytic.changepoint(cpEvents(step ++ flat)).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val s = out("step")
+    assert(s.getAs[java.sql.Date]("cp_day").toString == "2024-01-10",
+      s"cp_day = ${s.getAs[java.sql.Date]("cp_day")}")
+    // hand CUSUM: n=20, T=220, cum_10=20 → |20·20 − 10·220| = 1800
+    assert(s.getAs[Long]("stat") == 1800L)
+    // 4·1800² > 9·400·220 → flagged
+    assert(s.getAs[Int]("flagged") == 1)
+    val f = out("flat")
+    // flat: cum_t = 5t → |20·5t − t·100| = 0 at every t → never flags
+    assert(f.getAs[Long]("stat") == 0L)
+    assert(f.getAs[Int]("flagged") == 0)
+  }
+
+  test("ts_changepoint: deterministic and exercised on the sf tables") {
+    val a = Analytic.tsChangepoint(spark, sfDir).collect()
+    val b = Analytic.tsChangepoint(spark, sfDir).collect()
+    assert(a.nonEmpty)
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    a.foreach { r =>
+      assert(r.getAs[Long]("stat") >= 0)
+      assert(r.getAs[Long]("n_days") > 1)
+    }
+  }
+
   test("events_markov: transition probabilities sum to 1 per prev state") {
     val sums = Analytic.eventsMarkov(spark, sfDir)
       .groupBy(col("prev")).agg(sum(col("p")).as("total"))

@@ -7,6 +7,39 @@ import graft.SparkSpec
 
 class CurationOpsSpec extends SparkSpec {
 
+  test("text_vocab_kl: KL is non-negative everywhere, zero for a " +
+      "source matching the blend, large for a lexical outlier") {
+    import spark.implicits._
+    // two sources with IDENTICAL token distributions and one speaking
+    // a disjoint vocabulary — the outlier must dominate the ranking
+    val docs = Seq(
+      ("a", "x x y z"), ("a", "x y"),
+      ("b", "x x y z"), ("b", "x y"),
+      ("c", "q q r s q r")
+    ).toDF("source", "text")
+    val out = CurationOps.vocabKl(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    out.values.foreach { r =>
+      assert(r.getAs[Double]("kl") >= 0.0,
+        s"negative KL for ${r.getAs[String]("source")}")
+    }
+    assert(out("a").getAs[Double]("kl") == out("b").getAs[Double]("kl"))
+    assert(out("c").getAs[Double]("kl") > out("a").getAs[Double]("kl"))
+    assert(out("c").getAs[Long]("n_tokens") == 6)
+    // realized vocab (7 distinct tokens) < VocabK: every token is
+    // in-vocab, so the OOV bucket is empty for every source
+    out.values.foreach(r => assert(r.getAs[Long]("n_oov") == 0))
+  }
+
+  test("text_vocab_kl: sf corpus scores are non-negative and " +
+      "deterministic") {
+    val a = CurationOps.textVocabKl(spark, sfDir).collect()
+    val b = CurationOps.textVocabKl(spark, sfDir).collect()
+    assert(a.nonEmpty)
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    a.foreach(r => assert(r.getAs[Double]("kl") >= 0.0))
+  }
+
   test("interval_join_bucketed: the bucket trick yields a hash join, " +
       "never a nested loop") {
     val p = CurationOps.intervalJoinBucketed(spark, sfDir)
