@@ -219,6 +219,36 @@ class PlanSpec extends SparkSpec {
       "offsets and row branches must share the cached ranged frame")
   }
 
+  test("dedup_semantic: cluster-scoped pairs equi-join on cell_id, " +
+      "never a cartesian") {
+    val p = plan("dedup_semantic")
+    // the whole point of SemDeDup over D5: the pair pass must key on
+    // cell_id (sort-merge or shuffled-hash), not enumerate all pairs
+    assert(!p.contains("CartesianProduct"),
+      "pair generation must not be a cartesian product")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      "within-cluster pairs must be an equi join on cell_id")
+  }
+
+  test("emb_hard_negatives: anchors broadcast, corpus never shuffles") {
+    val p = plan("emb_hard_negatives")
+    // the label-inequality predicate forces a nested-loop join — fine
+    // ONLY because the build side is the broadcast 10-anchor frame
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "anchor set must broadcast against the corpus scan")
+    // exchanges: the q_id top-k window + the final (q_id, rank) sort;
+    // the corpus-sized side must not shuffle anywhere else
+    val n = countOccurrences(p, "+- Exchange")
+    assert(n <= 2, s"expected <=2 exchanges (window + sort), got $n\n$p")
+  }
+
+  test("ts_changepoint: events scan pruned to the two used columns") {
+    val p = plan("ts_changepoint")
+    val out = p.linesIterator.find(_.startsWith("Output")).get
+    assert(out.startsWith("Output [2]"),
+      s"daily-count scan must read only (ts, event_type), got: $out")
+  }
+
   test("sample_pergroup: bounded-heap TopKExec, never a full window sort") {
     val p = plan("sample_pergroup")
     // the sampler must plan on the H5 operator (partial map-side heap
