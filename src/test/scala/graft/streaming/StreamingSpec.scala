@@ -469,4 +469,68 @@ class StreamingSpec extends SparkSpec {
         msgs(1)._2.contains("<p>new_value: 5.0</p>"))
     } finally q.stop()
   }
+
+  test("ForecastStream: a dipping series drives the trend negative " +
+      "through the exact floor recurrence") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DailyCents]
+    val q = ForecastStream.forecasts(mem.toDS())
+      .writeStream.format("memory").queryName("fc1")
+      .outputMode("append").start()
+    try {
+      mem.addData(DailyCents("a", "2024-01-01", 10000),
+        DailyCents("a", "2024-01-02", 8000))
+      q.processAllAvailable()
+      mem.addData(DailyCents("a", "2024-01-03", 6000))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT day, level, trend, forecastNext FROM fc1 ORDER BY day")
+        .collect()
+      // hand fold: l1=10000,t1=0; l2=⌊(5·8000+5·10000)/10⌋=9000,
+      // t2=⌊3·(9000−10000)/10⌋=⌊−3000/10⌋=−300;
+      // l3=⌊(5·6000+5·(9000−300))/10⌋=⌊73500/10⌋=7350,
+      // t3=⌊(3·(7350−9000)+7·(−300))/10⌋=⌊−7050/10⌋=−705
+      assert(rows.map(_.getDouble(1)).toSeq ==
+        Seq(100.0, 90.0, 73.5))
+      assert(rows.map(_.getDouble(2)).toSeq ==
+        Seq(0.0, -3.0, -7.05))
+      assert(rows.last.getDouble(3) == 73.5 - 7.05)
+    } finally q.stop()
+  }
+
+  test("ForecastStream equals the batch ts_holt fold on the sf series, " +
+      "under arbitrary batch boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val daily = graft.Tables(spark, sfDir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(sum(col("value")) * 100, 0).cast("long").as("cents"))
+      .collect()
+      .map(r => DailyCents(r.getString(0), r.getDate(1).toString,
+        r.getLong(2)))
+      .sortBy(d => (d.day, d.key)) // stream arrives in day order
+    val mem = MemoryStream[DailyCents]
+    val q = ForecastStream.forecasts(mem.toDS())
+      .writeStream.format("memory").queryName("fc2")
+      .outputMode("append").start()
+    try {
+      daily.grouped(13).foreach { b => // awkward batch size on purpose
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+      val streamed = spark.sql(
+        "SELECT key, day, level, trend, forecastNext FROM fc2")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+      val batch = graft.operators.Analytic.tsHolt(spark, sfDir).collect()
+        .map(r => (r.getString(0), r.getDate(1).toString) ->
+          (r.getAs[Double]("level"), r.getAs[Double]("trend"),
+            r.getAs[Double]("forecast_next"))).toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (k, v) =>
+        assert(v == batch(k), s"stream/batch mismatch at $k: $v vs ${batch(k)}")
+      }
+    } finally q.stop()
+  }
 }
