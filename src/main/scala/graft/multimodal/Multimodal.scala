@@ -157,6 +157,71 @@ object Multimodal {
           substring(col("runs").getItem(0), 1, 40)).as("first_run"))
       .orderBy(col("doc_id"))
 
+  val PhashMaxHamming = 8 // pair bar: ≤8 of 64 signature bits differ
+
+  /** ==== STUB PERCEPTUAL HASH ====: 8 evenly spaced payload bytes
+    * packed big-endian into a 63-bit word (the lead byte masked to
+    * 7 bits so the code stays non-negative — DuckDB replays the pack
+    * in exact integer arithmetic without unsigned 64-bit). A real DCT
+    * pHash / audio chromaprint replaces this ONE function; the
+    * banding, candidate join, and Hamming verify around it are
+    * codec-agnostic.
+    */
+  private[multimodal] def phashStub(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    var h = if (n > 0) (bytes(0) & 0x7f).toLong else 0L
+    var i = 1
+    while (i < 8) {
+      val off = n * i / 8
+      h = (h << 8) | (if (off < n) bytes(off) & 0xff else 0)
+      i += 1
+    }
+    h
+  }
+
+  case class MmHash(doc_id: Long, ph: Long)
+
+  /** F8 `mm_phash_pairs` — perceptual-hash near-dup PAIR mining over
+    * binary payloads: the scored-pair tier above F4's coarse bucket
+    * groups and the media analogue of D4's SimHash banding. Per
+    * payload, the stub pHash (partition-parallel map — a real codec
+    * slots into the same pass); then 4×16-bit LSH bands generate
+    * candidates keyed on (band, value) — the shuffle carries bounded
+    * band buckets, never all pairs — and the exact 64-bit Hamming
+    * verify (codegen xor + bit_count) keeps pairs ≤
+    * [[PhashMaxHamming]]. Pigeonhole guarantee: any pair closer than
+    * the band count (Hamming < 4) shares an untouched band and is
+    * ALWAYS found; the spec pins that plus planted exact duplicates.
+    */
+  def mmPhashPairs(spark: SparkSession, dir: String): DataFrame =
+    phashPairs(Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload")))
+
+  /** [[mmPhashPairs]]'s core on any (doc_id, payload) frame. */
+  def phashPairs(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sig = docs.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, b) => MmHash(id, phashStub(b)) }
+      .toDF()
+    val chunks = sig.select(col("doc_id"), col("ph"),
+      posexplode(expr(
+        "transform(sequence(0, 3), j -> (ph >> (j * 16)) & 65535)"))
+        .as(Seq("band", "bv")))
+    chunks
+      .select(col("doc_id").as("ia"), col("ph").as("pha"),
+        col("band"), col("bv"))
+      .join(chunks.select(col("doc_id").as("ib"), col("ph").as("phb"),
+        col("band"), col("bv")), Seq("band", "bv"))
+      .filter(col("ia") < col("ib"))
+      .select("ia", "ib", "pha", "phb").distinct()
+      .withColumn("hamming",
+        bit_count(col("pha").bitwiseXOR(col("phb"))))
+      .filter(col("hamming") <= PhashMaxHamming)
+      .select(col("ia"), col("ib"), col("hamming"))
+      .orderBy(col("ia"), col("ib"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_strings" -> (mmStrings _),
     "mm_meta" -> (mmMeta _),
@@ -164,7 +229,8 @@ object Multimodal {
     "mm_frames" -> (mmFrames _),
     "mm_audio_energy" -> (mmAudioEnergy _),
     "mm_embed_topk" -> (mmEmbedTopK _),
-    "mm_dedup" -> (mmDedup _)
+    "mm_dedup" -> (mmDedup _),
+    "mm_phash_pairs" -> (mmPhashPairs _)
   )
 
   /** The stub decoders are pure byte arithmetic, so even F2/F3 oracle
@@ -273,6 +339,38 @@ object Multimodal {
       .orderBy(col("fmt"), col("wband"), col("hband"), col("mband"))
 
   val oracle: Map[String, String] = Map(
+    // F8: hex-decode the payload bytes, replay the 8-byte big-endian
+    // pack in exact integer arithmetic (bit shifts, NOT 65536**i —
+    // DuckDB's ** returns double and loses bits past 2^53), then the
+    // same band join + xor/bit_count verify
+    "mm_phash_pairs" ->
+      s"""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+         |    octet_length(encode(text)) AS n FROM documents),
+         |b AS (SELECT doc_id, n,
+         |    [16 * (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1)
+         |      + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1
+         |      for i in range(1, n + 1)] AS bytes
+         |  FROM h),
+         |ph AS (SELECT doc_id,
+         |    (CAST(coalesce(bytes[1], 0) % 128 AS BIGINT) << 56)
+         |    | (CAST(coalesce(bytes[(n * 1) // 8 + 1], 0) AS BIGINT) << 48)
+         |    | (CAST(coalesce(bytes[(n * 2) // 8 + 1], 0) AS BIGINT) << 40)
+         |    | (CAST(coalesce(bytes[(n * 3) // 8 + 1], 0) AS BIGINT) << 32)
+         |    | (CAST(coalesce(bytes[(n * 4) // 8 + 1], 0) AS BIGINT) << 24)
+         |    | (CAST(coalesce(bytes[(n * 5) // 8 + 1], 0) AS BIGINT) << 16)
+         |    | (CAST(coalesce(bytes[(n * 6) // 8 + 1], 0) AS BIGINT) << 8)
+         |    | CAST(coalesce(bytes[(n * 7) // 8 + 1], 0) AS BIGINT) AS ph
+         |  FROM b),
+         |bands AS (SELECT doc_id, ph, i AS band,
+         |    (ph >> (16 * i)) & 65535 AS bv
+         |  FROM ph, range(0, 4) r(i)),
+         |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib,
+         |    a.ph AS pha, b.ph AS phb
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT ia, ib, CAST(bit_count(xor(pha, phb)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(pha, phb)) <= $PhashMaxHamming
+         |ORDER BY ia, ib""".stripMargin,
     // F7: same regex engine semantics both sides — maximal greedy runs
     // of the ASCII-printable class; payload bytes ARE the utf-8 text
     "mm_strings" ->

@@ -1,5 +1,7 @@
 package graft.multimodal
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 class MultimodalSpec extends SparkSpec {
@@ -105,5 +107,36 @@ class MultimodalSpec extends SparkSpec {
     // empty payload doesn't crash
     val (fmt, w, h) = Multimodal.decodeStub(Array.emptyByteArray)
     assert(fmt.nonEmpty && w >= 64 && h >= 64)
+  }
+
+  test("mm_phash_pairs: planted dups found, every pair verified, " +
+      "pigeonhole recall holds below the band count") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog, twice over"
+    val docs = Seq(
+      (1L, base), (2L, base), // exact dup → hamming 0
+      (3L, base.updated(base.length - 1, '!')), // tail tweak → close
+      (4L, "completely unrelated payload with different bytes here!!")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val out = Multimodal.phashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Int]("hamming"))
+      .toMap
+    assert(out((1L, 2L)) == 0, "exact duplicate must pair at hamming 0")
+    out.values.foreach(hm =>
+      assert(hm >= 0 && hm <= Multimodal.PhashMaxHamming))
+    // brute-force recall check on the sf corpus: any pair with
+    // hamming < 4 bands MUST share an untouched band → always found
+    val hashes = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        Multimodal.phashStub(r.getString(1).getBytes("UTF-8")))
+    val found = Multimodal.mmPhashPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for {
+      (ia, pa) <- hashes; (ib, pb) <- hashes if ia < ib
+      hm = java.lang.Long.bitCount(pa ^ pb) if hm < 4
+    } assert(found((ia, ib)),
+      s"pair ($ia,$ib) at hamming $hm escaped the banding")
   }
 }
