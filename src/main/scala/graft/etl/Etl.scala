@@ -414,6 +414,37 @@ object Etl {
   private val PsiModerate = 0.1
   private val PsiShifted = 0.25
 
+  val FreshnessSlaUs = 86400000000L // 24 h in µs — the daily-feed SLA
+
+  /** A34 `etl_freshness` — per-feed staleness audit: the first
+    * operational check on a scheduled pipeline ("did every feed land
+    * today?" — the reference's whole reason to exist is a daily pull,
+    * and a silently stalled feed is its worst failure mode). Per
+    * event type: volume, last-seen timestamp, lag behind the NEWEST
+    * event anywhere (the corpus max is the deterministic "now" — wall
+    * clock would make the result unreproducible), and a stale flag at
+    * the 24 h SLA. All integer-µs arithmetic; one map-side-combined
+    * aggregation to the O(types) frame + a one-row broadcast max.
+    */
+  def etlFreshness(spark: SparkSession, dir: String): DataFrame =
+    freshness(Tables(spark, dir, "events"))
+
+  /** [[etlFreshness]]'s core on any (event_type, ts) frame. */
+  def freshness(events: DataFrame): DataFrame = {
+    val e = events
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+    val glob = e.agg(max(col("us")).as("gmax"))
+    e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), max(col("us")).as("last_us"))
+      .crossJoin(broadcast(glob))
+      .select(col("event_type"), col("n_events"),
+        timestamp_micros(col("last_us")).as("last_seen"),
+        (col("gmax") - col("last_us")).as("lag_us"),
+        ((col("gmax") - col("last_us")) > FreshnessSlaUs)
+          .cast("int").as("stale"))
+      .orderBy(col("event_type"))
+  }
+
   /** A32 `etl_drift_psi` — distribution-drift audit between two time
     * slices (Population Stability Index, the standard model-monitoring
     * drift score): the event span splits at its exact integer-microsecond
@@ -466,6 +497,7 @@ object Etl {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_drift_psi" -> (etlDriftPsi _),
+    "etl_freshness" -> (etlFreshness _),
     "etl_profile" -> (etlProfile _),
     "etl_dq_checks" -> (dqChecks _),
     "corpus_shuffle" -> (corpusShuffle _),
@@ -486,6 +518,17 @@ object Etl {
   )
 
   val oracle: Map[String, String] = Map(
+    // etl_freshness: integer-µs lag behind the corpus max (the
+    // deterministic "now"), 24 h SLA flag
+    "etl_freshness" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+        |g AS (SELECT max(us) AS gmax FROM e)
+        |SELECT event_type, count(*) AS n_events,
+        |  make_timestamp(max(us)) AS last_seen,
+        |  gmax - max(us) AS lag_us,
+        |  CAST(gmax - max(us) > 86400000000 AS INT) AS stale
+        |FROM e CROSS JOIN g GROUP BY event_type, gmax
+        |ORDER BY event_type""".stripMargin,
     // etl_drift_psi: same midpoint split (integer-µs floor div), same
     // fixed-width bins, same Laplace-smoothed shares; ln in double with
     // the shared round(·, 6) guard

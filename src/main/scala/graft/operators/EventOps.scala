@@ -79,6 +79,54 @@ object EventOps {
       .orderBy(col("user_id"), col("click_ts"), col("click_id"))
   }
 
+  /** B74 `asof_join_nearest` — NEAREST-in-time as-of join, completing
+    * the family: each error event finds the same user's closest click
+    * in EITHER direction (the sensor-alignment / "what was the user
+    * doing around the failure" join). Composed from the two directed
+    * passes in ONE plan: union + a backward running-max and a forward
+    * running-min window over the SAME (user_id, ts, kind) sort — one
+    * shuffle, one sort, two linear window scans, no inequality join
+    * ever. Equal-ts clicks sort before errors, so a tie counts as the
+    * backward match at delta 0; equidistant prev/next resolves to the
+    * EARLIER click (deterministic, spelled ≤ in both engines).
+    */
+  def asofJoinNearest(spark: SparkSession, dir: String): DataFrame =
+    nearestAsof(Tables(spark, dir, "events"))
+
+  /** [[asofJoinNearest]]'s core on any (user_id, ts, event_type,
+    * event_id) frame.
+    */
+  def nearestAsof(ev: DataFrame): DataFrame = {
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        lit(null).cast("long").as("error_id"), lit(0).as("kind"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id").as("error_id"),
+        lit(1).as("kind"))
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"))
+    val wB = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    clicks.unionByName(errors)
+      .withColumn("prev_ts",
+        max(when(col("kind") === 0, col("ts"))).over(wB))
+      .withColumn("next_ts",
+        min(when(col("kind") === 0, col("ts"))).over(wF))
+      .filter(col("kind") === 1)
+      .withColumn("nearest_click_ts",
+        when(col("prev_ts").isNull, col("next_ts"))
+          .when(col("next_ts").isNull, col("prev_ts"))
+          .when(unix_micros(col("ts")) - unix_micros(col("prev_ts")) <=
+            unix_micros(col("next_ts")) - unix_micros(col("ts")),
+            col("prev_ts"))
+          .otherwise(col("next_ts")))
+      .withColumn("delta_us",
+        unix_micros(col("nearest_click_ts")) - unix_micros(col("ts")))
+      .select(col("user_id"), col("error_id"), col("ts").as("error_ts"),
+        col("nearest_click_ts"), col("delta_us"))
+      .orderBy(col("user_id"), col("error_ts"), col("error_id"))
+  }
+
   /** B18 `range_join` — purchases by the same user within one hour
     * after each error event. Equi key (user_id) + bounded time range:
     * Catalyst plans the equi part as a hash join and evaluates the
@@ -235,6 +283,7 @@ object EventOps {
     "pivot_events" -> (pivotEvents _),
     "asof_join" -> (asofJoin _),
     "asof_join_fwd" -> (asofJoinFwd _),
+    "asof_join_nearest" -> (asofJoinNearest _),
     "range_join" -> (rangeJoin _),
     "json_extract" -> (jsonExtract _),
     "arrays_collect" -> (arraysCollect _),
@@ -287,6 +336,33 @@ object EventOps {
         |  round(value, 2) AS value, last_click_ts
         |FROM marked WHERE kind = 1
         |ORDER BY user_id, purchase_ts, purchase_id""".stripMargin,
+    // asof_join_nearest: the naive directed-aggregate spelling — prev
+    // via max(ts ≤ e.ts), next via min(ts > e.ts), nearest by ≤ on
+    // the µs distances (ties → the earlier click, as the operator)
+    "asof_join_nearest" ->
+      """WITH e AS (SELECT user_id, event_id AS error_id, ts
+        |    FROM events WHERE event_type = 'error'),
+        |c AS (SELECT user_id, ts FROM events
+        |    WHERE event_type = 'click'),
+        |p AS (SELECT e.error_id, max(c.ts) AS prev_ts
+        |  FROM e LEFT JOIN c
+        |    ON c.user_id = e.user_id AND c.ts <= e.ts
+        |  GROUP BY e.error_id),
+        |n AS (SELECT e.error_id, min(c.ts) AS next_ts
+        |  FROM e LEFT JOIN c
+        |    ON c.user_id = e.user_id AND c.ts > e.ts
+        |  GROUP BY e.error_id),
+        |j AS (SELECT e.user_id, e.error_id, e.ts AS error_ts,
+        |    CASE WHEN p.prev_ts IS NULL THEN n.next_ts
+        |         WHEN n.next_ts IS NULL THEN p.prev_ts
+        |         WHEN epoch_us(e.ts) - epoch_us(p.prev_ts) <=
+        |              epoch_us(n.next_ts) - epoch_us(e.ts)
+        |           THEN p.prev_ts
+        |         ELSE n.next_ts END AS nearest_click_ts
+        |  FROM e JOIN p USING (error_id) JOIN n USING (error_id))
+        |SELECT user_id, error_id, error_ts, nearest_click_ts,
+        |  epoch_us(nearest_click_ts) - epoch_us(error_ts) AS delta_us
+        |FROM j ORDER BY user_id, error_ts, error_id""".stripMargin,
     "asof_join_fwd" ->
       """WITH tagged AS (
         |  SELECT user_id, ts, event_id,
