@@ -606,11 +606,15 @@ object Analytic {
     * changepoint is the day maximizing |n·S_t| (earliest on ties) and
     * the shift flag is the λ=3 Brownian-bridge bar 2·stat > 3·n·√T,
     * compared SQUARED — 4·stat² > 9·n²·T — in decimal(38,0) /
-    * HUGEINT so both sides stay exact integers at any corpus size
-    * (stat ≤ n·T would overflow a bigint squared long before the data
-    * stops fitting a cluster). Scale shape: one fact-scale map-side-
-    * combined shuffle down to the O(types × days) daily frame; cumsum,
-    * argmax, and the flag all run there.
+    * HUGEINT (stat ≤ n·T would overflow a BIGINT squared long before
+    * the data stops fitting a cluster). decimal(38,0) is exact
+    * through stat ≈ 2.5·10¹⁸ — about 10⁶× the 100 TB design point
+    * (n·T there is ~10¹⁶ type-day events); past it Spark's non-ANSI
+    * decimal multiply returns null, so the flag coalesces to 1: a
+    * statistic too large to SQUARE in 38 digits is an alarm, not a
+    * silent null. Scale shape: one fact-scale map-side-combined
+    * shuffle down to the O(types × days) daily frame; cumsum, argmax,
+    * and the flag all run there.
     */
   def tsChangepoint(spark: SparkSession, dir: String): DataFrame =
     changepoint(Tables(spark, dir, "events"))
@@ -638,10 +642,11 @@ object Analytic {
       .filter(col("rn") === 1)
       .select(col("event_type"), col("n_days"), col("total"),
         col("day").as("cp_day"), col("a").as("stat"),
-        (lit(4).cast("decimal(38,0)") * col("a") * col("a") >
-          lit(9).cast("decimal(38,0)") * col("n_days") * col("n_days")
-            * col("total"))
-          .cast("int").as("flagged"))
+        coalesce(
+          (lit(4).cast("decimal(38,0)") * col("a") * col("a") >
+            lit(9).cast("decimal(38,0)") * col("n_days") * col("n_days")
+              * col("total")).cast("int"),
+          lit(1)).as("flagged"))
       .orderBy(col("event_type"))
   }
 

@@ -148,8 +148,12 @@ object CurationOps {
 
   /** [[textVocabKl]]'s core on any (source, text) frame. */
   def vocabKl(docs: DataFrame): DataFrame = {
+    // three independent consumers (vocab head, per-source totals,
+    // in-vocab counts) read the fact-scale explode — cache it once or
+    // each one re-scans and re-tokenizes the whole corpus
     val tk = docs
       .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab = tk.groupBy(col("tok"))
       .agg(count(lit(1)).as("cq"))
       .orderBy(col("cq").desc, col("tok"))
@@ -167,11 +171,14 @@ object CurationOps {
       .na.fill(0L, Seq("cs"))
     val vocabMass = vocab
       .agg(sum(col("cq")).as("vq"), count(lit(1)).as("vc"))
+    // the bucket label is NULL — no whitespace token can ever be null,
+    // so a corpus that literally contains the token "<oov>" (or any
+    // other sentinel spelling) cannot collide with the bucket row
     val oov = cells.groupBy(col("source")).agg(sum(col("cs")).as("vs"))
       .join(srcTotal, Seq("source"))
       .crossJoin(broadcast(vocabMass))
       .crossJoin(broadcast(nTotal))
-      .select(col("source"), lit("<oov>").as("tok"),
+      .select(col("source"), lit(null).cast("string").as("tok"),
         (col("ns") - col("vs")).as("cs"), (col("n") - col("vq")).as("cq"))
     val terms = cells.select(col("source"), col("tok"), col("cs"), col("cq"))
       .unionByName(oov)
@@ -184,7 +191,7 @@ object CurationOps {
         (col("cq") + lit(1.0)) / (col("n") + col("vc") + lit(1.0)))
     terms.groupBy(col("source"))
       .agg(max(col("ns")).as("n_tokens"),
-        max(when(col("tok") === "<oov>", col("cs"))).as("n_oov"),
+        max(when(col("tok").isNull, col("cs"))).as("n_oov"),
         round(sum(col("p") * log(col("p") / col("q"))), 6).as("kl"))
       .orderBy(col("source"))
   }
@@ -347,7 +354,7 @@ object CurationOps {
         |  LEFT JOIN sv ON sv.source = s.source AND sv.tok = v.tok),
         |vm AS (SELECT CAST(sum(cq) AS BIGINT) AS vq,
         |    count(*) AS vc FROM v),
-        |oov AS (SELECT c.source, '<oov>' AS tok,
+        |oov AS (SELECT c.source, CAST(NULL AS VARCHAR) AS tok,
         |    CAST(st.ns - sum(c.cs) AS BIGINT) AS cs,
         |    CAST(nt.n - vm.vq AS BIGINT) AS cq
         |  FROM cells c JOIN st USING (source)
@@ -359,7 +366,7 @@ object CurationOps {
         |  FROM (SELECT * FROM cells UNION ALL SELECT * FROM oov) u
         |  JOIN st USING (source) CROSS JOIN nt CROSS JOIN vm)
         |SELECT source, CAST(max(ns) AS BIGINT) AS n_tokens,
-        |  max(CASE WHEN tok = '<oov>' THEN cs END) AS n_oov,
+        |  max(CASE WHEN tok IS NULL THEN cs END) AS n_oov,
         |  round(sum(p * ln(p / q)), 6) AS kl
         |FROM terms GROUP BY source ORDER BY source""".stripMargin,
     "dedup_containment" ->

@@ -23,16 +23,25 @@ case class ForecastPoint(key: String, day: String, rev: Double,
   * this against `ts_holt`'s own fold); a float recurrence would lose
   * that equality the first time a half-way value rounded differently.
   *
-  * State is O(keys × 2 longs) — independent of event volume; like
-  * [[AnomalyStream]], the upstream windowed aggregation bounds what
-  * reaches this operator to one row per key per day.
+  * State is O(keys × last-day + 2 longs) — independent of event
+  * volume; like [[AnomalyStream]], the upstream windowed aggregation
+  * bounds what reaches this operator to one row per key per day.
+  *
+  * Ordering contract: the fold is MONOTONIC in day. The upstream
+  * watermark aggregation emits each closed day once, in order; if a
+  * source nevertheless replays or late-delivers a day ≤ the last one
+  * folded, that row is DROPPED (no output, state untouched) — folding
+  * it on top of newer state would silently corrupt (level, trend) and
+  * every forecast after it, which is exactly the failure the
+  * stream==batch parity claim must exclude. The spec pins both the
+  * drop and the state's immunity.
   */
 object ForecastStream {
 
   def forecasts(ds: Dataset[DailyCents]): Dataset[ForecastPoint] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.key)
-      .flatMapGroupsWithState[(Long, Long), ForecastPoint](
+      .flatMapGroupsWithState[(String, Long, Long), ForecastPoint](
         OutputMode.Append, GroupStateTimeout.NoTimeout)(step)
   }
 
@@ -46,20 +55,24 @@ object ForecastStream {
   }
 
   private def step(key: String, rows: Iterator[DailyCents],
-      state: GroupState[(Long, Long)]): Iterator[ForecastPoint] = {
+      state: GroupState[(String, Long, Long)]): Iterator[ForecastPoint] = {
     val sorted = rows.toSeq.sortBy(_.day)
     val out = Seq.newBuilder[ForecastPoint]
     var st = state.getOption
     sorted.foreach { r =>
-      st = Some(st match {
-        case None => (r.cents, 0L) // fold init: l₁ = x₁, t₁ = 0
-        case Some((l, t)) =>
-          val lNew = fdiv10(5L * r.cents + 5L * (l + t))
-          (lNew, fdiv10(3L * (lNew - l) + 7L * t))
-      })
-      val (l, t) = st.get
-      out += ForecastPoint(key, r.day, r.cents / 100.0, l / 100.0,
-        t / 100.0, (l + t) / 100.0)
+      // ISO day strings compare chronologically; a day at-or-before
+      // the last folded one is a replay/late row — drop, don't fold
+      if (!st.exists(_._1 >= r.day)) {
+        st = Some(st match {
+          case None => (r.day, r.cents, 0L) // fold init: l₁ = x₁, t₁ = 0
+          case Some((_, l, t)) =>
+            val lNew = fdiv10(5L * r.cents + 5L * (l + t))
+            (r.day, lNew, fdiv10(3L * (lNew - l) + 7L * t))
+        })
+        val (_, l, t) = st.get
+        out += ForecastPoint(key, r.day, r.cents / 100.0, l / 100.0,
+          t / 100.0, (l + t) / 100.0)
+      }
     }
     st.foreach(state.update)
     out.result().iterator

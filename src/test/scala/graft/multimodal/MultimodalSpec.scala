@@ -113,9 +113,13 @@ class MultimodalSpec extends SparkSpec {
       "pigeonhole recall holds below the band count") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog, twice over"
+    // doc 3 tweaks byte offset 6 — one of phashStub's SAMPLED offsets
+    // (len 55 → samples at 0,6,13,20,27,34,41,48), so the pair lands
+    // at a NONZERO Hamming distance and exercises the 1..τ verify path
+    // that an exact dup cannot
     val docs = Seq(
       (1L, base), (2L, base), // exact dup → hamming 0
-      (3L, base.updated(base.length - 1, '!')), // tail tweak → close
+      (3L, base.updated(6, 'X')),
       (4L, "completely unrelated payload with different bytes here!!")
     ).toDF("doc_id", "text")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
@@ -123,6 +127,13 @@ class MultimodalSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Int]("hamming"))
       .toMap
     assert(out((1L, 2L)) == 0, "exact duplicate must pair at hamming 0")
+    val hm13 = java.lang.Long.bitCount(
+      Multimodal.phashStub(base.getBytes) ^
+        Multimodal.phashStub(base.updated(6, 'X').getBytes))
+    assert(hm13 > 0 && hm13 <= Multimodal.PhashMaxHamming,
+      s"planted tweak must be a NONZERO near-dup, got $hm13")
+    assert(out((1L, 3L)) == hm13,
+      "the nonzero-distance pair must survive banding + verify")
     out.values.foreach(hm =>
       assert(hm >= 0 && hm <= Multimodal.PhashMaxHamming))
     // brute-force recall check on the sf corpus: any pair with

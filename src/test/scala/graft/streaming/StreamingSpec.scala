@@ -499,6 +499,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ForecastStream drops replayed/late days instead of corrupting " +
+      "the fold state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DailyCents]
+    val q = ForecastStream.forecasts(mem.toDS())
+      .writeStream.format("memory").queryName("fc3")
+      .outputMode("append").start()
+    try {
+      mem.addData(DailyCents("a", "2024-01-01", 10000),
+        DailyCents("a", "2024-01-02", 8000))
+      q.processAllAvailable()
+      // a replay of day 2 and a late day 1 arrive before day 3: both
+      // must be dropped, and day 3 must fold exactly as if they never
+      // came (same state as the clean fc1 sequence → level 73.5)
+      mem.addData(DailyCents("a", "2024-01-02", 99999),
+        DailyCents("a", "2024-01-01", 12345))
+      q.processAllAvailable()
+      mem.addData(DailyCents("a", "2024-01-03", 6000))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT day, level FROM fc3 ORDER BY day, level")
+        .collect().map(r => (r.getString(0), r.getDouble(1)))
+      assert(rows.toSeq ==
+        Seq(("2024-01-01", 100.0), ("2024-01-02", 90.0),
+          ("2024-01-03", 73.5)),
+        s"late rows must neither emit nor perturb the fold: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("ForecastStream equals the batch ts_holt fold on the sf series, " +
       "under arbitrary batch boundaries") {
     import spark.implicits._
