@@ -715,7 +715,26 @@ object Ann {
     val candDs = cand.select(col("q_id"), col("cid"), col("rel_u"))
       .as[(Long, Long, Long)]
     val pairDs = pairs.as[(Long, Long, Long, Long)]
-    val picked = candDs.groupByKey(_._1)
+    mmrGreedy(candDs, pairDs)
+      .select(col("q_id"), col("rank"), col("cid").as("neighbor_id"),
+        (col("score_u") / lit(1e7)).as("mmr_score"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** The MMR greedy selection as one cogroup on the query key:
+    * candidates (q_id, cid, rel_u) × pairwise sims
+    * (q_id, a_id, b_id, sim_u) → [[MmrK]] picks per query with the
+    * exact integer score 7·rel_µ − 3·msim_µ. Shared by [[annMmr]]
+    * (embedding relevance) and Hybrid's RRF-fused variant — any
+    * relevance signal expressed in micro-units reuses the identical
+    * selection rule, and therefore the identical SQL replay.
+    */
+  private[ann] def mmrGreedy(candDs: org.apache.spark.sql.Dataset[
+      (Long, Long, Long)], pairDs: org.apache.spark.sql.Dataset[
+      (Long, Long, Long, Long)]): DataFrame = {
+    val spark = candDs.sparkSession
+    import spark.implicits._
+    candDs.groupByKey(_._1)
       .cogroup(pairDs.groupByKey(_._1)) { (q, cs, ps) =>
         // candidates scanned in cid order with a strict `>`, so ties
         // keep the LOWEST cid — the same (score desc, cid asc) order
@@ -748,10 +767,7 @@ object Ann {
           (q, i + 1, cid, s)
         }
       }
-    picked.toDF("q_id", "rank", "cid", "score_u")
-      .select(col("q_id"), col("rank"), col("cid").as("neighbor_id"),
-        (col("score_u") / lit(1e7)).as("mmr_score"))
-      .orderBy(col("q_id"), col("rank"))
+      .toDF("q_id", "rank", "cid", "score_u")
   }
 
   /** E16 `emb_cluster_sample` — cluster-balanced semantic sampling,
@@ -1052,7 +1068,7 @@ object Ann {
     * re-ranks on the re-rounded score — the exact replay of one
     * iteration of [[annMmr]]'s loop.
     */
-  private def mmrOracleSteps: String = (2 to MmrK).map { t =>
+  private[ann] def mmrOracleSteps: String = (2 to MmrK).map { t =>
     val prev = (1 until t).map(i => s"SELECT * FROM sel$i")
       .mkString(" UNION ALL ")
     s"""selu${t - 1} AS ($prev),

@@ -60,57 +60,141 @@ object Hybrid {
       .select(col("doc_id"), col("lex_rank"), col("sem_rank"), col("rrf"))
   }
 
+  /** E19 `hybrid_mmr` — the full RAG retrieval stack as one plan:
+    * [[hybridRrf]]'s fused top-[[FuseN]] re-ranked by Maximal Marginal
+    * Relevance, so the context window gets candidates that are both
+    * RETRIEVED-relevant (lexical + semantic fusion) and mutually
+    * diverse. Relevance enters the MMR score rank-normalized —
+    * rel_µ = (FuseN + 1 − fused_rank) · 10⁶/FuseN — which puts it on
+    * the same micro-unit scale as the pairwise cosines (raw RRF
+    * scores live in [0, 2/61] and would be steamrolled by the
+    * redundancy term); the selection is [[Ann.mmrGreedy]] verbatim,
+    * so the greedy path replays in SQL through the same unrolled
+    * steps as E17. Scale shape: both arms reduce corpus-side via
+    * TakeOrderedAndProject before anything pairwise; the MMR pool is
+    * FuseN rows.
+    */
+  def hybridMmr(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    import spark.implicits._
+    val fused = hybridRrf(spark, dir)
+      .withColumn("fused_rank", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id"))))
+      .persist(MEMORY_AND_DISK)
+    val cand = Tables(spark, dir, "embeddings")
+      .join(broadcast(fused.select(col("doc_id"), col("fused_rank"))),
+        col("vec_id") === col("doc_id"))
+      .select(lit(0L).as("q_id"), col("doc_id").as("cid"),
+        ((lit(FuseN + 1) - col("fused_rank")).cast("long")
+          * (1000000L / FuseN)).as("rel_u"),
+        col("embedding"))
+      .persist(MEMORY_AND_DISK)
+    val pairs = cand.select(col("q_id"), col("cid").as("a_id"),
+        col("embedding").as("a_emb"))
+      .join(cand.select(col("q_id"), col("cid").as("b_id"),
+        col("embedding").as("b_emb")), Seq("q_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("q_id"), col("a_id"), col("b_id"),
+        round(round(cosineSim(col("a_emb"), col("b_emb")), 6) * 1e6, 0)
+          .cast("long").as("sim_u"))
+    Ann.mmrGreedy(
+        cand.select(col("q_id"), col("cid"), col("rel_u"))
+          .as[(Long, Long, Long)],
+        pairs.as[(Long, Long, Long, Long)])
+      .join(fused.select(col("doc_id"), col("fused_rank"), col("rrf")),
+        col("cid") === col("doc_id"))
+      .select(col("rank"), col("doc_id"), col("fused_rank"), col("rrf"),
+        (col("score_u") / lit(1e7)).as("mmr_score"))
+      .orderBy(col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "hybrid_rrf" -> (hybridRrf _)
+    "hybrid_rrf" -> (hybridRrf _),
+    "hybrid_mmr" -> (hybridMmr _)
   )
 
+  /** Shared CTE prefix (both arms, ranked) ending at `lex` / `sem`. */
+  private val rrfOracleCommon: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM toks
+      |  WHERE term IN ('spark', 'join', 'vector') GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |term_s AS (
+      |  SELECT t.doc_id, t.term,
+      |    ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+      |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS s
+      |  FROM tf t JOIN df USING (term) JOIN dl USING (doc_id)
+      |  CROSS JOIN stats),
+      |bm25 AS (
+      |  SELECT doc_id,
+      |    round(coalesce(max(CASE WHEN term = 'spark' THEN s END), 0)
+      |      + coalesce(max(CASE WHEN term = 'join' THEN s END), 0)
+      |      + coalesce(max(CASE WHEN term = 'vector' THEN s END), 0), 6)
+      |      AS bm25
+      |  FROM term_s GROUP BY doc_id),
+      |lex_top AS (
+      |  SELECT doc_id, bm25 FROM bm25
+      |  ORDER BY bm25 DESC, doc_id LIMIT 50),
+      |lex AS (
+      |  SELECT doc_id, row_number() OVER (
+      |    ORDER BY bm25 DESC, doc_id) AS lex_rank
+      |  FROM lex_top),
+      |qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+      |sem_top AS (
+      |  SELECT vec_id,
+      |    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+      |      CAST(q_emb AS DOUBLE[])), 6) AS cos
+      |  FROM embeddings CROSS JOIN qv WHERE vec_id <> 0
+      |  ORDER BY cos DESC, vec_id LIMIT 50),
+      |sem AS (
+      |  SELECT vec_id AS doc_id, row_number() OVER (
+      |    ORDER BY cos DESC, vec_id) AS sem_rank
+      |  FROM sem_top)""".stripMargin
+
+  private val rrfFuseSelect: String =
+    """SELECT doc_id, lex_rank, sem_rank,
+      |  round(coalesce(CAST(1.0 AS DOUBLE) / (60 + lex_rank), 0)
+      |    + coalesce(CAST(1.0 AS DOUBLE) / (60 + sem_rank), 0), 6) AS rrf
+      |FROM lex FULL JOIN sem USING (doc_id)
+      |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "hybrid_rrf" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    unnest(string_split_regex(trim(text), '\s+')) AS term
-        |  FROM documents),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
-        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
-        |tf AS (
-        |  SELECT doc_id, term, count(*) AS tf FROM toks
-        |  WHERE term IN ('spark', 'join', 'vector') GROUP BY 1, 2),
-        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |term_s AS (
-        |  SELECT t.doc_id, t.term,
-        |    ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
-        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS s
-        |  FROM tf t JOIN df USING (term) JOIN dl USING (doc_id)
-        |  CROSS JOIN stats),
-        |bm25 AS (
-        |  SELECT doc_id,
-        |    round(coalesce(max(CASE WHEN term = 'spark' THEN s END), 0)
-        |      + coalesce(max(CASE WHEN term = 'join' THEN s END), 0)
-        |      + coalesce(max(CASE WHEN term = 'vector' THEN s END), 0), 6)
-        |      AS bm25
-        |  FROM term_s GROUP BY doc_id),
-        |lex_top AS (
-        |  SELECT doc_id, bm25 FROM bm25
-        |  ORDER BY bm25 DESC, doc_id LIMIT 50),
-        |lex AS (
-        |  SELECT doc_id, row_number() OVER (
-        |    ORDER BY bm25 DESC, doc_id) AS lex_rank
-        |  FROM lex_top),
-        |qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
-        |sem_top AS (
-        |  SELECT vec_id,
-        |    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-        |      CAST(q_emb AS DOUBLE[])), 6) AS cos
-        |  FROM embeddings CROSS JOIN qv WHERE vec_id <> 0
-        |  ORDER BY cos DESC, vec_id LIMIT 50),
-        |sem AS (
-        |  SELECT vec_id AS doc_id, row_number() OVER (
-        |    ORDER BY cos DESC, vec_id) AS sem_rank
-        |  FROM sem_top)
-        |SELECT doc_id, lex_rank, sem_rank,
-        |  round(coalesce(CAST(1.0 AS DOUBLE) / (60 + lex_rank), 0)
-        |    + coalesce(CAST(1.0 AS DOUBLE) / (60 + sem_rank), 0), 6) AS rrf
-        |FROM lex FULL JOIN sem USING (doc_id)
-        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+    "hybrid_rrf" -> s"$rrfOracleCommon\n$rrfFuseSelect",
+    // hybrid_mmr: the rrf oracle as a CTE, rank-normalized micro-unit
+    // relevance, then E17's unrolled greedy steps verbatim (same
+    // cand/pairs/sel CTE contract)
+    "hybrid_mmr" ->
+      s"""$rrfOracleCommon,
+         |fused AS ($rrfFuseSelect),
+         |fr AS (SELECT doc_id, rrf, row_number() OVER (
+         |    ORDER BY rrf DESC, doc_id) AS fused_rank FROM fused),
+         |cand AS (SELECT CAST(0 AS BIGINT) AS q_id, f.doc_id AS cid,
+         |    CAST(($FuseN + 1 - f.fused_rank) * ${1000000L / FuseN}
+         |      AS BIGINT) AS rel_u, e.embedding
+         |  FROM fr f JOIN embeddings e ON e.vec_id = f.doc_id),
+         |pairs AS (SELECT a.q_id, a.cid AS a_id, b.cid AS b_id,
+         |    CAST(round(round(list_cosine_similarity(
+         |        CAST(a.embedding AS DOUBLE[]),
+         |        CAST(b.embedding AS DOUBLE[])), 6) * 1000000, 0)
+         |      AS BIGINT) AS sim_u
+         |  FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.cid <> b.cid),
+         |sel1 AS (SELECT q_id, cid, score_u, 1 AS rank FROM (SELECT q_id,
+         |    cid, 7 * rel_u AS score_u, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY 7 * rel_u DESC, cid)
+         |      AS rn FROM cand)
+         |  WHERE rn = 1),
+         |${Ann.mmrOracleSteps}
+         |allsel AS (${(1 to Ann.MmrK).map(i => s"SELECT * FROM sel$i")
+        .mkString(" UNION ALL ")})
+         |SELECT s.rank, s.cid AS doc_id, f.fused_rank, f.rrf,
+         |  s.score_u / 10000000.0 AS mmr_score
+         |FROM allsel s JOIN fr f ON f.doc_id = s.cid
+         |ORDER BY s.rank""".stripMargin
   )
 }

@@ -249,6 +249,21 @@ class PlanSpec extends SparkSpec {
       s"daily-count scan must read only (ts, event_type), got: $out")
   }
 
+  test("ann_mmr: greedy runs in one cogroup, candidates broadcast-scan " +
+      "with rank-limit pushdown") {
+    val p = plan("ann_mmr")
+    // the greedy loop must be the single CoGroup — not unrolled joins
+    assert(p.contains("CoGroup"), "greedy selection must be one cogroup")
+    // candidate generation: corpus scanned once against BROADCAST
+    // queries; the top-C window prunes via WindowGroupLimit before any
+    // full partition sort
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "query set must broadcast against the corpus scan")
+    assert(p.contains("WindowGroupLimit"),
+      "candidate top-C must push the rank limit below the sort")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("sample_pergroup: bounded-heap TopKExec, never a full window sort") {
     val p = plan("sample_pergroup")
     // the sampler must plan on the H5 operator (partial map-side heap

@@ -23,6 +23,27 @@ class HybridSpec extends SparkSpec {
     }
   }
 
+  test("hybrid_mmr: first pick is the fused rank-1, picks come from " +
+      "the fused pool, diversified and deterministic") {
+    val fused = Hybrid.hybridRrf(spark, sfDir).collect()
+      .map(_.getLong(0))
+    val out = Hybrid.hybridMmr(spark, sfDir).collect()
+    assert(out.length == math.min(Ann.MmrK, fused.length))
+    val picks = out.sortBy(_.getAs[Int]("rank")).map(_.getLong(1))
+    // rank 1 maximizes pure relevance = the fused top-1
+    assert(picks.head == fused.head,
+      s"first MMR pick ${picks.head} != fused top-1 ${fused.head}")
+    assert(picks.distinct.length == picks.length)
+    picks.foreach(p => assert(fused.contains(p),
+      s"pick $p not in the fused candidate pool"))
+    out.foreach { r =>
+      val fr = r.getAs[Int]("fused_rank")
+      assert(fr >= 1 && fr <= Hybrid.FuseN)
+    }
+    val again = Hybrid.hybridMmr(spark, sfDir).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("hybrid_rrf: a doc ranked by both arms beats one ranked by one " +
     "at similar depth") {
     val rows = Hybrid.hybridRrf(spark, sfDir).collect()
