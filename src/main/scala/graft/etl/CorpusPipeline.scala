@@ -19,6 +19,10 @@ import graft.text.TextOps
   *   3. entropy    — char_entropy ≥ [[MinEntropy]] gibberish gate
   *                   (C13/H11, map-only)
   *   4. quality    — token-count window + stopword-ratio gate (C2)
+  *   4b. classifier — the C27 model-based gate after the rule gates
+  *                   (the CCNet/LLaMA ordering): integer logit over
+  *                   the cleaned tokens ≥ 0 ⟺ sigmoid ≥ 0.5 —
+  *                   zero-shuffle projection, engine-exact flag
   *   5. exact dup  — one keeper per normalized-content fingerprint (D1)
   *   6. near dup   — 3-gram-Jaccard pairs → connected components →
   *                   one representative per cluster (D2 + D6)
@@ -89,9 +93,15 @@ object CorpusPipeline {
       .join(contaminated, Seq("doc_id"), "left_anti")
 
     // 3. entropy gate (map-only) + 4. quality gate
-    val gated = qualityGate(decontaminated.filter(
+    val ruleGated = qualityGate(decontaminated.filter(
       graft.functions.GraftFunctions.charEntropy(col("clean"))
         >= MinEntropy))
+
+    // 4b. model-based gate: C27's integer logit over the cleaned
+    // tokens (runs AFTER the rule gates so arrays are non-empty;
+    // zero shuffle, integer compare — can't flip on rounding)
+    val gated = ruleGated.filter(
+      graft.text.CorpusQuality.classifierScoreInt >= 0)
 
     // 5. exact dedup: keep min doc_id per content fingerprint.
     // Cached: both the near-dup pair generation and the final
@@ -170,8 +180,18 @@ object CorpusPipeline {
       |  FROM de),
       |g AS (SELECT * FROM q WHERE n_tokens BETWEEN 30 AND 1000
       |  AND n_stop * 1.0 / n_tokens <= 0.6),
+      |qc AS (SELECT * FROM g WHERE CAST(list_sum([
+      |    ((((strpos('0123456789abcdef', substr(md5(tok),1,1)) - 1)
+      |        * 4096
+      |      + (strpos('0123456789abcdef', substr(md5(tok),2,1)) - 1)
+      |        * 256
+      |      + (strpos('0123456789abcdef', substr(md5(tok),3,1)) - 1)
+      |        * 16
+      |      + (strpos('0123456789abcdef', substr(md5(tok),4,1)) - 1))
+      |      % 1024) * 2654435761) % 1997 - 998
+      |    for tok in toks]) AS BIGINT) >= 0),
       |f AS (SELECT *, md5(regexp_replace(lower(trim(clean)),
-      |    '\s+', ' ', 'g')) AS fp FROM g),
+      |    '\s+', ' ', 'g')) AS fp FROM qc),
       |ek AS (SELECT * FROM (SELECT *,
       |    min(doc_id) OVER (PARTITION BY fp) AS keep FROM f)
       |  WHERE doc_id = keep),
