@@ -528,6 +528,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ChangepointStream: stable stays quiet, a doubled level alarms " +
+      "once and re-arms; stream equals the sequential replay under " +
+      "any batching") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 7 warmup days at 10/day (T0 = 70), 5 stable days, then a
+    // sustained doubling to 20/day
+    val days = (1 to 12).map(i => KeyedCount("e", f"2024-01-$i%02d", 10)) ++
+      (13 to 25).map(i => KeyedCount("e", f"2024-01-$i%02d", 20))
+    val mem = MemoryStream[KeyedCount]
+    val q = ChangepointStream.cusum(mem.toDS())
+      .writeStream.format("memory").queryName("cusum1")
+      .outputMode("append").start()
+    try {
+      days.grouped(4).foreach { b => // awkward batch boundaries
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+      val rows = spark.sql("SELECT day, n, sPos, alarm FROM cusum1")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getInt(3))).sortBy(_._1)
+      // stable post-warmup days: dev = 70-70 = 0 < slack → S+ stays 0
+      rows.filter(r => r._1 > "2024-01-07" && r._1 <= "2024-01-12")
+        .foreach(r => assert(r._3 == 0L && r._4 == 0))
+      // doubled: dev = 140-70 = 70, slack 35 → +35/day; H = 280 →
+      // first alarm on the 9th doubled day (9*35 = 315 > 280)
+      val alarms = rows.filter(_._4 == 1).map(_._1)
+      assert(alarms.nonEmpty, "sustained doubling must alarm")
+      assert(alarms.head == "2024-01-21",
+        s"alarm expected on the 9th doubled day, got $alarms")
+      // replay the fold sequentially and compare every row
+      var (warmLeft, warmSum, t0, sp, sn) = (7, 0L, 0L, 0L, 0L)
+      val expected = days.map { d =>
+        if (warmLeft > 0) {
+          warmLeft -= 1; warmSum += d.n
+          if (warmLeft == 0) t0 = warmSum
+          (d.day, d.n, 0L, 0)
+        } else {
+          val dev = 7 * d.n - t0
+          val spN = math.max(0L, sp + dev - t0 / 2)
+          val snN = math.max(0L, sn - dev - t0 / 2)
+          val al = if (spN > 4 * t0 || snN > 4 * t0) 1 else 0
+          sp = if (al == 1) 0L else spN
+          sn = if (al == 1) 0L else snN
+          (d.day, d.n, spN, al)
+        }
+      }
+      assert(rows.toSeq == expected,
+        "stream under arbitrary batching must equal the sequential fold")
+    } finally q.stop()
+  }
+
   test("ForecastStream equals the batch ts_holt fold on the sf series, " +
       "under arbitrary batch boundaries") {
     import spark.implicits._
