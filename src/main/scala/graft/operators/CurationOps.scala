@@ -147,54 +147,69 @@ object CurationOps {
     vocabKl(Tables(spark, dir, "documents"))
 
   /** [[textVocabKl]]'s core on any (source, text) frame. */
-  def vocabKl(docs: DataFrame): DataFrame = {
-    // three independent consumers (vocab head, per-source totals,
+  def vocabKl(docs: DataFrame): DataFrame = vocabKlBy(docs, Seq("source"))
+
+  /** The KL kernel over any component key (C30 `text_vocab_kl_lang`
+    * slices by (source, lang) — per-language lexical drift INSIDE a
+    * source, which a source-level score averages away).
+    */
+  def vocabKlBy(docs: DataFrame, keys: Seq[String]): DataFrame = {
+    val kc = keys.map(col)
+    // three independent consumers (vocab head, per-key totals,
     // in-vocab counts) read the fact-scale explode — cache it once or
     // each one re-scans and re-tokenizes the whole corpus
     val tk = docs
-      .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .select(kc :+ explode(TextOps.tokens(col("text"))).as("tok"): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab = tk.groupBy(col("tok"))
       .agg(count(lit(1)).as("cq"))
       .orderBy(col("cq").desc, col("tok"))
       .limit(VocabK)
-    val srcTotal = tk.groupBy(col("source")).agg(count(lit(1)).as("ns"))
-    val nTotal = srcTotal.agg(sum(col("ns")).as("n"))
-    val srcVocab = tk
+    val keyTotal = tk.groupBy(kc: _*).agg(count(lit(1)).as("ns"))
+    val nTotal = keyTotal.agg(sum(col("ns")).as("n"))
+    val keyVocab = tk
       .join(broadcast(vocab.select(col("tok"))), Seq("tok"))
-      .groupBy(col("source"), col("tok"))
+      .groupBy(kc :+ col("tok"): _*)
       .agg(count(lit(1)).as("cs"))
-    // dense (source × vocab) spine so absent tokens smooth to 1/(n+V+1)
-    val cells = srcTotal.select(col("source"))
+    // dense (key × vocab) spine so absent tokens smooth to 1/(n+V+1)
+    val cells = keyTotal.select(kc: _*)
       .crossJoin(broadcast(vocab))
-      .join(srcVocab, Seq("source", "tok"), "left")
+      .join(keyVocab, keys :+ "tok", "left")
       .na.fill(0L, Seq("cs"))
     val vocabMass = vocab
       .agg(sum(col("cq")).as("vq"), count(lit(1)).as("vc"))
     // the bucket label is NULL — no whitespace token can ever be null,
     // so a corpus that literally contains the token "<oov>" (or any
     // other sentinel spelling) cannot collide with the bucket row
-    val oov = cells.groupBy(col("source")).agg(sum(col("cs")).as("vs"))
-      .join(srcTotal, Seq("source"))
+    val oov = cells.groupBy(kc: _*).agg(sum(col("cs")).as("vs"))
+      .join(keyTotal, keys)
       .crossJoin(broadcast(vocabMass))
       .crossJoin(broadcast(nTotal))
-      .select(col("source"), lit(null).cast("string").as("tok"),
-        (col("ns") - col("vs")).as("cs"), (col("n") - col("vq")).as("cq"))
-    val terms = cells.select(col("source"), col("tok"), col("cs"), col("cq"))
+      .select(kc ++ Seq(lit(null).cast("string").as("tok"),
+        (col("ns") - col("vs")).as("cs"),
+        (col("n") - col("vq")).as("cq")): _*)
+    val terms = cells
+      .select(kc ++ Seq(col("tok"), col("cs"), col("cq")): _*)
       .unionByName(oov)
-      .join(srcTotal, Seq("source"))
+      .join(keyTotal, keys)
       .crossJoin(broadcast(nTotal))
       .crossJoin(broadcast(vocabMass.select(col("vc"))))
       .withColumn("p",
         (col("cs") + lit(1.0)) / (col("ns") + col("vc") + lit(1.0)))
       .withColumn("q",
         (col("cq") + lit(1.0)) / (col("n") + col("vc") + lit(1.0)))
-    terms.groupBy(col("source"))
+    terms.groupBy(kc: _*)
       .agg(max(col("ns")).as("n_tokens"),
         max(when(col("tok").isNull, col("cs"))).as("n_oov"),
         round(sum(col("p") * log(col("p") / col("q"))), 6).as("kl"))
-      .orderBy(col("source"))
+      .orderBy(kc: _*)
   }
+
+  /** C30 `text_vocab_kl_lang` — [[vocabKlBy]] keyed on
+    * (source, lang): the drift diagnostic one level finer than C29.
+    */
+  def textVocabKlLang(spark: SparkSession, dir: String): DataFrame =
+    vocabKlBy(Tables(spark, dir, "documents"), Seq("source", "lang"))
 
   val ContainTauBp = 7000 // containment threshold (basis points)
 
@@ -290,6 +305,7 @@ object CurationOps {
     "interval_join_bucketed" -> (intervalJoinBucketed _),
     "vocab_coverage" -> (vocabCoverage _),
     "text_vocab_kl" -> (textVocabKl _),
+    "text_vocab_kl_lang" -> (textVocabKlLang _),
     "dedup_containment" -> (dedupContainment _),
     "emb_whiten" -> (embWhiten _)
   )
@@ -369,6 +385,43 @@ object CurationOps {
         |  max(CASE WHEN tok IS NULL THEN cs END) AS n_oov,
         |  round(sum(p * ln(p / q)), 6) AS kl
         |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+    // text_vocab_kl_lang: the same kernel keyed on (source, lang)
+    "text_vocab_kl_lang" ->
+      """WITH t AS (SELECT source, lang,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |v AS (SELECT tok, c AS cq FROM (
+        |    SELECT tok, count(*) AS c FROM t GROUP BY tok
+        |    ORDER BY c DESC, tok LIMIT 100)),
+        |st AS (SELECT source, lang, count(*) AS ns FROM t GROUP BY 1, 2),
+        |nt AS (SELECT CAST(sum(ns) AS BIGINT) AS n FROM st),
+        |sv AS (SELECT t.source, t.lang, t.tok, count(*) AS cs
+        |  FROM t JOIN v ON t.tok = v.tok GROUP BY 1, 2, 3),
+        |cells AS (SELECT s.source, s.lang, v.tok,
+        |    CAST(coalesce(sv.cs, 0) AS BIGINT) AS cs,
+        |    CAST(v.cq AS BIGINT) AS cq
+        |  FROM (SELECT source, lang FROM st) s CROSS JOIN v
+        |  LEFT JOIN sv ON sv.source = s.source AND sv.lang = s.lang
+        |    AND sv.tok = v.tok),
+        |vm AS (SELECT CAST(sum(cq) AS BIGINT) AS vq,
+        |    count(*) AS vc FROM v),
+        |oov AS (SELECT c.source, c.lang, CAST(NULL AS VARCHAR) AS tok,
+        |    CAST(st.ns - sum(c.cs) AS BIGINT) AS cs,
+        |    CAST(nt.n - vm.vq AS BIGINT) AS cq
+        |  FROM cells c JOIN st USING (source, lang)
+        |  CROSS JOIN vm CROSS JOIN nt
+        |  GROUP BY c.source, c.lang, st.ns, vm.vq, nt.n),
+        |terms AS (SELECT u.source, u.lang, u.tok, u.cs, u.cq, st.ns,
+        |    nt.n,
+        |    (u.cs + 1.0) / (st.ns + vm.vc + 1.0) AS p,
+        |    (u.cq + 1.0) / (nt.n + vm.vc + 1.0) AS q
+        |  FROM (SELECT * FROM cells UNION ALL SELECT * FROM oov) u
+        |  JOIN st USING (source, lang) CROSS JOIN nt CROSS JOIN vm)
+        |SELECT source, lang, CAST(max(ns) AS BIGINT) AS n_tokens,
+        |  max(CASE WHEN tok IS NULL THEN cs END) AS n_oov,
+        |  round(sum(p * ln(p / q)), 6) AS kl
+        |FROM terms GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin,
     "dedup_containment" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w
         |    FROM documents),

@@ -40,6 +40,23 @@ class CurationOpsSpec extends SparkSpec {
     a.foreach(r => assert(r.getAs[Double]("kl") >= 0.0))
   }
 
+  test("text_vocab_kl_lang: the (source, lang) slice stays " +
+      "non-negative and refines the source-level rows") {
+    val fine = CurationOps.textVocabKlLang(spark, sfDir).collect()
+    val coarse = CurationOps.textVocabKl(spark, sfDir).collect()
+    assert(fine.nonEmpty)
+    fine.foreach(r => assert(r.getAs[Double]("kl") >= 0.0))
+    // every source appears in the fine slicing, and per-source token
+    // mass is conserved across its language slices
+    val fineBySrc = fine.groupBy(_.getString(0))
+    assert(fineBySrc.keySet == coarse.map(_.getString(0)).toSet)
+    coarse.foreach { c =>
+      val slices = fineBySrc(c.getString(0))
+      assert(slices.map(_.getAs[Long]("n_tokens")).sum ==
+        c.getAs[Long]("n_tokens"))
+    }
+  }
+
   test("interval_join_bucketed: the bucket trick yields a hash join, " +
       "never a nested loop") {
     val p = CurationOps.intervalJoinBucketed(spark, sfDir)
