@@ -14,7 +14,9 @@ import org.apache.spark.sql.functions._
   *      (≈ aiesec.py:70-125,139)
   *   3. rotate the keyed snapshot (SnapshotStore ≈ Today/Yesterday
   *      xlsx, aiesec.py:20-21,131)
-  *   4. snapshot delta by key — LEFT ANTI (≈ aiesec.py:142-144)
+  *   4. snapshot delta by key — LEFT ANTI (≈ aiesec.py:142-144),
+  *      plus a volume-band monitor vs yesterday (graft addition: the
+  *      collapsed-scrape/flood guard the reference lacks)
   *   5. styled Today report + New report, premium rows highlighted
   *      (XlsxSink ≈ aiesec.py:147-186)
   *   6. conditional alert payload, only when the delta is non-empty
@@ -30,7 +32,10 @@ object DailyPipeline {
       nNew: Long,
       alert: Option[String],
       todayReport: String,
-      newReport: Option[String])
+      newReport: Option[String],
+      volumeAlarm: Option[String] = None)
+
+  val VolumeRatio = 2L // alarm outside [prev/2, prev*2] — B31's band
 
   /** Extract + normalize card records (step 2). Expects the card
     * field layout the reference scrapes: id, country, premium,
@@ -81,6 +86,20 @@ object DailyPipeline {
     // 4: delta — new ids vs the previous snapshot
     val newRows = store.newRows
 
+    // 4b: volume sanity against yesterday (the B31/G9 band, batch
+    // form): a scrape that silently collapses or floods is the daily
+    // job's worst failure mode — the reference would happily report
+    // "0 new" forever on an empty page. Alarm is DELIVERED like the
+    // delta alert, and always returned for the caller's runbook.
+    val nToday = today.count()
+    val volumeAlarm = store.previous.map(_.count()).filter(_ > 0)
+      .flatMap { nPrev =>
+        if (nToday > VolumeRatio * nPrev || VolumeRatio * nToday < nPrev)
+          Some(s"VOLUME: $version has $nToday rows vs previous $nPrev")
+        else None
+      }
+    volumeAlarm.foreach(a => alertSink.send(a, s"<p>$a</p>"))
+
     // 5: styled reports (premium highlight ≈ PREMIUM == "Yes")
     new java.io.File(reportDir).mkdirs()
     val todayPath = s"$reportDir/Today.xlsx"
@@ -106,6 +125,6 @@ object DailyPipeline {
         Some(subject)
       } else None
 
-    Result(today.count(), nNew, alert, todayPath, newPath)
+    Result(nToday, nNew, alert, todayPath, newPath, volumeAlarm)
   }
 }

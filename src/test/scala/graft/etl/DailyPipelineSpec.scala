@@ -66,6 +66,33 @@ class DailyPipelineSpec extends SparkSpec {
         card(3, "Intern C", "fr", "Yes", "1 applicant", "8 weeks"))
     val r3 = DailyPipeline.run(spark, day3.toString, store, "2026-08-13", reports)
     assert(r3.nNew == 0 && r3.alert.isEmpty && r3.newReport.isEmpty)
+    // 2 -> 3 -> 3 rows: every day inside the volume band
+    assert(r2.volumeAlarm.isEmpty && r3.volumeAlarm.isEmpty)
+  }
+
+  test("volume monitor: flood and collapse days alarm, steady days " +
+      "and the first run stay quiet") {
+    val root = Files.createTempDirectory("dailyv")
+    val store = root.resolve("store").toString
+    val reports = root.resolve("reports").toString
+    def day(name: String, n: Int): String = {
+      val d = root.resolve(name); Files.createDirectories(d)
+      Files.writeString(d.resolve("page.html"),
+        (1 to n).map(i =>
+          card(i, s"T$i", "de", "No", s"$i applicants", "6 weeks"))
+          .mkString)
+      d.toString
+    }
+    val r1 = DailyPipeline.run(spark, day("d1", 1), store, "v1", reports)
+    assert(r1.volumeAlarm.isEmpty, "no previous snapshot, no baseline")
+    val r2 = DailyPipeline.run(spark, day("d2", 3), store, "v2", reports)
+    assert(r2.volumeAlarm.exists(_.contains("3 rows vs previous 1")),
+      s"3x flood must alarm: ${r2.volumeAlarm}")
+    val r3 = DailyPipeline.run(spark, day("d3", 3), store, "v3", reports)
+    assert(r3.volumeAlarm.isEmpty, "steady volume must stay quiet")
+    val r4 = DailyPipeline.run(spark, day("d4", 1), store, "v4", reports)
+    assert(r4.volumeAlarm.exists(_.contains("1 rows vs previous 3")),
+      s"collapse must alarm: ${r4.volumeAlarm}")
   }
 
   test("xlsx snapshot mode: the reference's exact Today/Yesterday cycle") {
