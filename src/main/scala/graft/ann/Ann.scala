@@ -736,38 +736,50 @@ object Ann {
     import spark.implicits._
     candDs.groupByKey(_._1)
       .cogroup(pairDs.groupByKey(_._1)) { (q, cs, ps) =>
-        // candidates scanned in cid order with a strict `>`, so ties
-        // keep the LOWEST cid — the same (score desc, cid asc) order
-        // the SQL replay's window uses
-        val cands = cs.map(t => (t._2, t._3)).toArray.sortBy(_._1)
-        val sim = ps.map(p => (p._2, p._3) -> p._4).toMap
-        val chosen = scala.collection.mutable.LinkedHashMap
-          .empty[Long, Long] // cid -> score_u, insertion = pick order
-        val msim = scala.collection.mutable.HashMap.empty[Long, Long]
-        while (chosen.size < MmrK && chosen.size < cands.length) {
-          var bestCid = -1L
-          var bestScore = Long.MinValue
-          cands.foreach { case (cid, relU) =>
-            if (!chosen.contains(cid)) {
-              val score =
-                if (chosen.isEmpty) 7L * relU
-                else 7L * relU - 3L * msim(cid)
-              if (score > bestScore) { bestScore = score; bestCid = cid }
-            }
+        mmrSelect(cs.map(t => (t._2, t._3)).toArray,
+          ps.map(p => (p._2, p._3) -> p._4).toMap)
+          .iterator.zipWithIndex.map { case ((cid, s), i) =>
+            (q, i + 1, cid, s)
           }
-          chosen(bestCid) = bestScore
-          cands.foreach { case (cid, _) =>
-            if (!chosen.contains(cid)) {
-              val s = sim((cid, bestCid))
-              if (msim.get(cid).forall(_ < s)) msim(cid) = s
-            }
-          }
-        }
-        chosen.iterator.zipWithIndex.map { case ((cid, s), i) =>
-          (q, i + 1, cid, s)
-        }
       }
       .toDF("q_id", "rank", "cid", "score_u")
+  }
+
+  /** The per-group MMR greedy as a PURE kernel (property-tested
+    * without Spark): candidates (cid, rel_µ) in any order + the
+    * pairwise sim map → the picked (cid, score_µ) list in pick order.
+    * Candidates are scanned in cid order with a strict `>`, so ties
+    * keep the LOWEST cid — the same (score desc, cid asc) order the
+    * SQL replay's window uses. `msim` is maintained incrementally;
+    * the property spec recomputes each step's scores from scratch to
+    * cross-check exactly that maintenance.
+    */
+  private[ann] def mmrSelect(candsIn: Array[(Long, Long)],
+      sim: collection.Map[(Long, Long), Long]): List[(Long, Long)] = {
+    val cands = candsIn.sortBy(_._1)
+    val chosen = scala.collection.mutable.LinkedHashMap
+      .empty[Long, Long] // cid -> score_u, insertion = pick order
+    val msim = scala.collection.mutable.HashMap.empty[Long, Long]
+    while (chosen.size < MmrK && chosen.size < cands.length) {
+      var bestCid = -1L
+      var bestScore = Long.MinValue
+      cands.foreach { case (cid, relU) =>
+        if (!chosen.contains(cid)) {
+          val score =
+            if (chosen.isEmpty) 7L * relU
+            else 7L * relU - 3L * msim(cid)
+          if (score > bestScore) { bestScore = score; bestCid = cid }
+        }
+      }
+      chosen(bestCid) = bestScore
+      cands.foreach { case (cid, _) =>
+        if (!chosen.contains(cid)) {
+          val s = sim((cid, bestCid))
+          if (msim.get(cid).forall(_ < s)) msim(cid) = s
+        }
+      }
+    }
+    chosen.toList
   }
 
   /** E16 `emb_cluster_sample` — cluster-balanced semantic sampling,
