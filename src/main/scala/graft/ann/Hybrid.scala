@@ -108,9 +108,89 @@ object Hybrid {
       .orderBy(col("rank"))
   }
 
+  /** The multi-query RAG workload: each query is (id, lexical terms)
+    * with its embedding = the same-id corpus vector. STATIC, so every
+    * lexical arm keeps the literal-order pivot sum that makes BM25
+    * doubles reproducible (see `bm25ScoresFor`).
+    */
+  val MultiQueries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("spark", "join", "vector"),
+    1L -> Seq("table", "row", "data"),
+    2L -> Seq("key", "query", "stream"))
+
+  /** E20 `hybrid_mmr_multi` — E19 generalized to a QUERY SET: one
+    * lexical arm per query (each a static-pivot BM25 against its own
+    * terms, reduced to top-[[ArmN]] corpus-side), ONE broadcast
+    * semantic scan serving all queries, per-query RRF fusion, and the
+    * shared q_id-keyed [[Ann.mmrGreedy]] diversifying every query's
+    * pool in a single cogroup. This is the shape a production RAG
+    * batch runs: Q queries amortize one corpus scan per arm kind, and
+    * everything after the arms is O(Q × FuseN).
+    */
+  def hybridMmrMulti(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    import spark.implicits._
+    val lex = MultiQueries.map { case (qid, terms) =>
+      graft.text.Retrieval.bm25ScoresFor(spark, dir, terms)
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(ArmN)
+        .withColumn("lex_rank", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .select(lit(qid).as("q_id"), col("doc_id"), col("lex_rank"))
+    }.reduce(_ unionByName _)
+    val emb = Tables(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id").isin(MultiQueries.map(_._1): _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wSem = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val sem = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        round(cosineSim(col("embedding"), col("q_emb")), 6))
+      .withColumn("sem_rank", row_number().over(wSem))
+      .filter(col("sem_rank") <= ArmN)
+      .select(col("q_id"), col("vec_id").as("doc_id"), col("sem_rank"))
+    val wFuse = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    val fused = lex.join(sem, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("sem_rank")), lit(0.0)), 6))
+      .withColumn("fused_rank", row_number().over(wFuse))
+      .filter(col("fused_rank") <= FuseN)
+      .persist(MEMORY_AND_DISK)
+    val cand = emb
+      .join(broadcast(fused.select(col("q_id"), col("doc_id"),
+        col("fused_rank"))), col("vec_id") === col("doc_id"))
+      .select(col("q_id"), col("doc_id").as("cid"),
+        ((lit(FuseN + 1) - col("fused_rank")).cast("long")
+          * (1000000L / FuseN)).as("rel_u"),
+        col("embedding"))
+      .persist(MEMORY_AND_DISK)
+    val pairs = cand.select(col("q_id"), col("cid").as("a_id"),
+        col("embedding").as("a_emb"))
+      .join(cand.select(col("q_id"), col("cid").as("b_id"),
+        col("embedding").as("b_emb")), Seq("q_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("q_id"), col("a_id"), col("b_id"),
+        round(round(cosineSim(col("a_emb"), col("b_emb")), 6) * 1e6, 0)
+          .cast("long").as("sim_u"))
+    Ann.mmrGreedy(
+        cand.select(col("q_id"), col("cid"), col("rel_u"))
+          .as[(Long, Long, Long)],
+        pairs.as[(Long, Long, Long, Long)])
+      .withColumnRenamed("cid", "doc_id")
+      .join(fused.select(col("q_id"), col("doc_id"), col("fused_rank"),
+        col("rrf")), Seq("q_id", "doc_id"))
+      .select(col("q_id"), col("rank"), col("doc_id"), col("fused_rank"),
+        col("rrf"), (col("score_u") / lit(1e7)).as("mmr_score"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hybrid_rrf" -> (hybridRrf _),
-    "hybrid_mmr" -> (hybridMmr _)
+    "hybrid_mmr" -> (hybridMmr _),
+    "hybrid_mmr_multi" -> (hybridMmrMulti _)
   )
 
   /** Shared CTE prefix (both arms, ranked) ending at `lex` / `sem`. */
@@ -164,8 +244,93 @@ object Hybrid {
       |FROM lex FULL JOIN sem USING (doc_id)
       |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
 
+  /** One query's lexical pivot over the shared `ts` per-(doc, term)
+    * score CTE — literal term order, as the engine side.
+    */
+  private def lexPivotSql(qid: Long, terms: Seq[String]): String = {
+    val sums = terms.map(t =>
+      s"coalesce(max(CASE WHEN term = '$t' THEN s END), 0)")
+      .mkString("\n      + ")
+    s"""SELECT CAST($qid AS BIGINT) AS q_id, doc_id,
+       |    round($sums, 6) AS bm25
+       |  FROM ts GROUP BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "hybrid_rrf" -> s"$rrfOracleCommon\n$rrfFuseSelect",
+    // hybrid_mmr_multi: per-query lexical pivots over one shared
+    // term-score CTE, one semantic scan for all queries, per-q_id RRF
+    // windows, then E17's unrolled greedy steps (q_id-generic)
+    "hybrid_mmr_multi" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest(string_split_regex(trim(text), '\\s+')) AS term
+         |  FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks
+         |  WHERE term IN (${MultiQueries.flatMap(_._2).distinct
+        .map(t => s"'$t'").mkString(", ")}) GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |ts AS (
+         |  SELECT t.doc_id, t.term,
+         |    ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS s
+         |  FROM tf t JOIN df USING (term) JOIN dl USING (doc_id)
+         |  CROSS JOIN stats),
+         |lexall AS (${MultiQueries.map { case (qid, terms) =>
+        lexPivotSql(qid, terms) }.mkString("\n  UNION ALL\n  ")}),
+         |lexr AS (SELECT q_id, doc_id, rn AS lex_rank FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY bm25 DESC, doc_id) AS rn FROM lexall)
+         |  WHERE rn <= $ArmN),
+         |semc AS (SELECT q.vec_id AS q_id, e.vec_id AS doc_id,
+         |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |      CAST(q.embedding AS DOUBLE[])), 6) AS cos
+         |  FROM embeddings e JOIN embeddings q
+         |    ON q.vec_id IN (${MultiQueries.map(_._1).mkString(", ")})
+         |    AND e.vec_id <> q.vec_id),
+         |semr AS (SELECT q_id, doc_id, rn AS sem_rank FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, doc_id) AS rn FROM semc)
+         |  WHERE rn <= $ArmN),
+         |fall AS (SELECT coalesce(l.q_id, s.q_id) AS q_id,
+         |    coalesce(l.doc_id, s.doc_id) AS doc_id,
+         |    l.lex_rank, s.sem_rank
+         |  FROM lexr l FULL JOIN semr s
+         |    ON l.q_id = s.q_id AND l.doc_id = s.doc_id),
+         |fr0 AS (SELECT q_id, doc_id, lex_rank, sem_rank,
+         |    round(coalesce(CAST(1.0 AS DOUBLE) / ($RrfK + lex_rank), 0)
+         |      + coalesce(CAST(1.0 AS DOUBLE) / ($RrfK + sem_rank), 0),
+         |      6) AS rrf
+         |  FROM fall),
+         |fr AS (SELECT q_id, doc_id, rrf, rn AS fused_rank FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY rrf DESC, doc_id) AS rn FROM fr0)
+         |  WHERE rn <= $FuseN),
+         |cand AS (SELECT f.q_id, f.doc_id AS cid,
+         |    CAST(($FuseN + 1 - f.fused_rank) * ${1000000L / FuseN}
+         |      AS BIGINT) AS rel_u, e.embedding
+         |  FROM fr f JOIN embeddings e ON e.vec_id = f.doc_id),
+         |pairs AS (SELECT a.q_id, a.cid AS a_id, b.cid AS b_id,
+         |    CAST(round(round(list_cosine_similarity(
+         |        CAST(a.embedding AS DOUBLE[]),
+         |        CAST(b.embedding AS DOUBLE[])), 6) * 1000000, 0)
+         |      AS BIGINT) AS sim_u
+         |  FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.cid <> b.cid),
+         |sel1 AS (SELECT q_id, cid, score_u, 1 AS rank FROM (SELECT q_id,
+         |    cid, 7 * rel_u AS score_u, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY 7 * rel_u DESC, cid)
+         |      AS rn FROM cand)
+         |  WHERE rn = 1),
+         |${Ann.mmrOracleSteps}
+         |allsel AS (${(1 to Ann.MmrK).map(i => s"SELECT * FROM sel$i")
+        .mkString(" UNION ALL ")})
+         |SELECT s.q_id, s.rank, s.cid AS doc_id, f.fused_rank, f.rrf,
+         |  s.score_u / 10000000.0 AS mmr_score
+         |FROM allsel s JOIN fr f ON f.q_id = s.q_id AND f.doc_id = s.cid
+         |ORDER BY s.q_id, s.rank""".stripMargin,
     // hybrid_mmr: the rrf oracle as a CTE, rank-normalized micro-unit
     // relevance, then E17's unrolled greedy steps verbatim (same
     // cand/pairs/sel CTE contract)

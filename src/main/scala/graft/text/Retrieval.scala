@@ -77,12 +77,21 @@ object Retrieval {
   /** Full per-document BM25 score frame (no ordering / limit) — shared
     * by [[bm25Rank]] and the hybrid RRF fusion in `graft.ann.Hybrid`.
     */
-  def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
+  def bm25Scores(spark: SparkSession, dir: String): DataFrame =
+    bm25ScoresFor(spark, dir, Bm25Terms)
+
+  /** [[bm25Scores]] for ANY static term set (the multi-query hybrid
+    * builds one arm per query's terms). The term list must be known at
+    * plan-build time: the per-term pivot + literal-order sum is what
+    * keeps the double addition reproducible across engines.
+    */
+  def bm25ScoresFor(spark: SparkSession, dir: String,
+      terms: Seq[String]): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val tokDf = docs.select(col("doc_id"), explode(toks).as("term"))
     val dl = tokDf.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
-    val tf = tokDf.filter(col("term").isin(Bm25Terms: _*))
+    val tf = tokDf.filter(col("term").isin(terms: _*))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -94,7 +103,7 @@ object Retrieval {
           col("tf") * (Bm25K1 + 1) /
           (col("tf") + lit(Bm25K1) *
             (lit(1 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
-    val perTerm = Bm25Terms.map(t =>
+    val perTerm = terms.map(t =>
       coalesce(max(when(col("term") === t, col("s"))), lit(0.0)))
     termScore
       .groupBy(col("doc_id"))

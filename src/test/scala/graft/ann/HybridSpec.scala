@@ -44,6 +44,42 @@ class HybridSpec extends SparkSpec {
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("hybrid_mmr_multi: every query gets its own MmrK diversified " +
+      "picks; query 0's picks equal the single-query hybrid_mmr") {
+    val out = Hybrid.hybridMmrMulti(spark, sfDir).collect()
+    val qids = Hybrid.MultiQueries.map(_._1).toSet
+    assert(out.map(_.getAs[Long]("q_id")).toSet == qids)
+    qids.foreach { q =>
+      val rows = out.filter(_.getAs[Long]("q_id") == q)
+        .sortBy(_.getAs[Int]("rank"))
+      assert(rows.length == Ann.MmrK,
+        s"query $q: ${rows.length} picks, expected ${Ann.MmrK}")
+      assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to Ann.MmrK))
+      val picks = rows.map(_.getAs[Long]("doc_id"))
+      assert(picks.distinct.length == picks.length)
+      // rank 1 maximizes pure relevance = that query's fused top-1
+      assert(rows.head.getAs[Int]("fused_rank") == 1,
+        s"query $q: first pick has fused_rank " +
+          rows.head.getAs[Int]("fused_rank"))
+      rows.foreach { r =>
+        val fr = r.getAs[Int]("fused_rank")
+        assert(fr >= 1 && fr <= Hybrid.FuseN)
+      }
+    }
+    // query 0 IS hybrid_mmr's query (same terms, same embedding id):
+    // the multi-query plan must reproduce the single-query result
+    val single = Hybrid.hybridMmr(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("rank"))
+      .map(r => (r.getAs[Int]("rank"), r.getLong(1),
+        r.getAs[Double]("mmr_score")))
+    val q0 = out.filter(_.getAs[Long]("q_id") == 0L)
+      .sortBy(_.getAs[Int]("rank"))
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("mmr_score")))
+    assert(q0.toSeq == single.toSeq,
+      s"multi q0 ${q0.toSeq} != single ${single.toSeq}")
+  }
+
   test("hybrid_rrf: a doc ranked by both arms beats one ranked by one " +
     "at similar depth") {
     val rows = Hybrid.hybridRrf(spark, sfDir).collect()
