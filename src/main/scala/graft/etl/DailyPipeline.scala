@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   *   3. rotate the keyed snapshot (SnapshotStore ≈ Today/Yesterday
   *      xlsx, aiesec.py:20-21,131)
   *   4. snapshot delta by key — LEFT ANTI (≈ aiesec.py:142-144),
-  *      plus a volume-band monitor vs yesterday (graft addition: the
-  *      collapsed-scrape/flood guard the reference lacks)
+  *      plus the operational monitors the reference lacks: a
+  *      freshness gate on the diff baseline (3b), a volume band vs
+  *      yesterday (4b), and an online-CUSUM level-shift detector
+  *      over the full run history (4c)
   *   5. styled Today report + New report, premium rows highlighted
   *      (XlsxSink ≈ aiesec.py:147-186)
   *   6. conditional alert payload, only when the delta is non-empty
@@ -33,9 +35,12 @@ object DailyPipeline {
       alert: Option[String],
       todayReport: String,
       newReport: Option[String],
-      volumeAlarm: Option[String] = None)
+      volumeAlarm: Option[String] = None,
+      freshnessAlarm: Option[String] = None,
+      shiftAlarm: Option[String] = None)
 
   val VolumeRatio = 2L // alarm outside [prev/2, prev*2] — B31's band
+  val FreshSlaDays = 1L // baseline older than this → stale-diff alarm
 
   /** Extract + normalize card records (step 2). Expects the card
     * field layout the reference scrapes: id, country, premium,
@@ -81,6 +86,28 @@ object DailyPipeline {
     val store =
       if (xlsxSnapshots) new XlsxSnapshotStore(spark, storeRoot, "id")
       else new SnapshotStore(spark, storeRoot, "id")
+
+    // 3b: freshness gate BEFORE the diff (A34's concern, the daily-job
+    // form): the delta's baseline is whatever snapshot rotation keeps,
+    // so a missed day makes "New" over-report (diffing against a
+    // 2-day-old Yesterday) and a replayed/out-of-order version would
+    // diff against the FUTURE. Gated on date-parseable versions only —
+    // ad-hoc version ids (specs use "v1") opt out.
+    val freshnessAlarm = store.versions.lastOption.flatMap { prev =>
+      (parseDay(prev), parseDay(version)) match {
+        case (Some(p), Some(v)) =>
+          val gap = java.time.temporal.ChronoUnit.DAYS.between(p, v)
+          if (gap <= 0)
+            Some(s"FRESHNESS: run $version is not newer than stored $prev")
+          else if (gap > FreshSlaDays)
+            Some(s"FRESHNESS: baseline $prev is $gap days behind " +
+              s"$version; New report diffs against a stale snapshot")
+          else None
+        case _ => None
+      }
+    }
+    freshnessAlarm.foreach(a => alertSink.send(a, s"<p>$a</p>"))
+
     store.rotate(today, version)
 
     // 4: delta — new ids vs the previous snapshot
@@ -99,6 +126,29 @@ object DailyPipeline {
         else None
       }
     volumeAlarm.foreach(a => alertSink.send(a, s"<p>$a</p>"))
+
+    // 4c: level-shift monitor on the FULL run history. The band above
+    // is memoryless (today vs yesterday only); a slow drift — the
+    // scrape source quietly paginating less every week — stays inside
+    // the 2× band forever. The run log keeps one (day, n) row per run
+    // (O(days) data; a production deployment compacts the daily
+    // appends), and the G12 online-CUSUM kernel replays it: warmup
+    // freezes the reference level, today's point alarms on an
+    // accumulated shift. Same kernel, same spec-pinned fold.
+    val shiftAlarm = {
+      import spark.implicits._
+      Seq((version, nToday)).toDF("day", "n").coalesce(1)
+        .write.mode("append").parquet(s"$storeRoot/_runlog")
+      val log = spark.read.parquet(s"$storeRoot/_runlog")
+        .select(lit("daily_rows").as("key"), col("day"), col("n"))
+        .as[graft.streaming.KeyedCount]
+      graft.streaming.ChangepointStream.cusum(log)
+        .filter(_.day == version).collect().headOption
+        .filter(_.alarm > 0)
+        .map(p => s"SHIFT: $version volume $nToday drifted from the " +
+          s"warmup level (CUSUM S+=${p.sPos} S-=${p.sNeg})")
+    }
+    shiftAlarm.foreach(a => alertSink.send(a, s"<p>$a</p>"))
 
     // 5: styled reports (premium highlight ≈ PREMIUM == "Yes")
     new java.io.File(reportDir).mkdirs()
@@ -125,6 +175,10 @@ object DailyPipeline {
         Some(subject)
       } else None
 
-    Result(nToday, nNew, alert, todayPath, newPath, volumeAlarm)
+    Result(nToday, nNew, alert, todayPath, newPath, volumeAlarm,
+      freshnessAlarm, shiftAlarm)
   }
+
+  private def parseDay(s: String): Option[java.time.LocalDate] =
+    scala.util.Try(java.time.LocalDate.parse(s)).toOption
 }

@@ -95,6 +95,63 @@ class DailyPipelineSpec extends SparkSpec {
       s"collapse must alarm: ${r4.volumeAlarm}")
   }
 
+  test("freshness gate: stale baseline and replayed version alarm, " +
+      "consecutive days and ad-hoc version ids stay quiet") {
+    val root = Files.createTempDirectory("dailyf")
+    val store = root.resolve("store").toString
+    val reports = root.resolve("reports").toString
+    def day(name: String): String = {
+      val d = root.resolve(name); Files.createDirectories(d)
+      Files.writeString(d.resolve("page.html"),
+        card(1, "T1", "de", "No", "1 applicants", "6 weeks"))
+      d.toString
+    }
+    val r1 = DailyPipeline.run(spark, day("d1"), store, "2026-08-01", reports)
+    assert(r1.freshnessAlarm.isEmpty, "first run has no baseline")
+    val r2 = DailyPipeline.run(spark, day("d2"), store, "2026-08-02", reports)
+    assert(r2.freshnessAlarm.isEmpty, "consecutive day is fresh")
+    val r3 = DailyPipeline.run(spark, day("d3"), store, "2026-08-06", reports)
+    assert(r3.freshnessAlarm.exists(_.contains("4 days behind")),
+      s"4-day gap must alarm: ${r3.freshnessAlarm}")
+    val r4 = DailyPipeline.run(spark, day("d4"), store, "2026-08-05", reports)
+    assert(r4.freshnessAlarm.exists(_.contains("not newer")),
+      s"replayed/out-of-order version must alarm: ${r4.freshnessAlarm}")
+    // ad-hoc version ids opt out of the gate entirely
+    val store2 = root.resolve("store2").toString
+    val a1 = DailyPipeline.run(spark, day("d5"), store2, "v1", reports)
+    val a2 = DailyPipeline.run(spark, day("d6"), store2, "v9", reports)
+    assert(a1.freshnessAlarm.isEmpty && a2.freshnessAlarm.isEmpty)
+  }
+
+  test("shift monitor: a level jump after warmup alarms through the " +
+      "run-log CUSUM; the stable warmup stays quiet") {
+    val root = Files.createTempDirectory("dailys")
+    val store = root.resolve("store").toString
+    val reports = root.resolve("reports").toString
+    def day(name: String, n: Int): String = {
+      val d = root.resolve(name); Files.createDirectories(d)
+      Files.writeString(d.resolve("page.html"),
+        (1 to n).map(i =>
+          card(i, s"T$i", "de", "No", s"$i applicants", "6 weeks"))
+          .mkString)
+      d.toString
+    }
+    // 7 warmup days + 1 in-band day at n=3: T0 = 21, H = 84
+    val quiet = (1 to 8).map { i =>
+      DailyPipeline.run(spark, day(s"d$i", 3), store,
+        f"2026-07-$i%02d", reports)
+    }
+    quiet.foreach(r => assert(r.shiftAlarm.isEmpty,
+      s"stable series must stay quiet: ${r.shiftAlarm}"))
+    // flood day: dev = 7*30 - 21 = 189, S+ = 179 > 84 -> alarm now
+    val flood = DailyPipeline.run(spark, day("d9", 30), store,
+      "2026-07-09", reports)
+    assert(flood.shiftAlarm.exists(_.contains("drifted")),
+      s"post-warmup level jump must alarm: ${flood.shiftAlarm}")
+    // the alarm rode the same delivery path as the other monitors
+    assert(flood.volumeAlarm.isDefined, "band alarm fires independently")
+  }
+
   test("xlsx snapshot mode: the reference's exact Today/Yesterday cycle") {
     val root = Files.createTempDirectory("dailyx")
     val day1 = root.resolve("day1"); Files.createDirectories(day1)
