@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loader for the driver-generated test tables.
   *
@@ -16,18 +17,32 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-      // outright (PARQUET_TYPE_ILLEGAL). Read nanos as raw long and
-      // floor-truncate to microseconds — the same truncation DuckDB
-      // applies when it coerces ns → its native µs timestamps, so both
-      // engines see identical values.
+      // events.ts has shipped in two physical encodings across testdata
+      // generations: parquet TIMESTAMP(NANOS) (which Spark 4 can only
+      // read as a raw long via the legacy conf — PARQUET_TYPE_ILLEGAL
+      // otherwise) and plain timestamp[us] (read as TIMESTAMP_NTZ).
+      // The conf must be set BEFORE the read so the nanos variant is
+      // readable at all; it is a no-op on µs files, so we can then
+      // branch on the schema Spark actually inferred.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // FLOOR division in pure long arithmetic (`div` truncates toward
-      // zero, which would round negative pre-1970 nanos UP; going via
-      // floor(ts/1000.0) would lose precision past 2^53). DuckDB floors.
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(
-          expr("(ts div 1000) - CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case LongType =>
+          // Nanos-as-long: FLOOR-truncate to microseconds — the same
+          // truncation DuckDB applies coercing ns → its native µs
+          // timestamps, so both engines see identical values. Pure long
+          // arithmetic (`div` truncates toward zero, which would round
+          // negative pre-1970 nanos UP; floor(ts/1000.0) would lose
+          // precision past 2^53).
+          raw.withColumn("ts", timestamp_micros(
+            expr("(ts div 1000) - CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END")))
+        case TimestampNTZType =>
+          // µs testdata: under the UTC session tz a plain cast keeps
+          // the same wall-clock instants DuckDB reads natively.
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+        case _ =>
+          raw
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }
