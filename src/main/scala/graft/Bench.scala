@@ -95,9 +95,14 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e), _, _) => s"\"" + k + "\":\"" + e + "\"" } ++
       warmupErr.map(e => "\"_warmup\":\"" + e + "\"")
     val errJson = if (errs.isEmpty) "" else errs.mkString(",\"errors\":{", ",", "}")
+    // Explicit top-level error COUNT in both output lines: a gate that
+    // keys on exit code or only sees the compact tail line must not
+    // read an errored sweep as green (round 6 had 41 analysis errors
+    // behind rc 0 and a truncated tail).
+    val nErrors = errs.size
     val total = results.map(_._2).filter(_ >= 0).sum
     val detail =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"metrics":$ms,"stages":$stagesJson,"totals":$totalsJson$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_errors":$nErrors,"queries":$qs,"metrics":$ms,"stages":$stagesJson,"totals":$totalsJson$errJson,"sf":"$sfDir"}"""
     // The driver keeps only the last ~2000 chars of stdout and parses the
     // bench JSON out of that tail: the full detail line (~10 KB with 85+
     // queries) never fits, which is exactly how rounds 1–2 ended up with
@@ -115,7 +120,7 @@ object Bench {
     val qsShort = head.sortBy(_._1).map { case (k, v, _, _, _) =>
       s"\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val otherSec = rest.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qsShort,"n_queries":${results.size},"other_sec":${f3(otherSec)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qsShort,"n_queries":${results.size},"n_errors":$nErrors,"other_sec":${f3(otherSec)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -192,6 +192,26 @@ object Ann {
           struct(round(col("c_cos"), 6).as("c"), (-col("cell_id")).as("t")))
           .as("cell_id"))
 
+  /** Collect the ≤[[TrainCap]] training sample ONCE and rebuild it as a
+    * driver-local frame. Training touches the sample many times — seed
+    * selection plus every Lloyd round — and each touch used to be its
+    * own filter-scan job over the corpus (for IVF-PQ, full-width
+    * aggregate passes over the persisted residual frame per round: the
+    * round-6 training-job storm). The sample is driver-sized BY
+    * CONSTRUCTION (≤ cap rows × dim floats ≈ tens of KB), so one
+    * collect turns every later touch into a LocalTableScan: at 100 TB
+    * the corpus is read once for the threshold count and once for the
+    * sample, never per training round.
+    */
+  private[ann] def trainSample(spark: SparkSession, c: DataFrame,
+      thresh: Long): DataFrame = {
+    import spark.implicits._
+    val rows = c.filter(sampleDraw < thresh)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
+    rows.toDF("vec_id", "embedding")
+  }
+
   /** Coarse-quantizer training on the bounded [[TrainCap]] sample:
     * deterministic seeds (sampled ids % [[IvfSeedMod]]) + one Lloyd
     * mean-refinement over the SAMPLED vectors via the vector_avg custom
@@ -204,16 +224,23 @@ object Ann {
     * [[sampleThresh]] on the un-repartitioned corpus.
     */
   private[ann] def refinedCentroids(spark: SparkSession,
-      c: DataFrame, thresh: Long): DataFrame = {
+      c: DataFrame, thresh: Long): DataFrame =
+    refineLocal(spark, trainSample(spark, c, thresh))
+
+  /** Training body over an already-collected local sample (see
+    * [[trainSample]]): the seed filter, the assignment cross join, and
+    * the mean aggregate all run against a LocalTableScan, so the only
+    * corpus-sized work in IVF training is producing the sample itself.
+    */
+  private[ann] def refineLocal(spark: SparkSession, tr: DataFrame): DataFrame = {
     import spark.implicits._
-    val tr = c.filter(sampleDraw < thresh)
     val seeds = tr.filter(col("vec_id") % IvfSeedMod === 0)
       .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
     val rows = assignCells(tr, seeds)
       .groupBy(col("cell_id"))
       .agg(graft.functions.VectorAvg.vectorAvg(col("embedding"))
         .as("c_emb"))
-      .as[(Long, Array[Float])].collect().toSeq
+      .as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
     rows.toDF("cell_id", "c_emb")
   }
 
@@ -231,7 +258,10 @@ object Ann {
     */
   def annIvfQ(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir, spread = true)
-    val refined = refinedCentroids(spark, c, sampleThresh(corpus(spark, dir)))
+    // train on the UN-spread corpus: the threshold count and the sample
+    // collect then run straight off the scan with no shuffle in front
+    val cUn = corpus(spark, dir)
+    val refined = refinedCentroids(spark, cUn, sampleThresh(cUn))
     val enc = assignCells(c, refined)
       .join(broadcast(refined), Seq("cell_id"))
       .withColumn("nrm", sqrt(dotF(col("embedding"), col("embedding"))))
@@ -466,28 +496,25 @@ object Ann {
     * vector, which is the shape a 100 TB index build needs.
     */
   private[ann] def pqCodebook(spark: SparkSession, c: DataFrame): DataFrame =
-    pqTrain(spark, c, subvecFrame(c, "embedding", "vec_id"), sampleThresh(c))
+    pqTrainLocal(spark, trainSample(spark, c, sampleThresh(c)))
 
-  /** Training body with a caller-supplied subvector frame: callers that
-    * also ENCODE with the trained codebook pass a persisted `sv` so the
-    * corpus → subvector scan runs once instead of once per Lloyd round
-    * plus once for encoding (for IVF-PQ the saving is larger still —
-    * `sv` sits downstream of cell assignment, a corpus × cells scoring
-    * pass that would otherwise replay per round). Lloyd rounds read
-    * only the ≤[[TrainCap]] sampled rows of `sv` (`thresh` from
-    * [[sampleThresh]]); seeds come from the same sample so the oracle
-    * can replay the training set exactly.
+  /** Training body over an already-collected local sample (see
+    * [[trainSample]]): seeds are the first [[PqK]] sample rows by
+    * vec_id, and every Lloyd round's assign + mean aggregate runs
+    * against the sample's LocalTableScan — the corpus (or for IVF-PQ,
+    * the persisted residual frame) is never re-scanned per round, which
+    * was the round-6 `ann_ivfpq` hotspot (full 32-task aggregate passes
+    * per round). Callers ENCODE separately with one map of the full
+    * corpus against the returned broadcast-sized codebook.
     */
-  private[ann] def pqTrain(spark: SparkSession, c: DataFrame,
-      sv: DataFrame, thresh: Long): DataFrame = {
+  private[ann] def pqTrainLocal(spark: SparkSession, sample: DataFrame): DataFrame = {
     import spark.implicits._
     val wseed = Window.partitionBy(col("sub")).orderBy(col("vec_id"))
     var cb = subvecFrame(
-        c.filter(sampleDraw < thresh).orderBy(col("vec_id")).limit(PqK),
-        "embedding", "vec_id")
+        sample.orderBy(col("vec_id")).limit(PqK), "embedding", "vec_id")
       .withColumn("code", row_number().over(wseed) - 1)
       .select(col("sub"), col("code"), col("sv").as("cb_emb"))
-    val svTr = sv.filter(sampleDraw < thresh)
+    val svTr = subvecFrame(sample, "embedding", "vec_id")
     for (_ <- 1 to PqIters) {
       val rows = assignCodes(svTr, cb)
         .groupBy(col("sub"), col("code"))
@@ -514,13 +541,14 @@ object Ann {
     * here separately.
     */
   def annPq(spark: SparkSession, dir: String): DataFrame = {
-    // thresh and training seeds read the un-spread corpus (no shuffle
-    // behind the count / TakeOrdered); Lloyd reads the persisted sv
-    val th = sampleThresh(corpus(spark, dir))
+    // thresh count and the one sample collect read the un-spread corpus
+    // (no shuffle behind them); Lloyd runs over the local sample, and
+    // the corpus subvector frame is consumed exactly once (encoding),
+    // so it no longer needs a persist
+    val cUn = corpus(spark, dir)
+    val cb = pqTrainLocal(spark, trainSample(spark, cUn, sampleThresh(cUn)))
     val c = corpus(spark, dir, spread = true)
     val sv = subvecFrame(c, "embedding", "vec_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cb = pqTrain(spark, corpus(spark, dir), sv, th)
     val enc = assignCodes(sv, cb)
       .groupBy(col("vec_id"))
       .agg(expr(
@@ -576,11 +604,23 @@ object Ann {
   def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
     val th = sampleThresh(c)
-    val refined = refinedCentroids(spark, c, th)
-    // cache the assigned+centered frame: everything downstream (codebook
-    // training, encoding, the exact re-rank's embedding/nrm columns)
-    // re-reads it, and recomputing means replaying the corpus × cells
-    // assignment scoring pass each time
+    // ONE sample collect feeds BOTH trainings: IVF centroid refinement
+    // and — after a local assign + center against the refined centroids
+    // (LocalTableScan jobs, identical per-row math to the corpus-wide
+    // assignment) — the residual PQ codebook. The corpus itself is
+    // scanned once for the threshold count, once for the sample, and
+    // once for assignment/encoding.
+    val sample = trainSample(spark, c, th)
+    val refined = refineLocal(spark, sample)
+    val resSample = assignCells(sample, refined)
+      .join(broadcast(refined), Seq("cell_id"))
+      .withColumn("res", expr(
+        "zip_with(embedding, c_emb, (a, b) -> a - b)"))
+      .select(col("vec_id"), col("res").as("embedding"))
+    val cb = pqTrainLocal(spark, resSample)
+    // cache the assigned+centered frame: encoding and the exact
+    // re-rank's embedding/nrm columns both read it, and recomputing
+    // means replaying the corpus × cells assignment scoring pass
     val asg = assignCells(c, refined)
       .join(broadcast(refined), Seq("cell_id"))
       .withColumn("nrm", sqrt(dotF(col("embedding"), col("embedding"))))
@@ -589,8 +629,6 @@ object Ann {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val resFrame = asg.select(col("vec_id"), col("res").as("embedding"))
     val sv = subvecFrame(resFrame, "embedding", "vec_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cb = pqTrain(spark, resFrame, sv, th)
     val enc = assignCodes(sv, cb)
       .groupBy(col("vec_id"))
       .agg(expr(
