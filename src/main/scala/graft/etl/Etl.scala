@@ -181,7 +181,7 @@ object Etl {
         round(avg(col("n_chars")), 4).as("avg_chars"))
       .orderBy(col("split"))
 
-  /** A28 `etl_merge_cdc` — MERGE INTO semantics from a change-log (the
+  /** A35 `etl_merge_cdc` — MERGE INTO semantics from a change-log (the
     * Delta/Iceberg upsert-with-deletes shape, as a pure computation):
     * events act as CDC records per key ('error' → DELETE, anything
     * else → UPSERT of the latest value), the last op per key wins

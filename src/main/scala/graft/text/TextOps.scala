@@ -156,7 +156,7 @@ object TextOps {
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
-  /** C4b `text_rolling_fp` — Karp–Rabin rolling-hash fingerprint of the
+  /** C31 `text_rolling_fp` — Karp–Rabin rolling-hash fingerprint of the
     * normalized text: the incremental-update-friendly alternative to
     * the md5 fingerprint (rows-only check: DuckDB has no mod-2^64
     * arithmetic; exact values pinned in TextOpsSpec).
