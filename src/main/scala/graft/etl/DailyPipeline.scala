@@ -73,14 +73,27 @@ object DailyPipeline {
     *        (≈ aiesec.py:236-249's SMTP send): the HTML-card digest of
     *        the new rows goes here when the delta is non-empty.
     *        Defaults to no delivery — the payload is still returned.
+    * @param fetcher optional LIVE page fetch (≈ aiesec.py:38-63's
+    *        consent + load-more browser loop): when set, the pipeline
+    *        drives the page to its full card list first, materializes
+    *        the final DOM under the store (`_fetched/<version>.html` —
+    *        an auditable, re-parseable record of exactly what was
+    *        scraped), and ingests THAT instead of `cardsPath`.
     */
   def run(spark: SparkSession, cardsPath: String, storeRoot: String,
       version: String, reportDir: String,
       xlsxSnapshots: Boolean = false,
-      alertSink: AlertSink = AlertSink.Noop): Result = {
-    // 1-2: ingest + normalize
+      alertSink: AlertSink = AlertSink.Noop,
+      fetcher: Option[graft.sources.FetchSource.PageDriver] = None): Result = {
+    // 0 (optional): live fetch → materialized page; 1-2: ingest +
+    // normalize through the same graft-cards scan either way
+    val inputPath = fetcher match {
+      case Some(d) => graft.sources.FetchSource
+        .fetchToFile(d, s"$storeRoot/_fetched/$version.html").toString
+      case None => cardsPath
+    }
     val today = normalize(
-      spark.read.format("graft-cards").load(cardsPath))
+      spark.read.format("graft-cards").load(inputPath))
 
     // 3: rotate the keyed snapshot (keeps this + previous)
     val store =

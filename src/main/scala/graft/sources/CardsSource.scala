@@ -77,6 +77,12 @@ object CardsSource {
         UTF8String.fromString(m.matched)))
     }
 
+  /** Card count of a raw page — the fetch loop's stabilization signal
+    * (same regex as the scan, so "fetch saw n cards" and "the scan
+    * parses n cards" can never disagree).
+    */
+  def countCards(content: String): Int = CardRe.findAllMatchIn(content).size
+
   /** Expand a comma-separated path spec (files, dirs, globs) into the
     * concrete file list — one InputPartition each.
     */
