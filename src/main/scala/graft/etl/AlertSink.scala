@@ -84,32 +84,78 @@ class DirectoryAlertSink(dir: String) extends AlertSink {
   }
 }
 
+object SmtpAlertSink {
+  /** Transport security mode. The reference uses implicit TLS
+    * (`smtplib.SMTP_SSL`, port 465 — aiesec.py:245) ≡ [[Tls.Smtps]].
+    */
+  sealed trait Tls
+  object Tls {
+    /** Plain socket — the in-network relay-host pattern (the default:
+      * nothing credentials-bearing should cross this link).
+      */
+    case object Plain extends Tls
+    /** Implicit TLS from the first byte (SMTPS, conventionally :465) —
+      * the reference's `smtplib.SMTP_SSL` transport.
+      */
+    case object Smtps extends Tls
+    /** RFC 3207 upgrade (conventionally :587): plain EHLO, `STARTTLS`,
+      * handshake, then the dialogue restarts with a second EHLO.
+      */
+    case object StartTls extends Tls
+  }
+}
+
 /** Minimal SMTP delivery (≈ the reference's smtplib block,
-  * aiesec.py:236-249) — plain-socket RFC 5321 dialogue with a UTF-8
-  * HTML MIME payload. No TLS/AUTH: this targets the in-network relay
-  * host pattern; credentials-bearing setups should front it with a
-  * local relay. Every response is checked and a non-2xx/3xx code
-  * fails loudly — a dropped alert must never look delivered.
+  * aiesec.py:236-249) — RFC 5321 dialogue with a UTF-8 HTML MIME
+  * payload, over a plain socket, implicit TLS (SMTPS — the
+  * reference's `SMTP_SSL`), or a STARTTLS upgrade. TLS sockets
+  * enable endpoint identification (hostname/SAN check), so a
+  * misdirected connection fails the handshake instead of delivering
+  * the alert elsewhere. No AUTH: credentials-bearing setups should
+  * front a local relay. Every response is checked and a non-2xx/3xx
+  * code fails loudly — a dropped alert must never look delivered.
   *
   * Injection hygiene: addresses are validated at construction (no
   * CR/LF/angle brackets — they would terminate or fake an SMTP
   * command), and the subject header strips CR/LF so alert content can
   * never smuggle extra headers (Bcc:) or commands into the dialogue.
+  *
+  * @param sslFactory socket factory for the TLS modes — the JVM
+  *        default trust store unless the caller brings a pinned one
+  *        (specs bring an in-process CA).
   */
 class SmtpAlertSink(host: String, port: Int, from: String,
-    to: Seq[String]) extends AlertSink {
+    to: Seq[String],
+    tls: SmtpAlertSink.Tls = SmtpAlertSink.Tls.Plain,
+    sslFactory: () => javax.net.ssl.SSLSocketFactory =
+      () => javax.net.ssl.SSLSocketFactory.getDefault
+        .asInstanceOf[javax.net.ssl.SSLSocketFactory]) extends AlertSink {
   require(to.nonEmpty, "SmtpAlertSink: at least one recipient")
   (from +: to).foreach { a =>
     require(!a.exists(c => c == '\r' || c == '\n' || c == '<' || c == '>'),
       s"SmtpAlertSink: illegal address '${a.replaceAll("[\\r\\n]", " ")}'")
   }
 
+  import SmtpAlertSink.Tls
+
+  private def identified(s: javax.net.ssl.SSLSocket): javax.net.ssl.SSLSocket = {
+    val p = s.getSSLParameters
+    p.setEndpointIdentificationAlgorithm("HTTPS")
+    s.setSSLParameters(p)
+    s
+  }
+
   override def send(subject: String, htmlBody: String): Unit = {
-    val socket = new Socket(host, port)
+    var socket: Socket = tls match {
+      case Tls.Smtps =>
+        identified(sslFactory().createSocket(host, port)
+          .asInstanceOf[javax.net.ssl.SSLSocket])
+      case _ => new Socket(host, port)
+    }
     try {
-      val in = new BufferedReader(
+      var in = new BufferedReader(
         new InputStreamReader(socket.getInputStream, "UTF-8"))
-      val out = new PrintWriter(
+      var out = new PrintWriter(
         new java.io.OutputStreamWriter(socket.getOutputStream, "UTF-8"))
       def expect(codes: Set[Int]): Unit = {
         // multi-line replies: "250-..." continues, "250 ..." ends
@@ -124,6 +170,20 @@ class SmtpAlertSink(host: String, port: Int, from: String,
       }
       expect(Set(220))
       cmd(s"EHLO graft", Set(250))
+      if (tls == Tls.StartTls) {
+        cmd("STARTTLS", Set(220))
+        val ssl = identified(sslFactory()
+          .createSocket(socket, host, port, true)
+          .asInstanceOf[javax.net.ssl.SSLSocket])
+        ssl.startHandshake()
+        socket = ssl
+        in = new BufferedReader(
+          new InputStreamReader(socket.getInputStream, "UTF-8"))
+        out = new PrintWriter(
+          new java.io.OutputStreamWriter(socket.getOutputStream, "UTF-8"))
+        // RFC 3207 §4.2: the session state resets — EHLO again
+        cmd(s"EHLO graft", Set(250))
+      }
       cmd(s"MAIL FROM:<$from>", Set(250))
       to.foreach(r => cmd(s"RCPT TO:<$r>", Set(250, 251)))
       cmd("DATA", Set(354))
