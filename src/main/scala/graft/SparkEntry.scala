@@ -23,6 +23,7 @@ object SparkEntry {
       etl.Etl.queries ++
       dedup.Dedup.queries ++
       ann.Ann.queries ++
+      ann.IvfIndex.queries ++
       ann.EmbPca.queries ++
       ann.Hybrid.queries ++
       multimodal.Multimodal.queries ++
@@ -45,6 +46,7 @@ object SparkEntry {
       etl.Etl.oracle ++
       dedup.Dedup.oracle ++
       ann.Ann.oracle ++
+      ann.IvfIndex.oracle ++
       ann.EmbPca.oracle ++
       ann.Hybrid.oracle ++
       multimodal.Multimodal.oracle ++

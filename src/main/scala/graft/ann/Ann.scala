@@ -37,7 +37,7 @@ object Ann {
     if (spread) c.repartition(spark.sparkContext.defaultParallelism) else c
   }
 
-  private def queriesDf(spark: SparkSession, dir: String): DataFrame =
+  private[ann] def queriesDf(spark: SparkSession, dir: String): DataFrame =
     corpus(spark, dir).filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
 
@@ -45,7 +45,7 @@ object Ann {
     * rank on the 6-dp-rounded cosine with vec_id tiebreak, so ordering
     * is stable under last-bit float jitter across engines.
     */
-  private def topK(scored: DataFrame): DataFrame = {
+  private[ann] def topK(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(round(col("cos"), 6).desc, col("vec_id"))
     scored

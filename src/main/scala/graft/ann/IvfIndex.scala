@@ -1,0 +1,94 @@
+package graft.ann
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** E21 `ann_ivf_indexed` — IVF retrieval against a MATERIALIZED on-disk
+  * index: the layout a 100 TB vector store actually ships, where the
+  * index is built once (train + assign + write) and every query batch
+  * afterwards reads only the cells it probes.
+  *
+  * Build: the deterministic E3 training ([[Ann.refinedCentroids]] on
+  * the bounded sample) + full-corpus cell assignment, vectors written
+  * Hive-partitioned on `cell_id=` (one directory per inverted list)
+  * plus a driver-sized centroid sidecar table. Query: probe selection
+  * against the sidecar ([[Ann.probeCells]], identical multi-probe
+  * rule), then a vectors scan filtered to the probed cells — the
+  * filter is a literal IN-list over partition values, so it lands in
+  * `PartitionFilters` and prunes at the DIRECTORY level: a 4-of-1000
+  * cells probe reads 0.4% of the index bytes, no shuffle, no touch of
+  * the unprobed 99.6%. That directory pruning is the entire point of
+  * the IVF layout at scale — the non-indexed E3 re-reads and re-assigns
+  * the whole corpus per query batch.
+  *
+  * The probe set is O(queries × [[Ann.IvfMaxProbes]]) cell ids,
+  * distinct-bounded by the total cell count (≤ [[Ann.TrainCap]] /
+  * [[Ann.IvfSeedMod]]) — always driver-sized, so collecting it into
+  * the IN-list never scales with the corpus.
+  *
+  * Results are identical to E3 `ann_ivf` by construction (same
+  * training, same assignment, same probe rule, same exact scoring), so
+  * the E3 oracle replays this query too — and the parity is also
+  * pinned directly in IvfIndexSpec.
+  */
+object IvfIndex {
+
+  /** Index layout under one root: the partitioned vector store plus
+    * the centroid sidecar.
+    */
+  def vectorsDir(root: String): String = s"$root/vectors"
+  def centroidsDir(root: String): String = s"$root/centroids"
+
+  /** Train on the corpus at `dir` and materialize the index under
+    * `root`. One corpus pass for the threshold count, one for the
+    * training sample, one assign+write pass.
+    */
+  def build(spark: SparkSession, dir: String, root: String): Unit = {
+    val c = graft.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cents = Ann.refinedCentroids(spark, c, Ann.sampleThresh(c))
+    cents.coalesce(1).write.mode("overwrite").parquet(centroidsDir(root))
+    Ann.assignCells(c, cents)
+      .select(col("cell_id"), col("vec_id"), col("embedding"))
+      .write.mode("overwrite").partitionBy("cell_id")
+      .parquet(vectorsDir(root))
+  }
+
+  /** Retrieve top-k for a (q_id, q_emb) query frame against a built
+    * index. The vectors scan carries the probed-cells IN-list as a
+    * partition filter — only probed directories are read.
+    */
+  def query(spark: SparkSession, root: String, queries: DataFrame): DataFrame = {
+    val cents = spark.read.parquet(centroidsDir(root))
+    val probed = Ann.probeCells(queries, cents)
+    val cellIds = probed.select(col("cell_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val vecs = spark.read.parquet(vectorsDir(root))
+      .withColumn("cell_id", col("cell_id").cast("long"))
+      .filter(col("cell_id").isin(cellIds: _*))
+    val cand = vecs.join(broadcast(probed), Seq("cell_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+    Ann.topK(cand.withColumn("cos",
+      graft.functions.GraftFunctions.cosineSim(col("embedding"), col("q_emb"))))
+  }
+
+  /** The registered query: build under a per-dataset scratch root (a
+    * real deployment builds once and queries many times; the bench
+    * measuring build+query is the honest end-to-end index cost), then
+    * retrieve for the standard query set.
+    */
+  def annIvfIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-ivf-index",
+      java.lang.Integer.toHexString(dir.hashCode)).toString
+    build(spark, dir, root)
+    query(spark, root, Ann.queriesDf(spark, dir))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_ivf_indexed" -> (annIvfIndexed _))
+
+  /** Identical math to E3 end-to-end → the E3 oracle replays it. */
+  val oracle: Map[String, String] = Map(
+    "ann_ivf_indexed" -> Ann.oracle("ann_ivf"))
+}
