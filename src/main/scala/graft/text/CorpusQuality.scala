@@ -352,7 +352,63 @@ object CorpusQuality {
         (col("score_int") >= 0).cast("int").as("keep"))
       .orderBy(col("doc_id"))
 
+  /** C32 `corpus_budget` — EXACT token-budget selection per source (the
+    * cut step after C21 computes weights and C22 applies keep-RATES: a
+    * rate hits a budget only in expectation; this hits it exactly):
+    * each source's budget is its tokens^0.7 temperature share of a
+    * global budget, docs are taken in deterministic md5(doc_id) order
+    * while the source's RUNNING token total stays within budget.
+    * One shuffle (the per-source window cumsum) + the O(sources)
+    * budget frame broadcast back; selection identity is pinned by md5
+    * of the ordered kept-id list, so two engines can't silently agree
+    * on counts while picking different documents. The per-source sort
+    * is the operator's scale cost — skew-bounded by the largest
+    * source; a dominant source range-partitions on the same draw
+    * column.
+    */
+  def corpusBudget(spark: SparkSession, dir: String): DataFrame = {
+    val Budget = 500000L // global token budget across sources
+    val docs = Tables(spark, dir, "documents")
+      .withColumn("n_doc_tokens", size(toks).cast("long"))
+      .withColumn("draw", conv(substring(
+        md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
+        .cast("long"))
+      .select(col("doc_id"), col("source"), col("n_doc_tokens"), col("draw"))
+    val perSource = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_doc_tokens")).as("n_tokens"))
+      .withColumn("w_raw", pow(col("n_tokens").cast("double"), 0.7))
+    val total = perSource.agg(sum(col("w_raw")).as("w_total"))
+    val budgets = perSource.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"),
+        floor(col("w_raw") / col("w_total") * Budget).cast("long")
+          .as("budget_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("draw"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs.join(broadcast(budgets), Seq("source"))
+      .withColumn("cum", sum(col("n_doc_tokens")).over(w))
+      .filter(col("cum") <= col("budget_tokens"))
+      .groupBy(col("source"))
+      .agg(
+        first(col("n_docs")).as("n_docs"),
+        first(col("budget_tokens")).as("budget_tokens"),
+        count(lit(1)).as("n_selected"),
+        sum(col("n_doc_tokens")).as("selected_tokens"),
+        expr("""md5(cast(array_join(transform(
+          array_sort(collect_list(struct(draw, doc_id))),
+          x -> cast(x.doc_id as string)), ',') as binary))""").as("sel_fp"))
+      .select(col("source"), col("n_docs"), col("budget_tokens"),
+        col("n_selected"), col("selected_tokens"),
+        round(col("selected_tokens") / col("budget_tokens").cast("double"), 4)
+          .as("fill"),
+        col("sel_fp"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_budget" -> (corpusBudget _),
     "quality_classifier" -> (qualityClassifier _),
     "bpe_train" -> (bpeTrain _),
     "text_chunks" -> (textChunks _),
@@ -381,6 +437,47 @@ object CorpusQuality {
        |  FROM $in v CROSS JOIN $t)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // corpus_budget: same temperature-share kernel as corpus_mix, same
+    // md5 4-hex-digit draw decode as corpus_sample; the greedy cut is
+    // an integer window cumsum so the boundary is engine-exact, and
+    // sel_fp replays as an ORDER BY string_agg over the same
+    // (draw, doc_id) order
+    "corpus_budget" ->
+      """WITH s AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT *, pow(CAST(n_tokens AS DOUBLE), 0.7) AS w_raw FROM s),
+        |tot AS (SELECT sum(w_raw) AS w_total FROM w),
+        |b AS (SELECT source, n_docs,
+        |    CAST(floor(w_raw / w_total * 500000) AS BIGINT) AS budget_tokens
+        |  FROM w CROSS JOIN tot),
+        |d AS (SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_doc_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |v AS (SELECT doc_id, source, n_doc_tokens,
+        |    CAST((strpos('0123456789abcdef', substr(h,1,1)) - 1) * 4096
+        |      + (strpos('0123456789abcdef', substr(h,2,1)) - 1) * 256
+        |      + (strpos('0123456789abcdef', substr(h,3,1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(h,4,1)) - 1) AS BIGINT)
+        |      AS draw
+        |  FROM d),
+        |c AS (SELECT *, sum(n_doc_tokens) OVER (PARTITION BY source
+        |    ORDER BY draw, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM v),
+        |sel AS (SELECT c.doc_id, c.source, c.n_doc_tokens, c.draw,
+        |    b.n_docs, b.budget_tokens
+        |  FROM c JOIN b USING (source) WHERE cum <= budget_tokens)
+        |SELECT source, n_docs, budget_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_selected,
+        |  CAST(sum(n_doc_tokens) AS BIGINT) AS selected_tokens,
+        |  round(sum(n_doc_tokens) / CAST(budget_tokens AS DOUBLE), 4)
+        |    AS fill,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY draw, doc_id))
+        |    AS sel_fp
+        |FROM sel GROUP BY source, n_docs, budget_tokens
+        |ORDER BY source""".stripMargin,
     "text_chunks" ->
       """WITH t AS (SELECT doc_id,
         |    string_split_regex(trim(text), '\s+') AS w,
