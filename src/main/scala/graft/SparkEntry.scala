@@ -24,6 +24,7 @@ object SparkEntry {
       dedup.Dedup.queries ++
       ann.Ann.queries ++
       ann.IvfIndex.queries ++
+      ann.AnnEval.queries ++
       ann.EmbPca.queries ++
       ann.Hybrid.queries ++
       multimodal.Multimodal.queries ++
@@ -47,6 +48,7 @@ object SparkEntry {
       dedup.Dedup.oracle ++
       ann.Ann.oracle ++
       ann.IvfIndex.oracle ++
+      ann.AnnEval.oracle ++
       ann.EmbPca.oracle ++
       ann.Hybrid.oracle ++
       multimodal.Multimodal.oracle ++
