@@ -22,6 +22,7 @@ object SparkEntry {
       text.CorpusQuality.queries ++
       etl.Etl.queries ++
       dedup.Dedup.queries ++
+      dedup.DedupEval.queries ++
       ann.Ann.queries ++
       ann.IvfIndex.queries ++
       ann.AnnEval.queries ++
@@ -46,6 +47,7 @@ object SparkEntry {
       text.CorpusQuality.oracle ++
       etl.Etl.oracle ++
       dedup.Dedup.oracle ++
+      dedup.DedupEval.oracle ++
       ann.Ann.oracle ++
       ann.IvfIndex.oracle ++
       ann.AnnEval.oracle ++
