@@ -374,15 +374,21 @@ object CorpusQuality {
         md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
         .cast("long"))
       .select(col("doc_id"), col("source"), col("n_doc_tokens"), col("draw"))
-    val perSource = docs.groupBy(col("source"))
+    // The per-source frame is O(sources) — driver-sized by definition —
+    // so collect it ONCE and finish the share arithmetic locally: the
+    // declarative perSource→total crossJoin spelling makes Catalyst
+    // re-execute the whole scan+agg subtree for the broadcast side,
+    // i.e. two extra corpus scans for a two-double computation.
+    import spark.implicits._
+    val ps = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_doc_tokens")).as("n_tokens"))
-      .withColumn("w_raw", pow(col("n_tokens").cast("double"), 0.7))
-    val total = perSource.agg(sum(col("w_raw")).as("w_total"))
-    val budgets = perSource.crossJoin(broadcast(total))
-      .select(col("source"), col("n_docs"),
-        floor(col("w_raw") / col("w_total") * Budget).cast("long")
-          .as("budget_tokens"))
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    val wTotal = ps.map(p => math.pow(p._3.toDouble, 0.7)).sum
+    val budgets = ps.map { case (src, nDocs, nTokens) =>
+      (src, nDocs,
+        math.floor(math.pow(nTokens.toDouble, 0.7) / wTotal * Budget).toLong)
+    }.toDF("source", "n_docs", "budget_tokens")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("draw"), col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
