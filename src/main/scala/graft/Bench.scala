@@ -101,8 +101,10 @@ object Bench {
     // behind rc 0 and a truncated tail).
     val nErrors = errs.size
     val total = results.map(_._2).filter(_ >= 0).sum
+    // cpus rides along so cross-round task-count comparisons can tell
+    // config changes from plan changes (benchtrend caveat, §8h)
     val detail =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_errors":$nErrors,"queries":$qs,"metrics":$ms,"stages":$stagesJson,"totals":$totalsJson$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_errors":$nErrors,"cpus":$cpus,"queries":$qs,"metrics":$ms,"stages":$stagesJson,"totals":$totalsJson$errJson,"sf":"$sfDir"}"""
     // The driver keeps only the last ~2000 chars of stdout and parses the
     // bench JSON out of that tail: the full detail line (~10 KB with 85+
     // queries) never fits, which is exactly how rounds 1–2 ended up with
