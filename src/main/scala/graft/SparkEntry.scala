@@ -25,6 +25,7 @@ object SparkEntry {
       dedup.DedupEval.queries ++
       ann.Ann.queries ++
       ann.IvfIndex.queries ++
+      ann.PqIndex.queries ++
       ann.AnnEval.queries ++
       ann.EmbPca.queries ++
       ann.Hybrid.queries ++
@@ -50,6 +51,7 @@ object SparkEntry {
       dedup.DedupEval.oracle ++
       ann.Ann.oracle ++
       ann.IvfIndex.oracle ++
+      ann.PqIndex.oracle ++
       ann.AnnEval.oracle ++
       ann.EmbPca.oracle ++
       ann.Hybrid.oracle ++

@@ -462,7 +462,7 @@ object Ann {
     * the posexplode (HOFs are CodegenFallback — fine per input row,
     * poison per output row under Generate; see word_shingles).
     */
-  private def subvecFrame(df: DataFrame, emb: String, id: String): DataFrame =
+  private[ann] def subvecFrame(df: DataFrame, emb: String, id: String): DataFrame =
     df.withColumn("svs", expr(
         s"transform(sequence(0, ${PqM - 1}), s -> slice($emb, s * $PqSub + 1, $PqSub))"))
       .select(col(id), posexplode(col("svs")).as(Seq("sub", "sv")))
