@@ -277,7 +277,48 @@ object EventOps {
         round(expr("percentile(n, 0.99)"), 4).as("p99_n"),
         round(max(col("n")) / avg(col("n")), 4).as("skew_factor"))
 
+  val AttributionHorizonUs = 7L * 86400L * 1000000L // 7-day lookback
+
+  /** B75 `events_attribution` — last-touch conversion attribution (the
+    * marketing-analytics staple the funnel/as-of family stops short
+    * of): each purchase attributes to the user's most recent preceding
+    * touch (click/view) within a 7-day horizon, else to 'none'. Spelled
+    * as ONE per-user window pass — a null-carrying struct + `last(...,
+    * ignoreNulls)` over rows strictly before the current one — never an
+    * inequality join; the shuffle is the same (user_id) exchange every
+    * per-user operator shares. Money sums in integer cents and delays
+    * in integer µs, so every aggregate is order-free exact and the
+    * oracle replays bit-for-bit.
+    */
+  def eventsAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables(spark, dir, "events")
+      .withColumn("touch",
+        when(col("event_type").isin("click", "view"),
+          struct(unix_micros(col("ts")).as("t_us"),
+            col("event_type").as("t_type"))))
+      .withColumn("lt", last(col("touch"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("in_horizon", col("lt").isNotNull &&
+        (unix_micros(col("ts")) - col("lt.t_us") <= AttributionHorizonUs))
+      .select(
+        when(col("in_horizon"), col("lt.t_type")).otherwise("none")
+          .as("touch_type"),
+        when(col("in_horizon"), unix_micros(col("ts")) - col("lt.t_us"))
+          .otherwise(0L).as("delay_us"),
+        expr("cast(round(value * 100) as bigint)").as("v_cents"))
+      .groupBy(col("touch_type"))
+      .agg(
+        count(lit(1)).as("n_conv"),
+        sum(col("v_cents")).as("value_cents"),
+        sum(col("delay_us")).as("sum_delay_us"))
+      .orderBy(col("touch_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_attribution" -> (eventsAttribution _),
     "skew_audit" -> (skewAudit _),
     "events_anomaly" -> (eventsAnomaly _),
     "pivot_events" -> (pivotEvents _),
@@ -292,6 +333,32 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // events_attribution: DuckDB's IGNORE NULLS last_value over the
+    // same strictly-before frame; µs epochs and cent-integers keep
+    // every comparison and sum engine-exact
+    "events_attribution" ->
+      s"""WITH o AS (SELECT user_id, ts, event_id, event_type, value,
+         |    CASE WHEN event_type IN ('click', 'view')
+         |      THEN {'t_us': epoch_us(ts), 't_type': event_type}
+         |    END AS touch
+         |  FROM events),
+         |t AS (SELECT *, last_value(touch IGNORE NULLS) OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+         |  FROM o),
+         |p AS (SELECT
+         |    CASE WHEN lt IS NOT NULL
+         |        AND epoch_us(ts) - lt.t_us <= $AttributionHorizonUs
+         |      THEN lt.t_type ELSE 'none' END AS touch_type,
+         |    CASE WHEN lt IS NOT NULL
+         |        AND epoch_us(ts) - lt.t_us <= $AttributionHorizonUs
+         |      THEN epoch_us(ts) - lt.t_us ELSE 0 END AS delay_us,
+         |    CAST(round(value * 100) AS BIGINT) AS v_cents
+         |  FROM t WHERE event_type = 'purchase')
+         |SELECT touch_type, CAST(count(*) AS BIGINT) AS n_conv,
+         |  CAST(sum(v_cents) AS BIGINT) AS value_cents,
+         |  CAST(sum(delay_us) AS BIGINT) AS sum_delay_us
+         |FROM p GROUP BY touch_type ORDER BY touch_type""".stripMargin,
     "skew_audit" ->
       """WITH k AS (SELECT user_id, count(*) AS n
         |  FROM events GROUP BY user_id)
