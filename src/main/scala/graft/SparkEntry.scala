@@ -27,6 +27,7 @@ object SparkEntry {
       ann.IvfIndex.queries ++
       ann.PqIndex.queries ++
       ann.AnnEval.queries ++
+      ann.MatryoshkaEval.queries ++
       ann.EmbPca.queries ++
       ann.Hybrid.queries ++
       multimodal.Multimodal.queries ++
@@ -53,6 +54,7 @@ object SparkEntry {
       ann.IvfIndex.oracle ++
       ann.PqIndex.oracle ++
       ann.AnnEval.oracle ++
+      ann.MatryoshkaEval.oracle ++
       ann.EmbPca.oracle ++
       ann.Hybrid.oracle ++
       multimodal.Multimodal.oracle ++
