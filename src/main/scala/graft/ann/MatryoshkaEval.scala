@@ -45,9 +45,18 @@ object MatryoshkaEval {
   }
 
   def embMatryoshkaEval(spark: SparkSession, dir: String): DataFrame = {
-    val full = Ann.annTopK(spark, dir).select(col("q_id"), col("neighbor_id"))
+    import spark.implicits._
+    // the ground truth is O(queries × k) rows BY CONSTRUCTION — collect
+    // it once into a local frame, otherwise every union branch below
+    // replays the full E1 corpus scan (plan-pinned in PlanSpec)
+    val full = Ann.annTopK(spark, dir)
+      .select(col("q_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toSeq.sortBy(identity)
+      .toDF("q_id", "neighbor_id")
     Dims.map { d =>
-      val t = topKAtDim(spark, dir, d).withColumn("hit", lit(1))
+      // the arm is ≤ queries × k rows by construction, but it sits
+      // under a window so Catalyst can't see that — hint the broadcast
+      val t = broadcast(topKAtDim(spark, dir, d).withColumn("hit", lit(1)))
       full.join(t, Seq("q_id", "neighbor_id"), "left_outer")
         .agg(
           count(lit(1)).as("n_pairs"),

@@ -275,4 +275,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains(" Window "),
       "sampler must not fall back to a window sort")
   }
+
+  test("events_attribution: one user exchange, no inequality join") {
+    val p = plan("events_attribution")
+    // the touch-carry window and purchase filter share the single
+    // (user_id) exchange; attribution must never plan a theta join
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "attribution must not plan an inequality join")
+    // FormattedMode prints each node in the tree AND the detail list,
+    // so count unique numbered operators
+    val nExchanges = "\\((\\d+)\\) Exchange".r
+      .findAllMatchIn(p).map(_.group(1)).toSet.size
+    assert(nExchanges <= 3,
+      s"expected user exchange + agg/sort exchanges only, got $nExchanges")
+  }
+
+  test("emb_matryoshka_eval: every truncated arm broadcasts the query side") {
+    val p = plan("emb_matryoshka_eval")
+    // 4 truncated arms each broadcast the 10-row query frame against
+    // the corpus scan (the full-dim ground truth is collected once,
+    // not replayed per union branch); the corpus never shuffles into
+    // a join build side
+    val nBnlj = "\\((\\d+)\\) BroadcastNestedLoopJoin".r
+      .findAllMatchIn(p).map(_.group(1)).toSet.size
+    assert(nBnlj == 4, s"each arm must be a broadcast-query scan, got $nBnlj")
+    assert(!p.contains("SortMergeJoin"),
+      "no corpus-sized join side may shuffle in the eval")
+  }
+
+  test("ann_ivf_indexed: probe filter prunes at the index scan") {
+    val p = plan("ann_ivf_indexed")
+    assert(p.replaceAll("\n", " ")
+      .matches(".*PartitionFilters: \\[[^\\]]*cell_id[^\\]]*\\].*"),
+      "probed-cells IN-list must land in PartitionFilters")
+  }
 }
