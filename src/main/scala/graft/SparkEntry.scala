@@ -14,6 +14,7 @@ object SparkEntry {
     operators.Relational.queries ++
       operators.Analytic.queries ++
       operators.CurationOps.queries ++
+      operators.GraphMining.queries ++
       operators.TpchExtra.queries ++
       operators.Windowed.queries ++
       operators.EventOps.queries ++
@@ -41,6 +42,7 @@ object SparkEntry {
     operators.Relational.oracle ++
       operators.Analytic.oracle ++
       operators.CurationOps.oracle ++
+      operators.GraphMining.oracle ++
       operators.TpchExtra.oracle ++
       operators.Windowed.oracle ++
       operators.EventOps.oracle ++

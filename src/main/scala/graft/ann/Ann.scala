@@ -1,6 +1,6 @@
 package graft.ann
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -582,6 +582,102 @@ object Ann {
           (col("nrm") * col("qn")))))
   }
 
+  val Dim = 64 // embedding dimension (oracles pin it too)
+
+  /** OPQ-style dimension-balancing permutation (the initialization of
+    * Ge et al.'s Optimized PQ, kept to its permutation arm): rank
+    * dimensions by EXACT integer variance numerator
+    * n·Σq² − (Σq)² over the micro-unit quantization q = ⌊x·10⁶⌋
+    * (the emb_pca accumulator trick — decimal(38,0) sums so the
+    * numerator can't overflow at any corpus size), then deal them
+    * round-robin by rank into the [[PqM]] subspaces. High-variance
+    * dims spread one-per-subspace instead of clustering in whichever
+    * contiguous slice they happen to live, so every codebook carries
+    * comparable energy. Returns the flat permutation in
+    * subspace-major order (sub 0's dims by rank, then sub 1's, …) —
+    * exactly what a contiguous [[subvecFrame]] slice then splits back
+    * into the balanced subspaces. One column-pruned corpus pass;
+    * ranking is O(dim log dim) on the driver.
+    */
+  private[ann] def balancedPerm(c: DataFrame): Seq[Int] = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val withQ = c.withColumn("q", expr(
+      "transform(embedding, x -> cast(floor(cast(x as double) * 1e6) as bigint))"))
+    val aggs = count(lit(1)).cast(dec).as("n") +:
+      ((0 until Dim).map(i =>
+        sum(col("q").getItem(i).cast(dec)).as(s"s$i")) ++
+       (0 until Dim).map(i =>
+         sum((col("q").getItem(i) * col("q").getItem(i)).cast(dec))
+           .as(s"ss$i")))
+    val row = withQ.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val n = BigInt(row.getDecimal(0).toBigInteger)
+    val vnum = (0 until Dim).map { i =>
+      val s = BigInt(row.getDecimal(1 + i).toBigInteger)
+      val ss = BigInt(row.getDecimal(1 + Dim + i).toBigInteger)
+      i -> (n * ss - s * s)
+    }
+    val ranked = vnum.sortBy { case (i, v) => (-v, i) }.map(_._1)
+    // subspace-major: sub s takes ranks s, s+m, s+2m, … in rank order
+    (0 until PqM).flatMap(s =>
+      ranked.zipWithIndex.collect { case (d, r) if r % PqM == s => d })
+  }
+
+  /** E25 `ann_pq_balanced` — E8's PQ/ADC pipeline over
+    * variance-balanced subspaces: apply [[balancedPerm]] to every
+    * vector (one map-only projection — a permutation is the cheapest
+    * useful member of OPQ's rotation family, and the only one with an
+    * exact cross-engine replay), then train/encode/score EXACTLY as
+    * E8 on the permuted coordinates. The exact float re-rank runs on
+    * the ORIGINAL vectors — a permutation applied to both sides
+    * preserves dot products, so E8's rerank contract is unchanged.
+    * Same at-rest cost as E8 ([[PqM]] bytes + the 64-int permutation
+    * sidecar); what changes is WHERE the codebook budget goes. Spec
+    * pins permutation validity, per-subspace variance balance vs the
+    * contiguous split, and the no-recall-loss floor.
+    */
+  def annPqBalanced(spark: SparkSession, dir: String): DataFrame = {
+    val cUn = corpus(spark, dir)
+    val perm = balancedPerm(cUn)
+    def permute(c: Column): Column = array(perm.map(d => c.getItem(d)): _*)
+    val sample = trainSample(spark, cUn, sampleThresh(cUn))
+      .select(col("vec_id"), permute(col("embedding")).as("embedding"))
+    val cb = pqTrainLocal(spark, sample)
+    val c = corpus(spark, dir, spread = true)
+      .withColumn("p_emb", permute(col("embedding")))
+    val sv = subvecFrame(c, "p_emb", "vec_id")
+    val enc = assignCodes(sv, cb)
+      .groupBy(col("vec_id"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(sub, code))), x -> x.code)")
+        .as("codes"))
+      .join(c.withColumn("nrm", sqrt(dotF(col("embedding"), col("embedding"))))
+        .select(col("vec_id"), col("embedding"), col("nrm")), Seq("vec_id"))
+    val q = queriesDf(spark, dir)
+      .withColumn("p_emb", permute(col("q_emb")))
+      .withColumn("qn", sqrt(dotF(col("q_emb"), col("q_emb"))))
+    val lut = subvecFrame(q, "p_emb", "q_id")
+      .join(broadcast(cb), Seq("sub"))
+      .withColumn("d", dotF(col("sv"), col("cb_emb")))
+      .groupBy(col("q_id"))
+      .agg(map_from_entries(collect_list(struct(
+        (col("sub") * PqK + col("code")).as("idx"), col("d")))).as("lut"))
+      .join(q.select(col("q_id"), col("q_emb"), col("qn")), Seq("q_id"))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("adot"), 6).desc, col("vec_id"))
+    val cand = enc.crossJoin(broadcast(lut))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adot", expr(
+        s"""aggregate(sequence(0, ${PqM - 1}), cast(0 as double),
+           |  (acc, s) -> acc + element_at(lut,
+           |    s * $PqK + element_at(codes, s + 1)))""".stripMargin))
+      .withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= QuantRerank)
+    topK(cand.withColumn("cos",
+      when(col("nrm") * col("qn") === 0.0, 0.0)
+        .otherwise(dotF(col("embedding"), col("q_emb")) /
+          (col("nrm") * col("qn")))))
+  }
+
   /** E11 `ann_ivfpq` — the classic IVF-PQ composition (the layout a
     * 100 TB vector index actually ships): the IVF coarse quantizer
     * prunes WHICH vectors get scored (cell-pruned candidate lists, as
@@ -1003,6 +1099,7 @@ object Ann {
     "emb_hard_negatives" -> (embHardNegatives _),
     "ann_ivfpq" -> (annIvfPq _),
     "ann_pq" -> (annPq _),
+    "ann_pq_balanced" -> (annPqBalanced _),
     "ann_topk" -> (annTopK _),
     "ann_range" -> (annRange _),
     "ann_quantized" -> (annQuantized _),
@@ -1244,6 +1341,74 @@ object Ann {
          |    list_slice(embedding, r.s * $PqSub + 1, r.s * $PqSub + $PqSub)
          |      AS sv
          |  FROM embeddings, range(0, $PqM) r(s)),
+         |svt AS (SELECT sv.* FROM sv JOIN smp USING (vec_id)),
+         |seed_ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1
+         |    AS code
+         |  FROM (SELECT vec_id FROM smp ORDER BY vec_id LIMIT $PqK)),
+         |cb0 AS (SELECT sv.sub, si.code, sv.sv AS cb_emb
+         |  FROM sv JOIN seed_ids si USING (vec_id)),
+         |${pqLloydOracle("cb0", "cb1")},
+         |${pqLloydOracle("cb1", "cb2")},
+         |a_enc AS (SELECT sv.vec_id, sv.sub, cb.code, row_number() OVER (
+         |    PARTITION BY sv.vec_id, sv.sub
+         |    ORDER BY round(list_dot_product(CAST(cb.cb_emb AS DOUBLE[]),
+         |        CAST(cb.cb_emb AS DOUBLE[]))
+         |      - 2.0 * list_dot_product(CAST(sv.sv AS DOUBLE[]),
+         |        CAST(cb.cb_emb AS DOUBLE[])), 6) ASC, cb.code ASC) AS rn
+         |  FROM sv JOIN cb2 cb USING (sub)),
+         |enc AS (SELECT vec_id, sub, code FROM a_enc WHERE rn = 1),
+         |lut AS (SELECT sv.vec_id AS q_id, cb.sub, cb.code,
+         |    list_dot_product(CAST(sv.sv AS DOUBLE[]),
+         |      CAST(cb.cb_emb AS DOUBLE[])) AS d
+         |  FROM sv JOIN cb2 cb USING (sub) WHERE sv.vec_id < $NumQueries),
+         |adot AS (SELECT e.vec_id, l.q_id,
+         |    list_reduce(array_agg(l.d ORDER BY e.sub), (a, x) -> a + x)
+         |      AS adot
+         |  FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+         |  WHERE e.vec_id <> l.q_id
+         |  GROUP BY e.vec_id, l.q_id),
+         |pruned AS (SELECT q_id, vec_id, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY round(adot, 6) DESC, vec_id)
+         |      AS crank
+         |  FROM adot),
+         |scored AS (SELECT p.q_id, p.vec_id,
+         |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |      CAST(q.embedding AS DOUBLE[])) AS cos
+         |  FROM pruned p
+         |  JOIN embeddings e ON e.vec_id = p.vec_id
+         |  JOIN embeddings q ON q.vec_id = p.q_id
+         |  WHERE p.crank <= $QuantRerank),
+         |$topKOracleTail""".stripMargin,
+    // E25: the E8 replay over variance-balance-permuted coordinates —
+    // the permutation derives from exact HUGEINT variance numerators
+    // (n·Σq² − (Σq)² over q = ⌊x·1e6⌋, the emb_pca quantization), rank
+    // desc with dim-asc ties, dealt round-robin into subspaces; the
+    // final re-rank scores ORIGINAL vectors (dot products are
+    // permutation-invariant when both sides permute)
+    "ann_pq_balanced" ->
+      s"""WITH $smpCte,
+         |qv AS (SELECT vec_id,
+         |    [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT)
+         |      for i in range(1, ${Dim + 1})] AS q
+         |  FROM embeddings),
+         |st AS (SELECT r.i AS i, count(*) AS n, sum(q[r.i]) AS s,
+         |    sum(CAST(q[r.i] AS HUGEINT) * q[r.i]) AS ss
+         |  FROM qv, range(1, ${Dim + 1}) r(i) GROUP BY r.i),
+         |vr AS (SELECT i,
+         |    CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s AS vnum
+         |  FROM st),
+         |rk AS (SELECT i, row_number() OVER (ORDER BY vnum DESC, i) - 1
+         |    AS rk
+         |  FROM vr),
+         |plist AS (SELECT list(i ORDER BY rk % $PqM, rk // $PqM) AS pl
+         |  FROM rk),
+         |pe AS (SELECT e.vec_id,
+         |    [e.embedding[p.pl[j]] for j in range(1, ${Dim + 1})] AS pemb
+         |  FROM embeddings e CROSS JOIN plist p),
+         |sv AS (SELECT vec_id, r.s AS sub,
+         |    list_slice(pemb, r.s * $PqSub + 1, r.s * $PqSub + $PqSub)
+         |      AS sv
+         |  FROM pe, range(0, $PqM) r(s)),
          |svt AS (SELECT sv.* FROM sv JOIN smp USING (vec_id)),
          |seed_ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1
          |    AS code

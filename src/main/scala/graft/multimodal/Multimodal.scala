@@ -222,8 +222,61 @@ object Multimodal {
       .orderBy(col("ia"), col("ib"))
   }
 
+  val ShardStreams = 8    // deterministic parallel pack streams
+  val ShardBytes = 4096   // shard payload-byte budget
+
+  /** F9 `mm_shard_pack` — WebDataset-style shard layout for multimodal
+    * training data: samples are dealt into [[ShardStreams]]
+    * deterministic streams (doc_id mod), each stream packed greedily in
+    * doc_id order into shards that close when the next payload would
+    * exceed [[ShardBytes]] (an oversize payload gets its own shard —
+    * C10's token rule, rebased onto payload BYTES, which is what bounds
+    * a media shard). Emits the shard manifest a downstream dataloader
+    * consumes: sample count, byte total, and the md5 identity of the
+    * ordered member list — the selection pin that makes "same layout"
+    * checkable across engines and runs (the C32 trick). Packing state
+    * is sequential by nature, so it is the legitimate `mapPartitions`
+    * pass; scale by adding streams, never by widening one. The member
+    * order inside a shard IS doc_id order, so `array_sort` after the
+    * shuffle reconstructs it exactly.
+    */
+  def mmShardPack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(ShardStreams.toLong)).as("pid"),
+        length(col("text").cast("binary")).as("n_bytes"))
+      .repartition(col("pid"))
+      .sortWithinPartitions(col("pid"), col("doc_id"))
+      .as[(Long, Long, Int)]
+      .mapPartitions { it =>
+        var curPid = Long.MinValue
+        var shard = 0L
+        var running = 0L
+        it.map { case (id, pid, n) =>
+          if (pid != curPid) { curPid = pid; shard = 0L; running = 0L }
+          if (running > 0 && running + n > ShardBytes) {
+            shard += 1; running = 0L
+          }
+          running += n
+          (pid, shard, id, n.toLong)
+        }
+      }
+      .toDF("pid", "shard_id", "doc_id", "n_bytes")
+      .groupBy(col("pid"), col("shard_id"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("n_bytes")).as("shard_bytes"),
+        array_sort(collect_list(col("doc_id"))).as("ids"))
+      .select(col("pid"), col("shard_id"), col("n_samples"),
+        col("shard_bytes"),
+        md5(expr("cast(concat_ws(':', transform(ids, x -> " +
+          "cast(x as string))) as binary)")).as("ids_md5"))
+      .orderBy(col("pid"), col("shard_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_strings" -> (mmStrings _),
+    "mm_shard_pack" -> (mmShardPack _),
     "mm_meta" -> (mmMeta _),
     "mm_features" -> (mmFeatures _),
     "mm_frames" -> (mmFrames _),
@@ -339,6 +392,32 @@ object Multimodal {
       .orderBy(col("fmt"), col("wband"), col("hband"), col("mband"))
 
   val oracle: Map[String, String] = Map(
+    // F9: replay the per-stream greedy byte walk with a recursive CTE
+    // (the C10 oracle shape, byte-budgeted), then the manifest md5
+    // over the doc_id-ordered member list
+    "mm_shard_pack" ->
+      s"""WITH RECURSIVE
+         |d AS (SELECT doc_id, doc_id % $ShardStreams AS pid,
+         |    octet_length(encode(text)) AS n FROM documents),
+         |o AS (SELECT *, row_number() OVER (PARTITION BY pid
+         |    ORDER BY doc_id) AS rn FROM d),
+         |walk(pid, rn, doc_id, n, shard, running) AS (
+         |  SELECT pid, rn, doc_id, n, CAST(0 AS BIGINT),
+         |    CAST(n AS BIGINT)
+         |  FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.pid, o.rn, o.doc_id, o.n,
+         |    CASE WHEN walk.running + o.n > $ShardBytes
+         |      THEN walk.shard + 1 ELSE walk.shard END,
+         |    CASE WHEN walk.running + o.n > $ShardBytes
+         |      THEN CAST(o.n AS BIGINT) ELSE walk.running + o.n END
+         |  FROM o JOIN walk ON o.pid = walk.pid AND o.rn = walk.rn + 1)
+         |SELECT pid, shard AS shard_id, count(*) AS n_samples,
+         |  CAST(sum(n) AS BIGINT) AS shard_bytes,
+         |  md5(string_agg(CAST(doc_id AS VARCHAR), ':'
+         |    ORDER BY doc_id)) AS ids_md5
+         |FROM walk GROUP BY pid, shard
+         |ORDER BY pid, shard_id""".stripMargin,
     // F8: hex-decode the payload bytes, replay the 8-byte big-endian
     // pack in exact integer arithmetic (bit shifts, NOT 65536**i —
     // DuckDB's ** returns double and loses bits past 2^53), then the

@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-7 second-session additions (SURVEY.md §2 B76–B78): triangle
+  * counting, the 2-D skyline, and journey path mining — three classic
+  * analytics shapes the engine did not yet speak, each spelled so the
+  * expensive step is bounded by construction rather than by data luck.
+  *
+  * House rules apply: declarative plans, exact integer arithmetic,
+  * deterministic tie-breaks, a DuckDB oracle per operator, and kernels
+  * factored to take DataFrames so specs can plant adversarial inputs.
+  */
+object GraphMining {
+
+  // ---------------------------------------------------------------- B76
+
+  /** Canonical undirected co-purchase edges (u < v): part pairs that
+    * ship in the same order. Per-order pair fan-out is O(k²) in the
+    * order's distinct part count k — bounded by basket size (≤ 7 in
+    * TPC-H-shaped data), never by corpus size, so the explode is safe
+    * at any SF. DISTINCT-first on (order, part) keeps multi-line parts
+    * from inflating pairs (same guard as B64's basket spelling).
+    */
+  private[operators] def copurchaseEdges(lineitem: DataFrame): DataFrame = {
+    val op = lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .distinct()
+  }
+
+  /** Per-node triangle counts over an undirected edge set (columns
+    * `u < v`), by DEGREE-ORDERED node iteration — the standard trick
+    * that makes distributed triangle counting tractable: orient every
+    * edge from its lower-(degree, id) endpoint to the higher one, form
+    * wedges only at each edge's SOURCE, and close them against the
+    * oriented edge set. Every triangle is found exactly once (at its
+    * lowest-rank vertex), and per-node wedge fan-out is bounded by
+    * O(√m) out-degree instead of the raw degree — the hub that would
+    * explode a naive wedge join contributes almost no wedges because
+    * nearly all its edges point AT it. Three hash shuffles total
+    * (degree agg, wedge join on the source, closing join on the
+    * (t₁, t₂) pair); no global sort anywhere.
+    */
+  private[operators] def triangleCounts(edges: DataFrame): DataFrame = {
+    val deg = edges
+      .select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    // rank = (degree, id): a total order, so orientation is acyclic
+    val ranked = edges
+      .join(deg.select(col("node").as("u"), col("degree").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("degree").as("dv")), "v")
+    val oriented = ranked.select(
+      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+        struct(col("u").as("s"), col("v").as("t"),
+          col("dv").as("dt")))
+        .otherwise(struct(col("v").as("s"), col("u").as("t"),
+          col("du").as("dt"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
+    // wedges at the source, arms ordered by rank so (b, c) is canonical
+    val wedges = oriented.as("o1").join(oriented.as("o2"),
+        col("o1.s") === col("o2.s") &&
+          struct(col("o1.dt"), col("o1.t")) <
+            struct(col("o2.dt"), col("o2.t")))
+      .select(col("o1.s").as("a"), col("o1.t").as("b"), col("o2.t").as("c"))
+    val tris = wedges.join(oriented.select(col("s").as("b"), col("t").as("c")),
+      Seq("b", "c"))
+    tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+      .join(deg, "node")
+  }
+
+  val TriTopK = 20 // reported head size
+
+  /** B76 `graph_triangles` — triangle participation over the part
+    * co-purchase graph ("parts bought together in tightly-knit
+    * groups"): [[copurchaseEdges]] → [[triangleCounts]], top
+    * [[TriTopK]] parts by count. The orderBy+limit head lands on
+    * TakeOrderedAndProject — no global sort of the node table.
+    */
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame =
+    triangleCounts(copurchaseEdges(Tables(spark, dir, "lineitem")))
+      .select(col("node").as("p_partkey"), col("degree"), col("n_tri"))
+      .orderBy(col("n_tri").desc, col("p_partkey"))
+      .limit(TriTopK)
+
+  // ---------------------------------------------------------------- B77
+
+  /** 2-D skyline (Pareto frontier, both dimensions minimized) of
+    * `(id, price, size)` rows: points no other point dominates, where
+    * q dominates p iff q ≤ p in both dimensions and < in at least one.
+    * Exact coordinate duplicates do not dominate each other — all
+    * copies of a frontier point survive.
+    *
+    * The spelling exploits the 2-D staircase: collapse to one row per
+    * distinct price (min size — O(distinct prices), one hash shuffle),
+    * take the running strict-prefix min over the price-ordered frame,
+    * and join it back. A point is on the frontier iff it achieves its
+    * price group's min size AND every strictly cheaper price's best
+    * size is strictly larger. The only global order is over the
+    * collapsed O(distinct prices) frame (the B63 abc_pareto rule:
+    * document it, and never sort fact-scale data); the fact-side work
+    * is one groupBy and one hash join on price.
+    */
+  private[operators] def skyline(points: DataFrame): DataFrame = {
+    val g = points.groupBy(col("price")).agg(min(col("size")).as("gmin"))
+    val w = Window.orderBy(col("price"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pref = g.withColumn("mprev", min(col("gmin")).over(w))
+    points.join(pref, Seq("price"))
+      .filter(col("size") === col("gmin") &&
+        (col("mprev").isNull || col("mprev") > col("size")))
+      .select(col("id"), col("price"), col("size"))
+  }
+
+  /** B77 `skyline_pareto` — the part catalog's price/size Pareto
+    * frontier (the "no strictly better part exists" shortlist). Oracle
+    * replays the definition as NOT EXISTS dominance; the engine runs
+    * the staircase plan above.
+    */
+  def skylinePareto(spark: SparkSession, dir: String): DataFrame =
+    skyline(Tables(spark, dir, "part")
+      .select(col("p_partkey").as("id"),
+        col("p_retailprice").as("price"), col("p_size").as("size")))
+      .select(col("id").as("p_partkey"), col("price").as("p_retailprice"),
+        col("size").as("p_size"))
+      .orderBy(col("p_partkey"))
+
+  // ---------------------------------------------------------------- B78
+
+  val PathTopK = 20 // reported head size
+
+  /** Length-3 path trigrams per user stream ordered by (ts, event_id).
+    * One user_id shuffle for the window, one path-key shuffle for the
+    * count; the lead window carries two strings of lookahead per row —
+    * state O(1) per row, no self-joins.
+    */
+  private[operators] def pathTrigrams(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("e1"))
+      .withColumn("e2", lead(col("e1"), 1).over(w))
+      .withColumn("e3", lead(col("e1"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .groupBy(col("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n_paths"))
+  }
+
+  /** B78 `events_paths` — most-travelled 3-step user journeys (the
+    * sankey/path-mining staple one order up from B40's single-step
+    * Markov matrix: B40 gives P(next|curr); this ranks whole
+    * sub-journeys). Top [[PathTopK]] by count with full lexicographic
+    * tie-break → TakeOrderedAndProject head.
+    */
+  def eventsPaths(spark: SparkSession, dir: String): DataFrame =
+    pathTrigrams(Tables(spark, dir, "events"))
+      .orderBy(col("n_paths").desc, col("e1"), col("e2"), col("e3"))
+      .limit(PathTopK)
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_triangles" -> (graphTriangles _),
+    "skyline_pareto" -> (skylinePareto _),
+    "events_paths" -> (eventsPaths _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "graph_triangles" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |    FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |n AS (SELECT node, count(*) AS n_tri FROM (
+        |    SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri) GROUP BY node),
+        |deg AS (SELECT node, count(*) AS degree FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY node)
+        |SELECT n.node AS p_partkey, deg.degree, n.n_tri
+        |FROM n JOIN deg USING (node)
+        |ORDER BY n.n_tri DESC, p_partkey LIMIT 20""".stripMargin,
+    "skyline_pareto" ->
+      """SELECT p.p_partkey, p.p_retailprice, p.p_size
+        |FROM part p WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice
+        |    AND q.p_size <= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice
+        |         OR q.p_size < p.p_size))
+        |ORDER BY p.p_partkey""".stripMargin,
+    "events_paths" ->
+      """WITH s AS (SELECT user_id, event_type AS e1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS e2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS e3
+        |  FROM events)
+        |SELECT e1, e2, e3, count(*) AS n_paths
+        |FROM s WHERE e3 IS NOT NULL
+        |GROUP BY e1, e2, e3
+        |ORDER BY n_paths DESC, e1, e2, e3 LIMIT 20""".stripMargin
+  )
+}

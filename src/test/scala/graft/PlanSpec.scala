@@ -309,4 +309,56 @@ class PlanSpec extends SparkSpec {
       .matches(".*PartitionFilters: \\[[^\\]]*cell_id[^\\]]*\\].*"),
       "probed-cells IN-list must land in PartitionFilters")
   }
+
+  test("graph_triangles: every join is an equi hash join — no " +
+      "cartesian/theta fallback anywhere in the wedge plan") {
+    val p = plan("graph_triangles")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "wedge + closing joins must stay equi-joins")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k head must not globally sort the node table")
+  }
+
+  test("skyline_pareto: the only global-order pass runs over the " +
+      "collapsed per-price frame, never the part table") {
+    val p = plan("skyline_pareto")
+    val nWin = "\\((\\d+)\\) Window".r
+      .findAllMatchIn(p).map(_.group(1)).toSet.size
+    assert(nWin == 1, s"expected exactly one window pass, got $nWin")
+    // the staircase window's SinglePartition exchange must consume the
+    // price-collapsed HashAggregate, not a fact-scale frame — in the
+    // tree, Window sits directly over Sort < Exchange < HashAggregate
+    assert(p.contains("SinglePartition"),
+      "staircase window needs its global frame")
+    assert(p.replaceAll("\\s+", " ").matches(
+      ".*Window \\(\\d+\\) \\+- Sort \\(\\d+\\) \\+- Exchange \\(\\d+\\)" +
+        " \\+- HashAggregate.*"),
+      s"window must consume the collapsed per-price aggregate:\n$p")
+    // the O(distinct prices) frame broadcasts back; the part scan
+    // never shuffles into the join
+    assert(p.contains("BroadcastHashJoin"),
+      "staircase frame must broadcast back to the fact side")
+  }
+
+  test("events_paths: lead window and path count share two exchanges, " +
+      "head is TakeOrderedAndProject") {
+    val p = plan("events_paths")
+    val nEx = "\\((\\d+)\\) Exchange".r
+      .findAllMatchIn(p).map(_.group(1)).toSet.size
+    assert(nEx <= 2,
+      s"expected user window + path agg exchanges only, got $nEx")
+    assert(p.contains("TakeOrderedAndProject"),
+      "path head must not globally sort the path table")
+  }
+
+  test("mm_shard_pack: one stream repartition feeds the pack; the " +
+      "manifest agg adds at most two more exchanges") {
+    val p = plan("mm_shard_pack")
+    val nEx = "\\((\\d+)\\) Exchange".r
+      .findAllMatchIn(p).map(_.group(1)).toSet.size
+    assert(nEx <= 3, s"expected stream + agg + sort exchanges, got $nEx")
+    assert(p.contains("MapPartitions"),
+      "greedy pack must be the single imperative pass")
+  }
 }

@@ -58,6 +58,41 @@ class AnnSpec extends SparkSpec {
     assert(ivfq >= 0.3)
   }
 
+  test("ann_pq_balanced: permutation is valid, balanced by " +
+      "construction, and recall holds the PQ floor") {
+    val c = graft.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val perm = Ann.balancedPerm(c)
+    assert(perm.sorted == (0 until Ann.Dim), "must be a permutation")
+    assert(perm == Ann.balancedPerm(c), "must be deterministic")
+    // balance law for rank-round-robin over desc-sorted values:
+    // max subspace variance sum − min ≤ the single largest variance
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val withQ = c.withColumn("q", expr(
+      "transform(embedding, x -> cast(floor(cast(x as double) * 1e6) as bigint))"))
+    val aggs = count(lit(1)).cast(dec).as("n") +:
+      ((0 until Ann.Dim).map(i =>
+        sum(col("q").getItem(i).cast(dec)).as(s"s$i")) ++
+       (0 until Ann.Dim).map(i =>
+         sum((col("q").getItem(i) * col("q").getItem(i)).cast(dec))
+           .as(s"ss$i")))
+    val row = withQ.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val n = BigInt(row.getDecimal(0).toBigInteger)
+    val v = (0 until Ann.Dim).map { i =>
+      val s = BigInt(row.getDecimal(1 + i).toBigInteger)
+      val ss = BigInt(row.getDecimal(1 + Ann.Dim + i).toBigInteger)
+      n * ss - s * s
+    }
+    val subSums = perm.grouped(Ann.Dim / Ann.PqM).toSeq
+      .map(_.map(v).sum)
+    assert(subSums.max - subSums.min <= v.max,
+      s"balance law violated: spread ${subSums.max - subSums.min}")
+    val rPq = recallAtK(neighbors(Ann.annPq(spark, sfDir)))
+    val rBal = recallAtK(neighbors(Ann.annPqBalanced(spark, sfDir)))
+    info(s"ann_pq recall@5 = $rPq, ann_pq_balanced recall@5 = $rBal")
+    assert(rBal >= 0.3, s"balanced-PQ recall too low: $rBal")
+  }
+
   test("ann_ivfpq recalls at least what plain IVF does") {
     val ivf = recallAtK(neighbors(Ann.annIvf(spark, sfDir)))
     val ivfpq = recallAtK(neighbors(Ann.annIvfPq(spark, sfDir)))

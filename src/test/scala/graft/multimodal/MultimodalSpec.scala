@@ -150,4 +150,43 @@ class MultimodalSpec extends SparkSpec {
     } assert(found((ia, ib)),
       s"pair ($ia,$ib) at hamming $hm escaped the banding")
   }
+
+  test("mm_shard_pack: manifest equals a sequential local replay of " +
+      "the greedy byte walk, bytes conserve, budget holds") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8").length)
+    // sequential reference: per stream in doc_id order
+    val expected = docs.groupBy { case (id, _) => id % Multimodal.ShardStreams }
+      .flatMap { case (pid, members) =>
+        var shard = 0L; var running = 0L
+        val out = collection.mutable.Map
+          .empty[Long, (Long, Long, List[Long])]
+        for ((id, n) <- members.sortBy(_._1)) {
+          if (running > 0 && running + n > Multimodal.ShardBytes) {
+            shard += 1; running = 0L
+          }
+          running += n
+          val (c, b, ids) = out.getOrElse(shard, (0L, 0L, Nil))
+          out(shard) = (c + 1, b + n, ids :+ id)
+        }
+        out.map { case (s, (c, b, ids)) =>
+          (pid, s) -> (c, b, md5Hex(ids.mkString(":")))
+        }
+      }
+    val got = Multimodal.mmShardPack(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got == expected)
+    assert(got.values.map(_._2).sum == docs.map(_._2.toLong).sum,
+      "shard bytes must conserve corpus bytes")
+    got.foreach { case (k, (c, b, _)) =>
+      assert(b <= Multimodal.ShardBytes || c == 1,
+        s"shard $k over budget with $c samples")
+    }
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 }
