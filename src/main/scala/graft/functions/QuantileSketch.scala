@@ -76,33 +76,11 @@ case class QuantileSketch(
   override def eval(buf: Levels): Any =
     new GenericArrayData(quantiles.map(buf.quantile).toArray)
 
-  override def serialize(buf: Levels): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    out.writeInt(buf.levels.size)
-    buf.levels.foreach { lvl =>
-      out.writeInt(lvl.size)
-      lvl.foreach(out.writeDouble)
-    }
-    out.flush()
-    bos.toByteArray
-  }
+  override def serialize(buf: Levels): Array[Byte] =
+    QuantileSketch.toBytes(buf)
 
-  override def deserialize(bytes: Array[Byte]): Levels = {
-    val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val l = new Levels
-    val nLevels = in.readInt()
-    var i = 0
-    while (i < nLevels) {
-      val n = in.readInt()
-      val b = mutable.ArrayBuffer.empty[Double]
-      var j = 0
-      while (j < n) { b += in.readDouble(); j += 1 }
-      l.levels += b
-      i += 1
-    }
-    l
-  }
+  override def deserialize(bytes: Array[Byte]): Levels =
+    QuantileSketch.fromBytes(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketch =
     copy(mutableAggBufferOffset = newOffset)
@@ -114,6 +92,48 @@ case class QuantileSketch(
 }
 
 object QuantileSketch {
+
+  /** Wire format shared by the aggregate's partial exchange and the
+    * streaming state store (G14 keeps a serialized sketch per key):
+    * level count, then each level's size + doubles.
+    */
+  def toBytes(buf: Levels): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.levels.size)
+    buf.levels.foreach { lvl =>
+      out.writeInt(lvl.size)
+      lvl.foreach(out.writeDouble)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  def fromBytes(bytes: Array[Byte]): Levels = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val l = new Levels
+    // the fresh Levels ships with an empty level 0 — REPLACE it with
+    // the read levels rather than appending after it. Appending (the
+    // original deserialize) shifted every read level up one slot,
+    // uniformly doubling all weights: quantiles normalize the total
+    // away so estimates stayed right, but totalWeight from a
+    // round-tripped partial read 2× the true count, and any merge of
+    // buffers at DIFFERENT round-trip depths would mis-weight one
+    // side's data against the other's.
+    l.levels.clear()
+    val nLevels = in.readInt()
+    var i = 0
+    while (i < nLevels) {
+      val n = in.readInt()
+      val b = mutable.ArrayBuffer.empty[Double]
+      var j = 0
+      while (j < n) { b += in.readDouble(); j += 1 }
+      l.levels += b
+      i += 1
+    }
+    if (l.levels.isEmpty) l.levels += mutable.ArrayBuffer.empty[Double]
+    l
+  }
 
   /** Compacting level buffers; level i items carry weight 2^i. */
   final class Levels {

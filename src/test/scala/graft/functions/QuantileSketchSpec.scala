@@ -62,6 +62,18 @@ class QuantileSketchSpec extends SparkSpec {
     }
   }
 
+  test("serialization round-trip preserves levels and weight exactly") {
+    val l = new QuantileSketch.Levels
+    (1 to 12345).foreach(i => l.insert(i.toDouble, 200))
+    val rt = QuantileSketch.fromBytes(QuantileSketch.toBytes(l))
+    assert(rt.levels.map(_.toSeq).toSeq == l.levels.map(_.toSeq).toSeq)
+    assert(rt.totalWeight == l.totalWeight,
+      s"round-trip weight ${rt.totalWeight} != ${l.totalWeight}")
+    val e = QuantileSketch.fromBytes(
+      QuantileSketch.toBytes(new QuantileSketch.Levels))
+    assert(e.totalWeight == 0L)
+  }
+
   test("nulls are skipped; empty input yields NaN") {
     import spark.implicits._
     val df = Seq[Option[Double]](Some(1.0), None, Some(3.0)).toDF("v")
