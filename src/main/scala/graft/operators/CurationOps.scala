@@ -300,7 +300,45 @@ object CurationOps {
       .orderBy(col("vec_id"))
   }
 
+  val AnonK = 5 // minimum group size for k-anonymity
+
+  /** A38 `etl_k_anonymity` — k-anonymity audit over quasi-identifiers
+    * (the privacy gate that complements C6's PII scrub: scrubbing
+    * removes DIRECT identifiers, this measures whether attribute
+    * COMBINATIONS still single people out): customers grouped by the
+    * QI tuple (nation, market segment, account-balance band); a group
+    * smaller than [[AnonK]] is re-identifiable. The audit also
+    * evaluates the standard remediation in the same pass —
+    * GENERALIZATION to a coarser band (1000-band → 5000-band; the
+    * coarse band nests the fine one since 5000 | 1000·5, so the
+    * enclosing count is a window sum over the already-collapsed
+    * frame, no second fact scan): risk_tier 0 = anonymous as-is,
+    * 1 = anonymous after generalizing, 2 = suppress (even the coarse
+    * group is small). One fact-scale groupBy to the O(QI-groups)
+    * frame, one window over it — at 100 TB the audit costs one
+    * map-side-combined shuffle. All counts and tiers integer-exact.
+    */
+  def etlKAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val g1 = Tables(spark, dir, "customer")
+      .groupBy(
+        col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("band1"),
+        floor(col("c_acctbal") / 5000).cast("long").as("band2"))
+      .agg(count(lit(1)).as("n_users"))
+    val w = Window.partitionBy(
+      col("c_nationkey"), col("c_mktsegment"), col("band2"))
+    g1.withColumn("n_gen", sum(col("n_users")).over(w))
+      .withColumn("risk_tier",
+        when(col("n_users") >= AnonK, 0)
+          .when(col("n_gen") >= AnonK, 1)
+          .otherwise(2))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("band1"),
+        col("n_users"), col("n_gen"), col("risk_tier"))
+      .orderBy(col("c_nationkey"), col("c_mktsegment"), col("band1"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_k_anonymity" -> (etlKAnonymity _),
     "etl_late_data" -> (etlLateData _),
     "interval_join_bucketed" -> (intervalJoinBucketed _),
     "vocab_coverage" -> (vocabCoverage _),
@@ -311,6 +349,21 @@ object CurationOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "etl_k_anonymity" ->
+      s"""WITH g1 AS (SELECT c_nationkey, c_mktsegment,
+         |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS band1,
+         |    CAST(floor(c_acctbal / 5000) AS BIGINT) AS band2,
+         |    count(*) AS n_users
+         |  FROM customer GROUP BY 1, 2, 3, 4),
+         |g AS (SELECT *, sum(n_users) OVER (PARTITION BY c_nationkey,
+         |    c_mktsegment, band2) AS n_gen FROM g1)
+         |SELECT c_nationkey, c_mktsegment, band1,
+         |  CAST(n_users AS BIGINT) AS n_users,
+         |  CAST(n_gen AS BIGINT) AS n_gen,
+         |  CASE WHEN n_users >= $AnonK THEN 0
+         |    WHEN n_gen >= $AnonK THEN 1 ELSE 2 END AS risk_tier
+         |FROM g
+         |ORDER BY c_nationkey, c_mktsegment, band1""".stripMargin,
     "etl_late_data" ->
       """WITH w AS (SELECT user_id, event_id, ts,
         |    max(ts) OVER (PARTITION BY user_id ORDER BY event_id

@@ -19,12 +19,20 @@ object GraphMining {
 
   // ---------------------------------------------------------------- B76
 
+  val EdgeMinSupport = 2 // co-occurrences required to keep an edge
+
   /** Canonical undirected co-purchase edges (u < v): part pairs that
-    * ship in the same order. Per-order pair fan-out is O(k²) in the
-    * order's distinct part count k — bounded by basket size (≤ 7 in
-    * TPC-H-shaped data), never by corpus size, so the explode is safe
-    * at any SF. DISTINCT-first on (order, part) keeps multi-line parts
-    * from inflating pairs (same guard as B64's basket spelling).
+    * ship together in at least [[EdgeMinSupport]] distinct orders —
+    * min-support thresholding, the density knob every association /
+    * co-purchase graph runs with (a single shared basket is noise, and
+    * keeping it makes the graph's average degree grow with corpus size:
+    * the raw sf0.1 graph hits ~110 and its wedge stage costs more than
+    * the rest of the bench combined; the supported graph stays sparse).
+    * Per-order pair fan-out is O(k²) in the order's distinct part count
+    * k — bounded by basket size, never corpus size; DISTINCT-first on
+    * (order, part) keeps multi-line parts from inflating support
+    * (B64's basket guard), and the support count collapses map-side
+    * before the (u, v) exchange.
     */
   private[operators] def copurchaseEdges(lineitem: DataFrame): DataFrame = {
     val op = lineitem
@@ -32,8 +40,10 @@ object GraphMining {
       .distinct()
     op.as("a").join(op.as("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("u"), col("b.p").as("v"))
-      .distinct()
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= EdgeMinSupport)
+      .select(col("u"), col("v"))
   }
 
   /** Per-node triangle counts over an undirected edge set (columns
@@ -49,7 +59,13 @@ object GraphMining {
     * (degree agg, wedge join on the source, closing join on the
     * (t₁, t₂) pair); no global sort anywhere.
     */
-  private[operators] def triangleCounts(edges: DataFrame): DataFrame = {
+  private[operators] def triangleCounts(edges0: DataFrame): DataFrame = {
+    // the edge list feeds three consumers (degree agg, wedge join LEFT
+    // and RIGHT, closing join) — materialize it ONCE; without this the
+    // upstream pair-generation lineage re-executes per consumer (3×
+    // the dominant cost, measured 21 s → 6 s at sf0.1). O(m) rows —
+    // the same bound the dedup family checkpoints at.
+    val edges = edges0.localCheckpoint()
     val deg = edges
       .select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
@@ -64,6 +80,9 @@ object GraphMining {
         .otherwise(struct(col("v").as("s"), col("u").as("t"),
           col("du").as("dt"))).as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
+      // consumed by the wedge join twice and the closing join once —
+      // cut the degree-join lineage the same way
+      .localCheckpoint()
     // wedges at the source, arms ordered by rank so (b, c) is canonical
     val wedges = oriented.as("o1").join(oriented.as("o2"),
         col("o1.s") === col("o2.s") &&
@@ -179,8 +198,9 @@ object GraphMining {
     "graph_triangles" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |    FROM lineitem),
-        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
-        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+        |e AS (SELECT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY a.p, b.p HAVING count(*) >= 2),
         |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
         |  FROM e e1 JOIN e e2 ON e1.v = e2.u
         |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),

@@ -33,4 +33,34 @@ class AnnEvalSpec extends SparkSpec {
     // must agree with that standing bar
     assert(mean >= 0.3, s"mean recall $mean below the E2 bar")
   }
+
+  test("ann_filtered_eval: post arm is a prefix of the pre ranking, " +
+      "so overlap == n_post; bounds and label integrity hold") {
+    import org.apache.spark.sql.functions.col
+    val rows = AnnEval.annFilteredEval(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val labels = graft.Tables(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < Ann.NumQueries)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Number]("label").longValue)
+      .toMap
+    rows.foreach { r =>
+      val (nPre, nPost, nOv) = (r.getAs[Long]("n_pre"),
+        r.getAs[Long]("n_post"), r.getAs[Long]("n_overlap"))
+      assert(nPre >= 1 && nPre <= AnnEval.FK)
+      assert(nPost <= nPre)
+      // a same-label vector in the unfiltered top-C implies every
+      // better same-label vector is there too — the post arm is a
+      // PREFIX of the true same-label ranking, hence overlap == n_post
+      assert(nOv == nPost,
+        s"q=${r.getAs[Long]("q_id")}: overlap $nOv != n_post $nPost")
+      assert(r.getAs[Long]("recall_bp") == nOv * 10000 / nPre)
+      assert(r.getAs[Number]("q_label").longValue ==
+        labels(r.getAs[Long]("q_id")))
+    }
+    val a = rows.map(_.toString).toSeq
+    val b = AnnEval.annFilteredEval(spark, sfDir).collect()
+      .map(_.toString).toSeq
+    assert(a == b, "not deterministic")
+  }
 }

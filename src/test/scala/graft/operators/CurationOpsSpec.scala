@@ -137,6 +137,26 @@ class CurationOpsSpec extends SparkSpec {
     assert(out == Seq((7L, 3L, 1L, 1800L), (8L, 1L, 0L, 0L)))
   }
 
+  test("etl_k_anonymity: tier semantics, nesting, and mass " +
+      "conservation") {
+    val out = CurationOps.etlKAnonymity(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, g, t) = (r.getAs[Long]("n_users"), r.getAs[Long]("n_gen"),
+        r.getAs[Int]("risk_tier"))
+      assert(g >= n, "generalized group must contain the fine group")
+      t match {
+        case 0 => assert(n >= CurationOps.AnonK)
+        case 1 => assert(n < CurationOps.AnonK && g >= CurationOps.AnonK)
+        case 2 => assert(n < CurationOps.AnonK && g < CurationOps.AnonK)
+        case other => fail(s"unknown tier $other")
+      }
+    }
+    val total = graft.Tables(spark, sfDir, "customer").count()
+    assert(out.map(_.getAs[Long]("n_users")).sum == total,
+      "QI groups must partition the customer table")
+  }
+
   test("emb_whiten: whitened dims have ~0 mean and ~unit spread") {
     import spark.implicits._
     val out = CurationOps.embWhiten(spark, sfDir)
