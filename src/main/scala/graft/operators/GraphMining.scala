@@ -186,12 +186,69 @@ object GraphMining {
       .orderBy(col("n_paths").desc, col("e1"), col("e2"), col("e3"))
       .limit(PathTopK)
 
+  // ---------------------------------------------------------------- B79
+
+  val RuleTopK = 20 // reported head size
+
+  /** B79 `orders_basket_rules` — market-basket association rules over
+    * order baskets (the Apriori first level, which at 2-item rules is
+    * all most production recommenders deploy; B64 computes lift over
+    * EVENT baskets — this is the orders/parts staple with the full
+    * rule triple): for parts u, v sharing ≥ [[EdgeMinSupport]] orders,
+    * both directed rules u→v and v→u with
+    * confidence = s(u,v)/s(u) and lift = s(u,v)·N / (s(u)·s(v)).
+    * Support counting is B76's pair frame verbatim; item supports are
+    * an O(parts) aggregate joined back by key; N is a one-row
+    * broadcast (the q11 scalar pattern). Scores ship as exact
+    * floor-division fixed-point (basis-point confidence, milli-lift) —
+    * products of counts stay in long range far past this SF and the
+    * ranking never touches a float. Top [[RuleTopK]] by (lift, conf,
+    * rule) via TakeOrderedAndProject.
+    */
+  def ordersBasketRules(spark: SparkSession, dir: String): DataFrame =
+    basketRules(Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+      .orderBy(col("lift_milli").desc, col("conf_bp").desc,
+        col("antecedent"), col("consequent"))
+      .limit(RuleTopK)
+
+  /** [[ordersBasketRules]]'s core on any (o, p) basket frame:
+    * unranked directed rules with exact fixed-point scores.
+    */
+  private[operators] def basketRules(op0: DataFrame): DataFrame = {
+    val op = op0.select(col("o"), col("p")).distinct()
+      .localCheckpoint() // feeds pair support, item support, and N
+    val pairs = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= EdgeMinSupport)
+    val items = op.groupBy(col("p")).agg(count(lit(1)).as("n_item"))
+    val n = op.select(countDistinct(col("o")).as("n_orders"))
+    val rules = pairs
+      .select(col("u").as("antecedent"), col("v").as("consequent"),
+        col("n_both"))
+      .union(pairs.select(col("v"), col("u"), col("n_both")))
+      .join(items.select(col("p").as("antecedent"),
+        col("n_item").as("n_ante")), "antecedent")
+      .join(items.select(col("p").as("consequent"),
+        col("n_item").as("n_cons")), "consequent")
+      .crossJoin(broadcast(n))
+    rules
+      .select(col("antecedent"), col("consequent"), col("n_both"),
+        col("n_ante"), col("n_cons"),
+        expr("n_both * 10000 div n_ante").as("conf_bp"),
+        expr("n_both * n_orders * 1000 div (n_ante * n_cons)")
+          .as("lift_milli"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_triangles" -> (graphTriangles _),
     "skyline_pareto" -> (skylinePareto _),
-    "events_paths" -> (eventsPaths _)
+    "events_paths" -> (eventsPaths _),
+    "orders_basket_rules" -> (ordersBasketRules _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -222,6 +279,30 @@ object GraphMining {
         |    AND (q.p_retailprice < p.p_retailprice
         |         OR q.p_size < p.p_size))
         |ORDER BY p.p_partkey""".stripMargin,
+    "orders_basket_rules" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |    FROM lineitem),
+        |pairs AS (SELECT a.p AS u, b.p AS v, count(*) AS n_both
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY a.p, b.p HAVING count(*) >= 2),
+        |items AS (SELECT p, count(*) AS n_item FROM op GROUP BY p),
+        |n AS (SELECT count(DISTINCT o) AS n_orders FROM op),
+        |dir AS (SELECT u AS antecedent, v AS consequent, n_both
+        |    FROM pairs
+        |  UNION ALL
+        |  SELECT v, u, n_both FROM pairs)
+        |SELECT d.antecedent, d.consequent, d.n_both,
+        |  ia.n_item AS n_ante, ic.n_item AS n_cons,
+        |  d.n_both * 10000 // ia.n_item AS conf_bp,
+        |  d.n_both * n.n_orders * 1000 // (ia.n_item * ic.n_item)
+        |    AS lift_milli
+        |FROM dir d
+        |JOIN items ia ON ia.p = d.antecedent
+        |JOIN items ic ON ic.p = d.consequent
+        |CROSS JOIN n
+        |ORDER BY lift_milli DESC, conf_bp DESC, d.antecedent,
+        |  d.consequent
+        |LIMIT 20""".stripMargin,
     "events_paths" ->
       """WITH s AS (SELECT user_id, event_type AS e1,
         |    lead(event_type, 1) OVER (PARTITION BY user_id

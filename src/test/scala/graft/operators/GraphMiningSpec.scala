@@ -116,6 +116,65 @@ class GraphMiningSpec extends SparkSpec {
     assert(got == expected && got > 0)
   }
 
+  test("basketRules: hand-computed support/confidence/lift on planted " +
+      "baskets; sub-min-support pairs excluded") {
+    import spark.implicits._
+    // baskets: 1:{1,2,3} 2:{1,2} 3:{1,2} 4:{3,4} 5:{3,4} 6:{1,3}
+    // s(1)=4 s(2)=3 s(3)=4 s(4)=2, N=6; pair (2,3) occurs once -> out
+    val op = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 2L), (4L, 3L), (4L, 4L), (5L, 3L), (5L, 4L),
+      (6L, 1L), (6L, 3L)).toDF("o", "p")
+    val got = GraphMining.basketRules(op).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getAs[Long]("n_both"), r.getAs[Long]("conf_bp"),
+          r.getAs[Long]("lift_milli")))).toMap
+    assert(got == Map(
+      (1L, 2L) -> ((3L, 7500L, 1500L)), (2L, 1L) -> ((3L, 10000L, 1500L)),
+      (1L, 3L) -> ((2L, 5000L, 750L)), (3L, 1L) -> ((2L, 5000L, 750L)),
+      (3L, 4L) -> ((2L, 5000L, 1500L)), (4L, 3L) -> ((2L, 10000L, 1500L))))
+  }
+
+  test("skyline matches naive dominance on seeded random tie-heavy " +
+      "point sets") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 12) {
+      val n = 5 + rnd.nextInt(50)
+      // few distinct values => duplicates and one-dim ties are common,
+      // which is exactly where the staircase tie rules can go wrong
+      val pts = (1 to n).map(i =>
+        (i.toLong, rnd.nextInt(10) / 2.0, rnd.nextInt(8)))
+      val naive = pts.filter(p => !pts.exists(q =>
+        q._2 <= p._2 && q._3 <= p._3 &&
+          (q._2 < p._2 || q._3 < p._3))).map(_._1).toSet
+      val got = GraphMining.skyline(pointsDf(pts)).collect()
+        .map(_.getAs[Long]("id")).toSet
+      assert(got == naive, s"n=$n pts=$pts")
+    }
+  }
+
+  test("triangleCounts matches a naive per-node count on seeded " +
+      "random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 10) {
+      val n = 4 + rnd.nextInt(12)
+      val edges = (for {
+        i <- 0 until n; j <- (i + 1) until n if rnd.nextInt(100) < 35
+      } yield (i.toLong, j.toLong)).toSeq
+      if (edges.nonEmpty) {
+        val adj = edges.flatMap(e => Seq(e, e.swap))
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+        val naive = (0L until n).map { v =>
+          val nb = adj.getOrElse(v, Set.empty).toSeq
+          v -> (for {
+            a <- nb; b <- nb if a < b && adj(a)(b)
+          } yield 1).size.toLong
+        }.filter(_._2 > 0).toMap
+        val got = triCounts(edgesDf(edges))
+        assert(got == naive, s"n=$n edges=$edges")
+      }
+    }
+  }
+
   test("queries are deterministic across runs") {
     for ((name, q) <- GraphMining.queries) {
       val a = q(spark, sfDir).collect().map(_.toString).toSeq
