@@ -223,6 +223,9 @@ object GraphMining {
       .groupBy(col("a.p").as("u"), col("b.p").as("v"))
       .agg(count(lit(1)).as("n_both"))
       .filter(col("n_both") >= EdgeMinSupport)
+      // the union reads pairs twice (u→v and v→u) — O(supported
+      // pairs) rows, checkpoint so the basket self-join runs once
+      .localCheckpoint()
     val items = op.groupBy(col("p")).agg(count(lit(1)).as("n_item"))
     val n = op.select(countDistinct(col("o")).as("n_orders"))
     val rules = pairs
