@@ -245,13 +245,44 @@ object GraphMining {
           .as("lift_milli"))
   }
 
+  // ---------------------------------------------------------------- B80
+
+  /** B80 `graph_components` — connected components as a standalone
+    * graph operator (the generic tier of what D6 runs inside dedup):
+    * [[copurchaseEdges]] resolved by `Dedup.connectedComponents` — the
+    * SAME hybrid kernel (driver union-find below the edge bound,
+    * iterative min-label propagation with checkpoint-truncated lineage
+    * above it), reused rather than re-implemented — then one summary
+    * row per component: canonical label (minimum member id), node
+    * count, edge count. Per-component rollups are two O(nodes)/O(m)
+    * aggregates off the label frame; the DuckDB oracle replays the
+    * label convergence as the D6 transitive-closure CTE (bounded here
+    * because min-support keeps components small — the closure is
+    * O(Σ size²), which is exactly why the UNthresholded graph has no
+    * SQL oracle; documented in §9).
+    */
+  def graphComponents(spark: SparkSession, dir: String): DataFrame = {
+    val edges = copurchaseEdges(Tables(spark, dir, "lineitem"))
+      .localCheckpoint() // feeds the CC kernel + both rollups
+    val labels = graft.dedup.Dedup.connectedComponents(edges)
+    val nodes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val eCnt = edges
+      .join(labels.select(col("node").as("u"), col("label")), "u")
+      .groupBy(col("label")).agg(count(lit(1)).as("n_edges"))
+    nodes.join(eCnt, Seq("label"))
+      .select(col("label").as("component"), col("n_nodes"), col("n_edges"))
+      .orderBy(col("component"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_triangles" -> (graphTriangles _),
     "skyline_pareto" -> (skylinePareto _),
     "events_paths" -> (eventsPaths _),
-    "orders_basket_rules" -> (ordersBasketRules _)
+    "orders_basket_rules" -> (ordersBasketRules _),
+    "graph_components" -> (graphComponents _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -306,6 +337,26 @@ object GraphMining {
         |ORDER BY lift_milli DESC, conf_bp DESC, d.antecedent,
         |  d.consequent
         |LIMIT 20""".stripMargin,
+    "graph_components" ->
+      """WITH RECURSIVE
+        |op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |    FROM lineitem),
+        |e AS (SELECT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY a.p, b.p HAVING count(*) >= 2),
+        |sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+        |reach(u, r) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+        |  UNION
+        |  SELECT s.u, reach.r FROM sym s JOIN reach ON reach.u = s.v),
+        |res AS (SELECT u AS node, min(r) AS label FROM reach GROUP BY u),
+        |nodes AS (SELECT label, count(*) AS n_nodes FROM res
+        |  GROUP BY label),
+        |ec AS (SELECT res.label, count(*) AS n_edges
+        |  FROM e JOIN res ON res.node = e.u GROUP BY res.label)
+        |SELECT nodes.label AS component, nodes.n_nodes, ec.n_edges
+        |FROM nodes JOIN ec USING (label)
+        |ORDER BY component""".stripMargin,
     "events_paths" ->
       """WITH s AS (SELECT user_id, event_type AS e1,
         |    lead(event_type, 1) OVER (PARTITION BY user_id

@@ -175,6 +175,33 @@ class GraphMiningSpec extends SparkSpec {
     }
   }
 
+  test("graph_components: rollups agree with a local union-find over " +
+      "the same edge set") {
+    val edges = GraphMining.copurchaseEdges(
+        graft.Tables(spark, sfDir, "lineitem"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      r
+    }
+    edges.foreach { case (u, v) =>
+      parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+    }
+    val nodesByComp = parent.keys.toSeq.groupBy(find)
+    val edgesByComp = edges.groupBy { case (u, _) => find(u) }
+    val local = nodesByComp.map { case (c, ns) =>
+      c -> ((ns.size.toLong, edgesByComp(c).size.toLong))
+    }
+    val got = GraphMining.graphComponents(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges")))).toMap
+    assert(got == local && got.nonEmpty)
+  }
+
   test("queries are deterministic across runs") {
     for ((name, q) <- GraphMining.queries) {
       val a = q(spark, sfDir).collect().map(_.toString).toSeq
