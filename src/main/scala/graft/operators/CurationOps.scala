@@ -337,7 +337,54 @@ object CurationOps {
       .orderBy(col("c_nationkey"), col("c_mktsegment"), col("band1"))
   }
 
+  val DpEps = 1.0 // privacy budget ε
+  val DpCap = 5L  // per-user per-cell contribution bound (sensitivity)
+
+  /** A39 `etl_dp_counts` — differential-privacy-mechanism count
+    * release (the aggregate-statistics complement of A38: k-anonymity
+    * audits the raw table, this releases noised statistics): daily
+    * event counts per type with (1) per-user contribution BOUNDING —
+    * each user adds at most [[DpCap]] to any (type, day) cell, which
+    * is what makes sensitivity finite and is the step naive "add
+    * noise" implementations skip — and (2) Laplace(Δ/ε) noise via
+    * inverse-CDF. The noise draw is SEEDED: the 4-hex-digit md5
+    * uniform over the cell key (the house no-RNG-state contract —
+    * corpus_sample's kernel), so the release is reproducible and the
+    * DuckDB oracle replays it bit-for-bit; a production deployment
+    * swaps ONE line (the uniform source) for a real RNG and everything
+    * else — bounding, sensitivity, inverse CDF — is unchanged. Two
+    * aggregations: fact → per-(cell, user) counts (one shuffle, the
+    * expensive one, map-side combined), then the capped sum to the
+    * O(types × days) frame; noise is a map-only expression on that
+    * tiny frame. The ln() rides on exact integer-derived doubles
+    * (identical u16 both engines) — the C29 guarded-ln precedent.
+    */
+  def etlDpCounts(spark: SparkSession, dir: String): DataFrame =
+    dpCounts(Tables(spark, dir, "events"))
+
+  /** [[etlDpCounts]]'s kernel on any events frame. */
+  private[operators] def dpCounts(events: DataFrame): DataFrame = {
+    val perUser = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"),
+        col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    val capped = perUser
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(least(col("c"), lit(DpCap))).as("n_capped"))
+    val u16 = conv(substring(md5(concat(col("event_type"), lit(":"),
+      col("day").cast("string")).cast("binary")), 1, 4), 16, 10)
+      .cast("long")
+    val cen = (u16.cast("double") + lit(0.5)) / lit(65536.0) - lit(0.5)
+    val noise = lit(-DpCap / DpEps) * signum(cen) *
+      log(lit(1.0) - lit(2.0) * abs(cen))
+    capped
+      .withColumn("released", round(col("n_capped") + noise, 4))
+      .select(col("event_type"), col("day"), col("released"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_dp_counts" -> (etlDpCounts _),
     "etl_k_anonymity" -> (etlKAnonymity _),
     "etl_late_data" -> (etlLateData _),
     "interval_join_bucketed" -> (intervalJoinBucketed _),
@@ -349,6 +396,30 @@ object CurationOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "etl_dp_counts" ->
+      s"""WITH pu AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         |    user_id, count(*) AS c
+         |  FROM events GROUP BY 1, 2, 3),
+         |cap AS (SELECT event_type, day,
+         |    sum(least(c, $DpCap)) AS n_capped
+         |  FROM pu GROUP BY 1, 2),
+         |n AS (SELECT event_type, day, n_capped,
+         |    CAST((strpos('0123456789abcdef', substr(md5(event_type ||
+         |        ':' || strftime(day, '%Y-%m-%d')), 1, 1)) - 1) * 4096
+         |      + (strpos('0123456789abcdef', substr(md5(event_type ||
+         |        ':' || strftime(day, '%Y-%m-%d')), 2, 1)) - 1) * 256
+         |      + (strpos('0123456789abcdef', substr(md5(event_type ||
+         |        ':' || strftime(day, '%Y-%m-%d')), 3, 1)) - 1) * 16
+         |      + (strpos('0123456789abcdef', substr(md5(event_type ||
+         |        ':' || strftime(day, '%Y-%m-%d')), 4, 1)) - 1)
+         |      AS BIGINT) AS u16
+         |  FROM cap)
+         |SELECT event_type, day,
+         |  round(n_capped + (-${DpCap.toDouble} / $DpEps)
+         |    * sign((u16 + 0.5) / 65536.0 - 0.5)
+         |    * ln(1.0 - 2.0 * abs((u16 + 0.5) / 65536.0 - 0.5)), 4)
+         |    AS released
+         |FROM n ORDER BY event_type, day""".stripMargin,
     "etl_k_anonymity" ->
       s"""WITH g1 AS (SELECT c_nationkey, c_mktsegment,
          |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS band1,

@@ -157,6 +157,50 @@ class CurationOpsSpec extends SparkSpec {
       "QI groups must partition the customer table")
   }
 
+  test("etl_dp_counts: contribution bounding caps a heavy user, the " +
+      "seeded noise replays locally, and the noise bound holds") {
+    import spark.implicits._
+    val t0 = 1704153600000L // 2024-01-02 UTC
+    val heavy = (1 to 100).map(i =>
+      (1L, new java.sql.Timestamp(t0 + i * 1000), "click"))
+    val light = Seq((2L, new java.sql.Timestamp(t0 + 1000), "click"))
+    val ev = (heavy ++ light).toDF("user_id", "ts", "event_type")
+    val row = CurationOps.dpCounts(ev).collect()
+    assert(row.length == 1)
+    // capped: heavy user contributes DpCap=5, light user 1 -> 6
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("click:2024-01-02".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val u16 = java.lang.Long.parseLong(md5.take(4), 16)
+    val cen = (u16 + 0.5) / 65536.0 - 0.5
+    val noise = -(CurationOps.DpCap / CurationOps.DpEps) *
+      math.signum(cen) * math.log(1.0 - 2.0 * math.abs(cen))
+    val expected = BigDecimal(6 + noise)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.head.getAs[Double]("released") == expected,
+      s"got ${row.head.getAs[Double]("released")}, want $expected")
+    // sf corpus: every release stays inside the maximum noise
+    // magnitude b*ln(65536) of its capped count
+    val out = CurationOps.etlDpCounts(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        r.getAs[Double]("released")).toMap
+    val capped = graft.Tables(spark, sfDir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"),
+        col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(least(col("c"), lit(CurationOps.DpCap))).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        r.getAs[Long]("n")).toMap
+    assert(out.keySet == capped.keySet && out.nonEmpty)
+    val bound = (CurationOps.DpCap / CurationOps.DpEps) *
+      math.log(65536.0) + 1e-6
+    out.foreach { case (k, rel) =>
+      assert(math.abs(rel - capped(k)) <= bound, s"$k noise out of bound")
+    }
+  }
+
   test("emb_whiten: whitened dims have ~0 mean and ~unit spread") {
     import spark.implicits._
     val out = CurationOps.embWhiten(spark, sfDir)
