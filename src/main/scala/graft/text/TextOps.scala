@@ -119,6 +119,73 @@ object TextOps {
   def wordShingles(toks: Column): Column =
     graft.functions.GraftFunctions.wordShingles(toks, 3)
 
+  val RakeMaxLen = 3 // candidate-phrase length cap
+  val RakeTopK = 20  // reported head size
+
+  /** C33 `text_keyphrases` — RAKE keyphrase extraction (Rose et al.'s
+    * Rapid Automatic Keyword Extraction — the standard unsupervised
+    * keyphrase baseline, and the corpus-analytics step above C9's
+    * single-token vocabulary head): candidate phrases are maximal
+    * stopword-free token runs (stopwords split, never appear in
+    * phrases; runs longer than [[RakeMaxLen]] drop — a length cap, so
+    * degenerate stopword-poor documents can't produce unbounded
+    * phrases), scored by RAKE's co-occurrence statistic — word score
+    * deg(w)/freq(w) over all candidate occurrences, phrase score the
+    * sum of its word scores. Cross-engine exactness: deg and freq are
+    * exact integers, each word score ONE IEEE division, and the
+    * phrase sum folds in POSITION order in-row (the index-ordered
+    * chained-sum rule — an unordered SQL SUM over doubles would be
+    * partial-order-dependent); ranking on the 6-dp round. Shuffles:
+    * one doc-keyed window for the stopword-run islands, one word-keyed
+    * aggregate (map-side combined), one word-score join, one phrase
+    * rollup; head via TakeOrderedAndProject.
+    */
+  def textKeyphrases(spark: SparkSession, dir: String): DataFrame =
+    keyphrases(Tables(spark, dir, "documents"))
+      .orderBy(round(col("s"), 6).desc, col("phrase"))
+      .limit(RakeTopK)
+      .select(col("phrase"), col("n_occurrences"),
+        round(col("s"), 4).as("score"))
+
+  /** [[textKeyphrases]]'s kernel on any (doc_id, text) frame: unranked
+    * distinct phrases with raw scores in `s`.
+    */
+  private[text] def keyphrases(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), posexplode(tokens(col("text")))
+        .as(Seq("pos", "tok")))
+      .withColumn("stop", col("tok").isInCollection(stopwords))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val runs = tok
+      .withColumn("island", sum(col("stop").cast("long")).over(w))
+      .filter(!col("stop"))
+    val phrases = runs
+      .groupBy(col("doc_id"), col("island"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, tok)))," +
+        " x -> x.tok)").as("words"))
+      .filter(size(col("words")).between(1, RakeMaxLen))
+      .withColumn("phrase", concat_ws(" ", col("words")))
+    val wstats = phrases
+      .select(explode(col("words")).as("tok"), size(col("words")).as("len"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+      .withColumn("wscore", col("deg").cast("double") / col("freq"))
+    val scored = phrases
+      .select(col("doc_id"), col("island"), col("phrase"),
+        posexplode(col("words")).as(Seq("wpos", "tok")))
+      .join(wstats.select(col("tok"), col("wscore")), "tok")
+      .groupBy(col("doc_id"), col("island"), col("phrase"))
+      .agg(expr("aggregate(transform(array_sort(collect_list(" +
+        "struct(wpos, wscore))), x -> x.wscore), cast(0 as double)," +
+        " (acc, s) -> acc + s)").as("pscore"))
+    scored
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"), max(col("pscore")).as("s"))
+  }
+
   /** C14 `text_bigrams` — corpus bigram head: global word-bigram counts
     * + document frequency, top 20. Same scale shape as C9's vocab head:
     * the explode fans out ~n_tokens rows per doc but map-side combine
@@ -442,6 +509,7 @@ object TextOps {
       .orderBy(col("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_keyphrases" -> (textKeyphrases _),
     "text_bigrams" -> (textBigrams _),
     "text_entropy" -> (textEntropy _),
     "decontaminate" -> (decontaminate _),
@@ -461,6 +529,51 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // C33: phrase scores are ordered in-row folds (list_reduce over
+    // the position-ordered word-score list; reduce-from-first ==
+    // aggregate-from-zero in IEEE), word scores one division each off
+    // exact integer deg/freq
+    "text_keyphrases" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text),
+         |    '\\s+') AS w FROM documents),
+         |tokl AS (SELECT doc_id, unnest([{'pos': i - 1, 'tok': w[i]}
+         |    for i in range(1, len(w) + 1)]) AS u FROM t),
+         |tok AS (SELECT doc_id, u.pos AS pos, u.tok AS tok,
+         |    u.tok IN ${inList(stopwords)} AS stop FROM tokl),
+         |runs AS (SELECT doc_id, pos, tok,
+         |    sum(CASE WHEN stop THEN 1 ELSE 0 END) OVER (
+         |      PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS island, stop
+         |  FROM tok),
+         |phr0 AS (SELECT doc_id, island,
+         |    array_agg(tok ORDER BY pos) AS words
+         |  FROM runs WHERE NOT stop GROUP BY doc_id, island),
+         |phr AS (SELECT doc_id, island, words,
+         |    array_to_string(words, ' ') AS phrase
+         |  FROM phr0 WHERE len(words) BETWEEN 1 AND $RakeMaxLen),
+         |ws AS (SELECT u.tok, count(*) AS freq, sum(u.len) AS deg
+         |  FROM (SELECT unnest([{'tok': x, 'len': len(words)}
+         |      for x in words]) AS u FROM phr)
+         |  GROUP BY u.tok),
+         |wsc AS (SELECT tok, CAST(deg AS DOUBLE) / freq AS wscore
+         |  FROM ws),
+         |pw AS (SELECT doc_id, island, phrase, u.wpos AS wpos,
+         |    u.tok AS tok
+         |  FROM (SELECT doc_id, island, phrase,
+         |      unnest([{'wpos': i - 1, 'tok': words[i]}
+         |        for i in range(1, len(words) + 1)]) AS u
+         |    FROM phr)),
+         |sc AS (SELECT p.doc_id, p.island, p.phrase,
+         |    list_reduce(array_agg(w.wscore ORDER BY p.wpos),
+         |      (a, x) -> a + x) AS pscore
+         |  FROM pw p JOIN wsc w ON w.tok = p.tok
+         |  GROUP BY p.doc_id, p.island, p.phrase)
+         |SELECT phrase, count(*) AS n_occurrences,
+         |  round(max(pscore), 4) AS score
+         |FROM sc GROUP BY phrase
+         |ORDER BY round(max(pscore), 6) DESC, phrase
+         |LIMIT $RakeTopK""".stripMargin,
     // sketch_cms: counters and probes replay with the strpos 4-hex
     // decode of md5('j:tok'); every step is exact integer arithmetic
     "sketch_cms" ->

@@ -352,6 +352,16 @@ class PlanSpec extends SparkSpec {
       "path head must not globally sort the path table")
   }
 
+  test("text_keyphrases: equi-joins only, ranked head on " +
+      "TakeOrderedAndProject") {
+    val p = plan("text_keyphrases")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "word-score join must stay an equi join")
+    assert(p.contains("TakeOrderedAndProject"),
+      "phrase head must not globally sort the phrase table")
+  }
+
   test("mm_shard_pack: one stream repartition feeds the pack; the " +
       "manifest agg adds at most two more exchanges") {
     val p = plan("mm_shard_pack")

@@ -132,4 +132,40 @@ class TextOpsSpec extends SparkSpec {
       .filter(col("bucket") < 0 || col("bucket") >= TextOps.CmsW).count()
     assert(badBucket == 0, "bucket left [0, W) range")
   }
+
+  test("keyphrases: hand-computed RAKE scores on a planted doc; " +
+      "overlong runs drop before statistics") {
+    import spark.implicits._
+    // runs: [big red apple] [apple pie] [big big sky] and a 4-token
+    // run that must drop BEFORE deg/freq are counted
+    val doc = Seq((1L,
+      "big red apple and apple pie of big big sky and one two three four"))
+      .toDF("doc_id", "text")
+    val got = TextOps.keyphrases(doc).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_occurrences"), r.getAs[Double]("s")))).toMap
+    // freq: big 3, red 1, apple 2, pie 1, sky 1
+    // deg:  big 9 (3 + 3+3), red 3, apple 5 (3+2), pie 2, sky 3
+    // wscore: big 3.0, red 3.0, apple 2.5, pie 2.0, sky 3.0
+    assert(got == Map(
+      "big red apple" -> ((1L, 8.5)), "apple pie" -> ((1L, 4.5)),
+      "big big sky" -> ((1L, 9.0))),
+      s"got $got")
+    // the dropped run's words must not appear anywhere
+    assert(!got.keySet.exists(_.contains("one")))
+  }
+
+  test("text_keyphrases: deterministic, ranked head, phrases are " +
+      "stopword-free") {
+    val a = TextOps.textKeyphrases(spark, sfDir).collect()
+    val b = TextOps.textKeyphrases(spark, sfDir).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    assert(a.nonEmpty && a.length <= TextOps.RakeTopK)
+    val stop = Set("the", "a", "or", "and", "of", "is", "to", "in")
+    a.foreach { r =>
+      val words = r.getString(0).split(" ")
+      assert(words.length >= 1 && words.length <= TextOps.RakeMaxLen)
+      assert(!words.exists(stop), s"stopword inside ${r.getString(0)}")
+    }
+  }
 }
