@@ -153,6 +153,87 @@ object GraphMining {
         col("size").as("p_size"))
       .orderBy(col("p_partkey"))
 
+  // --------------------------------------------------------------- B77b
+
+  /** `q` dominates `p` in (min price, min sz, max qty) space. */
+  private def dom3(q: (Long, Double, Double, Double),
+      p: (Long, Double, Double, Double)): Boolean =
+    q._2 <= p._2 && q._3 <= p._3 && q._4 >= p._4 &&
+      (q._2 < p._2 || q._3 < p._3 || q._4 > p._4)
+
+  /** 3-D skyline of `(id, price, sz, qty)` rows (price and sz
+    * minimized, qty maximized) by the TWO-PHASE distributed algorithm
+    * — the general scale shape B77's staircase window cannot reach
+    * (one running min only resolves dominance in 2-D):
+    *
+    * Phase 1, local candidates: each partition streams its rows
+    * (pre-sorted by price so cheap points enter the kept-list first
+    * and prune aggressively) and drops any point dominated by an
+    * already-kept one — a row-at-a-time filter with O(kept) state,
+    * the legitimately imperative `mapPartitions` pass. Survivors are
+    * a SUPERSET of the partition's skyline (kept points later
+    * dominated by same-price arrivals stay — superset is all phase 2
+    * needs), and every dropped point is truly dominated, so by
+    * dominance transitivity candidates ⊇ the global skyline.
+    *
+    * Phase 2, broadcast verify: the candidate set is skyline-sized
+    * (tens of rows at any SF here — bounded by the frontier, not the
+    * corpus), so an exact dominance LEFT ANTI self-join against the
+    * broadcast candidates finishes the job; the planned
+    * BroadcastNestedLoopJoin over two frontier-sized sides is the
+    * right plan (the E-section broadcast-ANN precedent), and the raw
+    * corpus is never joined against anything.
+    *
+    * Exact coordinate duplicates both survive (no strict dominator) —
+    * same rule as B77, spec-pinned.
+    */
+  private[operators] def skyline3dKernel(points: DataFrame): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val spread = points
+      .select(col("id").cast("long"), col("price").cast("double"),
+        col("sz").cast("double"), col("qty").cast("double"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .sortWithinPartitions(col("price"))
+      .as[(Long, Double, Double, Double)]
+    val cands = spread.mapPartitions { it =>
+      val kept =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double, Double)]
+      it.foreach { p => if (!kept.exists(q => dom3(q, p))) kept += p }
+      kept.iterator
+    }.toDF("id", "price", "sz", "qty").localCheckpoint()
+    cands.as("p").join(broadcast(cands.as("q")),
+        col("q.price") <= col("p.price") && col("q.sz") <= col("p.sz") &&
+          col("q.qty") >= col("p.qty") &&
+          (col("q.price") < col("p.price") || col("q.sz") < col("p.sz") ||
+            col("q.qty") > col("p.qty")),
+        "left_anti")
+      .select(col("p.id").as("id"), col("p.price").as("price"),
+        col("p.sz").as("sz"), col("p.qty").as("qty"))
+  }
+
+  /** B81 `skyline_3d` — the part catalog's (price, size, −sales)
+    * Pareto frontier: cheap, small, AND proven to sell — no part
+    * strictly better on all three. Points are the per-part lineitem
+    * rollup (quantity sums are integer-valued doubles → exact under
+    * any summation order, so cross-engine dominance never flips on a
+    * ulp); the frontier computes via [[skyline3dKernel]].
+    */
+  def skyline3d(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables(spark, dir, "part")
+      .join(Tables(spark, dir, "lineitem"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .agg(sum(col("l_quantity")).as("qty"))
+      .select(col("p_partkey").as("id"),
+        col("p_retailprice").as("price"),
+        col("p_size").cast("double").as("sz"), col("qty"))
+    skyline3dKernel(pts)
+      .select(col("id").as("p_partkey"), col("price").as("p_retailprice"),
+        col("sz").as("p_size"), col("qty"))
+      .orderBy(col("p_partkey"))
+  }
+
   // ---------------------------------------------------------------- B78
 
   val PathTopK = 20 // reported head size
@@ -282,7 +363,8 @@ object GraphMining {
     "skyline_pareto" -> (skylinePareto _),
     "events_paths" -> (eventsPaths _),
     "orders_basket_rules" -> (ordersBasketRules _),
-    "graph_components" -> (graphComponents _)
+    "graph_components" -> (graphComponents _),
+    "skyline_3d" -> (skyline3d _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -304,6 +386,20 @@ object GraphMining {
         |SELECT n.node AS p_partkey, deg.degree, n.n_tri
         |FROM n JOIN deg USING (node)
         |ORDER BY n.n_tri DESC, p_partkey LIMIT 20""".stripMargin,
+    "skyline_3d" ->
+      """WITH pts AS (SELECT p.p_partkey, p.p_retailprice,
+        |    CAST(p.p_size AS DOUBLE) AS p_size,
+        |    sum(l.l_quantity) AS qty
+        |  FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1, 2, 3)
+        |SELECT p.p_partkey, p.p_retailprice, p.p_size, p.qty
+        |FROM pts p WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts q
+        |  WHERE q.p_retailprice <= p.p_retailprice
+        |    AND q.p_size <= p.p_size AND q.qty >= p.qty
+        |    AND (q.p_retailprice < p.p_retailprice
+        |         OR q.p_size < p.p_size OR q.qty > p.qty))
+        |ORDER BY p.p_partkey""".stripMargin,
     "skyline_pareto" ->
       """SELECT p.p_partkey, p.p_retailprice, p.p_size
         |FROM part p WHERE NOT EXISTS (

@@ -175,6 +175,53 @@ class GraphMiningSpec extends SparkSpec {
     }
   }
 
+  test("skyline3d matches naive dominance on seeded random tie-heavy " +
+      "3-D point sets, duplicates survive") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (it <- 1 to 8) {
+      val n = 5 + rnd.nextInt(40)
+      val base = (1 to n).map(i => (i.toLong, rnd.nextInt(8) / 2.0,
+        rnd.nextInt(6).toDouble, rnd.nextInt(10).toDouble))
+      // force a duplicate pair each round
+      val pts = base :+ base.head.copy(_1 = n + 1L)
+      def dom(q: (Long, Double, Double, Double),
+          p: (Long, Double, Double, Double)) =
+        q._2 <= p._2 && q._3 <= p._3 && q._4 >= p._4 &&
+          (q._2 < p._2 || q._3 < p._3 || q._4 > p._4)
+      val naive = pts.filter(p => !pts.exists(q => dom(q, p)))
+        .map(_._1).toSet
+      val got = GraphMining.skyline3dKernel(
+          pts.toDF("id", "price", "sz", "qty"))
+        .collect().map(_.getAs[Long]("id")).toSet
+      assert(got == naive, s"round $it: got $got want $naive")
+      // the duplicate of a frontier point must ride along with it
+      assert(got.contains(1L) == got.contains(n + 1L))
+    }
+  }
+
+  test("skyline_3d agrees with the naive dominance anti-join on the " +
+      "sf rollup") {
+    val pts = graft.Tables(spark, sfDir, "part")
+      .join(graft.Tables(spark, sfDir, "lineitem"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .agg(sum(col("l_quantity")).as("qty"))
+      .select(col("p_partkey").as("id"),
+        col("p_retailprice").as("price"),
+        col("p_size").cast("double").as("sz"), col("qty"))
+    val dominated = pts.as("p").join(pts.as("q"),
+      col("q.price") <= col("p.price") && col("q.sz") <= col("p.sz") &&
+        col("q.qty") >= col("p.qty") &&
+        (col("q.price") < col("p.price") || col("q.sz") < col("p.sz") ||
+          col("q.qty") > col("p.qty")),
+      "left_semi")
+    val naive = pts.except(dominated).collect().map(_.getLong(0)).toSet
+    val got = GraphMining.skyline3dKernel(pts).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == naive && got.nonEmpty)
+  }
+
   test("graph_components: rollups agree with a local union-find over " +
       "the same edge set") {
     val edges = GraphMining.copurchaseEdges(
