@@ -352,6 +352,44 @@ class PlanSpec extends SparkSpec {
       "path head must not globally sort the path table")
   }
 
+  test("skyline_3d: the only nested-loop join is the frontier-sized " +
+      "candidate anti-join; local phase is one mapPartitions pass") {
+    val p = plan("skyline_3d")
+    val nBnlj = "\\((\\d+)\\) BroadcastNestedLoopJoin".r
+      .findAllMatchIn(p).map(_.group(1)).toSet.size
+    assert(nBnlj == 1, s"expected exactly the candidate anti-join, got $nBnlj")
+    assert(p.contains("BroadcastNestedLoopJoin LeftAnti"),
+      "phase-2 verify must be the broadcast anti join")
+    assert(p.contains("MapPartitions"),
+      "phase-1 local candidates must be the single imperative pass")
+  }
+
+  test("orders_basket_rules: the only nested-loop join is the one-row " +
+      "scalar broadcast; head on TakeOrderedAndProject") {
+    val p = plan("orders_basket_rules")
+    val nBnlj = "\\((\\d+)\\) BroadcastNestedLoopJoin".r
+      .findAllMatchIn(p).map(_.group(1)).toSet.size
+    assert(nBnlj <= 1, s"only the N scalar may nested-loop, got $nBnlj")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"),
+      "rule head must not globally sort the rule table")
+  }
+
+  test("graph_components / etl_k_anonymity / etl_dp_counts: no " +
+      "cartesian anywhere; the privacy/DP frames stay one fact " +
+      "shuffle + collapsed-frame work") {
+    assert(!plan("graph_components").contains("CartesianProduct"))
+    for (q <- Seq("etl_k_anonymity", "etl_dp_counts")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+        s"$q must be join-free")
+      val nEx = "\\((\\d+)\\) Exchange".r
+        .findAllMatchIn(p).map(_.group(1)).toSet.size
+      assert(nEx <= 3,
+        s"$q: expected fact agg + collapsed frame + sort, got $nEx exchanges")
+    }
+  }
+
   test("text_keyphrases: equi-joins only, ranked head on " +
       "TakeOrderedAndProject") {
     val p = plan("text_keyphrases")
