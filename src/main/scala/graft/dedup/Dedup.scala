@@ -50,6 +50,28 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** D11 `dedup_by_source` — WHERE duplication concentrates: D1's
+    * exact-dedup rule rolled up per source — the report a curation
+    * pipeline acts on (a source shedding half its docs to dedup gets
+    * its crawler fixed or its mixture weight cut, a decision the
+    * corpus-wide rate averages away). Same single fp-keyed window as
+    * D1 (fingerprint groups span sources, so the keep-min-id rule
+    * charges the duplicate to the source that contributed the LATER
+    * copy), then one O(sources) rollup; dup share in exact basis
+    * points (floor division, the house float-free ratio rule).
+    */
+  def dedupBySource(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("fp"))
+    Tables(spark, dir, "documents")
+      .withColumn("fp", TextOps.fingerprint(col("text")))
+      .withColumn("is_dup",
+        (col("doc_id") =!= min(col("doc_id")).over(w)).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("is_dup")).as("n_dups"))
+      .withColumn("dup_bp", expr("n_dups * 10000 div n_docs"))
+      .orderBy(col("source"))
+  }
+
   /** Shingle doc-frequency cap: shingles present in more than this many
     * docs are "stop-shingles" — dropped from the similarity universe.
     * Controls inverted-index fan-out: a shingle in m docs creates m²
@@ -412,6 +434,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_segments" -> (dedupSegments _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_by_source" -> (dedupBySource _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -615,6 +638,18 @@ object Dedup {
         |SELECT doc_id, cluster_id,
         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
         |FROM res ORDER BY doc_id""".stripMargin,
+    "dedup_by_source" ->
+      """WITH f AS (SELECT doc_id, source,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |d AS (SELECT source,
+        |    CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY fp)
+        |      THEN 1 ELSE 0 END AS is_dup
+        |  FROM f)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(is_dup) AS BIGINT) AS n_dups,
+        |  CAST(sum(is_dup) AS BIGINT) * 10000 // count(*) AS dup_bp
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
     "dedup_exact" ->
       """WITH f AS (SELECT doc_id,
         |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp

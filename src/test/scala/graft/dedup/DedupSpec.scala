@@ -164,4 +164,24 @@ class DedupSpec extends SparkSpec {
     // (short docs over a small vocab), so the operator's dup path runs
     assert(rows.map(_.getAs[Long]("n_dup_segments")).sum > 0)
   }
+
+  test("dedup_by_source: rollup conserves D1's doc and dup totals, " +
+      "rates stay in [0, 10000]") {
+    import org.apache.spark.sql.functions.col
+    val rows = Dedup.dedupBySource(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val exact = Dedup.dedupExact(spark, sfDir)
+    val totalDocs = exact.count()
+    val totalDups = exact.agg(
+      org.apache.spark.sql.functions.sum(col("is_dup"))).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == totalDocs,
+      "per-source docs must partition the corpus")
+    assert(rows.map(_.getAs[Long]("n_dups")).sum == totalDups,
+      "per-source dups must conserve the D1 dup count")
+    rows.foreach { r =>
+      val bp = r.getAs[Long]("dup_bp")
+      assert(bp >= 0 && bp <= 10000)
+      assert(bp == r.getAs[Long]("n_dups") * 10000 / r.getAs[Long]("n_docs"))
+    }
+  }
 }
