@@ -742,7 +742,57 @@ object Analytic {
       .orderBy(col("day"))
   }
 
+  /** B83 `ts_seasonal` — classical additive seasonal decomposition of
+    * the daily revenue series per event type (trend + weekday effect +
+    * residual; the moving-average decomposition STL descends from):
+    * trend = centered 7-day moving average (null on the 3-day edges —
+    * a partial window is a biased trend, so it's reported as missing,
+    * not faked), seasonal = per-weekday mean of the detrended series,
+    * residual = observed − trend − seasonal. Everything windows over
+    * the O(types × days) DAILY frame — the B31 rule: collapse the
+    * stream first, decompose the tiny series after, so the pattern
+    * costs one map-side-combined shuffle at any event volume. Exact
+    * cross-engine: cents are integer, the centered sum and the
+    * detrended values 7·c − Σ₇ are pure BIGINT (no float mean enters
+    * the pipeline until the final reported divisions, which both
+    * engines perform on identical exact inputs), and the residual
+    * subtracts the ROUNDED reported trend/seasonal so the last float
+    * op is bit-identical too.
+    */
+  def tsSeasonal(spark: SparkSession, dir: String): DataFrame =
+    seasonalDecompose(Tables(spark, dir, "events"))
+
+  /** [[tsSeasonal]]'s kernel on any events frame. */
+  private[operators] def seasonalDecompose(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(sum(col("value")) * 100, 0).cast("long").as("cents"))
+    val w7 = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val w = daily
+      .withColumn("sum7", sum(col("cents")).over(w7))
+      .withColumn("cnt7", count(lit(1)).over(w7))
+      .withColumn("dow", expr("weekday(day) + 1"))
+    val seas = w.filter(col("cnt7") === 7)
+      .select(col("event_type"), col("dow"),
+        (lit(7) * col("cents") - col("sum7")).as("d7"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("d7")).as("s_sum"), count(lit(1)).as("s_n"))
+    w.join(broadcast(seas), Seq("event_type", "dow"))
+      .withColumn("trend",
+        when(col("cnt7") === 7, round(col("sum7") / 700.0, 4)))
+      .withColumn("seasonal",
+        round(col("s_sum") / (col("s_n") * lit(700.0)), 4))
+      .select(col("event_type"), col("day"), col("dow"),
+        (col("cents") / 100.0).as("rev"), col("trend"), col("seasonal"),
+        when(col("cnt7") === 7,
+          round(col("cents") / 100.0 - col("trend") - col("seasonal"), 4))
+          .as("resid"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_seasonal" -> (tsSeasonal _),
     "orders_open_by_day" -> (ordersOpenByDay _),
     "graph_pagerank" -> (graphPagerank _),
     "agg_hist_quantiles" -> (aggHistQuantiles _),
@@ -810,6 +860,31 @@ object Analytic {
   }
 
   val oracle: Map[String, String] = Map(
+    // ts_seasonal: isodow == Spark's weekday()+1 (Monday=1); the
+    // residual subtracts the rounded reported components, so the one
+    // float chain is identical on both engines
+    "ts_seasonal" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(round(sum(value) * 100, 0) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT *, sum(cents) OVER f AS sum7, count(*) OVER f AS cnt7,
+        |    isodow(day) AS dow
+        |  FROM daily WINDOW f AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |seas AS (SELECT event_type, dow,
+        |    CAST(sum(7 * cents - sum7) AS BIGINT) AS s_sum,
+        |    count(*) AS s_n
+        |  FROM w WHERE cnt7 = 7 GROUP BY 1, 2)
+        |SELECT w.event_type, w.day, CAST(w.dow AS INT) AS dow,
+        |  w.cents / 100.0 AS rev,
+        |  CASE WHEN w.cnt7 = 7 THEN round(w.sum7 / 700.0, 4) END AS trend,
+        |  round(s.s_sum / (s.s_n * 700.0), 4) AS seasonal,
+        |  CASE WHEN w.cnt7 = 7 THEN round(w.cents / 100.0
+        |    - round(w.sum7 / 700.0, 4)
+        |    - round(s.s_sum / (s.s_n * 700.0), 4), 4) END AS resid
+        |FROM w JOIN seas s ON s.event_type = w.event_type
+        |  AND s.dow = w.dow
+        |ORDER BY w.event_type, w.day""".stripMargin,
     "orders_open_by_day" ->
       """WITH cl AS (SELECT l_orderkey,
         |    max(CAST(l_shipdate AS DATE)) AS close_day

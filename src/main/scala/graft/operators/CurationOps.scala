@@ -383,7 +383,46 @@ object CurationOps {
       .orderBy(col("event_type"), col("day"))
   }
 
+  val AnonL = 3 // minimum distinct sensitive values per QI group
+
+  /** A40 `anon_l_diversity` — l-diversity audit, the attribute-level
+    * companion to A38's k-anonymity (k bounds RE-IDENTIFICATION —
+    * how many people share my quasi-identifiers; l bounds ATTRIBUTE
+    * DISCLOSURE — a group of 50 is still leaky if all 50 share one
+    * sensitive value): customers grouped by the QI pair (nation,
+    * account-balance 1000-band), sensitive attribute = market
+    * segment. Per group: size, distinct sensitive values, and the
+    * modal sensitive share in basis points (the homogeneity-attack
+    * success rate), with `diverse` iff l ≥ [[AnonL]]. One
+    * fact-scale groupBy to the O(QI × segment) frame (map-side
+    * combined — at 100 TB this is the only shuffle), then a second
+    * collapse of that tiny frame. All counts/shares integer-exact
+    * (floor-division basis points, the house rule for ratios).
+    */
+  def anonLDiversity(spark: SparkSession, dir: String): DataFrame =
+    lDiversity(Tables(spark, dir, "customer"))
+
+  /** [[anonLDiversity]]'s kernel on any customer-shaped frame. */
+  private[operators] def lDiversity(customers: DataFrame): DataFrame = {
+    val cells = customers
+      .groupBy(col("c_nationkey"),
+        floor(col("c_acctbal") / 1000).cast("long").as("band1"),
+        col("c_mktsegment"))
+      .agg(count(lit(1)).as("c"))
+    cells
+      .groupBy(col("c_nationkey"), col("band1"))
+      .agg(sum(col("c")).as("n_users"),
+        count(lit(1)).as("l_distinct"),
+        max(col("c")).as("modal_c"))
+      .select(col("c_nationkey"), col("band1"), col("n_users"),
+        col("l_distinct"),
+        expr("modal_c * 10000 div n_users").as("modal_share_bp"),
+        (col("l_distinct") >= AnonL).as("diverse"))
+      .orderBy(col("c_nationkey"), col("band1"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "anon_l_diversity" -> (anonLDiversity _),
     "etl_dp_counts" -> (etlDpCounts _),
     "etl_k_anonymity" -> (etlKAnonymity _),
     "etl_late_data" -> (etlLateData _),
@@ -396,6 +435,19 @@ object CurationOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "anon_l_diversity" ->
+      s"""WITH cells AS (SELECT c_nationkey,
+         |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS band1,
+         |    c_mktsegment, count(*) AS c
+         |  FROM customer GROUP BY 1, 2, 3)
+         |SELECT c_nationkey, band1,
+         |  CAST(sum(c) AS BIGINT) AS n_users,
+         |  CAST(count(*) AS BIGINT) AS l_distinct,
+         |  CAST(max(c) * 10000 // CAST(sum(c) AS BIGINT) AS BIGINT)
+         |    AS modal_share_bp,
+         |  count(*) >= $AnonL AS diverse
+         |FROM cells GROUP BY c_nationkey, band1
+         |ORDER BY c_nationkey, band1""".stripMargin,
     "etl_dp_counts" ->
       s"""WITH pu AS (SELECT event_type, CAST(ts AS DATE) AS day,
          |    user_id, count(*) AS c

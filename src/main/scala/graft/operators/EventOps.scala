@@ -317,7 +317,67 @@ object EventOps {
       .orderBy(col("touch_type"))
   }
 
+  /** B82 `events_attribution_decay` — time-decay MULTI-touch
+    * attribution (the fractional model one up from B75's last-touch:
+    * every click/view in the 7-day lookback shares the conversion's
+    * credit, halving per day of age). Spelled as ONE per-user window
+    * pass: a range frame `[-horizon, -1 µs]` over the event-time axis
+    * collects each purchase's in-horizon touches (state bounded by
+    * 7 days of per-user activity — never the full history), then an
+    * explode + map computes weights; the shuffle is the same
+    * (user_id) exchange the rest of the event family shares, and no
+    * inequality join ever runs. Purchases with no touch credit
+    * 'none' in full, so credit conservation (Σ credits ≡ Σ purchase
+    * value, up to per-credit rounding) is spec-pinnable.
+    *
+    * Cross-engine exactness: decay weights are dyadic rationals
+    * (1/2^⌊Δdays⌋ via integer shift, NOT pow() — libm pow need not be
+    * exact even on powers of two), so the per-purchase weight sum is
+    * order-free EXACT; the one genuine float op (the credit share) is
+    * a single correctly-rounded IEEE divide+multiply on identical
+    * inputs, and credits ship as rounded integer milli-cents.
+    */
+  def eventsAttributionDecay(spark: SparkSession, dir: String): DataFrame =
+    attributionDecay(Tables(spark, dir, "events"))
+
+  /** [[eventsAttributionDecay]]'s kernel on any events frame. */
+  private[operators] def attributionDecay(events: DataFrame): DataFrame = {
+    val wr = Window.partitionBy(col("user_id")).orderBy(col("t_us"))
+      .rangeBetween(-AttributionHorizonUs, -1)
+    val decayW = // 1 / 2^(whole days of touch age): exact dyadic
+      expr("""1.0 / cast(shiftleft(cast(1 as bigint),
+             |  cast((t_us - tch.t_us) div 86400000000 as int)) as double)"""
+        .stripMargin)
+    events
+      .withColumn("t_us", unix_micros(col("ts")))
+      .withColumn("touch",
+        when(col("event_type").isin("click", "view"),
+          struct(col("t_us").as("t_us"), col("event_type").as("t_type"))))
+      .withColumn("tl", collect_list(col("touch")).over(wr))
+      .filter(col("event_type") === "purchase")
+      .withColumn("v_cents", expr("cast(round(value * 100) as bigint)"))
+      .withColumn("sw", expr(
+        """aggregate(tl, cast(0 as double), (acc, x) ->
+          |  acc + 1.0 / cast(shiftleft(cast(1 as bigint),
+          |    cast((t_us - x.t_us) div 86400000000 as int)) as double))"""
+          .stripMargin))
+      .select(col("event_id"), col("v_cents"), col("sw"),
+        explode_outer(col("tl")).as("tch"), col("t_us"))
+      .select(
+        coalesce(col("tch.t_type"), lit("none")).as("touch_type"),
+        col("event_id"),
+        when(col("tch").isNull, col("v_cents") * 1000)
+          .otherwise(round(col("v_cents") * lit(1000.0) * decayW / col("sw"))
+            .cast("long")).as("credit_mc"))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_credits"),
+        countDistinct(col("event_id")).as("n_purchases"),
+        sum(col("credit_mc")).as("credit_milli_cents"))
+      .orderBy(col("touch_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_attribution_decay" -> (eventsAttributionDecay _),
     "events_attribution" -> (eventsAttribution _),
     "skew_audit" -> (skewAudit _),
     "events_anomaly" -> (eventsAnomaly _),
@@ -333,6 +393,33 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // events_attribution_decay: the window-collected in-horizon touch
+    // set replays as a bounded inequality join; dyadic weights via
+    // integer shift make the weight sum order-free exact
+    "events_attribution_decay" ->
+      s"""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t_us,
+         |    CAST(round(value * 100) AS BIGINT) AS v_cents
+         |  FROM events WHERE event_type = 'purchase'),
+         |t AS (SELECT user_id, epoch_us(ts) AS t_us, event_type
+         |  FROM events WHERE event_type IN ('click', 'view')),
+         |j AS (SELECT p.event_id, p.v_cents, t.event_type AS t_type,
+         |    1.0 / CAST((CAST(1 AS BIGINT) <<
+         |      CAST((p.t_us - t.t_us) // 86400000000 AS INT)) AS DOUBLE)
+         |      AS w
+         |  FROM p JOIN t ON t.user_id = p.user_id
+         |    AND t.t_us BETWEEN p.t_us - $AttributionHorizonUs
+         |      AND p.t_us - 1),
+         |s AS (SELECT event_id, sum(w) AS sw FROM j GROUP BY 1),
+         |c AS (SELECT j.t_type AS touch_type, j.event_id,
+         |    CAST(round(j.v_cents * 1000.0 * j.w / s.sw) AS BIGINT) AS mc
+         |  FROM j JOIN s USING (event_id)
+         |  UNION ALL
+         |  SELECT 'none', p.event_id, p.v_cents * 1000 FROM p
+         |  WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.event_id = p.event_id))
+         |SELECT touch_type, CAST(count(*) AS BIGINT) AS n_credits,
+         |  CAST(count(DISTINCT event_id) AS BIGINT) AS n_purchases,
+         |  CAST(sum(mc) AS BIGINT) AS credit_milli_cents
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // events_attribution: DuckDB's IGNORE NULLS last_value over the
     // same strictly-before frame; µs epochs and cent-integers keep
     // every comparison and sum engine-exact

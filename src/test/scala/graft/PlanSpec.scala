@@ -409,4 +409,40 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("MapPartitions"),
       "greedy pack must be the single imperative pass")
   }
+
+  test("events_attribution_decay: one user exchange, no inequality " +
+      "join — the in-horizon touch set rides the range window") {
+    val p = plan("events_attribution_decay")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "decay attribution must never plan a theta join")
+    // one user exchange; the distinct-agg pair, final agg, and sort
+    // all run over the O(touch-types) collapsed frame
+    val nEx = "\\((\\d+)\\) Exchange".r
+      .findAllMatchIn(p).map(_.group(1)).toSet.size
+    assert(nEx <= 5,
+      s"expected user + distinct-pair + agg + sort exchanges, got $nEx")
+  }
+
+  test("ts_seasonal: windows run over the collapsed daily frame and " +
+      "the weekday-effect join broadcasts") {
+    val p = plan("ts_seasonal")
+    assert(p.contains("BroadcastHashJoin"),
+      "O(types × 7) seasonal frame must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "seasonal join must never shuffle the daily frame")
+    // events scan reads only the three columns the daily agg needs
+    val out = p.linesIterator.find(_.startsWith("Output")).get
+    assert(out.startsWith("Output [3]"), s"expected 3-column scan: $out")
+  }
+
+  test("anon_l_diversity: one fact exchange — the second collapse " +
+      "rides the first groupBy's partitioning") {
+    val p = plan("anon_l_diversity")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "the audit is aggregation-only")
+    // customer scan prunes to the three QI/sensitive columns
+    val out = p.linesIterator.find(_.startsWith("Output")).get
+    assert(out.startsWith("Output [3]"), s"expected 3-column scan: $out")
+  }
 }

@@ -306,4 +306,52 @@ class AnalyticSpec extends SparkSpec {
     assert(math.abs(row.getDouble(row.fieldIndex("revenue")) - naive) < 0.02)
     assert(row.getLong(row.fieldIndex("n_lineitems")) > 0)
   }
+
+  test("ts_seasonal: a planted period-7 series decomposes exactly — " +
+      "flat trend, recovered weekday effects, zero residual") {
+    import spark.implicits._
+    // 21 days from Monday 2024-01-01; value = $7.00 + e(dow), Σe = 0
+    val e = Map(1 -> 7, 2 -> -7, 3 -> 14, 4 -> -14, 5 -> 21, 6 -> -21, 7 -> 0)
+    val rows = (0 until 21).map { d =>
+      val dow = d % 7 + 1
+      ("s", new java.sql.Timestamp(1704067200000L + d * 86400000L),
+        (700 + e(dow)) / 100.0)
+    }
+    val out = Analytic.seasonalDecompose(
+        rows.toDF("event_type", "ts", "value"))
+      .orderBy(col("day")).collect()
+    assert(out.length == 21)
+    out.zipWithIndex.foreach { case (r, i) =>
+      val dow = r.getAs[Int]("dow")
+      assert(dow == i % 7 + 1)
+      // seasonal = e(dow)/100 for every day (dollar-scale effect)
+      assert(r.getAs[Double]("seasonal") == e(dow) / 100.0)
+      if (i >= 3 && i <= 17) { // full centered window
+        assert(r.getAs[Double]("trend") == 7.0, s"day $i trend")
+        assert(r.getAs[Double]("resid") == 0.0, s"day $i resid")
+      } else {
+        assert(r.isNullAt(r.fieldIndex("trend")), s"day $i edge trend")
+        assert(r.isNullAt(r.fieldIndex("resid")), s"day $i edge resid")
+      }
+    }
+  }
+
+  test("ts_seasonal: sf tables — every weekday gets one effect per type " +
+      "and the decomposition reconstructs the observed series") {
+    val rows = Analytic.tsSeasonal(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, rs) =>
+      // one seasonal value per dow, constant within (type, dow)
+      val byDow = rs.groupBy(_.getAs[Int]("dow"))
+        .view.mapValues(_.map(_.getAs[Double]("seasonal")).distinct).toMap
+      assert(byDow.keySet == (1 to 7).toSet, s"$t dow coverage")
+      assert(byDow.values.forall(_.size == 1), s"$t seasonal constant")
+      rs.filter(r => !r.isNullAt(r.fieldIndex("resid"))).foreach { r =>
+        val back = r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
+          r.getAs[Double]("resid")
+        assert(math.abs(back - r.getAs[Double]("rev")) < 2e-4,
+          s"$t ${r.getAs[java.sql.Date]("day")} reconstruct")
+      }
+    }
+  }
 }

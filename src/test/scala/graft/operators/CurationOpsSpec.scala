@@ -212,4 +212,38 @@ class CurationOpsSpec extends SparkSpec {
     assert(avgNorm > 6.0 && avgNorm < 10.0, s"avg w_norm=$avgNorm")
     rows.foreach { case (n, z) => assert(z > 0 && z <= n + 1e-9) }
   }
+
+  test("anon_l_diversity: a homogeneous group fails, a mixed group " +
+      "passes, and the modal share is floor-exact") {
+    import spark.implicits._
+    // nation 1 band 0: five customers, one segment → l=1, modal 100%
+    // nation 1 band 1: four customers over three segments → l=3
+    val customers = (
+      Seq.fill(5)((1, 500.0, "AUTO")) ++
+        Seq((1, 1500.0, "AUTO"), (1, 1500.0, "AUTO"),
+          (1, 1500.0, "BUILDING"), (1, 1500.0, "HOUSEHOLD")))
+      .toDF("c_nationkey", "c_acctbal", "c_mktsegment")
+    val out = CurationOps.lDiversity(customers).collect()
+      .map(r => r.getAs[Long]("band1") ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("l_distinct"),
+          r.getAs[Long]("modal_share_bp"), r.getAs[Boolean]("diverse")))
+      .toMap
+    assert(out(0L) == (5L, 1L, 10000L, false))
+    assert(out(1L) == (4L, 3L, 5000L, true))
+  }
+
+  test("anon_l_diversity: sf invariants — l ≤ group size, modal share " +
+      "within (0, 10000], diverse ⇔ l ≥ AnonL") {
+    val rows = CurationOps.anonLDiversity(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, l, bp) = (r.getAs[Long]("n_users"),
+        r.getAs[Long]("l_distinct"), r.getAs[Long]("modal_share_bp"))
+      assert(l >= 1 && l <= n)
+      assert(bp > 0 && bp <= 10000)
+      // the modal value covers at least 1/l of the group
+      assert(bp >= 10000 / l - 1)
+      assert(r.getAs[Boolean]("diverse") == (l >= CurationOps.AnonL))
+    }
+  }
 }
