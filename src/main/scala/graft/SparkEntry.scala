@@ -25,6 +25,7 @@ object SparkEntry {
       dedup.Dedup.queries ++
       dedup.DedupEval.queries ++
       ann.Ann.queries ++
+      ann.KnnGraph.queries ++
       ann.IvfIndex.queries ++
       ann.PqIndex.queries ++
       ann.AnnEval.queries ++
@@ -53,6 +54,7 @@ object SparkEntry {
       dedup.Dedup.oracle ++
       dedup.DedupEval.oracle ++
       ann.Ann.oracle ++
+      ann.KnnGraph.oracle ++
       ann.IvfIndex.oracle ++
       ann.PqIndex.oracle ++
       ann.AnnEval.oracle ++

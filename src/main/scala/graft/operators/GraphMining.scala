@@ -356,6 +356,58 @@ object GraphMining {
       .orderBy(col("component"))
   }
 
+  // ---------------------------------------------------------------- B84
+
+  val JaccDegCap = 64 // max degree for a wedge CENTER (df-cap rule)
+  val LinkTopK = 20   // reported head size
+
+  /** Common-neighbor link prediction over an undirected edge set
+    * (columns `u < v`): for every non-adjacent pair sharing at least
+    * one neighbor, neighborhood Jaccard |N(u)∩N(v)| / |N(u)∪N(v)| —
+    * the classic "people you may know" / co-purchase-recommendation
+    * score. Candidate pairs generate at their shared neighbor (the
+    * wedge center), so the expensive step is Σ_w deg(w)² — bounded by
+    * [[JaccDegCap]]: centers above the cap contribute no wedges (a
+    * hub shared by everyone carries no similarity signal anyway —
+    * the same df-cap rule the D2 shingle index runs with, and the
+    * knob that keeps the pair fan-out linear-ish at 100 TB). Degrees
+    * in the Jaccard use the FULL graph, so the cap only thins
+    * candidate generation, never inflates a score. Scores ship as
+    * exact floor-division milli-Jaccard; adjacency is removed with a
+    * LEFT ANTI equi join against the canonical edge list.
+    */
+  private[operators] def jaccardLinks(edges0: DataFrame): DataFrame = {
+    val edges = edges0.localCheckpoint() // feeds sym twice + the anti join
+    val sym = edges.select(col("u").as("node"), col("v").as("nbr"))
+      .union(edges.select(col("v").as("node"), col("u").as("nbr")))
+    val deg = sym.groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val ctr = sym.join(deg.filter(col("d") <= JaccDegCap), "node")
+    val cand = ctr.as("x").join(ctr.as("y"),
+        col("x.node") === col("y.node") && col("x.nbr") < col("y.nbr"))
+      .groupBy(col("x.nbr").as("u"), col("y.nbr").as("v"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(edges, Seq("u", "v"), "left_anti")
+    cand
+      .join(deg.select(col("node").as("u"), col("d").as("deg_u")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("deg_v")), "v")
+      .select(col("u"), col("v"), col("n_common"), col("deg_u"),
+        col("deg_v"),
+        expr("n_common * 1000 div (deg_u + deg_v - n_common)")
+          .as("jacc_milli"))
+  }
+
+  /** B84 `graph_jaccard_links` — top-[[LinkTopK]] predicted links on
+    * the part co-purchase graph ("parts that should sell together but
+    * don't yet"): [[copurchaseEdges]] → [[jaccardLinks]], ranked by
+    * (jacc_milli, n_common) with full id tie-break →
+    * TakeOrderedAndProject head.
+    */
+  def graphJaccardLinks(spark: SparkSession, dir: String): DataFrame =
+    jaccardLinks(copurchaseEdges(Tables(spark, dir, "lineitem")))
+      .orderBy(col("jacc_milli").desc, col("n_common").desc,
+        col("u"), col("v"))
+      .limit(LinkTopK)
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -364,10 +416,34 @@ object GraphMining {
     "events_paths" -> (eventsPaths _),
     "orders_basket_rules" -> (ordersBasketRules _),
     "graph_components" -> (graphComponents _),
-    "skyline_3d" -> (skyline3d _)
+    "skyline_3d" -> (skyline3d _),
+    "graph_jaccard_links" -> (graphJaccardLinks _)
   )
 
   val oracle: Map[String, String] = Map(
+    "graph_jaccard_links" ->
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |    FROM lineitem),
+         |e AS (SELECT a.p AS u, b.p AS v
+         |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+         |  GROUP BY a.p, b.p HAVING count(*) >= $EdgeMinSupport),
+         |sym AS (SELECT u AS node, v AS nbr FROM e
+         |  UNION ALL SELECT v, u FROM e),
+         |deg AS (SELECT node, count(*) AS d FROM sym GROUP BY 1),
+         |ctr AS (SELECT s.node, s.nbr FROM sym s
+         |  JOIN deg ON deg.node = s.node WHERE deg.d <= $JaccDegCap),
+         |cand AS (SELECT x.nbr AS u, y.nbr AS v, count(*) AS n_common
+         |  FROM ctr x JOIN ctr y ON x.node = y.node AND x.nbr < y.nbr
+         |  GROUP BY 1, 2),
+         |nc AS (SELECT c.* FROM cand c WHERE NOT EXISTS (
+         |  SELECT 1 FROM e WHERE e.u = c.u AND e.v = c.v))
+         |SELECT nc.u, nc.v, nc.n_common, da.d AS deg_u, db.d AS deg_v,
+         |  CAST(nc.n_common * 1000
+         |    // (da.d + db.d - nc.n_common) AS BIGINT) AS jacc_milli
+         |FROM nc JOIN deg da ON da.node = nc.u
+         |JOIN deg db ON db.node = nc.v
+         |ORDER BY jacc_milli DESC, nc.n_common DESC, nc.u, nc.v
+         |LIMIT $LinkTopK""".stripMargin,
     "graph_triangles" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |    FROM lineitem),

@@ -413,7 +413,58 @@ object CorpusQuality {
       .orderBy(col("source"))
   }
 
+  val DsirBuckets = 256L // hashed n-gram feature space size
+
+  /** C34 `corpus_dsir` — Data Selection via Importance Resampling
+    * weights (Xie et al. 2023's recipe for steering a raw corpus
+    * toward a target distribution — the selection method one up from
+    * C27's absolute quality score: DSIR scores how TARGET-LIKE a doc
+    * is, not how clean): unigram features hash into [[DsirBuckets]]
+    * buckets (md5 — the house cross-engine hash), bucket bag-of-words
+    * models are estimated for the target slice (English docs here)
+    * and the full corpus with add-one smoothing, and each document's
+    * importance is its tokens' summed log-likelihood ratio
+    * ln p̂_target(b) − ln p̂_raw(b). Two map-side-combined shuffles
+    * (the O(buckets) stats frame, then the per-doc sum); the stats
+    * frame broadcasts at 2·[[DsirBuckets]] rows no matter the corpus
+    * size — hashing is exactly what makes DSIR 100 TB-viable vs a
+    * full-vocab LM. Cross-engine exact: counts and the smoothed
+    * numerators/denominators are BIGINT (products < 2⁵³ by
+    * construction at any bucket count this SF reaches), ln rides on
+    * identical integer-derived doubles (C29's precedent), and the
+    * per-doc sum of ~10² like-magnitude terms rounds at 4 dp far
+    * above float noise.
+    */
+  def corpusDsir(spark: SparkSession, dir: String): DataFrame =
+    dsirWeights(Tables(spark, dir, "documents"))
+
+  /** [[corpusDsir]]'s kernel on any documents frame. */
+  private[text] def dsirWeights(documents: DataFrame): DataFrame = {
+    val toksB = documents
+      .select(col("doc_id"), col("lang"), explode(toks).as("tok"))
+      .withColumn("bkt",
+        conv(substring(md5(col("tok").cast("binary")), 1, 2), 16, 10)
+          .cast("long"))
+    val stats = toksB.groupBy(col("bkt"))
+      .agg(count(lit(1)).as("c_all"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_en"))
+    val tot = stats.agg(sum(col("c_all")).as("t_all"),
+      sum(col("c_en")).as("t_en"))
+    val rated = stats.crossJoin(broadcast(tot))
+      .select(col("bkt"),
+        (log((col("c_en") + 1) * (col("t_all") + DsirBuckets)) -
+          log((col("c_all") + 1) * (col("t_en") + DsirBuckets)))
+          .as("llr"))
+    toksB.join(broadcast(rated), "bkt")
+      .groupBy(col("doc_id"))
+      .agg(first(col("lang")).as("lang"),
+        count(lit(1)).as("n_tokens"),
+        round(sum(col("llr")), 4).as("dsir_logw"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_dsir" -> (corpusDsir _),
     "corpus_budget" -> (corpusBudget _),
     "quality_classifier" -> (qualityClassifier _),
     "bpe_train" -> (bpeTrain _),
@@ -443,6 +494,34 @@ object CorpusQuality {
        |  FROM $in v CROSS JOIN $t)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // corpus_dsir: the 2-hex-digit md5 bucket replays via the strpos
+    // digit decode; smoothed counts are BIGINT so both engines feed
+    // ln identical doubles
+    "corpus_dsir" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    unnest(string_split_regex(trim(text), '\\s+')) AS tok
+         |  FROM documents),
+         |b AS (SELECT doc_id, lang,
+         |    CAST((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1)
+         |      * 16
+         |      + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)
+         |      AS BIGINT) AS bkt
+         |  FROM t),
+         |s AS (SELECT bkt, CAST(count(*) AS BIGINT) AS c_all,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS c_en
+         |  FROM b GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c_all) AS BIGINT) AS t_all,
+         |    CAST(sum(c_en) AS BIGINT) AS t_en FROM s),
+         |r AS (SELECT bkt,
+         |    ln((c_en + 1) * (t_all + $DsirBuckets))
+         |      - ln((c_all + 1) * (t_en + $DsirBuckets)) AS llr
+         |  FROM s CROSS JOIN tot)
+         |SELECT b.doc_id, any_value(b.lang) AS lang,
+         |  CAST(count(*) AS BIGINT) AS n_tokens,
+         |  round(sum(r.llr), 4) AS dsir_logw
+         |FROM b JOIN r USING (bkt)
+         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
     // corpus_budget: same temperature-share kernel as corpus_mix, same
     // md5 4-hex-digit draw decode as corpus_sample; the greedy cut is
     // an integer window cumsum so the boundary is engine-exact, and

@@ -445,4 +445,35 @@ class PlanSpec extends SparkSpec {
     val out = p.linesIterator.find(_.startsWith("Output")).get
     assert(out.startsWith("Output [3]"), s"expected 3-column scan: $out")
   }
+
+  test("graph_jaccard_links: equi joins only, ranked head on " +
+      "TakeOrderedAndProject") {
+    val p = plan("graph_jaccard_links")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "wedge/degree/anti joins must stay equi joins")
+    assert(p.contains("TakeOrderedAndProject"),
+      "link head must not globally sort the candidate table")
+  }
+
+  test("corpus_dsir: the O(buckets) stats frame broadcasts — tokens " +
+      "never shuffle for the weight join") {
+    val p = plan("corpus_dsir")
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket-stats join must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "the token frame must never sort-merge")
+  }
+
+  test("emb_knn_graph: the quadratic scoring pass runs once — the " +
+      "mutuality join reads the checkpointed O(n·k) frame") {
+    // mutualKnn checkpoints the directed top-k before the self-join,
+    // so the executed mutuality plan must contain NO scoring subtree
+    // (the checkpoint truncates lineage → no BNLJ at all here)
+    val p = plan("emb_knn_graph")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "self-join must read the checkpointed frame, not re-score")
+    assert(!p.contains("CartesianProduct"),
+      "mutuality must stay an equi join")
+  }
 }

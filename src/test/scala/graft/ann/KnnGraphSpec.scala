@@ -1,0 +1,68 @@
+package graft.ann
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class KnnGraphSpec extends SparkSpec {
+
+  test("emb_knn_graph: planted clusters — mutual edges stay inside " +
+      "clusters, never across orthogonal ones") {
+    import spark.implicits._
+    // two exactly-orthogonal clusters of 3: within-cluster cosine ≈ 1,
+    // cross-cluster = 0 — but k=5 > cluster size, so cross arms exist;
+    // mutuality keeps them too (ranks are symmetric here), and the
+    // within-cluster edges must all rank strictly ahead of cross ones
+    val vecs = (0 until 3).map(i =>
+      (i.toLong, Array(1.0f, 0.001f * i, 0f))) ++
+      (3 until 6).map(i => (i.toLong, Array(0f, 0f, 1.0f + 0.001f * i)))
+    val out = KnnGraph.mutualKnn(vecs.toDF("vec_id", "embedding"))
+      .collect()
+    val within = out.filter(r => (r.getAs[Long]("u") < 3) ==
+      (r.getAs[Long]("v") < 3))
+    val cross = out.filterNot(r => (r.getAs[Long]("u") < 3) ==
+      (r.getAs[Long]("v") < 3))
+    assert(within.length == 6) // C(3,2) per cluster
+    assert(within.forall(_.getAs[Double]("cos") > 0.99))
+    assert(cross.forall(_.getAs[Double]("cos") < 0.01))
+    // within-cluster arms rank 1–2, cross arms rank 3+
+    assert(within.forall(r => r.getAs[Int]("rank_uv") <= 2 &&
+      r.getAs[Int]("rank_vu") <= 2))
+    assert(cross.forall(r => r.getAs[Int]("rank_uv") >= 3))
+  }
+
+  test("emb_knn_graph: brute-force parity on the sf corpus — the " +
+      "mutual edge set matches a local recompute exactly") {
+    val vecs = graft.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      // mirror VecOps.cosineF exactly (sqrt·sqrt, not sqrt(prod))
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0.0) 0.0 else d / den
+    }
+    val topk = vecs.map { case (u, eu) =>
+      u -> vecs.filter(_._1 != u)
+        .map { case (v, ev) => (v, cos(eu, ev)) }
+        .sortBy { case (v, c) =>
+          (-BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP), v)
+        }
+        .take(KnnGraph.KnnK).zipWithIndex
+        .map { case ((v, c), i) => v -> (i + 1) }.toMap
+    }.toMap
+    val expect = (for {
+      (u, nb) <- topk.toSeq; (v, ru) <- nb
+      rv <- topk(v).get(u) if u < v
+    } yield (u, v, ru, rv)).toSet
+    val got = KnnGraph.embKnnGraph(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"),
+        r.getAs[Int]("rank_uv"), r.getAs[Int]("rank_vu"))).toSet
+    assert(got == expect && got.nonEmpty)
+  }
+}

@@ -249,6 +249,37 @@ class GraphMiningSpec extends SparkSpec {
     assert(got == local && got.nonEmpty)
   }
 
+  test("jaccardLinks: planted wedge graph — the one non-adjacent pair " +
+      "scores its hand-computed Jaccard, adjacent pairs never appear") {
+    // N1={2,3}, N2={1,3,4}, N3={1,2,4}, N4={2,3}: only (1,4) is
+    // non-adjacent with common neighbors {2,3} → J = 2/(2+2−2) = 1
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val out = GraphMining.jaccardLinks(edgesDf(g)).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getAs[Long]("u"), r.getAs[Long]("v")) == (1L, 4L))
+    assert(r.getAs[Long]("n_common") == 2L)
+    assert((r.getAs[Long]("deg_u"), r.getAs[Long]("deg_v")) == (2L, 2L))
+    assert(r.getAs[Long]("jacc_milli") == 1000L)
+  }
+
+  test("jaccardLinks: a hub center above the degree cap generates no " +
+      "wedges — its leaves never become candidates") {
+    // star: center 100 with JaccDegCap+1 leaves; every leaf pair
+    // shares only the (capped-out) hub → no candidates at all
+    val leaves = (1L to (GraphMining.JaccDegCap + 1L))
+    val star = leaves.map(l => (l, 100L))
+    assert(GraphMining.jaccardLinks(edgesDf(star)).collect().isEmpty)
+    // one leaf under the cap and the pairs reappear
+    val smaller = leaves.take(GraphMining.JaccDegCap - 1)
+      .map(l => (l, 100L))
+    val out = GraphMining.jaccardLinks(edgesDf(smaller)).collect()
+    // C(cap−1, 2) leaf pairs, each J = 1/(1+1−1) = 1
+    val n = GraphMining.JaccDegCap - 1L
+    assert(out.length == (n * (n - 1) / 2).toInt)
+    assert(out.forall(_.getAs[Long]("jacc_milli") == 1000L))
+  }
+
   test("queries are deterministic across runs") {
     for ((name, q) <- GraphMining.queries) {
       val a = q(spark, sfDir).collect().map(_.toString).toSeq

@@ -187,4 +187,40 @@ class CorpusQualitySpec extends SparkSpec {
     val n = p.sliding("+- Exchange".length).count(_ == "+- Exchange")
     assert(n <= 1, s"classifier must not shuffle tokens, got $n exchanges")
   }
+
+  test("corpus_dsir: target-exclusive vocabulary scores positive, " +
+      "raw-exclusive negative, and identical docs tie exactly") {
+    import spark.implicits._
+    // en docs use only 'x', de docs only 'y' (md5 buckets 157 ≠ 65):
+    // bucket x is pure-target → llr > 0; bucket y target-absent → < 0
+    val docs = Seq(
+      (1L, "x x x", "en"), (2L, "x x x", "en"),
+      (3L, "y y y", "de"), (4L, "y y y", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = CorpusQuality.dsirWeights(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("dsir_logw"))).toMap
+    assert(out.values.forall(_._1 == 3L))
+    // hand model: t_en=6, t_all=12; x: (c_en,c_all)=(6,6), y: (0,6)
+    val llrX = math.log(7.0 * 268) - math.log(7.0 * 262)
+    val llrY = math.log(1.0 * 268) - math.log(7.0 * 262)
+    assert(math.abs(out(1L)._2 - 3 * llrX) < 1e-3)
+    assert(math.abs(out(3L)._2 - 3 * llrY) < 1e-3)
+    assert(out(1L) == out(2L) && out(3L) == out(4L))
+    assert(out(1L)._2 > 0 && out(3L)._2 < 0)
+  }
+
+  test("corpus_dsir: sf corpus — English docs dominate the top of the " +
+      "importance ranking and every doc gets a finite weight") {
+    val rows = CorpusQuality.corpusDsir(spark, sfDir).collect()
+    val nDocs = graft.Tables(spark, sfDir, "documents").count()
+    assert(rows.length == nDocs)
+    assert(rows.forall(r => !r.getAs[Double]("dsir_logw").isNaN))
+    // the target slice should, on average, outrank the rest
+    val (en, other) = rows.partition(_.getAs[String]("lang") == "en")
+    val avg = (xs: Array[org.apache.spark.sql.Row]) =>
+      xs.map(_.getAs[Double]("dsir_logw")).sum / xs.length
+    assert(avg(en) > avg(other),
+      s"en avg ${avg(en)} must exceed non-en ${avg(other)}")
+  }
 }
