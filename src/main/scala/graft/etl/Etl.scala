@@ -495,7 +495,43 @@ object Etl {
       .orderBy(col("event_type"))
   }
 
+  val ErasureThresh = 1024L // md5-u16 keep bound ≈ 1.56% of users
+
+  /** A41 `etl_erasure_plan` — right-to-erasure rewrite planning (the
+    * GDPR Article 17 batch problem: parquet files are immutable, so
+    * deleting a user means REWRITING every partition that contains
+    * them — the question an operator must answer before launching the
+    * job is "how much am I rewriting per row actually deleted"): for
+    * a deletion cohort (users whose seeded md5-u16 draw falls under
+    * [[ErasureThresh]] — the house no-RNG contract standing in for a
+    * real request list; production swaps one line for a DSAR table
+    * join), per day-partition the total rows, rows to delete,
+    * distinct users erased, and the write-amplification in floor
+    * basis points (partition_rows·10⁴ / deleted_rows — the rewrite
+    * cost multiplier; null for untouched partitions, which need no
+    * rewrite at all). ONE map-side-combined fact shuffle to the
+    * O(days) frame; at 100 TB this is the planning scan that decides
+    * between per-partition rewrite and a deletion-vector layout.
+    */
+  def etlErasurePlan(spark: SparkSession, dir: String): DataFrame =
+    erasurePlan(Tables(spark, dir, "events"))
+
+  /** [[etlErasurePlan]]'s kernel on any events frame. */
+  private[etl] def erasurePlan(events: DataFrame): DataFrame =
+    events
+      .withColumn("del",
+        conv(substring(md5(col("user_id").cast("string").cast("binary")),
+          1, 4), 16, 10).cast("long") < ErasureThresh)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("part_rows"),
+        sum(when(col("del"), 1L).otherwise(0L)).as("del_rows"),
+        countDistinct(when(col("del"), col("user_id"))).as("del_users"))
+      .withColumn("amp_bp",
+        expr("case when del_rows > 0 then part_rows * 10000 div del_rows end"))
+      .orderBy(col("day"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_erasure_plan" -> (etlErasurePlan _),
     "etl_drift_psi" -> (etlDriftPsi _),
     "etl_freshness" -> (etlFreshness _),
     "etl_profile" -> (etlProfile _),
@@ -518,6 +554,31 @@ object Etl {
   )
 
   val oracle: Map[String, String] = Map(
+    // etl_erasure_plan: the deletion cohort replays via the strpos
+    // 4-hex-digit md5 decode; all counts and the amplification are
+    // BIGINT floor arithmetic
+    "etl_erasure_plan" ->
+      s"""WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id,
+         |    CAST((strpos('0123456789abcdef',
+         |        substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 4096
+         |      + (strpos('0123456789abcdef',
+         |        substr(md5(CAST(user_id AS VARCHAR)), 2, 1)) - 1) * 256
+         |      + (strpos('0123456789abcdef',
+         |        substr(md5(CAST(user_id AS VARCHAR)), 3, 1)) - 1) * 16
+         |      + (strpos('0123456789abcdef',
+         |        substr(md5(CAST(user_id AS VARCHAR)), 4, 1)) - 1)
+         |      AS BIGINT) < $ErasureThresh AS del
+         |  FROM events)
+         |SELECT day, CAST(count(*) AS BIGINT) AS part_rows,
+         |  CAST(sum(CASE WHEN del THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS del_rows,
+         |  CAST(count(DISTINCT CASE WHEN del THEN user_id END) AS BIGINT)
+         |    AS del_users,
+         |  CASE WHEN sum(CASE WHEN del THEN 1 ELSE 0 END) > 0
+         |    THEN CAST(count(*) * 10000
+         |      // CAST(sum(CASE WHEN del THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS BIGINT) END AS amp_bp
+         |FROM e GROUP BY day ORDER BY day""".stripMargin,
     // etl_freshness: integer-µs lag behind the corpus max (the
     // deterministic "now"), 24 h SLA flag
     "etl_freshness" ->

@@ -408,6 +408,52 @@ object GraphMining {
         col("u"), col("v"))
       .limit(LinkTopK)
 
+  // ---------------------------------------------------------------- B85
+
+  val KcoreK = 3      // minimum surviving degree
+  val KcoreRounds = 3 // fixed peel rounds (bounded, oracle-unrolled)
+
+  /** BOUNDED-round k-core peeling of an undirected edge set (u < v):
+    * [[KcoreRounds]] synchronized rounds of "drop every node with
+    * degree < [[KcoreK]], drop its edges". After R rounds the
+    * survivor set is a SUPERSET of the true k-core that equals it at
+    * convergence — the fixed round count is what keeps the operator
+    * deterministic, oracle-replayable (the DuckDB side unrolls the
+    * rounds as CTEs, the C24 bpe_train precedent), and
+    * wall-clock-bounded at 100 TB (each round is one degree
+    * aggregation + two hash semi-joins; power-law graphs shed almost
+    * everything in the first rounds, and a production run just raises
+    * R — the per-round plan is identical). Lineage truncates per
+    * round (the D6 iterative-propagation rule) so round N's plan
+    * never replays rounds 1..N−1.
+    */
+  private[operators] def kcorePeel(edges0: DataFrame): DataFrame = {
+    var edges = edges0.localCheckpoint()
+    for (_ <- 1 to KcoreRounds) {
+      val deg = edges
+        .select(explode(array(col("u"), col("v"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= KcoreK)
+      edges = edges
+        .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+        .localCheckpoint()
+    }
+    edges
+      .select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+  }
+
+  /** B85 `graph_kcore` — the [[KcoreK]]-core survivors of the part
+    * co-purchase graph after [[KcoreRounds]] peel rounds ("parts in
+    * densely connected selling groups", the community-density tier
+    * above B76's triangles): node + residual degree, ordered.
+    */
+  def graphKcore(spark: SparkSession, dir: String): DataFrame =
+    kcorePeel(copurchaseEdges(Tables(spark, dir, "lineitem")))
+      .select(col("node").as("p_partkey"), col("degree"))
+      .orderBy(col("p_partkey"))
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -417,10 +463,35 @@ object GraphMining {
     "orders_basket_rules" -> (ordersBasketRules _),
     "graph_components" -> (graphComponents _),
     "skyline_3d" -> (skyline3d _),
-    "graph_jaccard_links" -> (graphJaccardLinks _)
+    "graph_jaccard_links" -> (graphJaccardLinks _),
+    "graph_kcore" -> (graphKcore _)
   )
 
+  /** One unrolled peel round for the k-core oracle: degrees over
+    * `in`, keepers, surviving edges to `out`.
+    */
+  private def kcoreRoundOracle(in: String, out: String): String =
+    s"""d_$out AS (SELECT node, count(*) AS d FROM (
+       |    SELECT u AS node FROM $in UNION ALL SELECT v FROM $in)
+       |  GROUP BY node),
+       |k_$out AS (SELECT node FROM d_$out WHERE d >= $KcoreK),
+       |$out AS (SELECT e.u, e.v FROM $in e
+       |  JOIN k_$out a ON a.node = e.u
+       |  JOIN k_$out b ON b.node = e.v)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "graph_kcore" ->
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |    FROM lineitem),
+         |e0 AS (SELECT a.p AS u, b.p AS v
+         |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+         |  GROUP BY a.p, b.p HAVING count(*) >= $EdgeMinSupport),
+         |${kcoreRoundOracle("e0", "e1")},
+         |${kcoreRoundOracle("e1", "e2")},
+         |${kcoreRoundOracle("e2", "e3")}
+         |SELECT node AS p_partkey, CAST(count(*) AS BIGINT) AS degree
+         |FROM (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
+         |GROUP BY node ORDER BY node""".stripMargin,
     "graph_jaccard_links" ->
       s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
          |    FROM lineitem),

@@ -446,6 +446,26 @@ class PlanSpec extends SparkSpec {
     assert(out.startsWith("Output [3]"), s"expected 3-column scan: $out")
   }
 
+  test("etl_erasure_plan: one map-side-combined fact exchange — the " +
+      "planning scan never joins") {
+    val p = plan("etl_erasure_plan")
+    assert(!p.contains("Join"), "the audit is aggregation-only")
+    // events scan prunes to (ts, user_id)
+    val out = p.linesIterator.find(_.startsWith("Output")).get
+    assert(out.startsWith("Output [2]"), s"expected 2-column scan: $out")
+  }
+
+  test("graph_kcore: every peel round is equi-semi-joins — no " +
+      "cartesian anywhere, lineage cut per round") {
+    val p = plan("graph_kcore")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "peel rounds must stay hash semi-joins")
+    // the final plan reads the round-3 checkpoint, not rounds 1–2
+    assert(p.contains("Scan ExistingRDD"),
+      "per-round localCheckpoint must truncate lineage")
+  }
+
   test("graph_jaccard_links: equi joins only, ranked head on " +
       "TakeOrderedAndProject") {
     val p = plan("graph_jaccard_links")

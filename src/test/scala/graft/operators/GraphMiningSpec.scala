@@ -280,6 +280,26 @@ class GraphMiningSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("jacc_milli") == 1000L))
   }
 
+  test("kcorePeel: K4 with a pendant chain — the chain peels away, " +
+      "the 3-core survives with exact degrees") {
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L))
+    val out = GraphMining.kcorePeel(edgesDf(g)).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("degree")).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kcorePeel: cascading removal — a node that only falls under " +
+      "the bound after round 1 is peeled in round 2") {
+    // node 5 has degree 3 (1, 2, 6) until the degree-1 node 6 is
+    // peeled in round 1; round 2 then drops 5, leaving the K4
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L), (2L, 5L), (5L, 6L))
+    val out = GraphMining.kcorePeel(edgesDf(g)).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("degree")).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("queries are deterministic across runs") {
     for ((name, q) <- GraphMining.queries) {
       val a = q(spark, sfDir).collect().map(_.toString).toSeq
