@@ -463,7 +463,41 @@ object CorpusQuality {
       .orderBy(col("doc_id"))
   }
 
+  val DsirSelectN = 100L // resampled corpus size
+
+  /** C35 `corpus_dsir_select` — the RESAMPLING half of DSIR (C34
+    * computes importance weights; selecting WITH them is a weighted
+    * sample without replacement, which naive threshold-cutting gets
+    * wrong — it just takes the most target-like docs and collapses
+    * diversity): Gumbel-top-k — add an independent Gumbel draw
+    * −ln(−ln u) to each log-weight and take the top
+    * [[DsirSelectN]] keys, which IS an exact weighted sample without
+    * replacement (the Gumbel-max trick). The uniform is the seeded
+    * md5-u16 draw (house no-RNG contract → reproducible, replayable);
+    * ranking uses the 6-dp-rounded key with doc_id tiebreak (the E1
+    * rank-stability rule) and the head lands on
+    * TakeOrderedAndProject — no global sort of the corpus. Weight
+    * base is the 4-dp ROUNDED C34 weight, so the float chain
+    * (rounded w + exact-input Gumbel) is bit-identical cross-engine.
+    */
+  def corpusDsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val u = (conv(substring(md5(concat(lit("g:"),
+      col("doc_id").cast("string")).cast("binary")), 1, 4), 16, 10)
+      .cast("double") + lit(0.5)) / lit(65536.0)
+    dsirWeights(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .withColumn("key",
+        col("dsir_logw") - log(-log(u)))
+      .orderBy(round(col("key"), 6).desc, col("doc_id"))
+      .limit(DsirSelectN.toInt)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("dsir_logw"), round(col("key"), 4).as("sel_key"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_dsir_select" -> (corpusDsirSelect _),
     "corpus_dsir" -> (corpusDsir _),
     "corpus_budget" -> (corpusBudget _),
     "quality_classifier" -> (qualityClassifier _),
@@ -493,35 +527,65 @@ object CorpusQuality {
        |      ' ' || replace($t.pr, ' ', '') || ' '), '  ', ' ')) AS seq
        |  FROM $in v CROSS JOIN $t)""".stripMargin
 
+  /** Shared DSIR CTE chain: per-doc weights in `w`. The 2-hex-digit
+    * md5 bucket replays via the strpos digit decode; smoothed counts
+    * are BIGINT so both engines feed ln identical doubles.
+    */
+  private val dsirCte: String =
+    s"""WITH t AS (SELECT doc_id, lang,
+       |    unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |b AS (SELECT doc_id, lang,
+       |    CAST((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1)
+       |      * 16
+       |      + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)
+       |      AS BIGINT) AS bkt
+       |  FROM t),
+       |s AS (SELECT bkt, CAST(count(*) AS BIGINT) AS c_all,
+       |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS c_en
+       |  FROM b GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c_all) AS BIGINT) AS t_all,
+       |    CAST(sum(c_en) AS BIGINT) AS t_en FROM s),
+       |r AS (SELECT bkt,
+       |    ln((c_en + 1) * (t_all + $DsirBuckets))
+       |      - ln((c_all + 1) * (t_en + $DsirBuckets)) AS llr
+       |  FROM s CROSS JOIN tot),
+       |w AS (SELECT b.doc_id, any_value(b.lang) AS lang,
+       |    CAST(count(*) AS BIGINT) AS n_tokens,
+       |    round(sum(r.llr), 4) AS dsir_logw
+       |  FROM b JOIN r USING (bkt)
+       |  GROUP BY b.doc_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    // corpus_dsir: the 2-hex-digit md5 bucket replays via the strpos
-    // digit decode; smoothed counts are BIGINT so both engines feed
-    // ln identical doubles
     "corpus_dsir" ->
-      s"""WITH t AS (SELECT doc_id, lang,
-         |    unnest(string_split_regex(trim(text), '\\s+')) AS tok
-         |  FROM documents),
-         |b AS (SELECT doc_id, lang,
-         |    CAST((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1)
-         |      * 16
-         |      + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)
-         |      AS BIGINT) AS bkt
-         |  FROM t),
-         |s AS (SELECT bkt, CAST(count(*) AS BIGINT) AS c_all,
-         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS c_en
-         |  FROM b GROUP BY 1),
-         |tot AS (SELECT CAST(sum(c_all) AS BIGINT) AS t_all,
-         |    CAST(sum(c_en) AS BIGINT) AS t_en FROM s),
-         |r AS (SELECT bkt,
-         |    ln((c_en + 1) * (t_all + $DsirBuckets))
-         |      - ln((c_all + 1) * (t_en + $DsirBuckets)) AS llr
-         |  FROM s CROSS JOIN tot)
-         |SELECT b.doc_id, any_value(b.lang) AS lang,
-         |  CAST(count(*) AS BIGINT) AS n_tokens,
-         |  round(sum(r.llr), 4) AS dsir_logw
-         |FROM b JOIN r USING (bkt)
-         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+      s"""$dsirCte
+         |SELECT doc_id, lang, n_tokens, dsir_logw
+         |FROM w ORDER BY doc_id""".stripMargin,
+    // corpus_dsir_select: the Gumbel draw rides the seeded u16 of
+    // 'g:'||doc_id, so −ln(−ln u) sees identical doubles both sides
+    "corpus_dsir_select" ->
+      s"""$dsirCte,
+         |sel AS (SELECT w.doc_id, w.lang, d.source, w.dsir_logw,
+         |    w.dsir_logw - ln(-ln(
+         |      (CAST((strpos('0123456789abcdef', substr(
+         |          md5('g:' || CAST(w.doc_id AS VARCHAR)), 1, 1)) - 1)
+         |        * 4096
+         |        + (strpos('0123456789abcdef', substr(
+         |          md5('g:' || CAST(w.doc_id AS VARCHAR)), 2, 1)) - 1)
+         |        * 256
+         |        + (strpos('0123456789abcdef', substr(
+         |          md5('g:' || CAST(w.doc_id AS VARCHAR)), 3, 1)) - 1)
+         |        * 16
+         |        + (strpos('0123456789abcdef', substr(
+         |          md5('g:' || CAST(w.doc_id AS VARCHAR)), 4, 1)) - 1)
+         |        AS DOUBLE) + 0.5) / 65536.0)) AS key
+         |  FROM w JOIN documents d USING (doc_id))
+         |SELECT doc_id, lang, source, dsir_logw,
+         |  round(key, 4) AS sel_key
+         |FROM (SELECT * FROM sel
+         |  ORDER BY round(key, 6) DESC, doc_id LIMIT $DsirSelectN)
+         |ORDER BY doc_id""".stripMargin,
     // corpus_budget: same temperature-share kernel as corpus_mix, same
     // md5 4-hex-digit draw decode as corpus_sample; the greedy cut is
     // an integer window cumsum so the boundary is engine-exact, and

@@ -485,6 +485,15 @@ class PlanSpec extends SparkSpec {
       "the token frame must never sort-merge")
   }
 
+  test("corpus_dsir_select: the weighted-sample head is a bounded " +
+      "top-k, never a global corpus sort") {
+    val p = plan("corpus_dsir_select")
+    assert(p.contains("TakeOrderedAndProject"),
+      "Gumbel-top-k must reduce via TakeOrderedAndProject")
+    assert(!p.contains("SortMergeJoin"),
+      "stats/source joins must stay broadcast")
+  }
+
   test("emb_knn_graph: the quadratic scoring pass runs once — the " +
       "mutuality join reads the checkpointed O(n·k) frame") {
     // mutualKnn checkpoints the directed top-k before the self-join,

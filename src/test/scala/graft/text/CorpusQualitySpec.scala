@@ -210,6 +210,42 @@ class CorpusQualitySpec extends SparkSpec {
     assert(out(1L)._2 > 0 && out(3L)._2 < 0)
   }
 
+  test("corpus_dsir_select: Gumbel-top-k replays locally from the C34 " +
+      "weights — the selected id set matches exactly") {
+    val weights = CorpusQuality.corpusDsir(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dsir_logw"))
+    def u16(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 8) | (d(1) & 0xffL)
+    }
+    val keys = weights.map { case (id, w) =>
+      val u = (u16(s"g:$id") + 0.5) / 65536.0
+      id -> (w - math.log(-math.log(u)))
+    }
+    val expect = keys.sortBy { case (id, k) =>
+      (-BigDecimal(k).setScale(6, BigDecimal.RoundingMode.HALF_UP), id)
+    }.take(CorpusQuality.DsirSelectN.toInt).map(_._1).toSet
+    val got = CorpusQuality.corpusDsirSelect(spark, sfDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(got == expect && got.size == CorpusQuality.DsirSelectN)
+  }
+
+  test("corpus_dsir_select: resampling shifts the mix toward the " +
+      "target slice without collapsing to it") {
+    val sel = CorpusQuality.corpusDsirSelect(spark, sfDir).collect()
+    val all = graft.Tables(spark, sfDir, "documents")
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enShareAll = all("en").toDouble / all.values.sum
+    val enShareSel = sel.count(_.getAs[String]("lang") == "en").toDouble /
+      sel.length
+    // target-likeness raises the en share; Gumbel noise keeps others
+    assert(enShareSel > enShareAll, s"$enShareSel !> $enShareAll")
+    assert(sel.exists(_.getAs[String]("lang") != "en"),
+      "weighted sampling must not degenerate to a hard top-w cut")
+  }
+
   test("corpus_dsir: sf corpus — English docs dominate the top of the " +
       "importance ranking and every doc gets a finite weight") {
     val rows = CorpusQuality.corpusDsir(spark, sfDir).collect()
