@@ -357,6 +357,51 @@ object Relational {
       .orderBy(col("user_id"), col("run_id"))
   }
 
+  val BitemporalValidLagUs = 14L * 86400L * 1000000L // Tv = max ts − 14 d
+
+  /** A42 `etl_bitemporal` — bitemporal correction report (the query
+    * A14's SCD2 history can't answer alone: SCD2 tracks VALID time —
+    * when a state was true; bitemporal adds TRANSACTION time — when
+    * the pipeline LEARNED it, and the operational question is "which
+    * as-of answers changed between two knowledge points because data
+    * arrived late"): with valid-time cutoff Tv = corpus max ts −
+    * 14 d and knowledge points Tx₁ = 40% of max event_id (arrival
+    * order, the A31 convention) vs Tx₂ = everything, report each
+    * user whose as-of-Tv state differs — 'late_insert' if the user
+    * was invisible at Tx₁, 'revision' if a late event changed the
+    * answer. ONE fact shuffle: both knowledge points resolve in the
+    * same per-user aggregate via a conditional `max(struct)` argmax
+    * (lexicographic on the unique (ts, event_id) — deterministic on
+    * both engines), with the Tv/Tx bounds a one-row broadcast (the
+    * q11 scalar pattern). At 100 TB this is the daily
+    * late-data-reconciliation pass, priced at one aggregation.
+    */
+  def etlBitemporal(spark: SparkSession, dir: String): DataFrame =
+    bitemporalCorrections(graft.Tables(spark, dir, "events"))
+
+  /** [[etlBitemporal]]'s kernel on any events frame. */
+  private[operators] def bitemporalCorrections(ev: DataFrame): DataFrame = {
+    val bounds = ev.agg(
+      (unix_micros(max(col("ts"))) - BitemporalValidLagUs).as("tv_us"),
+      expr("max(event_id) * 4 div 10").as("tx1"))
+    ev.crossJoin(broadcast(bounds))
+      .filter(unix_micros(col("ts")) <= col("tv_us"))
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("event_id") <= col("tx1"),
+          struct(col("ts"), col("event_id"), col("event_type")))).as("s1"),
+        max(struct(col("ts"), col("event_id"), col("event_type")))
+          .as("s2"))
+      .filter(col("s1").isNull ||
+        col("s1.event_type") =!= col("s2.event_type"))
+      .select(col("user_id"),
+        col("s1.event_type").as("type_known_t1"),
+        col("s2.event_type").as("type_known_t2"),
+        when(col("s1").isNull, "late_insert").otherwise("revision")
+          .as("correction"))
+      .orderBy(col("user_id"))
+  }
+
   /** `agg_salted_skew` — two-phase salted aggregation: the standard
     * counter to key skew. `event_type` has only 5 values, so a direct
     * groupBy lands all 10M+ rows-per-type on 5 reducers at scale; the
@@ -482,7 +527,8 @@ object Relational {
     "hll_overlap" -> (hllOverlap _),
     "unpivot_metrics" -> (unpivotMetrics _),
     "agg_grouping_sets" -> (aggGroupingSets _),
-    "etl_scd2" -> (etlScd2 _)
+    "etl_scd2" -> (etlScd2 _),
+    "etl_bitemporal" -> (etlBitemporal _)
   )
 
   /** Replays [[graft.functions.HllOps]] end-to-end in SQL over a
@@ -659,6 +705,31 @@ object Relational {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY o_orderstatus ASC NULLS FIRST,
         |  o_orderpriority ASC NULLS FIRST""".stripMargin,
+    // etl_bitemporal: both knowledge points replay as rounded
+    // row_number argmaxes over the same Tv-filtered log
+    "etl_bitemporal" ->
+      s"""WITH b AS (SELECT max(epoch_us(ts)) - $BitemporalValidLagUs
+         |      AS tv_us,
+         |    max(event_id) * 4 // 10 AS tx1 FROM events),
+         |e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+         |  FROM events CROSS JOIN b WHERE epoch_us(ts) <= b.tv_us),
+         |s2 AS (SELECT user_id, event_type FROM (
+         |    SELECT user_id, event_type, row_number() OVER (
+         |      PARTITION BY user_id ORDER BY us DESC, event_id DESC)
+         |      AS rn FROM e)
+         |  WHERE rn = 1),
+         |s1 AS (SELECT user_id, event_type FROM (
+         |    SELECT e.user_id, e.event_type, row_number() OVER (
+         |      PARTITION BY e.user_id ORDER BY e.us DESC, e.event_id DESC)
+         |      AS rn FROM e CROSS JOIN b WHERE e.event_id <= b.tx1)
+         |  WHERE rn = 1)
+         |SELECT s2.user_id, s1.event_type AS type_known_t1,
+         |  s2.event_type AS type_known_t2,
+         |  CASE WHEN s1.user_id IS NULL THEN 'late_insert'
+         |    ELSE 'revision' END AS correction
+         |FROM s2 LEFT JOIN s1 ON s1.user_id = s2.user_id
+         |WHERE s1.user_id IS NULL OR s1.event_type <> s2.event_type
+         |ORDER BY s2.user_id""".stripMargin,
     "etl_scd2" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id, event_type,

@@ -466,6 +466,20 @@ class PlanSpec extends SparkSpec {
       "per-round localCheckpoint must truncate lineage")
   }
 
+  test("etl_bitemporal: both knowledge points resolve in ONE fact " +
+      "aggregate; the only nested loop is the one-row bounds broadcast") {
+    val p = plan("etl_bitemporal")
+    val nBnlj = "\\((\\d+)\\) BroadcastNestedLoopJoin".r
+      .findAllMatchIn(p).map(_.group(1)).toSet.size
+    assert(nBnlj == 1, s"expected the scalar-bounds broadcast, got $nBnlj")
+    assert(!p.contains("SortMergeJoin"),
+      "the correction report must never shuffle-join")
+    // bounds agg + user agg + sort — never two fact passes
+    val nEx = "\\((\\d+)\\) Exchange".r
+      .findAllMatchIn(p).map(_.group(1)).toSet.size
+    assert(nEx <= 4, s"expected bounds/user/sort exchanges, got $nEx")
+  }
+
   test("graph_jaccard_links: equi joins only, ranked head on " +
       "TakeOrderedAndProject") {
     val p = plan("graph_jaccard_links")
