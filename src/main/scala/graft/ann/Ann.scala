@@ -162,7 +162,7 @@ object Ann {
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
-    val refined = refinedCentroids(spark, c, sampleThresh(c))
+    val refined = refinedCentroids(spark, c)
     val assigned = assignCells(c, refined)
     val probed = probeCells(queriesDf(spark, dir), refined)
     val cand = assigned.join(broadcast(probed), Seq("cell_id"))
@@ -192,18 +192,64 @@ object Ann {
           struct(round(col("c_cos"), 6).as("c"), (-col("cell_id")).as("t")))
           .as("cell_id"))
 
-  /** Collect the ≤[[TrainCap]] training sample ONCE and rebuild it as a
-    * driver-local frame. Training touches the sample many times — seed
-    * selection plus every Lloyd round — and each touch used to be its
-    * own filter-scan job over the corpus (for IVF-PQ, full-width
-    * aggregate passes over the persisted residual frame per round: the
-    * round-6 training-job storm). The sample is driver-sized BY
-    * CONSTRUCTION (≤ cap rows × dim floats ≈ tens of KB), so one
-    * collect turns every later touch into a LocalTableScan: at 100 TB
-    * the corpus is read once for the threshold count and once for the
-    * sample, never per training round.
+  /** Bottom-k guard width for the one-pass sample: the kept set is
+    * Binomial(n, ≈cap/n) with mean [[TrainCap]], so 8× the cap is an
+    * e^-1000-tail bound — but correctness never rides on it (see the
+    * fallback in [[trainSample]]).
     */
-  private[ann] def trainSample(spark: SparkSession, c: DataFrame,
+  private[ann] val TrainSafeK: Int = (8 * TrainCap).toInt
+
+  /** Collect the ≤[[TrainCap]] training sample in ONE corpus scan and
+    * rebuild it as a driver-local frame. The threshold rule needs n
+    * (rate ≈ cap/n) and the sample needs the threshold — naively two
+    * jobs (a count, then a filter-collect), each its own corpus-wide
+    * stage (the r7 `ann_ivf` hotspot). One treeAggregate pass computes
+    * BOTH: every partition keeps its row count plus a bounded heap of
+    * the [[TrainSafeK]] lexicographically-smallest (draw, vec_id)
+    * rows; the driver computes the threshold from the exact count and
+    * applies it to the merged heap. The kept set equals the two-job
+    * filter EXACTLY whenever it has < [[TrainSafeK]] rows: the heap
+    * then contains an un-kept row, so its max (draw, vec_id) ≥ thresh,
+    * and every row outside the heap has a draw at least that large —
+    * none of them could have passed the filter. On heap overflow (the
+    * e^-1000 tail) the code falls back to the exact two-job path
+    * rather than accept a possibly-truncated sample. Per-executor
+    * state is ≤ SafeK rows and the merge tree keeps the driver at
+    * O(SafeK) too, so at 100 TB the corpus is read ONCE for training,
+    * full stop; the sample itself is driver-sized BY CONSTRUCTION
+    * (≤ cap rows × dim floats ≈ tens of KB), so every later training
+    * touch — seeds plus each Lloyd round — is a LocalTableScan.
+    */
+  private[ann] def trainSample(spark: SparkSession, c: DataFrame): DataFrame = {
+    import spark.implicits._
+    val safeK = TrainSafeK
+    type Row3 = (Long, Long, Array[Float]) // (draw, vec_id, embedding)
+    val ord = Ordering.by[Row3, (Long, Long)](t => (t._1, t._2))
+    def push(pq: scala.collection.mutable.PriorityQueue[Row3],
+        r: Row3): Unit =
+      if (pq.size < safeK) pq.enqueue(r)
+      else if (ord.lt(r, pq.head)) { pq.dequeue(); pq.enqueue(r) }
+    type Acc = (Long, scala.collection.mutable.PriorityQueue[Row3])
+    val (n, pq) = c
+      .select(sampleDraw.as("draw"), col("vec_id"), col("embedding"))
+      .as[(Long, Long, Array[Float])].rdd
+      .treeAggregate[Acc](
+        (0L, scala.collection.mutable.PriorityQueue.empty[Row3](ord)))(
+        (acc: Acc, r: Row3) => { push(acc._2, r); (acc._1 + 1, acc._2) },
+        (a: Acc, b: Acc) => { b._2.foreach(push(a._2, _)); (a._1 + b._1, a._2) })
+    val thresh = math.floor(
+      math.min(1.0, TrainCap.toDouble / math.max(n, 1L)) * 65536).toLong
+    val kept = pq.toSeq.filter(_._1 < thresh)
+    if (kept.sizeIs >= safeK) trainSampleTwoJob(spark, c, sampleThresh(c))
+    else kept.map(t => (t._2, t._3)).sortBy(_._1)
+      .toDF("vec_id", "embedding")
+  }
+
+  /** Exact two-job fallback (count, then filter-collect) — only
+    * reachable when the one-pass heap overflows, which the tail bound
+    * above makes unobservable in practice.
+    */
+  private def trainSampleTwoJob(spark: SparkSession, c: DataFrame,
       thresh: Long): DataFrame = {
     import spark.implicits._
     val rows = c.filter(sampleDraw < thresh)
@@ -220,12 +266,13 @@ object Ann {
     * assigned to the trained centroids afterwards by the callers. The
     * centroid set is ≤ cap/31 × dim — driver-collectable and
     * broadcastable at ANY corpus size, which full-corpus seeding was
-    * not (n/31 centroids grow with n). `thresh` comes from
-    * [[sampleThresh]] on the un-repartitioned corpus.
+    * not (n/31 centroids grow with n). Callers pass the
+    * UN-repartitioned corpus so the one training scan has no shuffle
+    * in front of it.
     */
   private[ann] def refinedCentroids(spark: SparkSession,
-      c: DataFrame, thresh: Long): DataFrame =
-    refineLocal(spark, trainSample(spark, c, thresh))
+      c: DataFrame): DataFrame =
+    refineLocal(spark, trainSample(spark, c))
 
   /** Training body over an already-collected local sample (see
     * [[trainSample]]): the seed filter, the assignment cross join, and
@@ -261,7 +308,7 @@ object Ann {
     // train on the UN-spread corpus: the threshold count and the sample
     // collect then run straight off the scan with no shuffle in front
     val cUn = corpus(spark, dir)
-    val refined = refinedCentroids(spark, cUn, sampleThresh(cUn))
+    val refined = refinedCentroids(spark, cUn)
     val enc = assignCells(c, refined)
       .join(broadcast(refined), Seq("cell_id"))
       .withColumn("nrm", sqrt(dotF(col("embedding"), col("embedding"))))
@@ -496,7 +543,7 @@ object Ann {
     * vector, which is the shape a 100 TB index build needs.
     */
   private[ann] def pqCodebook(spark: SparkSession, c: DataFrame): DataFrame =
-    pqTrainLocal(spark, trainSample(spark, c, sampleThresh(c)))
+    pqTrainLocal(spark, trainSample(spark, c))
 
   /** Training body over an already-collected local sample (see
     * [[trainSample]]): seeds are the first [[PqK]] sample rows by
@@ -546,7 +593,7 @@ object Ann {
     // the corpus subvector frame is consumed exactly once (encoding),
     // so it no longer needs a persist
     val cUn = corpus(spark, dir)
-    val cb = pqTrainLocal(spark, trainSample(spark, cUn, sampleThresh(cUn)))
+    val cb = pqTrainLocal(spark, trainSample(spark, cUn))
     val c = corpus(spark, dir, spread = true)
     val sv = subvecFrame(c, "embedding", "vec_id")
     val enc = assignCodes(sv, cb)
@@ -639,7 +686,7 @@ object Ann {
     val cUn = corpus(spark, dir)
     val perm = balancedPerm(cUn)
     def permute(c: Column): Column = array(perm.map(d => c.getItem(d)): _*)
-    val sample = trainSample(spark, cUn, sampleThresh(cUn))
+    val sample = trainSample(spark, cUn)
       .select(col("vec_id"), permute(col("embedding")).as("embedding"))
     val cb = pqTrainLocal(spark, sample)
     val c = corpus(spark, dir, spread = true)
@@ -699,14 +746,13 @@ object Ann {
     */
   def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
-    val th = sampleThresh(c)
     // ONE sample collect feeds BOTH trainings: IVF centroid refinement
     // and — after a local assign + center against the refined centroids
     // (LocalTableScan jobs, identical per-row math to the corpus-wide
     // assignment) — the residual PQ codebook. The corpus itself is
-    // scanned once for the threshold count, once for the sample, and
+    // scanned once for training (count + sample in the same pass) and
     // once for assignment/encoding.
-    val sample = trainSample(spark, c, th)
+    val sample = trainSample(spark, c)
     val refined = refineLocal(spark, sample)
     val resSample = assignCells(sample, refined)
       .join(broadcast(refined), Seq("cell_id"))
@@ -770,7 +816,7 @@ object Ann {
     */
   def embKmeans(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
-    val cents = refinedCentroids(spark, c, sampleThresh(c))
+    val cents = refinedCentroids(spark, c)
     assignCells(c, cents)
       .join(broadcast(cents), Seq("cell_id"))
       .withColumn("cos", cosineSim(col("embedding"), col("c_emb")))
@@ -934,7 +980,7 @@ object Ann {
     */
   def embClusterSample(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
-    val cents = refinedCentroids(spark, c, sampleThresh(c))
+    val cents = refinedCentroids(spark, c)
     val k = math.max(cents.count(), 1L)
     val target = ClusterSampleBudget / k
     val assigned = assignCells(c, cents)
@@ -987,7 +1033,7 @@ object Ann {
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val c = corpus(spark, dir)
-    val cents = refinedCentroids(spark, c, sampleThresh(c))
+    val cents = refinedCentroids(spark, c)
     val asg = assignCells(c, cents)
       .withColumn("nrm", sqrt(dotF(col("embedding"), col("embedding"))))
       .persist(MEMORY_AND_DISK)
@@ -1064,7 +1110,7 @@ object Ann {
     */
   def embOutliers(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
-    val cents = refinedCentroids(spark, c, sampleThresh(c))
+    val cents = refinedCentroids(spark, c)
     val assigned = assignCells(c, cents)
       .join(broadcast(cents), Seq("cell_id"))
       .withColumn("cos", cosineSim(col("embedding"), col("c_emb")))
@@ -1172,7 +1218,7 @@ object Ann {
     * ceiling 8 / 0.05). Mirrors [[refinedCentroids]]/[[assignCells]]/
     * [[probeCells]] including the [[TrainCap]] sample bound.
     */
-  private val ivfOracleCommon: String =
+  private[ann] val ivfOracleCommon: String =
     s"""WITH $smpCte,
        |seeds AS (SELECT vec_id AS cell_id, embedding AS c_emb
        |  FROM smp WHERE vec_id % $IvfSeedMod = 0),

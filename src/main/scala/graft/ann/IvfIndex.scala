@@ -46,7 +46,7 @@ object IvfIndex {
   def build(spark: SparkSession, dir: String, root: String): Unit = {
     val c = graft.Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    val cents = Ann.refinedCentroids(spark, c, Ann.sampleThresh(c))
+    val cents = Ann.refinedCentroids(spark, c)
     cents.coalesce(1).write.mode("overwrite").parquet(centroidsDir(root))
     Ann.assignCells(c, cents)
       .select(col("cell_id"), col("vec_id"), col("embedding"))

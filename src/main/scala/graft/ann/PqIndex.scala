@@ -42,8 +42,7 @@ object PqIndex {
   def build(spark: SparkSession, dir: String, root: String): Unit = {
     val c = graft.Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    val th = Ann.sampleThresh(c)
-    val sample = Ann.trainSample(spark, c, th)
+    val sample = Ann.trainSample(spark, c)
     val refined = Ann.refineLocal(spark, sample)
     val resSample = residual(
       Ann.assignCells(sample, refined).join(broadcast(refined), Seq("cell_id")))

@@ -197,7 +197,12 @@ object Dedup {
     * `bit_count(a ^ b)` in codegen.
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    // spread the single-split scan BEFORE signature compute + chunk
+    // posexplode so both Generate passes run on every core (round-4
+    // rule); the two self-join sides share the exchange via
+    // ReusedExchange, so the corpus is still hashed exactly once.
     val sig = Tables(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         simhash64(TextOps.tokens(col("text"))).as("sig"))
     val chunks = sig.select(col("doc_id"), col("sig"),

@@ -748,10 +748,19 @@ object Analytic {
     * trend = centered 7-day moving average (null on the 3-day edges —
     * a partial window is a biased trend, so it's reported as missing,
     * not faked), seasonal = per-weekday mean of the detrended series,
-    * residual = observed − trend − seasonal. Everything windows over
-    * the O(types × days) DAILY frame — the B31 rule: collapse the
-    * stream first, decompose the tiny series after, so the pattern
-    * costs one map-side-combined shuffle at any event volume. Exact
+    * residual = observed − trend − seasonal. A "full" window needs
+    * BOTH cnt7 == 7 and a 6-day calendar span — on a series with
+    * missing days a 7-ROW frame can straddle more than 7 days, which
+    * silently breaks the weekday-cancellation premise the seasonal
+    * estimate rests on (and both engines would agree on the biased
+    * number, so only the guard catches it). Days whose weekday never
+    * appears in any full window (series shorter than ~10 days per
+    * type) are still REPORTED — the seasonal join is left-outer, so
+    * they carry null seasonal/resid instead of vanishing. Everything
+    * windows over the O(types × days) DAILY frame — the B31 rule:
+    * collapse the stream first, decompose the tiny series after, so
+    * the pattern costs one map-side-combined shuffle at any event
+    * volume. Exact
     * cross-engine: cents are integer, the centered sum and the
     * detrended values 7·c − Σ₇ are pure BIGINT (no float mean enters
     * the pipeline until the final reported divisions, which both
@@ -772,20 +781,24 @@ object Analytic {
     val w = daily
       .withColumn("sum7", sum(col("cents")).over(w7))
       .withColumn("cnt7", count(lit(1)).over(w7))
+      // integer-exact gap guard: 7 rows AND a 6-day span, else the
+      // frame silently covers >7 calendar days on a gappy series
+      .withColumn("full7", col("cnt7") === 7 &&
+        datediff(max(col("day")).over(w7), min(col("day")).over(w7)) === 6)
       .withColumn("dow", expr("weekday(day) + 1"))
-    val seas = w.filter(col("cnt7") === 7)
+    val seas = w.filter(col("full7"))
       .select(col("event_type"), col("dow"),
         (lit(7) * col("cents") - col("sum7")).as("d7"))
       .groupBy(col("event_type"), col("dow"))
       .agg(sum(col("d7")).as("s_sum"), count(lit(1)).as("s_n"))
-    w.join(broadcast(seas), Seq("event_type", "dow"))
+    w.join(broadcast(seas), Seq("event_type", "dow"), "left")
       .withColumn("trend",
-        when(col("cnt7") === 7, round(col("sum7") / 700.0, 4)))
+        when(col("full7"), round(col("sum7") / 700.0, 4)))
       .withColumn("seasonal",
         round(col("s_sum") / (col("s_n") * lit(700.0)), 4))
       .select(col("event_type"), col("day"), col("dow"),
         (col("cents") / 100.0).as("rev"), col("trend"), col("seasonal"),
-        when(col("cnt7") === 7,
+        when(col("full7"),
           round(col("cents") / 100.0 - col("trend") - col("seasonal"), 4))
           .as("resid"))
       .orderBy(col("event_type"), col("day"))
@@ -868,21 +881,23 @@ object Analytic {
         |    CAST(round(sum(value) * 100, 0) AS BIGINT) AS cents
         |  FROM events GROUP BY 1, 2),
         |w AS (SELECT *, sum(cents) OVER f AS sum7, count(*) OVER f AS cnt7,
+        |    (count(*) OVER f = 7 AND date_diff('day',
+        |      min(day) OVER f, max(day) OVER f) = 6) AS full7,
         |    isodow(day) AS dow
         |  FROM daily WINDOW f AS (PARTITION BY event_type ORDER BY day
         |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
         |seas AS (SELECT event_type, dow,
         |    CAST(sum(7 * cents - sum7) AS BIGINT) AS s_sum,
         |    count(*) AS s_n
-        |  FROM w WHERE cnt7 = 7 GROUP BY 1, 2)
+        |  FROM w WHERE full7 GROUP BY 1, 2)
         |SELECT w.event_type, w.day, CAST(w.dow AS INT) AS dow,
         |  w.cents / 100.0 AS rev,
-        |  CASE WHEN w.cnt7 = 7 THEN round(w.sum7 / 700.0, 4) END AS trend,
+        |  CASE WHEN w.full7 THEN round(w.sum7 / 700.0, 4) END AS trend,
         |  round(s.s_sum / (s.s_n * 700.0), 4) AS seasonal,
-        |  CASE WHEN w.cnt7 = 7 THEN round(w.cents / 100.0
+        |  CASE WHEN w.full7 THEN round(w.cents / 100.0
         |    - round(w.sum7 / 700.0, 4)
         |    - round(s.s_sum / (s.s_n * 700.0), 4), 4) END AS resid
-        |FROM w JOIN seas s ON s.event_type = w.event_type
+        |FROM w LEFT JOIN seas s ON s.event_type = w.event_type
         |  AND s.dow = w.dow
         |ORDER BY w.event_type, w.day""".stripMargin,
     "orders_open_by_day" ->

@@ -278,6 +278,16 @@ object EventOps {
         round(max(col("n")) / avg(col("n")), 4).as("skew_factor"))
 
   val AttributionHorizonUs = 7L * 86400L * 1000000L // 7-day lookback
+  // attributionDecay's dyadic weight 1/shiftleft(1L, wholeDays) is only
+  // well-defined while the shift exponent fits a signed 64-bit value:
+  // past 62 whole days the shift silently overflows on BOTH engines and
+  // the weights become garbage. The horizon constant is the sole bound
+  // on the exponent (the window frame clips touch age to the horizon),
+  // so pin the invariant here instead of clamping inside the hot
+  // expression — raising the horizon past 62 days must fail loudly at
+  // class-init, not ship wrong numbers.
+  require(AttributionHorizonUs / 86400000000L <= 62L,
+    "attribution decay weights overflow BIGINT past a 62-day horizon")
 
   /** B75 `events_attribution` — last-touch conversion attribution (the
     * marketing-analytics staple the funnel/as-of family stops short

@@ -370,11 +370,17 @@ object GraphMining {
     * [[JaccDegCap]]: centers above the cap contribute no wedges (a
     * hub shared by everyone carries no similarity signal anyway —
     * the same df-cap rule the D2 shingle index runs with, and the
-    * knob that keeps the pair fan-out linear-ish at 100 TB). Degrees
-    * in the Jaccard use the FULL graph, so the cap only thins
-    * candidate generation, never inflates a score. Scores ship as
-    * exact floor-division milli-Jaccard; adjacency is removed with a
-    * LEFT ANTI equi join against the canonical edge list.
+    * knob that keeps the pair fan-out linear-ish at 100 TB). The cap
+    * thins CANDIDATE GENERATION only: surviving pairs get their
+    * intersection recounted exactly against the UNCAPPED neighbor
+    * lists (D2's generate-capped / verify-exact pattern), so both
+    * n_common and the score count capped hubs — the one approximation
+    * left is recall (a pair whose ONLY shared neighbors are capped
+    * hubs is never generated; a hub shared by everyone carries no
+    * similarity signal anyway). Degrees in the Jaccard use the FULL
+    * graph too. Scores ship as exact floor-division milli-Jaccard;
+    * adjacency is removed with a LEFT ANTI equi join against the
+    * canonical edge list.
     */
   private[operators] def jaccardLinks(edges0: DataFrame): DataFrame = {
     val edges = edges0.localCheckpoint() // feeds sym twice + the anti join
@@ -382,11 +388,22 @@ object GraphMining {
       .union(edges.select(col("v").as("node"), col("u").as("nbr")))
     val deg = sym.groupBy(col("node")).agg(count(lit(1)).as("d"))
     val ctr = sym.join(deg.filter(col("d") <= JaccDegCap), "node")
-    val cand = ctr.as("x").join(ctr.as("y"),
+    val candPairs = ctr.as("x").join(ctr.as("y"),
         col("x.node") === col("y.node") && col("x.nbr") < col("y.nbr"))
       .groupBy(col("x.nbr").as("u"), col("y.nbr").as("v"))
-      .agg(count(lit(1)).as("n_common"))
+      .agg(count(lit(1)).as("n_capped"))
       .join(edges, Seq("u", "v"), "left_anti")
+      .select(col("u"), col("v"))
+    // exact intersection recount over the bounded survivor set: fan
+    // each pair out on u's full neighbor list, equi-join it against
+    // v's on the shared neighbor — both joins shuffle on plain keys,
+    // nothing is broadcast or crossed
+    val cand = candPairs
+      .join(sym.select(col("node").as("u"), col("nbr").as("w")), "u")
+      .join(sym.select(col("node").as("v"), col("nbr").as("w")),
+        Seq("v", "w"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("n_common"))
     cand
       .join(deg.select(col("node").as("u"), col("d").as("deg_u")), "u")
       .join(deg.select(col("node").as("v"), col("d").as("deg_v")), "v")
@@ -503,11 +520,14 @@ object GraphMining {
          |deg AS (SELECT node, count(*) AS d FROM sym GROUP BY 1),
          |ctr AS (SELECT s.node, s.nbr FROM sym s
          |  JOIN deg ON deg.node = s.node WHERE deg.d <= $JaccDegCap),
-         |cand AS (SELECT x.nbr AS u, y.nbr AS v, count(*) AS n_common
-         |  FROM ctr x JOIN ctr y ON x.node = y.node AND x.nbr < y.nbr
-         |  GROUP BY 1, 2),
-         |nc AS (SELECT c.* FROM cand c WHERE NOT EXISTS (
-         |  SELECT 1 FROM e WHERE e.u = c.u AND e.v = c.v))
+         |cand AS (SELECT DISTINCT x.nbr AS u, y.nbr AS v
+         |  FROM ctr x JOIN ctr y ON x.node = y.node AND x.nbr < y.nbr),
+         |nc0 AS (SELECT c.* FROM cand c WHERE NOT EXISTS (
+         |  SELECT 1 FROM e WHERE e.u = c.u AND e.v = c.v)),
+         |nc AS (SELECT n.u, n.v, count(*) AS n_common
+         |  FROM nc0 n JOIN sym su ON su.node = n.u
+         |  JOIN sym sv ON sv.node = n.v AND sv.nbr = su.nbr
+         |  GROUP BY 1, 2)
          |SELECT nc.u, nc.v, nc.n_common, da.d AS deg_u, db.d AS deg_v,
          |  CAST(nc.n_common * 1000
          |    // (da.d + db.d - nc.n_common) AS BIGINT) AS jacc_milli

@@ -107,7 +107,13 @@ object CorpusQuality {
     * log/mean, guarded by the 4-dp round.
     */
   def textBigramLm(spark: SparkSession, dir: String): DataFrame = {
+    // single-file corpus arrives as one scan split; spread BEFORE the
+    // exploded transition passes so the three Generate stages (model
+    // counts + per-doc counts) run on every core, not one — the same
+    // trade as heavy_hitters / text_tfidf. Both exploded subtrees hang
+    // off the SAME exchange, so ReusedExchange keeps it to one scan.
     val docs = Tables(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("w", toks)
       .filter(size(col("w")) >= 2)
     val trans = docs
@@ -122,6 +128,7 @@ object CorpusQuality {
     val prevCounts = bgCounts.groupBy(col("prev"))
       .agg(sum(col("c_bg")).as("c_prev"))
     val vocabSize = Tables(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(explode(toks).as("tok")).agg(
         countDistinct(col("tok")).as("v"))
     val perDoc = trans.groupBy(col("doc_id"), col("bg"))

@@ -65,4 +65,58 @@ class KnnGraphSpec extends SparkSpec {
         r.getAs[Int]("rank_uv"), r.getAs[Int]("rank_vu"))).toSet
     assert(got == expect && got.nonEmpty)
   }
+
+  test("emb_knn_graph_ivf: degenerate single-cell corpus collapses to " +
+      "the exact arm (cell restriction removes nothing)") {
+    import spark.implicits._
+    // ids 0..5 → seeds = {0} → one cell → candidates are all-pairs,
+    // so the IVF graph must equal the exact graph edge-for-edge
+    val vecs = (0 until 3).map(i =>
+      (i.toLong, Array(1.0f, 0.001f * i, 0f))) ++
+      (3 until 6).map(i => (i.toLong, Array(0f, 0f, 1.0f + 0.001f * i)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val exact = KnnGraph.mutualKnn(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    val ivf = KnnGraph.mutualKnnIvf(spark, df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    assert(ivf == exact && ivf.nonEmpty)
+  }
+
+  test("emb_knn_graph_ivf: recall vs the exact graph on the sf corpus") {
+    def edges(name: String): Set[(Long, Long)] =
+      graft.SparkEntry.queries(name)(spark, sfDir).collect()
+        .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"))).toSet
+    val exact = edges("emb_knn_graph")
+    val ivf = edges("emb_knn_graph_ivf")
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(exact.nonEmpty && ivf.nonEmpty)
+    assert(recall >= 0.7, s"IVF kNN-graph recall $recall < 0.7 " +
+      s"(exact=${exact.size}, ivf=${ivf.size})")
+  }
+
+  test("emb_knn_graph_ivf: scoring plan is cell-restricted — nothing " +
+      "corpus-derived is nested-loop-broadcast, no cartesian product") {
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution.LocalTableScanExec
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val plan = KnnGraph.ivfScored(spark,
+      graft.Tables(spark, sfDir, "embeddings")).queryExecution.sparkPlan
+    val bnljs = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+    // the centroid crossJoins ARE BNLJ — but their broadcast side must
+    // be the driver-local trained centroid set, never a corpus scan
+    assert(bnljs.nonEmpty)
+    bnljs.foreach { j =>
+      val build = j.buildSide match {
+        case BuildLeft => j.left
+        case BuildRight => j.right
+      }
+      val leaves = build.collectLeaves()
+      assert(leaves.nonEmpty && leaves.forall(_.isInstanceOf[LocalTableScanExec]),
+        s"corpus-sized broadcast side in BNLJ:\n$build")
+    }
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
+  }
 }

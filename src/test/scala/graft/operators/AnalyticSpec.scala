@@ -336,6 +336,44 @@ class AnalyticSpec extends SparkSpec {
     }
   }
 
+  test("ts_seasonal: gap guard + left join — windows straddling a " +
+      "missing day report null trend, and days whose weekday has no " +
+      "full window keep their rows with null seasonal") {
+    import spark.implicits._
+    val base = 1704067200000L // Monday 2024-01-01
+    // type g: 15 consecutive days with the 8th (d=7) missing; a 7-ROW
+    // frame that straddles the hole spans >6 calendar days
+    val gRows = (0 until 15).filterNot(_ == 7).map { d =>
+      ("g", new java.sql.Timestamp(base + d * 86400000L), 7.0)
+    }
+    // type s: 3 days only — no full window exists anywhere
+    val sRows = (0 until 3).map { d =>
+      ("s", new java.sql.Timestamp(base + d * 86400000L), 5.0)
+    }
+    val out = Analytic.seasonalDecompose(
+      (gRows ++ sRows).toDF("event_type", "ts", "value")).collect()
+    val g = out.filter(_.getAs[String]("event_type") == "g")
+      .sortBy(_.getAs[java.sql.Date]("day").getTime)
+    assert(g.length == 14) // nothing dropped by the seasonal join
+    // the only 7-row frames with a 6-day span sit entirely on one side
+    // of the hole: centered on day 3 (dow 4) and day 11 (dow 5)
+    val trendDays = g.filter(!_.isNullAt(g.head.fieldIndex("trend")))
+      .map(_.getAs[Int]("dow")).toSeq
+    assert(trendDays == Seq(4, 5))
+    g.foreach { r =>
+      if (Set(4, 5)(r.getAs[Int]("dow")))
+        assert(r.getAs[Double]("seasonal") == 0.0) // flat series
+      else
+        assert(r.isNullAt(r.fieldIndex("seasonal")),
+          s"dow ${r.getAs[Int]("dow")} must carry null seasonal")
+    }
+    val s = out.filter(_.getAs[String]("event_type") == "s")
+    assert(s.length == 3)
+    assert(s.forall(r => r.isNullAt(r.fieldIndex("trend")) &&
+      r.isNullAt(r.fieldIndex("seasonal")) &&
+      r.isNullAt(r.fieldIndex("resid"))))
+  }
+
   test("ts_seasonal: sf tables — every weekday gets one effect per type " +
       "and the decomposition reconstructs the observed series") {
     val rows = Analytic.tsSeasonal(spark, sfDir).collect()

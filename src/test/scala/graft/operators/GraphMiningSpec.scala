@@ -280,6 +280,23 @@ class GraphMiningSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("jacc_milli") == 1000L))
   }
 
+  test("jaccardLinks: capped hub shared by a surviving pair still " +
+      "counts in the exact n_common recount") {
+    // hub 100 has cap+1 leaves (capped out of wedge generation), but
+    // leaves 1 and 2 also share low-degree neighbor 200 — the wedge at
+    // 200 generates the (1,2) candidate, and the exact recount must
+    // include the hub: n_common = 2 (hub + 200), J = 2/(2+2−2) = 1.
+    // The capped-count version would report n_common = 1, J = 1/3.
+    val leaves = (1L to (GraphMining.JaccDegCap + 1L))
+    val g = leaves.map(l => (l, 100L)) ++ Seq((1L, 200L), (2L, 200L))
+    val out = GraphMining.jaccardLinks(edgesDf(g)).collect()
+    val r = out.find(r => r.getAs[Long]("u") == 1L &&
+      r.getAs[Long]("v") == 2L).get
+    assert(r.getAs[Long]("n_common") == 2L)
+    assert((r.getAs[Long]("deg_u"), r.getAs[Long]("deg_v")) == (2L, 2L))
+    assert(r.getAs[Long]("jacc_milli") == 1000L)
+  }
+
   test("kcorePeel: K4 with a pendant chain — the chain peels away, " +
       "the 3-core survives with exact degrees") {
     val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
