@@ -26,6 +26,7 @@ object SparkEntry {
       dedup.DedupEval.queries ++
       ann.Ann.queries ++
       ann.KnnGraph.queries ++
+      ann.AnnOpq.queries ++
       ann.IvfIndex.queries ++
       ann.PqIndex.queries ++
       ann.AnnEval.queries ++
@@ -55,6 +56,7 @@ object SparkEntry {
       dedup.DedupEval.oracle ++
       ann.Ann.oracle ++
       ann.KnnGraph.oracle ++
+      ann.AnnOpq.oracle ++
       ann.IvfIndex.oracle ++
       ann.PqIndex.oracle ++
       ann.AnnEval.oracle ++

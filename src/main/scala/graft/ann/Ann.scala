@@ -30,7 +30,7 @@ object Ann {
     * parallelism returns). On a multi-file 100 TB corpus the scan
     * itself provides the splits.
     */
-  private def corpus(spark: SparkSession, dir: String,
+  private[ann] def corpus(spark: SparkSession, dir: String,
       spread: Boolean = false): DataFrame = {
     val c = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
@@ -1175,7 +1175,7 @@ object Ann {
     * lowercase hex in both engines — same kernel as the corpus_sample
     * oracle) against ⌊min(1, cap/n)·65536⌋.
     */
-  private val smpCte: String =
+  private[ann] val smpCte: String =
     s"""smp AS (SELECT * FROM embeddings
        |  WHERE CAST((strpos('0123456789abcdef',
        |        substr(md5(CAST(vec_id AS VARCHAR)),1,1)) - 1) * 4096
@@ -1194,7 +1194,7 @@ object Ann {
     * then per-(sub, code) component means cast to REAL — mirrors one
     * sample-bounded `pqTrain` pass.
     */
-  private def pqLloydOracle(cb: String, out: String,
+  private[ann] def pqLloydOracle(cb: String, out: String,
       svt: String = "svt"): String =
     s"""a_$out AS (SELECT sv.vec_id, sv.sub, sv.sv, cb.code, row_number()
        |    OVER (PARTITION BY sv.vec_id, sv.sub
@@ -1279,7 +1279,7 @@ object Ann {
       .stripMargin
   }.mkString("\n")
 
-  private val topKOracleTail: String =
+  private[ann] val topKOracleTail: String =
     """ranked AS (SELECT q_id, vec_id, cos, row_number() OVER (
       |    PARTITION BY q_id ORDER BY round(cos, 6) DESC, vec_id) AS rank
       |  FROM scored)

@@ -90,6 +90,38 @@ case class DotI(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `mat_vec_f(array<float>) -> array<float>` — dense matrix-vector
+  * product against a plan-baked rotation matrix (flat row-major
+  * outDim × inDim doubles): the E28 OPQ rotation apply. Per output
+  * component the kernel is an index-ordered double dot then a float
+  * cast, so the DuckDB replay (`list_dot_product` + REAL cast) is
+  * bit-identical; `doGenCode` ships the matrix as a codegen reference
+  * object and the whole apply stays one static call inside
+  * whole-stage codegen.
+  */
+case class MatVecF(child: Expression, m: Array[Double], outDim: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.checkTypes(prettyName, Seq(child),
+      { case ArrayType(FloatType, _) => true })
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "mat_vec_f"
+
+  override def nullSafeEval(v: Any): Any =
+    VecOps.matVecF(v.asInstanceOf[ArrayData], m, outDim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("rotm", m, "double[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.VecOps.matVecF($v, $mRef, $outDim);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MatVecF =
+    copy(child = newChild)
+}
+
 /** H3 `minhash_sig(array<string>, k) -> array<long>` — one-pass k-perm
   * MinHash signature.
   */
@@ -295,6 +327,8 @@ object GraftFunctions {
     column(DotF(expression(a), expression(b)))
   def dotI(a: Column, b: Column): Column =
     column(DotI(expression(a), expression(b)))
+  def matVecF(a: Column, m: Array[Double], outDim: Int): Column =
+    column(MatVecF(expression(a), m, outDim))
   def minhashSig(a: Column, k: Int): Column =
     column(MinHashSig(expression(a), k))
   def simhash64(a: Column): Column = column(SimHash64(expression(a)))

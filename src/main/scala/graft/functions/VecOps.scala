@@ -41,6 +41,28 @@ object VecOps {
     dot
   }
 
+  /** y = Rᵀx: a float vector against a flat row-major (outDim × inDim)
+    * double matrix. Per output component: index-ordered double
+    * accumulation from 0.0, then a float cast — exactly the
+    * `CAST(list_dot_product(CAST(x AS DOUBLE[]), col_j) AS REAL)`
+    * shape the oracle replays, one tight loop per row instead of a
+    * 4096-node expression tree.
+    */
+  def matVecF(x: ArrayData, m: Array[Double], outDim: Int): ArrayData = {
+    val n = x.numElements()
+    val out = new Array[Any](outDim)
+    var j = 0
+    while (j < outDim) {
+      var acc = 0.0
+      val base = j * n
+      var i = 0
+      while (i < n) { acc += x.getFloat(i).toDouble * m(base + i); i += 1 }
+      out(j) = acc.toFloat
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Integer dot product of two int vectors (quantized embeddings). */
   def dotI(x: ArrayData, y: ArrayData): Long = {
     val n = math.min(x.numElements(), y.numElements())
