@@ -444,9 +444,22 @@ object GraphMining {
     * round (the D6 iterative-propagation rule) so round N's plan
     * never replays rounds 1..N−1.
     */
-  private[operators] def kcorePeel(edges0: DataFrame): DataFrame = {
+  /** Peel up to `maxRounds` with EARLY-STOP: a round that removes no
+    * edge proves convergence (peeling is monotone — if nothing fell
+    * this round, nothing ever will), so later rounds are skipped.
+    * Returns (surviving edges, rounds actually run, converged). The
+    * per-round edge count is a cheap scan of the just-checkpointed
+    * RDD, and it turns the fixed-R "superset of the true k-core"
+    * caveat into checkable data: converged == true means the result
+    * IS the k-core, not an over-approximation.
+    */
+  private[operators] def kcorePeelRounds(edges0: DataFrame,
+      maxRounds: Int): (DataFrame, Int, Boolean) = {
     var edges = edges0.localCheckpoint()
-    for (_ <- 1 to KcoreRounds) {
+    var prev = edges.count()
+    var rounds = 0
+    var converged = prev == 0L
+    while (rounds < maxRounds && !converged) {
       val deg = edges
         .select(explode(array(col("u"), col("v"))).as("node"))
         .groupBy(col("node")).agg(count(lit(1)).as("d"))
@@ -455,10 +468,34 @@ object GraphMining {
         .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
         .localCheckpoint()
+      rounds += 1
+      val n = edges.count()
+      converged = n == prev
+      prev = n
     }
+    (edges, rounds, converged)
+  }
+
+  private def kcoreDegrees(edges: DataFrame): DataFrame =
     edges
       .select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+
+  private[operators] def kcorePeel(edges0: DataFrame): DataFrame =
+    kcoreDegrees(kcorePeelRounds(edges0, KcoreRounds)._1)
+
+  /** Run-to-convergence option: peel until a round removes nothing
+    * (capped by a generous safety bound so a pathological graph can't
+    * spin). Returns (k-core degrees, rounds run, converged) — with
+    * converged true the degrees are the EXACT k-core. The oracled
+    * `graph_kcore` key keeps the fixed-[[KcoreRounds]] contract (its
+    * DuckDB unroll is bounded); this is the production arm for graphs
+    * whose peel cascades deeper than R.
+    */
+  private[operators] def kcoreConverged(edges0: DataFrame,
+      cap: Int = 1000): (DataFrame, Int, Boolean) = {
+    val (e, r, c) = kcorePeelRounds(edges0, cap)
+    (kcoreDegrees(e), r, c)
   }
 
   /** B85 `graph_kcore` — the [[KcoreK]]-core survivors of the part

@@ -297,6 +297,42 @@ class GraphMiningSpec extends SparkSpec {
     assert(r.getAs[Long]("jacc_milli") == 1000L)
   }
 
+  test("kcoreConverged: a squared-path fuse cascades one node per " +
+      "round — convergence needs >3 rounds and the fixed-R result is " +
+      "a strict superset") {
+    // K5 core {c1..c5} + squared path w1-w5 (w_i ~ w_{i+1}, w_{i+2})
+    // fused into it: each peel round removes exactly the current chain
+    // end, so the true 3-core (the K5) takes 5 effective rounds + 1
+    // no-change round to prove convergence
+    val c = Seq(101L, 102L, 103L, 104L, 105L)
+    val k5 = for { i <- c.indices; j <- i + 1 until c.size }
+      yield (c(i), c(j))
+    val chain = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 5L), (4L, 5L), (4L, 101L), (5L, 101L), (5L, 102L))
+    val g = edgesDf(k5 ++ chain)
+    val (core, rounds, converged) = GraphMining.kcoreConverged(g)
+    assert(converged)
+    assert(rounds == 6, s"expected 5 peel rounds + 1 proof round, got $rounds")
+    val coreMap = core.collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("degree")).toMap
+    assert(coreMap == c.map(_ -> 4L).toMap)
+    // the fixed-R key is a documented SUPERSET on this graph: after 3
+    // rounds w4/w5 still stand (their supports fell later)
+    val fixed = GraphMining.kcorePeel(g).collect()
+      .map(_.getAs[Long]("node")).toSet
+    assert(coreMap.keySet.subsetOf(fixed) && fixed.size > coreMap.size,
+      s"fixed-R should over-approximate here: $fixed")
+  }
+
+  test("kcoreConverged: an already-converged graph early-stops after " +
+      "one proof round, not the cap") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L))
+    val (core, rounds, converged) = GraphMining.kcoreConverged(edgesDf(k4))
+    assert(converged && rounds == 1)
+    assert(core.collect().map(_.getAs[Long]("degree")).forall(_ == 3L))
+  }
+
   test("kcorePeel: K4 with a pendant chain — the chain peels away, " +
       "the 3-core survives with exact degrees") {
     val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
