@@ -27,13 +27,25 @@ def moved(old, new, rel=REL_TOL, floor=ABS_FLOOR):
     return abs(new - old) / base > rel
 
 
+def top_stages(doc, q, k=3):
+    """The k slowest named stages of query q (ms, tasks, name)."""
+    recs = doc.get("stages", {}).get(q, [])
+    recs = sorted(recs, key=lambda s: -s.get("ms", 0))[:k]
+    return [f"    {s.get('ms', 0):>6}ms t={s.get('tasks', 0):<3} "
+            f"r={s.get('shuffle_read', 0)} w={s.get('shuffle_write', 0)} "
+            f"{s.get('name', '')[:64]}" for s in recs]
+
+
 def main():
-    old = json.load(open(sys.argv[1]))["metrics"]
-    new = json.load(open(sys.argv[2]))["metrics"]
+    old_doc = json.load(open(sys.argv[1]))
+    new_doc = json.load(open(sys.argv[2]))
+    old, new = old_doc["metrics"], new_doc["metrics"]
     changed = 0
     for q in sorted(set(old) | set(new)):
         if q not in old:
             print(f"ADDED   {q}: {new[q]}")
+            for ln in top_stages(new_doc, q):
+                print(ln)
             changed += 1
             continue
         if q not in new:
@@ -54,6 +66,15 @@ def main():
             changed += 1
             print(f"CHANGED {q}")
             for ln in lines:
+                print(ln)
+            # the stage-level evidence behind the byte/task move: the
+            # slowest named stages on each side, so the adjudication
+            # (plan change vs co-tenant noise) is mechanical
+            print("  stages before:")
+            for ln in top_stages(old_doc, q):
+                print(ln)
+            print("  stages after:")
+            for ln in top_stages(new_doc, q):
                 print(ln)
     print(f"\n{changed} of {len(set(old) | set(new))} queries moved "
           f"beyond noise ({sys.argv[1]} -> {sys.argv[2]})")
