@@ -421,7 +421,67 @@ object CurationOps {
       .orderBy(col("c_nationkey"), col("band1"))
   }
 
+  val TCloseMilli = 200L // max tolerated per-class EMD (milli-units)
+
+  /** A43 `anon_t_closeness` — t-closeness audit, the distribution-level
+    * member of the privacy triad (A38 k bounds re-identification, A40
+    * l bounds attribute DISTINCTNESS; t bounds attribute DISTRIBUTION —
+    * a group can be large and l-diverse yet still leak because its
+    * sensitive-value distribution differs sharply from the table's):
+    * QI class = (nation, market segment), sensitive attribute = the
+    * ORDERED account-balance 1000-band, distance = Earth Mover's
+    * Distance, which for an ordered attribute is the mean absolute gap
+    * between the class and global cumulative distributions.
+    *
+    * Integer-exact at any scale: both cumulatives quantize to
+    * floor-division per-mille FIRST (1000·cum div n — the house rule
+    * for ratios; also what keeps every operand within BIGINT at 100 TB,
+    * where the cross-multiplied exact numerator cum_c·N would not be),
+    * so the reported EMD is the per-mille-quantized mean gap —
+    * deterministic on both engines by construction. Plan shape: one
+    * fact-scale groupBy to the O(classes × bands) cell frame, a dense
+    * class × band grid built from two collapsed tiny frames, windows
+    * only over collapsed frames (the global band cumulative runs over
+    * the O(bands) rollup — B63's rule), broadcast one-row totals.
+    */
+  def anonTCloseness(spark: SparkSession, dir: String): DataFrame =
+    tCloseness(Tables(spark, dir, "customer"))
+
+  /** [[anonTCloseness]]'s kernel on any customer-shaped frame. */
+  private[operators] def tCloseness(customers: DataFrame): DataFrame = {
+    val cells = customers
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("band"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val classes = cells.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(sum(col("c")).as("n_c"))
+    val gBands = cells.groupBy(col("band")).agg(sum(col("c")).as("g"))
+    val wg = Window.orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gcum = gBands.withColumn("gcum", sum(col("g")).over(wg))
+    val tot = gBands.agg(sum(col("g")).as("n_tot"),
+      count(lit(1)).as("m"))
+    val wc = Window.partitionBy(col("c_nationkey"), col("c_mktsegment"))
+      .orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    classes
+      .crossJoin(broadcast(gcum))
+      .join(cells, Seq("c_nationkey", "c_mktsegment", "band"), "left")
+      .withColumn("cc", coalesce(col("c"), lit(0L)))
+      .withColumn("ccum", sum(col("cc")).over(wc))
+      .crossJoin(broadcast(tot))
+      .withColumn("gap", abs(
+        expr("ccum * 1000 div n_c") - expr("gcum * 1000 div n_tot")))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(first(col("n_c")).as("n_users"),
+        expr("sum(gap) div greatest(max(m) - 1, 1)").as("emd_milli"))
+      .withColumn("t_ok", col("emd_milli") <= TCloseMilli)
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "anon_t_closeness" -> (anonTCloseness _),
     "anon_l_diversity" -> (anonLDiversity _),
     "etl_dp_counts" -> (etlDpCounts _),
     "etl_k_anonymity" -> (etlKAnonymity _),
@@ -435,6 +495,46 @@ object CurationOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // A43: dense class × band grid, per-mille-quantized cumulative
+    // gaps (floor division — exact both engines), EMD = mean gap
+    "anon_t_closeness" ->
+      s"""WITH cells AS (SELECT c_nationkey, c_mktsegment,
+         |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS band,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM customer GROUP BY 1, 2, 3),
+         |classes AS (SELECT c_nationkey, c_mktsegment,
+         |    CAST(sum(c) AS BIGINT) AS n_c
+         |  FROM cells GROUP BY 1, 2),
+         |gb AS (SELECT band, CAST(sum(c) AS BIGINT) AS g
+         |  FROM cells GROUP BY band),
+         |gcum AS (SELECT band, CAST(sum(g) OVER (ORDER BY band
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS gcum
+         |  FROM gb),
+         |tot AS (SELECT CAST(sum(g) AS BIGINT) AS n_tot,
+         |    CAST(count(*) AS BIGINT) AS m
+         |  FROM gb),
+         |grid AS (SELECT cl.c_nationkey, cl.c_mktsegment, cl.n_c,
+         |    g.band, g.gcum, coalesce(ce.c, 0) AS cc
+         |  FROM classes cl CROSS JOIN gcum g
+         |  LEFT JOIN cells ce ON ce.c_nationkey = cl.c_nationkey
+         |    AND ce.c_mktsegment = cl.c_mktsegment AND ce.band = g.band),
+         |cum AS (SELECT *, CAST(sum(cc) OVER (
+         |    PARTITION BY c_nationkey, c_mktsegment ORDER BY band
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS ccum
+         |  FROM grid),
+         |gaps AS (SELECT c_nationkey, c_mktsegment, n_c, m,
+         |    abs(ccum * 1000 // n_c - gcum * 1000 // n_tot) AS gap
+         |  FROM cum CROSS JOIN tot)
+         |SELECT c_nationkey, c_mktsegment,
+         |  CAST(max(n_c) AS BIGINT) AS n_users,
+         |  CAST(sum(gap) // greatest(max(m) - 1, 1) AS BIGINT)
+         |    AS emd_milli,
+         |  CAST(sum(gap) // greatest(max(m) - 1, 1) AS BIGINT)
+         |    <= $TCloseMilli AS t_ok
+         |FROM gaps GROUP BY 1, 2
+         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     "anon_l_diversity" ->
       s"""WITH cells AS (SELECT c_nationkey,
          |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS band1,

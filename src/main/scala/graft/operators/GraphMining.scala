@@ -508,9 +508,59 @@ object GraphMining {
       .select(col("node").as("p_partkey"), col("degree"))
       .orderBy(col("p_partkey"))
 
+  val LpaRounds = 3 // synchronized label-propagation rounds
+
+  /** B86 `graph_lpa_communities` — community detection by SYNCHRONOUS
+    * frequency label propagation (Raghavan et al.'s LPA made
+    * deterministic): every node starts as its own label; each round
+    * every node simultaneously adopts the most frequent label among
+    * its NEIGHBORS, ties to the smallest label. [[LpaRounds]] fixed
+    * rounds — the B85 contract: synchronous + fixed tiebreaks makes
+    * the rounds oracle-unrollable and the result engine-exact, where
+    * the textbook's asynchronous random-order variant is neither.
+    * Distinct from B80 components (min-label flood: one label per
+    * connected component): frequency voting stops at density
+    * boundaries, so a bridged pair of cliques keeps two labels.
+    *
+    * Scale shape: per round one join keyed on the neighbor + two
+    * map-side-combined aggregations keyed on (node, label) / node —
+    * nothing denser than the edge list ever materializes, labels are
+    * O(nodes), and lineage truncates per round (the D6 rule).
+    */
+  private[operators] def lpaCommunities(edges0: DataFrame): DataFrame = {
+    val edges = edges0.localCheckpoint()
+    val sym = edges.select(col("u").as("node"), col("v").as("nbr"))
+      .union(edges.select(col("v").as("node"), col("u").as("nbr")))
+      .localCheckpoint() // read every round
+    var labels = sym.select(col("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to LpaRounds) {
+      labels = sym
+        .join(labels.select(col("node").as("nbr"), col("label")),
+          Seq("nbr"))
+        .groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("node"))
+        .agg(max_by(col("label"),
+          struct(col("cnt").as("c"), (-col("label")).as("t")))
+          .as("label"))
+        .localCheckpoint()
+    }
+    labels.groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("community"))
+  }
+
+  /** B86 over the part co-purchase graph: community label (a member
+    * part key) and size after [[LpaRounds]] voting rounds.
+    */
+  def graphLpaCommunities(spark: SparkSession, dir: String): DataFrame =
+    lpaCommunities(copurchaseEdges(Tables(spark, dir, "lineitem")))
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_lpa_communities" -> (graphLpaCommunities _),
     "graph_triangles" -> (graphTriangles _),
     "skyline_pareto" -> (skylinePareto _),
     "events_paths" -> (eventsPaths _),
@@ -533,7 +583,32 @@ object GraphMining {
        |  JOIN k_$out a ON a.node = e.u
        |  JOIN k_$out b ON b.node = e.v)""".stripMargin
 
+  /** One unrolled LPA voting round: neighbor-label counts, then the
+    * (count DESC, label ASC) winner per node.
+    */
+  private def lpaRoundOracle(in: String, out: String): String =
+    s"""a_$out AS (SELECT s.node, l.label, count(*) AS cnt
+       |  FROM sym s JOIN $in l ON l.node = s.nbr GROUP BY 1, 2),
+       |$out AS (SELECT node, label FROM (SELECT node, label,
+       |    row_number() OVER (PARTITION BY node
+       |      ORDER BY cnt DESC, label ASC) AS rn
+       |  FROM a_$out) WHERE rn = 1)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "graph_lpa_communities" ->
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |    FROM lineitem),
+         |e AS (SELECT a.p AS u, b.p AS v
+         |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+         |  GROUP BY a.p, b.p HAVING count(*) >= $EdgeMinSupport),
+         |sym AS (SELECT u AS node, v AS nbr FROM e
+         |  UNION ALL SELECT v, u FROM e),
+         |l0 AS (SELECT DISTINCT node, node AS label FROM sym),
+         |${(1 to LpaRounds).map(k =>
+             lpaRoundOracle(s"l${k - 1}", s"l$k")).mkString(",\n")}
+         |SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM l$LpaRounds GROUP BY label
+         |ORDER BY community""".stripMargin,
     "graph_kcore" ->
       s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
          |    FROM lineitem),

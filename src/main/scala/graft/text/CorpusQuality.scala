@@ -147,6 +147,56 @@ object CorpusQuality {
       .orderBy(col("doc_id"))
   }
 
+  val CurriculumPhases = 4 // training phases (easy → hard)
+
+  /** `corpus_curriculum` — curriculum ordering of the corpus: split
+    * documents into [[CurriculumPhases]] length-ordered training
+    * phases (the short-to-long schedule sequence-length curricula
+    * use), each phase reported with its doc/token budget and the md5
+    * fingerprint of its exact member set — the artifact a training
+    * run schedules from.
+    *
+    * The global order is computed WITHOUT a global sort (B63's rule
+    * spelled for phase assignment): one map-side-combined groupBy
+    * collapses the corpus to the O(distinct lengths) bucket frame,
+    * the running count windows over THAT tiny frame, and each
+    * bucket's phase is ⌊P·cum_before/n⌋ — docs join their bucket's
+    * phase via a broadcast of the bucket table. Ties (docs of equal
+    * length straddling a boundary) land in the lower phase as a
+    * bucket, so the assignment is deterministic and engine-exact
+    * (pure integer arithmetic); phase sizes are balanced up to
+    * bucket granularity.
+    */
+  def corpusCurriculum(spark: SparkSession, dir: String): DataFrame =
+    curriculum(Tables(spark, dir, "documents"))
+
+  /** [[corpusCurriculum]]'s kernel on any documents-shaped frame. */
+  private[text] def curriculum(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+    val buckets = d.groupBy(col("n_tokens")).agg(count(lit(1)).as("cnt"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_tokens"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val tot = buckets.agg(sum(col("cnt")).as("n_total"))
+    val phased = buckets
+      .withColumn("cum_before",
+        coalesce(sum(col("cnt")).over(wb), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("phase",
+        expr(s"cum_before * $CurriculumPhases div n_total"))
+      .select(col("n_tokens"), col("phase"))
+    d.join(broadcast(phased), Seq("n_tokens"))
+      .groupBy(col("phase"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens_total"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        md5(array_join(transform(sort_array(collect_list(col("doc_id"))),
+          _.cast("string")), ",").cast("binary")).as("docs_fp"))
+      .orderBy(col("phase"))
+  }
+
   /** `corpus_mix` — training-mixture computation: per-source token
     * counts reweighted by temperature sampling (w ∝ tokens^α, α=0.7 —
     * the multilingual/multi-domain rebalancing rule), with the
@@ -504,6 +554,7 @@ object CorpusQuality {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_curriculum" -> (corpusCurriculum _),
     "corpus_dsir_select" -> (corpusDsirSelect _),
     "corpus_dsir" -> (corpusDsir _),
     "corpus_budget" -> (corpusBudget _),
@@ -593,6 +644,32 @@ object CorpusQuality {
          |FROM (SELECT * FROM sel
          |  ORDER BY round(key, 6) DESC, doc_id LIMIT $DsirSelectN)
          |ORDER BY doc_id""".stripMargin,
+    // corpus_curriculum: bucket-collapsed phase assignment (pure
+    // integer floor division), per-phase member fingerprint as the
+    // ordered string_agg md5 (the emb_cluster_sample identity pin)
+    "corpus_curriculum" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents),
+         |b AS (SELECT n_tokens, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM d GROUP BY 1),
+         |cb AS (SELECT n_tokens, CAST(coalesce(sum(cnt) OVER (
+         |    ORDER BY n_tokens ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM b),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM b),
+         |ph AS (SELECT n_tokens,
+         |    cum_before * $CurriculumPhases // n_total AS phase
+         |  FROM cb CROSS JOIN tot)
+         |SELECT ph.phase, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(d.n_tokens) AS BIGINT) AS n_tokens_total,
+         |  CAST(min(d.n_tokens) AS BIGINT) AS min_tokens,
+         |  CAST(max(d.n_tokens) AS BIGINT) AS max_tokens,
+         |  md5(string_agg(CAST(d.doc_id AS VARCHAR), ','
+         |    ORDER BY d.doc_id)) AS docs_fp
+         |FROM d JOIN ph USING (n_tokens)
+         |GROUP BY ph.phase ORDER BY ph.phase""".stripMargin,
     // corpus_budget: same temperature-share kernel as corpus_mix, same
     // md5 4-hex-digit draw decode as corpus_sample; the greedy cut is
     // an integer window cumsum so the boundary is engine-exact, and

@@ -232,6 +232,41 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(1L) == (4L, 3L, 5000L, true))
   }
 
+  test("anon_t_closeness: a class mirroring the global distribution " +
+      "scores EMD 0, a fully shifted class scores the max gap") {
+    import spark.implicits._
+    // global = 10×band0 + 10×band9 (m = 2, per-mille cum 500 / 1000);
+    // n1 sits entirely in band0 (cum 1000/1000 → gap 500), n2 entirely
+    // in band9 (cum 0/1000 → gap 500), n3 mirrors the global mix
+    val customers = (
+      Seq.fill(5)((1, 500.0, "SEG")) ++
+        Seq.fill(5)((2, 9500.0, "SEG")) ++
+        (Seq.fill(5)((3, 500.0, "SEG")) ++
+          Seq.fill(5)((3, 9500.0, "SEG"))))
+      .toDF("c_nationkey", "c_acctbal", "c_mktsegment")
+    val out = CurationOps.tCloseness(customers).collect()
+      .map(r => r.getAs[Int]("c_nationkey") ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("emd_milli"),
+          r.getAs[Boolean]("t_ok")))
+      .toMap
+    assert(out(1) == (5L, 500L, false))
+    assert(out(2) == (5L, 500L, false))
+    assert(out(3) == (10L, 0L, true))
+  }
+
+  test("anon_t_closeness: sf invariants — EMD within [0, 1000], class " +
+      "sizes conserve the table, verdict matches the threshold") {
+    val rows = CurationOps.anonTCloseness(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val total = graft.Tables(spark, sfDir, "customer").count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == total)
+    rows.foreach { r =>
+      val emd = r.getAs[Long]("emd_milli")
+      assert(emd >= 0 && emd <= 1000)
+      assert(r.getAs[Boolean]("t_ok") == (emd <= CurationOps.TCloseMilli))
+    }
+  }
+
   test("anon_l_diversity: sf invariants — l ≤ group size, modal share " +
       "within (0, 10000], diverse ⇔ l ≥ AnonL") {
     val rows = CurationOps.anonLDiversity(spark, sfDir).collect()

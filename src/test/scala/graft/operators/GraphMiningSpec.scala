@@ -297,6 +297,34 @@ class GraphMiningSpec extends SparkSpec {
     assert(r.getAs[Long]("jacc_milli") == 1000L)
   }
 
+  test("lpaCommunities: bridged cliques keep separate labels, and the " +
+      "rollup matches an exact local replay of the synchronous votes") {
+    val k4a = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L))
+    val k4b = Seq((11L, 12L), (11L, 13L), (11L, 14L), (12L, 13L),
+      (12L, 14L), (13L, 14L))
+    val g = k4a ++ k4b ++ Seq((4L, 11L)) // one bridge
+    // exact local replay of R synchronous frequency-vote rounds
+    val nbrs = (g ++ g.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    var lab = nbrs.keys.map(n => n -> n).toMap
+    for (_ <- 1 to GraphMining.LpaRounds) {
+      lab = nbrs.map { case (n, ns) =>
+        val freq = ns.groupBy(lab).view.mapValues(_.size).toMap
+        n -> freq.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val expect = lab.values.groupBy(identity)
+      .map { case (l, xs) => l -> xs.size.toLong }
+    val got = GraphMining.lpaCommunities(edgesDf(g)).collect()
+      .map(r => r.getAs[Long]("community") -> r.getAs[Long]("n_nodes"))
+      .toMap
+    assert(got == expect && got.nonEmpty)
+    // density boundary holds: no community spans both cliques
+    assert(got.values.sum == 8L)
+    assert(expect.size >= 2, s"bridged cliques collapsed: $expect")
+  }
+
   test("kcoreConverged: a squared-path fuse cascades one node per " +
       "round — convergence needs >3 rounds and the fixed-R result is " +
       "a strict superset") {

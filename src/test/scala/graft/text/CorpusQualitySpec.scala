@@ -6,6 +6,45 @@ import graft.SparkSpec
 
 class CorpusQualitySpec extends SparkSpec {
 
+  test("corpus_curriculum: planted lengths split into balanced " +
+      "length-ordered phases with exact member fingerprints") {
+    import spark.implicits._
+    // 8 docs, token counts 1..8 → 4 phases of exactly 2 docs,
+    // boundaries on the bucket cumulative (cum_before·P div n)
+    val docs = (1 to 8).map(i => (i.toLong, Seq.fill(i)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = CorpusQuality.curriculum(docs).collect()
+    assert(out.length == 4)
+    out.zipWithIndex.foreach { case (r, p) =>
+      assert(r.getAs[Long]("phase") == p)
+      assert(r.getAs[Long]("n_docs") == 2)
+      val lo = 2 * p + 1
+      assert(r.getAs[Long]("min_tokens") == lo)
+      assert(r.getAs[Long]("max_tokens") == lo + 1)
+      assert(r.getAs[Long]("n_tokens_total") == 2L * lo + 1)
+      // fingerprint pins the exact member set: md5 of "id,id"
+      val exp = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$lo,${lo + 1}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getAs[String]("docs_fp") == exp)
+    }
+  }
+
+  test("corpus_curriculum: sf corpus — phases conserve docs/tokens and " +
+      "length ranges are disjoint and ordered") {
+    val rows = CorpusQuality.corpusCurriculum(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= CorpusQuality.CurriculumPhases)
+    val d = graft.Tables(spark, sfDir, "documents")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == d.count())
+    val ranges = rows.sortBy(_.getAs[Long]("phase"))
+      .map(r => (r.getAs[Long]("min_tokens"), r.getAs[Long]("max_tokens")))
+    ranges.foreach { case (lo, hi) => assert(lo <= hi) }
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2)
+      case _ =>
+    }
+  }
+
   test("text_repetition: counts nest and flags agree with the fractions") {
     val rows = CorpusQuality.textRepetition(spark, sfDir).collect()
     assert(rows.nonEmpty)
