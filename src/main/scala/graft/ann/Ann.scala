@@ -744,8 +744,15 @@ object Ann {
     * that is already ≪ the probed candidate set. Oracled by composing
     * the E3 IVF replay with the E8 Lloyd replay over residuals.
     */
-  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
-    val c = corpus(spark, dir)
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame =
+    ivfPqOver(spark, corpus(spark, dir), queriesDf(spark, dir))
+
+  /** E11's whole pipeline over ANY (vec_id, embedding) corpus and
+    * (q_id, q_emb) query frame in the same coordinate space — E28's
+    * `ann_ivfopq` runs it verbatim over the rotated corpus.
+    */
+  private[ann] def ivfPqOver(spark: SparkSession, c: DataFrame,
+      q0: DataFrame): DataFrame = {
     // ONE sample collect feeds BOTH trainings: IVF centroid refinement
     // and — after a local assign + center against the refined centroids
     // (LocalTableScan jobs, identical per-row math to the corpus-wide
@@ -778,7 +785,7 @@ object Ann {
         .as("codes"))
       .join(asg.select(col("vec_id"), col("cell_id"), col("embedding"),
         col("nrm")), Seq("vec_id"))
-    val q = queriesDf(spark, dir)
+    val q = q0
       .withColumn("qn", sqrt(dotF(col("q_emb"), col("q_emb"))))
     // per-query ADC table over the residual codebook: idx = sub*k+code
     val lut = subvecFrame(q, "q_emb", "q_id")
@@ -1175,8 +1182,8 @@ object Ann {
     * lowercase hex in both engines — same kernel as the corpus_sample
     * oracle) against ⌊min(1, cap/n)·65536⌋.
     */
-  private[ann] val smpCte: String =
-    s"""smp AS (SELECT * FROM embeddings
+  private[ann] def smpCteOver(src: String): String =
+    s"""smp AS (SELECT * FROM $src
        |  WHERE CAST((strpos('0123456789abcdef',
        |        substr(md5(CAST(vec_id AS VARCHAR)),1,1)) - 1) * 4096
        |      + (strpos('0123456789abcdef',
@@ -1186,7 +1193,9 @@ object Ann {
        |      + (strpos('0123456789abcdef',
        |        substr(md5(CAST(vec_id AS VARCHAR)),4,1)) - 1) AS BIGINT)
        |    < (SELECT CAST(floor(least(1.0, $TrainCap * 1.0 / count(*))
-       |        * 65536) AS BIGINT) FROM embeddings))""".stripMargin
+       |        * 65536) AS BIGINT) FROM $src))""".stripMargin
+
+  private[ann] val smpCte: String = smpCteOver("embeddings")
 
   /** One Lloyd round of the PQ oracle: argmin-assign every TRAINING
     * subvector (`svt`, the sampled rows) to codebook `cb` (same rounded
@@ -1218,8 +1227,13 @@ object Ann {
     * ceiling 8 / 0.05). Mirrors [[refinedCentroids]]/[[assignCells]]/
     * [[probeCells]] including the [[TrainCap]] sample bound.
     */
-  private[ann] val ivfOracleCommon: String =
-    s"""WITH $smpCte,
+  /** The E3 training/assignment/probe chain with the source table
+    * parameterized — `ann_ivfopq` replays it over the rotated
+    * coordinates CTE instead of the raw embeddings table. NOTE: does
+    * NOT emit the leading WITH (callers may put rotation CTEs first).
+    */
+  private[ann] def ivfOracleCommonOver(src: String): String =
+    s"""${smpCteOver(src)},
        |seeds AS (SELECT vec_id AS cell_id, embedding AS c_emb
        |  FROM smp WHERE vec_id % $IvfSeedMod = 0),
        |a0 AS (SELECT e.vec_id, s.cell_id, row_number() OVER (
@@ -1238,7 +1252,7 @@ object Ann {
        |    PARTITION BY e.vec_id ORDER BY round(list_cosine_similarity(
        |      CAST(e.embedding AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[])), 6)
        |      DESC, c.cell_id ASC) AS rn
-       |  FROM embeddings e CROSS JOIN cents c),
+       |  FROM $src e CROSS JOIN cents c),
        |asg1 AS (SELECT vec_id, embedding, cell_id FROM a1 WHERE rn = 1),
        |p0 AS (SELECT q.vec_id AS q_id, q.embedding AS q_emb, c.cell_id,
        |    c.c_emb,
@@ -1246,7 +1260,7 @@ object Ann {
        |      CAST(c.c_emb AS DOUBLE[])) AS q_cos,
        |    list_dot_product(CAST(q.embedding AS DOUBLE[]),
        |      CAST(c.c_emb AS DOUBLE[])) AS qc_dot
-       |  FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < $NumQueries),
+       |  FROM $src q CROSS JOIN cents c WHERE q.vec_id < $NumQueries),
        |p1 AS (SELECT *, row_number() OVER (PARTITION BY q_id
        |      ORDER BY round(q_cos, 6) DESC, cell_id ASC) AS rn,
        |    max(round(q_cos, 6)) OVER (PARTITION BY q_id) AS best
@@ -1278,6 +1292,71 @@ object Ann {
        |      ORDER BY score_u DESC, cid) AS rn FROM r$t) WHERE rn = 1),"""
       .stripMargin
   }.mkString("\n")
+
+  private[ann] val ivfOracleCommon: String =
+    s"WITH ${ivfOracleCommonOver("embeddings")}"
+
+  /** E11's residual-PQ replay downstream of [[ivfOracleCommonOver]]
+    * (expects smp/cents/asg1/probed in scope), with the source table
+    * parameterized: residual split, Lloyd rounds, encode, query LUT,
+    * ADC candidates, exact re-rank, top-k tail. `ann_ivfopq` replays
+    * it over the rotated coordinates.
+    */
+  private[ann] def ivfPqOracleTailOver(src: String): String =
+    s"""res AS (SELECT a.vec_id,
+       |    [CAST(CAST(a.embedding[i] AS REAL) - c.c_emb[i] AS REAL)
+       |      for i in range(1, 65)] AS res
+       |  FROM asg1 a JOIN cents c USING (cell_id)),
+       |sv AS (SELECT vec_id, r.s AS sub,
+       |    list_slice(res, r.s * $PqSub + 1, r.s * $PqSub + $PqSub) AS sv
+       |  FROM res, range(0, $PqM) r(s)),
+       |svt AS (SELECT sv.* FROM sv JOIN smp USING (vec_id)),
+       |seed_ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1
+       |    AS code
+       |  FROM (SELECT vec_id FROM smp ORDER BY vec_id LIMIT $PqK)),
+       |cb0 AS (SELECT sv.sub, si.code, sv.sv AS cb_emb
+       |  FROM sv JOIN seed_ids si USING (vec_id)),
+       |${pqLloydOracle("cb0", "cb1")},
+       |${pqLloydOracle("cb1", "cb2")},
+       |a_enc AS (SELECT sv.vec_id, sv.sub, cb.code, row_number() OVER (
+       |    PARTITION BY sv.vec_id, sv.sub
+       |    ORDER BY round(list_dot_product(CAST(cb.cb_emb AS DOUBLE[]),
+       |        CAST(cb.cb_emb AS DOUBLE[]))
+       |      - 2.0 * list_dot_product(CAST(sv.sv AS DOUBLE[]),
+       |        CAST(cb.cb_emb AS DOUBLE[])), 6) ASC, cb.code ASC) AS rn
+       |  FROM sv JOIN cb2 cb USING (sub)),
+       |enc AS (SELECT vec_id, sub, code FROM a_enc WHERE rn = 1),
+       |qsv AS (SELECT vec_id AS q_id, r.s AS sub,
+       |    list_slice(embedding, r.s * $PqSub + 1, r.s * $PqSub + $PqSub)
+       |      AS sv
+       |  FROM $src, range(0, $PqM) r(s)
+       |  WHERE vec_id < $NumQueries),
+       |lut AS (SELECT q.q_id, cb.sub, cb.code,
+       |    list_dot_product(CAST(q.sv AS DOUBLE[]),
+       |      CAST(cb.cb_emb AS DOUBLE[])) AS d
+       |  FROM qsv q JOIN cb2 cb USING (sub)),
+       |pqd AS (SELECT e.vec_id, l.q_id,
+       |    list_reduce(array_agg(l.d ORDER BY e.sub), (a, x) -> a + x)
+       |      AS pq_dot
+       |  FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+       |  GROUP BY e.vec_id, l.q_id),
+       |cand AS (SELECT p.q_id, g.vec_id, p.qc_dot + d.pq_dot AS adot
+       |  FROM probed p
+       |  JOIN asg1 g USING (cell_id)
+       |  JOIN pqd d ON d.vec_id = g.vec_id AND d.q_id = p.q_id
+       |  WHERE g.vec_id <> p.q_id),
+       |pruned AS (SELECT q_id, vec_id, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY round(adot, 6) DESC, vec_id)
+       |      AS crank
+       |  FROM cand),
+       |scored AS (SELECT p.q_id, p.vec_id,
+       |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |      CAST(q.embedding AS DOUBLE[])) AS cos
+       |  FROM pruned p
+       |  JOIN $src e ON e.vec_id = p.vec_id
+       |  JOIN $src q ON q.vec_id = p.q_id
+       |  WHERE p.crank <= $IvfPqRerank),
+       |$topKOracleTail""".stripMargin
 
   private[ann] val topKOracleTail: String =
     """ranked AS (SELECT q_id, vec_id, cos, row_number() OVER (
@@ -1499,60 +1578,7 @@ object Ann {
     // aggregate-from-zero and the reduce-from-first agree bit-for-bit)
     "ann_ivfpq" ->
       s"""$ivfOracleCommon,
-         |res AS (SELECT a.vec_id,
-         |    [CAST(CAST(a.embedding[i] AS REAL) - c.c_emb[i] AS REAL)
-         |      for i in range(1, 65)] AS res
-         |  FROM asg1 a JOIN cents c USING (cell_id)),
-         |sv AS (SELECT vec_id, r.s AS sub,
-         |    list_slice(res, r.s * $PqSub + 1, r.s * $PqSub + $PqSub) AS sv
-         |  FROM res, range(0, $PqM) r(s)),
-         |svt AS (SELECT sv.* FROM sv JOIN smp USING (vec_id)),
-         |seed_ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1
-         |    AS code
-         |  FROM (SELECT vec_id FROM smp ORDER BY vec_id LIMIT $PqK)),
-         |cb0 AS (SELECT sv.sub, si.code, sv.sv AS cb_emb
-         |  FROM sv JOIN seed_ids si USING (vec_id)),
-         |${pqLloydOracle("cb0", "cb1")},
-         |${pqLloydOracle("cb1", "cb2")},
-         |a_enc AS (SELECT sv.vec_id, sv.sub, cb.code, row_number() OVER (
-         |    PARTITION BY sv.vec_id, sv.sub
-         |    ORDER BY round(list_dot_product(CAST(cb.cb_emb AS DOUBLE[]),
-         |        CAST(cb.cb_emb AS DOUBLE[]))
-         |      - 2.0 * list_dot_product(CAST(sv.sv AS DOUBLE[]),
-         |        CAST(cb.cb_emb AS DOUBLE[])), 6) ASC, cb.code ASC) AS rn
-         |  FROM sv JOIN cb2 cb USING (sub)),
-         |enc AS (SELECT vec_id, sub, code FROM a_enc WHERE rn = 1),
-         |qsv AS (SELECT vec_id AS q_id, r.s AS sub,
-         |    list_slice(embedding, r.s * $PqSub + 1, r.s * $PqSub + $PqSub)
-         |      AS sv
-         |  FROM embeddings, range(0, $PqM) r(s)
-         |  WHERE vec_id < $NumQueries),
-         |lut AS (SELECT q.q_id, cb.sub, cb.code,
-         |    list_dot_product(CAST(q.sv AS DOUBLE[]),
-         |      CAST(cb.cb_emb AS DOUBLE[])) AS d
-         |  FROM qsv q JOIN cb2 cb USING (sub)),
-         |pqd AS (SELECT e.vec_id, l.q_id,
-         |    list_reduce(array_agg(l.d ORDER BY e.sub), (a, x) -> a + x)
-         |      AS pq_dot
-         |  FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
-         |  GROUP BY e.vec_id, l.q_id),
-         |cand AS (SELECT p.q_id, g.vec_id, p.qc_dot + d.pq_dot AS adot
-         |  FROM probed p
-         |  JOIN asg1 g USING (cell_id)
-         |  JOIN pqd d ON d.vec_id = g.vec_id AND d.q_id = p.q_id
-         |  WHERE g.vec_id <> p.q_id),
-         |pruned AS (SELECT q_id, vec_id, row_number() OVER (
-         |    PARTITION BY q_id ORDER BY round(adot, 6) DESC, vec_id)
-         |      AS crank
-         |  FROM cand),
-         |scored AS (SELECT p.q_id, p.vec_id,
-         |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-         |      CAST(q.embedding AS DOUBLE[])) AS cos
-         |  FROM pruned p
-         |  JOIN embeddings e ON e.vec_id = p.vec_id
-         |  JOIN embeddings q ON q.vec_id = p.q_id
-         |  WHERE p.crank <= $IvfPqRerank),
-         |$topKOracleTail""".stripMargin,
+         |${ivfPqOracleTailOver("embeddings")}""".stripMargin,
     "ann_lsh" ->
       s"""WITH dims AS (SELECT unnest(range(0, 64)) AS d),
          |tb AS (SELECT tt.t, bb.b FROM (SELECT unnest(range(0,16)) AS t) tt,

@@ -213,8 +213,32 @@ object AnnOpq {
           (col("nrm") * col("qn")))))
   }
 
+  /** E29 `ann_ivfopq` — the E28 transform in front of the E11 index:
+    * the full production ladder top (OPQ rotation + allocation →
+    * IVF cell pruning → residual PQ codes → ADC → exact re-rank).
+    * The entire E11 pipeline runs VERBATIM over the rotated corpus
+    * (training sample ids are rotation-invariant — the draw keys on
+    * vec_id — so the sample is the same vectors, rotated); queries
+    * rotate identically, and the re-rank scores rotated vectors
+    * against rotated queries, which is the same cosine up to float
+    * rounding and exactly what the oracle replays.
+    */
+  def annIvfOpq(spark: SparkSession, dir: String): DataFrame = {
+    val cRaw = Ann.corpus(spark, dir)
+    val (rot, cmf) = givensChain(covariance(cRaw))
+    val perm = allocPerm(cmf)
+    val rtP = (0 until Dim).map(j =>
+      (0 until Dim).map(i => rot(i)(perm(j))))
+    val cRot = cRaw.select(col("vec_id"),
+      rotateCol(col("embedding"), rtP).as("embedding"))
+    val qRot = cRot.filter(col("vec_id") < Ann.NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    Ann.ivfPqOver(spark, cRot, qRot)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ann_opq" -> (annOpq _)
+    "ann_opq" -> (annOpq _),
+    "ann_ivfopq" -> (annIvfOpq _)
   )
 
   // ------------------------------------------------------------ oracle
@@ -282,52 +306,69 @@ object AnnOpq {
        |  LEFT JOIN $rt xq ON xq.i = a.i AND xq.j = g.q)""".stripMargin
   }
 
+  /** The rotation + allocation replay (covariance from exact
+    * integers → unrolled Givens chain → rotated, variance-allocated
+    * coordinates `pe(vec_id, pemb)`), shared by both E28 oracles. No
+    * leading WITH.
+    */
+  private[ann] def rotationCtes: String =
+    s"""qv AS MATERIALIZED (SELECT vec_id,
+       |    [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT)
+       |      for i in range(1, ${Dim + 1})] AS q
+       |  FROM embeddings),
+       |nn AS (SELECT count(*) AS n FROM qv),
+       |gm AS (SELECT ii.i AS i, jj.j AS j, sum(q.q[ii.i] * q.q[jj.j]) AS g
+       |  FROM qv q, range(1, ${Dim + 1}) ii(i), range(1, ${Dim + 1}) jj(j)
+       |  WHERE jj.j >= ii.i GROUP BY ii.i, jj.j),
+       |sm AS (SELECT ii.i AS i, sum(q.q[ii.i]) AS s
+       |  FROM qv q, range(1, ${Dim + 1}) ii(i) GROUP BY ii.i),
+       |cu AS (SELECT gm.i, gm.j,
+       |    (CAST(gm.g AS DOUBLE)
+       |      - CAST(si.s AS DOUBLE) * CAST(sj.s AS DOUBLE) / nn.n) / nn.n
+       |      AS c
+       |  FROM gm JOIN sm si ON si.i = gm.i JOIN sm sj ON sj.i = gm.j
+       |  CROSS JOIN nn),
+       |cv0 AS MATERIALIZED (SELECT i, j, c FROM cu
+       |  UNION ALL SELECT j AS i, i AS j, c FROM cu WHERE i <> j),
+       |rt0 AS MATERIALIZED (SELECT ii.i, jj.j,
+       |    CASE WHEN ii.i = jj.j THEN 1.0 ELSE 0.0 END AS r
+       |  FROM range(1, ${Dim + 1}) ii(i), range(1, ${Dim + 1}) jj(j)),
+       |${(1 to OpqRots).map(givensCte).mkString(",\n")},
+       |rcols AS MATERIALIZED (SELECT j, array_agg(r ORDER BY i) AS rc
+       |  FROM rt$OpqRots GROUP BY j),
+       |pej AS (SELECT e.vec_id, rc.j,
+       |    CAST(list_dot_product(CAST(e.embedding AS DOUBLE[]), rc.rc)
+       |      AS REAL) AS y
+       |  FROM embeddings e CROSS JOIN rcols rc),
+       |yv AS MATERIALIZED (SELECT vec_id, array_agg(y ORDER BY j) AS yarr
+       |  FROM pej GROUP BY vec_id),
+       |vr AS (SELECT i, c AS vdiag FROM cv$OpqRots WHERE i = j),
+       |rk AS (SELECT i, row_number() OVER (ORDER BY vdiag DESC, i) - 1
+       |    AS rk
+       |  FROM vr),
+       |plist AS (SELECT list(i ORDER BY rk % ${Ann.PqM}, rk // ${Ann.PqM})
+       |    AS pl
+       |  FROM rk),
+       |pe AS MATERIALIZED (SELECT y.vec_id,
+       |    [y.yarr[p.pl[j]] for j in range(1, ${Dim + 1})] AS pemb
+       |  FROM yv y CROSS JOIN plist p)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // E29: the E28 transform in front of the E11 index — training,
+    // assignment, probing, residual PQ, ADC, and the exact re-rank all
+    // replay over the rotated coordinates table
+    "ann_ivfopq" ->
+      s"""WITH $rotationCtes,
+         |emb_r AS MATERIALIZED (SELECT vec_id, pemb AS embedding
+         |  FROM pe),
+         |${Ann.ivfOracleCommonOver("emb_r")},
+         |${Ann.ivfPqOracleTailOver("emb_r")}""".stripMargin,
     // E28: exact-integer covariance → unrolled float-synced Givens
     // chain → rotated REAL[] coordinates → the E8/E25 PQ replay; the
     // re-rank scores ORIGINAL vectors (rotations preserve dots)
     "ann_opq" ->
       s"""WITH ${Ann.smpCte},
-         |qv AS MATERIALIZED (SELECT vec_id,
-         |    [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT)
-         |      for i in range(1, ${Dim + 1})] AS q
-         |  FROM embeddings),
-         |nn AS (SELECT count(*) AS n FROM qv),
-         |gm AS (SELECT ii.i AS i, jj.j AS j, sum(q.q[ii.i] * q.q[jj.j]) AS g
-         |  FROM qv q, range(1, ${Dim + 1}) ii(i), range(1, ${Dim + 1}) jj(j)
-         |  WHERE jj.j >= ii.i GROUP BY ii.i, jj.j),
-         |sm AS (SELECT ii.i AS i, sum(q.q[ii.i]) AS s
-         |  FROM qv q, range(1, ${Dim + 1}) ii(i) GROUP BY ii.i),
-         |cu AS (SELECT gm.i, gm.j,
-         |    (CAST(gm.g AS DOUBLE)
-         |      - CAST(si.s AS DOUBLE) * CAST(sj.s AS DOUBLE) / nn.n) / nn.n
-         |      AS c
-         |  FROM gm JOIN sm si ON si.i = gm.i JOIN sm sj ON sj.i = gm.j
-         |  CROSS JOIN nn),
-         |cv0 AS MATERIALIZED (SELECT i, j, c FROM cu
-         |  UNION ALL SELECT j AS i, i AS j, c FROM cu WHERE i <> j),
-         |rt0 AS MATERIALIZED (SELECT ii.i, jj.j,
-         |    CASE WHEN ii.i = jj.j THEN 1.0 ELSE 0.0 END AS r
-         |  FROM range(1, ${Dim + 1}) ii(i), range(1, ${Dim + 1}) jj(j)),
-         |${(1 to OpqRots).map(givensCte).mkString(",\n")},
-         |rcols AS MATERIALIZED (SELECT j, array_agg(r ORDER BY i) AS rc
-         |  FROM rt$OpqRots GROUP BY j),
-         |pej AS (SELECT e.vec_id, rc.j,
-         |    CAST(list_dot_product(CAST(e.embedding AS DOUBLE[]), rc.rc)
-         |      AS REAL) AS y
-         |  FROM embeddings e CROSS JOIN rcols rc),
-         |yv AS MATERIALIZED (SELECT vec_id, array_agg(y ORDER BY j) AS yarr
-         |  FROM pej GROUP BY vec_id),
-         |vr AS (SELECT i, c AS vdiag FROM cv$OpqRots WHERE i = j),
-         |rk AS (SELECT i, row_number() OVER (ORDER BY vdiag DESC, i) - 1
-         |    AS rk
-         |  FROM vr),
-         |plist AS (SELECT list(i ORDER BY rk % ${Ann.PqM}, rk // ${Ann.PqM})
-         |    AS pl
-         |  FROM rk),
-         |pe AS MATERIALIZED (SELECT y.vec_id,
-         |    [y.yarr[p.pl[j]] for j in range(1, ${Dim + 1})] AS pemb
-         |  FROM yv y CROSS JOIN plist p),
+         |$rotationCtes,
          |sv AS MATERIALIZED (SELECT vec_id, r.s AS sub,
          |    list_slice(pemb, r.s * ${Ann.PqSub} + 1,
          |      r.s * ${Ann.PqSub} + ${Ann.PqSub}) AS sv

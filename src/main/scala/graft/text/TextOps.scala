@@ -78,9 +78,17 @@ object TextOps {
     * no whitespace tokenization to rely on), marker-word frequency for
     * the latin-script languages, ties broken by fixed priority.
     */
-  def textLangId(spark: SparkSession, dir: String): DataFrame = {
-    val counted = langMarkers.foldLeft(
-      Tables(spark, dir, "documents").withColumn("toks", toks)) {
+  def textLangId(spark: SparkSession, dir: String): DataFrame =
+    withLangPred(Tables(spark, dir, "documents"))
+      .select(col("doc_id"), col("n_en"), col("n_de"), col("n_es"),
+        col("n_fr"), col("n_zh"), col("pred_lang"))
+      .orderBy(col("doc_id"))
+
+  /** C3's per-doc marker counts + prediction, keeping the input
+    * columns (the eval needs the ground-truth `lang` alongside).
+    */
+  private def withLangPred(docs: DataFrame): DataFrame = {
+    val counted = langMarkers.foldLeft(docs.withColumn("toks", toks)) {
       case (df, (lang, markers)) =>
         df.withColumn(s"n_$lang",
           expr(s"size(filter(toks, t -> t IN ${inList(markers)}))")
@@ -99,9 +107,42 @@ object TextOps {
           .when(col("n_es") >= col("n_fr") && col("n_es") > 0, "es")
           .when(col("n_fr") > 0, "fr")
           .otherwise("unknown"))
-      .select(col("doc_id"), col("n_en"), col("n_de"), col("n_es"),
-        col("n_fr"), col("n_zh"), col("pred_lang"))
-      .orderBy(col("doc_id"))
+  }
+
+  /** C37 `text_langid_eval` — C3's classifier scored against the
+    * corpus's ground-truth `lang` column, the eval-as-data pattern
+    * (D10/E22's shape): per true language, support, correct count,
+    * predicted count, and floor-division basis-point recall /
+    * precision / F1 — the numbers a curation pipeline gates a
+    * language-filter rollout on. One map pass for predictions, two
+    * map-side-combined aggregations to O(languages) frames, a join of
+    * those tiny frames; every reported ratio is exact integer
+    * arithmetic (the house bp rule), including the F1 harmonic mean
+    * computed from the bp integers.
+    */
+  def textLangidEval(spark: SparkSession, dir: String): DataFrame =
+    langidEval(Tables(spark, dir, "documents"))
+
+  /** [[textLangidEval]]'s kernel on any documents-shaped frame. */
+  private[text] def langidEval(docs: DataFrame): DataFrame = {
+    val p = withLangPred(docs)
+      .select(col("lang"), col("pred_lang"))
+    val byTrue = p.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("pred_lang") === col("lang"), 1L).otherwise(0L))
+        .as("n_correct"))
+    val byPred = p.groupBy(col("pred_lang").as("lang"))
+      .agg(count(lit(1)).as("n_pred"))
+    byTrue.join(byPred, Seq("lang"), "left")
+      .withColumn("n_pred", coalesce(col("n_pred"), lit(0L)))
+      .withColumn("recall_bp", expr("n_correct * 10000 div n_docs"))
+      .withColumn("precision_bp",
+        expr("n_correct * 10000 div greatest(n_pred, 1)"))
+      .withColumn("f1_bp", expr(
+        "2 * precision_bp * recall_bp div greatest(precision_bp + recall_bp, 1)"))
+      .select(col("lang"), col("n_docs"), col("n_correct"), col("n_pred"),
+        col("recall_bp"), col("precision_bp"), col("f1_bp"))
+      .orderBy(col("lang"))
   }
 
   /** Case/whitespace-normalized md5 content fingerprint. */
@@ -520,6 +561,7 @@ object TextOps {
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangId _),
+    "text_langid_eval" -> (textLangidEval _),
     "text_fingerprint" -> (textFingerprint _),
     "text_rolling_fp" -> (textRollingFp _),
     "text_shingles" -> (textShingles _),
@@ -748,6 +790,49 @@ object TextOps {
         |    AND n_stop * 1.0 / n_tokens <= 0.6 THEN 1 ELSE 0 END
         |    AS is_quality
         |FROM c ORDER BY doc_id""".stripMargin,
+    // C37: the C3 prediction replay joined to ground truth; all
+    // ratios floor-division basis points off exact counts
+    "text_langid_eval" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang,
+        |  len(list_filter(toks, t -> t IN ('the','and','of','is'))) AS n_en,
+        |  len(list_filter(toks, t -> t IN ('der','und','die','das'))) AS n_de,
+        |  len(list_filter(toks, t -> t IN ('el','la','los','las'))) AS n_es,
+        |  len(list_filter(toks, t -> t IN ('le','les','des','un'))) AS n_fr
+        |  FROM t),
+        |z AS (SELECT doc_id,
+        |    length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g'))
+        |      AS n_zh
+        |  FROM documents),
+        |p AS (SELECT c.lang,
+        |  CASE
+        |    WHEN n_zh > 0 THEN 'zh'
+        |    WHEN n_en >= n_de AND n_en >= n_es AND n_en >= n_fr AND n_en > 0
+        |      THEN 'en'
+        |    WHEN n_de >= n_es AND n_de >= n_fr AND n_de > 0 THEN 'de'
+        |    WHEN n_es >= n_fr AND n_es > 0 THEN 'es'
+        |    WHEN n_fr > 0 THEN 'fr'
+        |    ELSE 'unknown' END AS pred_lang
+        |  FROM c JOIN z ON c.doc_id = z.doc_id),
+        |bt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_correct
+        |  FROM p GROUP BY lang),
+        |bp AS (SELECT pred_lang AS lang, CAST(count(*) AS BIGINT)
+        |    AS n_pred
+        |  FROM p GROUP BY pred_lang),
+        |j AS (SELECT bt.lang, bt.n_docs, bt.n_correct,
+        |    coalesce(bp.n_pred, 0) AS n_pred,
+        |    n_correct * 10000 // n_docs AS recall_bp,
+        |    n_correct * 10000 // greatest(coalesce(bp.n_pred, 0), 1)
+        |      AS precision_bp
+        |  FROM bt LEFT JOIN bp USING (lang))
+        |SELECT lang, n_docs, n_correct, n_pred, recall_bp, precision_bp,
+        |  2 * precision_bp * recall_bp
+        |    // greatest(precision_bp + recall_bp, 1) AS f1_bp
+        |FROM j ORDER BY lang""".stripMargin,
     "text_langid" ->
       """WITH t AS (SELECT doc_id,
         |    string_split_regex(trim(text), '\s+') AS toks

@@ -76,4 +76,26 @@ class AnnOpqSpec extends SparkSpec {
     assert(recall > pq, s"OPQ ($recall) must beat plain PQ ($pq)")
     assert(recall >= 0.7, s"OPQ recall too low: $recall")
   }
+
+  test("ann_ivfopq: E11's contract shape over the rotated corpus, " +
+      "recall comparable to un-rotated IVF-PQ") {
+    val exact = neighbors(Ann.annTopK(spark, sfDir))
+    val opq = neighbors(AnnOpq.annIvfOpq(spark, sfDir))
+    assert(opq.keySet == exact.keySet)
+    opq.foreach { case (q, ns) =>
+      assert(ns.size == Ann.K && !ns.contains(q) &&
+        ns.distinct.size == ns.size)
+    }
+    def recallOf(m: Map[Long, Seq[Long]]): Double =
+      exact.map { case (q, ns) =>
+        m.getOrElse(q, Seq.empty).count(ns.toSet).toDouble / ns.size
+      }.sum / exact.size
+    val r = recallOf(opq)
+    val base = recallOf(neighbors(Ann.annIvfPq(spark, sfDir)))
+    info(s"ann_ivfopq recall@5 = $r, ann_ivfpq = $base")
+    // same probe budget, deeper-structured codes: stay within one
+    // 50-slot sample step of the un-rotated composition, floor 0.5
+    assert(r >= base - 0.06, s"rotated IVF-PQ fell behind: $r vs $base")
+    assert(r >= 0.5, s"IVF-OPQ recall too low: $r")
+  }
 }

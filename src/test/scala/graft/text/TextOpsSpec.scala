@@ -7,6 +7,49 @@ import graft.functions.GraftFunctions
 
 class TextOpsSpec extends SparkSpec {
 
+  test("text_langid_eval: planted confusion — per-language support, " +
+      "correct, predicted and bp ratios are hand-exact") {
+    import spark.implicits._
+    // en: 2 docs both predicted en; de: 2 docs, one with German
+    // markers (correct), one with English markers (confused to en)
+    val docs = Seq(
+      (1L, "the cat and the dog", "en"),
+      (2L, "of the land is wide", "en"),
+      (3L, "der und die das haus", "de"),
+      (4L, "the is of and haus", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextOps.langidEval(docs).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_correct"),
+          r.getAs[Long]("n_pred"), r.getAs[Long]("recall_bp"),
+          r.getAs[Long]("precision_bp"), r.getAs[Long]("f1_bp")))
+      .toMap
+    // en: support 2, correct 2, predicted 3 (doc 4 leaks in):
+    // recall 10000, precision 6666, f1 = 2·6666·10000 div 16666
+    assert(out("en") == (2L, 2L, 3L, 10000L, 6666L,
+      2L * 6666L * 10000L / 16666L))
+    // de: support 2, correct 1, predicted 1: recall 5000, precision
+    // 10000, f1 = 2·10000·5000 div 15000 = 6666
+    assert(out("de") == (2L, 1L, 1L, 5000L, 10000L, 6666L))
+  }
+
+  test("text_langid_eval: sf invariants — counts nest, ratios bounded, " +
+      "support conserves the corpus") {
+    val rows = TextOps.textLangidEval(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val total = graft.Tables(spark, sfDir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    rows.foreach { r =>
+      val (n, c, p) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_correct"),
+        r.getAs[Long]("n_pred"))
+      assert(c <= n && c <= p.max(0))
+      Seq("recall_bp", "precision_bp", "f1_bp").foreach { f =>
+        val v = r.getAs[Long](f)
+        assert(v >= 0 && v <= 10000, s"$f out of range: $v")
+      }
+    }
+  }
+
   test("langid detects Han-script text as zh") {
     import spark.implicits._
     // testdata's 'zh'-labeled docs are synthetic latin-vocab text, so
