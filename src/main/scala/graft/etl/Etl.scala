@@ -530,7 +530,50 @@ object Etl {
         expr("case when del_rows > 0 then part_rows * 10000 div del_rows end"))
       .orderBy(col("day"))
 
+  // md5-u16 selection bound ≈ 12.5% of users — wide enough that the
+  // cohort is non-empty even at the 15-user sf0.001 table
+  val SubjectThresh = 8192L
+
+  /** A44 `etl_subject_export` — data-subject access export (the
+    * GDPR Art. 15 companion to A41's Art. 17 erasure planning: before
+    * deleting a person you must be able to HAND them their data): for
+    * each selected user, the complete per-system inventory — event
+    * count, activity span, monetary total in integer cents, per-type
+    * counts, and the md5 fingerprint of the exact ordered event-id
+    * set, which is the export's identity (the same pin
+    * emb_cluster_sample uses): two export runs that fingerprint equal
+    * handed over the same rows. Selection is the deterministic
+    * salted-md5 u16 draw (the house no-RNG contract), standing in for
+    * the request queue. One user-keyed shuffle; the export frame is
+    * O(selected users) and every reported number is integer-exact.
+    */
+  def etlSubjectExport(spark: SparkSession, dir: String): DataFrame =
+    subjectExport(Tables(spark, dir, "events"))
+
+  /** [[etlSubjectExport]]'s kernel on any events frame. */
+  private[etl] def subjectExport(events: DataFrame): DataFrame = {
+    val typeCounts = Seq("click", "error", "purchase", "signup", "view")
+      .map(t => sum(when(col("event_type") === t, 1L).otherwise(0L))
+        .as(s"n_$t"))
+    val aggs = Seq(
+      count(lit(1)).as("n_events"),
+      min(col("ts")).as("first_ts"),
+      max(col("ts")).as("last_ts"),
+      sum(expr("cast(round(value * 100) as bigint)")).as("value_cents")) ++
+      typeCounts :+
+      md5(array_join(transform(sort_array(collect_list(col("event_id"))),
+        _.cast("string")), ",").cast("binary")).as("events_fp")
+    events
+      .filter(conv(substring(md5(concat(lit("sx:"),
+          col("user_id").cast("string")).cast("binary")), 1, 4), 16, 10)
+        .cast("long") < SubjectThresh)
+      .groupBy(col("user_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_subject_export" -> (etlSubjectExport _),
     "etl_erasure_plan" -> (etlErasurePlan _),
     "etl_drift_psi" -> (etlDriftPsi _),
     "etl_freshness" -> (etlFreshness _),
@@ -554,6 +597,39 @@ object Etl {
   )
 
   val oracle: Map[String, String] = Map(
+    // A44: salted 'sx:' md5 selection replay; export identity via the
+    // ordered event-id string_agg md5
+    "etl_subject_export" ->
+      s"""WITH sel AS (SELECT * FROM events
+         |  WHERE CAST((strpos('0123456789abcdef',
+         |      substr(md5('sx:' || CAST(user_id AS VARCHAR)), 1, 1)) - 1)
+         |        * 4096
+         |    + (strpos('0123456789abcdef',
+         |      substr(md5('sx:' || CAST(user_id AS VARCHAR)), 2, 1)) - 1)
+         |        * 256
+         |    + (strpos('0123456789abcdef',
+         |      substr(md5('sx:' || CAST(user_id AS VARCHAR)), 3, 1)) - 1)
+         |        * 16
+         |    + (strpos('0123456789abcdef',
+         |      substr(md5('sx:' || CAST(user_id AS VARCHAR)), 4, 1)) - 1)
+         |    AS BIGINT) < $SubjectThresh)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         |  min(ts) AS first_ts, max(ts) AS last_ts,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         |    AS value_cents,
+         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_click,
+         |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_error,
+         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_purchase,
+         |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_signup,
+         |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_view,
+         |  md5(string_agg(CAST(event_id AS VARCHAR), ','
+         |    ORDER BY event_id)) AS events_fp
+         |FROM sel GROUP BY user_id ORDER BY user_id""".stripMargin,
     // etl_erasure_plan: the deletion cohort replays via the strpos
     // 4-hex-digit md5 decode; all counts and the amplification are
     // BIGINT floor arithmetic

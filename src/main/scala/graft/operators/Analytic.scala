@@ -79,6 +79,51 @@ object Analytic {
       .orderBy(col("prev"), col("curr"))
   }
 
+  /** B87 `cohort_ltv` — lifetime-value curves per acquisition cohort
+    * (the revenue companion to B29's retention: retention counts who
+    * comes back, LTV prices what they bring): customers cohorted by
+    * first-order month, every order bucketed by cohort age in months,
+    * cumulative revenue per cohort divided by cohort size = the
+    * LTV-at-age curve a payback-period decision reads off.
+    *
+    * Scale shape: one orders shuffle on custkey (first-order argmin +
+    * the cohort join), then everything collapses to the
+    * O(cohorts × ages) cell frame — the cumulative window and the
+    * cohort-size broadcast both ride on collapsed frames (B63's
+    * rule). Money is integer cents end-to-end; LTV ships as
+    * floor-division cents per customer (the house ratio rule), and
+    * the month index m = 12·year + month makes cohort/age arithmetic
+    * pure integers on both engines.
+    */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame =
+    ltvCurves(Tables(spark, dir, "orders"))
+
+  /** [[cohortLtv]]'s kernel on any orders-shaped frame. */
+  private[operators] def ltvCurves(orders: DataFrame): DataFrame = {
+    val o = orders
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    val first = o.groupBy(col("o_custkey")).agg(min(col("m")).as("cm"))
+    val cohSize = first.groupBy(col("cm"))
+      .agg(count(lit(1)).as("n_customers"))
+    val cells = o.join(first, Seq("o_custkey"))
+      .groupBy(col("cm"), (col("m") - col("cm")).as("age"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+    val w = Window.partitionBy(col("cm")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.join(broadcast(cohSize), Seq("cm"))
+      .withColumn("cum_cents", sum(col("cents")).over(w))
+      .select(
+        expr("make_date((cm - 1) div 12, (cm - 1) % 12 + 1, 1)")
+          .as("cohort_month"),
+        col("age"), col("n_customers"), col("n_orders"), col("cents"),
+        col("cum_cents"),
+        expr("cum_cents div n_customers").as("ltv_cents"))
+      .orderBy(col("cohort_month"), col("age"))
+  }
+
   /** `orders_rfm` — RFM segmentation: per-customer recency (days since
     * last order, vs the global max date), frequency (order count),
     * monetary (total spend) → ntile(4) each (deterministic tie-break on
@@ -821,6 +866,7 @@ object Analytic {
     "regr_trend" -> (regrTrend _),
     "events_markov" -> (eventsMarkov _),
     "orders_rfm" -> (ordersRfm _),
+    "cohort_ltv" -> (cohortLtv _),
     "q6_revenue" -> (q6Revenue _),
     "q4_priority" -> (q4Priority _),
     "q10_returns" -> (q10Returns _),
@@ -1174,6 +1220,32 @@ object Analytic {
         |SELECT prev, curr, n,
         |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev), 4) AS p
         |FROM trans ORDER BY prev, curr""".stripMargin,
+    // B87: integer month index 12·y+m keeps cohort/age arithmetic
+    // exact; cumulative over the collapsed (cohort, age) frame; LTV
+    // as floor-division cents
+    "cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+        |      AS m,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |f AS (SELECT o_custkey, min(m) AS cm FROM o GROUP BY 1),
+        |cs AS (SELECT cm, CAST(count(*) AS BIGINT) AS n_customers
+        |  FROM f GROUP BY 1),
+        |cells AS (SELECT f.cm, o.m - f.cm AS age,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(o.cents) AS BIGINT) AS cents
+        |  FROM o JOIN f USING (o_custkey) GROUP BY 1, 2),
+        |cum AS (SELECT *, CAST(sum(cents) OVER (PARTITION BY cm
+        |    ORDER BY age ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) AS BIGINT) AS cum_cents
+        |  FROM cells)
+        |SELECT make_date(CAST((cm - 1) // 12 AS INT),
+        |    CAST((cm - 1) % 12 + 1 AS INT), 1) AS cohort_month,
+        |  age, cs.n_customers, n_orders, cents, cum_cents,
+        |  cum_cents // cs.n_customers AS ltv_cents
+        |FROM cum JOIN cs USING (cm)
+        |ORDER BY cohort_month, age""".stripMargin,
     "orders_rfm" ->
       """WITH per_cust AS (
         |  SELECT o_custkey, max(o_orderdate) AS last_order,

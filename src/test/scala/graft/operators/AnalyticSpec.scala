@@ -307,6 +307,51 @@ class AnalyticSpec extends SparkSpec {
     assert(row.getLong(row.fieldIndex("n_lineitems")) > 0)
   }
 
+  test("cohort_ltv: planted cohorts — curves, sizes, and floor-exact " +
+      "per-customer LTV") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val orders = Seq(
+      (1L, ts("1995-01-05"), 10.0), (1L, ts("1995-02-07"), 20.0),
+      (2L, ts("1995-01-20"), 30.0),
+      (3L, ts("1995-02-01"), 40.0), (3L, ts("1995-04-01"), 5.0))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val out = Analytic.ltvCurves(orders).collect()
+      .map(r => (r.getAs[java.sql.Date]("cohort_month").toString,
+        r.getAs[Long]("age")) ->
+        (r.getAs[Long]("n_customers"), r.getAs[Long]("n_orders"),
+          r.getAs[Long]("cents"), r.getAs[Long]("cum_cents"),
+          r.getAs[Long]("ltv_cents")))
+      .toMap
+    assert(out(("1995-01-01", 0L)) == (2L, 2L, 4000L, 4000L, 2000L))
+    assert(out(("1995-01-01", 1L)) == (2L, 1L, 2000L, 6000L, 3000L))
+    assert(out(("1995-02-01", 0L)) == (1L, 1L, 4000L, 4000L, 4000L))
+    assert(out(("1995-02-01", 2L)) == (1L, 1L, 500L, 4500L, 4500L))
+    assert(out.size == 4)
+  }
+
+  test("cohort_ltv: sf invariants — cumulative monotone per cohort, " +
+      "order/revenue totals conserve the orders table") {
+    val rows = Analytic.cohortLtv(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val totalOrders = graft.Tables(spark, sfDir, "orders").count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == totalOrders)
+    rows.groupBy(_.getAs[java.sql.Date]("cohort_month")).foreach {
+      case (_, rs) =>
+        val sorted = rs.sortBy(_.getAs[Long]("age"))
+        // cum is a running sum of cents and age-0 exists (the first
+        // order defines the cohort)
+        assert(sorted.head.getAs[Long]("age") == 0L)
+        var cum = 0L
+        sorted.foreach { r =>
+          cum += r.getAs[Long]("cents")
+          assert(r.getAs[Long]("cum_cents") == cum)
+          assert(r.getAs[Long]("ltv_cents") ==
+            cum / r.getAs[Long]("n_customers"))
+        }
+    }
+  }
+
   test("ts_seasonal: a planted period-7 series decomposes exactly — " +
       "flat trend, recovered weekday effects, zero residual") {
     import spark.implicits._
