@@ -124,6 +124,103 @@ object Analytic {
       .orderBy(col("cohort_month"), col("age"))
   }
 
+  val MedianBucket = 10000L // pass-1 bucket width: $100 in cents
+
+  /** B88 `agg_exact_median` — EXACT per-group median at scale by
+    * bucketed two-phase search, the pattern that replaces a full
+    * per-group sort (what `percentile`/`median` cost — at 100 TB a
+    * corpus-wide sort for one number): phase 1 collapses the fact
+    * scan map-side to O(groups × buckets) coarse-bucket counts and
+    * walks the cumulative over that tiny frame to find each group's
+    * median bucket and the rank still needed inside it; phase 2
+    * re-collapses ONLY the located buckets by exact value (a
+    * semi-join-pruned second scan — reads one bucket's rows per
+    * group) and walks their cumulative to the k-th value. Both walks
+    * window over collapsed frames (B63's rule); everything is integer
+    * cents, k = ⌈n/2⌉ (the lower median — an order statistic, so no
+    * interpolation float). The oracle computes the SAME number by the
+    * naive row_number-over-full-sort definition — two different
+    * algorithms agreeing exactly is the point.
+    */
+  def aggExactMedian(spark: SparkSession, dir: String): DataFrame =
+    exactMedian(Tables(spark, dir, "events"))
+
+  /** [[aggExactMedian]]'s kernel on any events frame. */
+  private[operators] def exactMedian(events: DataFrame): DataFrame = {
+    val vals = events.select(col("event_type"),
+      expr("cast(round(value * 100) as bigint)").as("cents"))
+    // phase 1: coarse buckets, located per group
+    val buckets = vals
+      .groupBy(col("event_type"),
+        floor(col("cents") / MedianBucket).cast("long").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val wb = Window.partitionBy(col("event_type")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val located = buckets
+      .withColumn("cum_before", coalesce(sum(col("c")).over(wb), lit(0L)))
+      .withColumn("n", sum(col("c"))
+        .over(Window.partitionBy(col("event_type"))))
+      .withColumn("k", expr("(n + 1) div 2"))
+      .filter(col("cum_before") < col("k") &&
+        col("cum_before") + col("c") >= col("k"))
+      .select(col("event_type"), col("b"), col("n"), col("k"),
+        (col("k") - col("cum_before")).as("r"))
+    // phase 2: exact values of the located bucket only
+    val inBucket = vals
+      .join(broadcast(located), Seq("event_type"))
+      .filter(floor(col("cents") / MedianBucket).cast("long") === col("b"))
+      .groupBy(col("event_type"), col("n"), col("k"), col("r"),
+        col("cents"))
+      .agg(count(lit(1)).as("vc"))
+    val wv = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    inBucket
+      .withColumn("vcum_before", coalesce(sum(col("vc")).over(wv), lit(0L)))
+      .filter(col("vcum_before") < col("r") &&
+        col("vcum_before") + col("vc") >= col("r"))
+      .select(col("event_type"), col("n").as("n_events"), col("k"),
+        col("cents").as("median_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  /** B89 `events_streaks` — gaps-and-islands consecutive-day activity
+    * streaks per user (the engagement metric behind "N-day streak"
+    * product features, and the canonical SQL islands pattern): one
+    * shuffle on user_id; distinct active days, row_number along the
+    * day order, island key = epoch-day − rn (constant exactly while
+    * days are consecutive — pure integer), then islands collapse to
+    * per-user streak stats. Longest-streak ties break to the EARLIEST
+    * start (max_by on (len, −start_epoch) — deterministic both
+    * engines).
+    */
+  def eventsStreaks(spark: SparkSession, dir: String): DataFrame =
+    streaks(Tables(spark, dir, "events"))
+
+  /** [[eventsStreaks]]'s kernel on any events frame. */
+  private[operators] def streaks(events: DataFrame): DataFrame = {
+    val days = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .withColumn("ep", datediff(col("day"), lit("1970-01-01").cast("date"))
+        .cast("long"))
+    val wd = Window.partitionBy(col("user_id")).orderBy(col("ep"))
+    val islands = days
+      .withColumn("grp", col("ep") - row_number().over(wd))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"),
+        min(col("ep")).as("start_ep"))
+    islands
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"),
+        max_by(col("start_day"),
+          struct(col("len").as("l"), (-col("start_ep")).as("t")))
+          .as("longest_start"))
+      .orderBy(col("user_id"))
+  }
+
   /** `orders_rfm` — RFM segmentation: per-customer recency (days since
     * last order, vs the global max date), frequency (order count),
     * monetary (total spend) → ntile(4) each (deterministic tie-break on
@@ -867,6 +964,8 @@ object Analytic {
     "events_markov" -> (eventsMarkov _),
     "orders_rfm" -> (ordersRfm _),
     "cohort_ltv" -> (cohortLtv _),
+    "agg_exact_median" -> (aggExactMedian _),
+    "events_streaks" -> (eventsStreaks _),
     "q6_revenue" -> (q6Revenue _),
     "q4_priority" -> (q4Priority _),
     "q10_returns" -> (q10Returns _),
@@ -1220,6 +1319,47 @@ object Analytic {
         |SELECT prev, curr, n,
         |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev), 4) AS p
         |FROM trans ORDER BY prev, curr""".stripMargin,
+    // B88: the oracle is the NAIVE order-statistic definition (full
+    // per-group sort) — the bucketed two-phase search must agree with
+    // it exactly, which is the whole point
+    "agg_exact_median" ->
+      """WITH v AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cents) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM v)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_events,
+        |  CAST((n + 1) // 2 AS BIGINT) AS k, cents AS median_cents
+        |FROM r WHERE rn = (n + 1) // 2 ORDER BY event_type""".stripMargin,
+    // B89: the classic islands replay — island key ep − row_number,
+    // longest ties to earliest start
+    "events_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |    FROM events),
+        |e AS (SELECT user_id, day,
+        |    CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT)
+        |      AS ep
+        |  FROM d),
+        |g AS (SELECT user_id, day, ep,
+        |    ep - row_number() OVER (PARTITION BY user_id ORDER BY ep)
+        |      AS grp
+        |  FROM e),
+        |i AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len,
+        |    min(day) AS start_day, min(ep) AS start_ep
+        |  FROM g GROUP BY 1, 2),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY len DESC, start_ep ASC) AS rn FROM i),
+        |s AS (SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |    CAST(count(*) AS BIGINT) AS n_streaks,
+        |    CAST(max(len) AS BIGINT) AS longest_streak
+        |  FROM i GROUP BY 1),
+        |b AS (SELECT user_id, start_day AS longest_start FROM rk
+        |  WHERE rn = 1)
+        |SELECT s.user_id, s.n_active_days, s.n_streaks,
+        |  s.longest_streak, b.longest_start
+        |FROM s JOIN b USING (user_id) ORDER BY s.user_id""".stripMargin,
     // B87: integer month index 12·y+m keeps cohort/age arithmetic
     // exact; cumulative over the collapsed (cohort, age) frame; LTV
     // as floor-division cents

@@ -307,6 +307,67 @@ class AnalyticSpec extends SparkSpec {
     assert(row.getLong(row.fieldIndex("n_lineitems")) > 0)
   }
 
+  test("agg_exact_median: planted groups — bucketed search lands the " +
+      "exact order statistic across bucket boundaries") {
+    import spark.implicits._
+    def ev(t: String, vs: Double*) = vs.zipWithIndex.map { case (v, i) =>
+      (t, v, new java.sql.Timestamp(1704067200000L + i * 1000L))
+    }
+    // a: even count, lower median; b: median in bucket 0 with a far
+    // outlier; c: median sits in the SECOND bucket (r = 1 inside it)
+    val rows = ev("a", 1.0, 2.0, 3.0, 4.0) ++
+      ev("b", 0.5, 99.0, 101.0) ++
+      ev("c", 99.0, 101.0, 102.0)
+    val out = Analytic.exactMedian(
+        rows.toDF("event_type", "value", "ts")).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("k"),
+          r.getAs[Long]("median_cents")))
+      .toMap
+    assert(out("a") == (4L, 2L, 200L))
+    assert(out("b") == (3L, 2L, 9900L))
+    assert(out("c") == (3L, 2L, 10100L))
+  }
+
+  test("agg_exact_median: sf — the bucketed result equals the naive " +
+      "sorted order statistic per group") {
+    val got = Analytic.aggExactMedian(spark, sfDir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        r.getAs[Long]("median_cents")).toMap
+    val naive = graft.Tables(spark, sfDir, "events")
+      .select(col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .collect().groupBy(_.getString(0))
+      .map { case (t, rs) =>
+        val s = rs.map(_.getLong(1)).sorted
+        t -> s((s.length + 1) / 2 - 1)
+      }
+    assert(got == naive && got.nonEmpty)
+  }
+
+  test("events_streaks: planted islands — streak counts, longest, and " +
+      "earliest-start tiebreak") {
+    import spark.implicits._
+    def d(u: Long, s: String) =
+      (u, java.sql.Timestamp.valueOf(s + " 12:00:00"))
+    val ev = Seq(
+      d(1, "2024-01-01"), d(1, "2024-01-02"), d(1, "2024-01-03"),
+      d(1, "2024-01-05"), d(1, "2024-01-10"), d(1, "2024-01-11"),
+      d(1, "2024-01-01"), // duplicate day collapses
+      d(2, "2024-02-01"), d(2, "2024-02-02"),
+      d(2, "2024-02-10"), d(2, "2024-02-11"))
+      .toDF("user_id", "ts")
+    val out = Analytic.streaks(ev).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_active_days"), r.getAs[Long]("n_streaks"),
+          r.getAs[Long]("longest_streak"),
+          r.getAs[java.sql.Date]("longest_start").toString))
+      .toMap
+    assert(out(1L) == (6L, 3L, 3L, "2024-01-01"))
+    // two equal-length streaks: the EARLIEST start reports
+    assert(out(2L) == (4L, 2L, 2L, "2024-02-01"))
+  }
+
   test("cohort_ltv: planted cohorts — curves, sizes, and floor-exact " +
       "per-customer LTV") {
     import spark.implicits._
