@@ -508,6 +508,30 @@ class PlanSpec extends SparkSpec {
       "stats/source joins must stay broadcast")
   }
 
+  test("agg_exact_median: both phases collapse map-side — the only " +
+      "range shuffle is the final presentation sort") {
+    val p = plan("agg_exact_median")
+    // phase-1 exchange keys on the COLLAPSED (group, bucket) pair,
+    // never a row-level or sort shuffle of the fact stream
+    assert(p.contains("hashpartitioning(event_type"),
+      "bucket counts must partial-aggregate before the shuffle")
+    assert(countOccurrences(p, "rangepartitioning") == 1,
+      "a second range shuffle means a global sort leaked in")
+  }
+
+  test("cohort_ltv / events_streaks: one fact shuffle, broadcast " +
+      "rollups, no cartesian") {
+    val p1 = plan("cohort_ltv")
+    assert(p1.contains("BroadcastExchange"),
+      "cohort sizes must broadcast, not shuffle-join")
+    assert(!p1.contains("CartesianProduct"))
+    assert(countOccurrences(p1, "rangepartitioning") == 1)
+    val p2 = plan("events_streaks")
+    assert(countOccurrences(p2, "rangepartitioning") == 1,
+      "islands must key on user_id hash, not a global day sort")
+    assert(!p2.contains("CartesianProduct"))
+  }
+
   test("emb_knn_graph: the quadratic scoring pass runs once — the " +
       "mutuality join reads the checkpointed O(n·k) frame") {
     // mutualKnn checkpoints the directed top-k before the self-join,
