@@ -792,6 +792,61 @@ object Analytic {
       .orderBy(col("event_type"))
   }
 
+  /** `ts_autocorr` — per-series autocorrelation function at lags 1..7
+    * days (the standard seasonality/memory diagnostic that decides
+    * whether B83's weekly decomposition is even the right model: a
+    * spike at lag 7 says weekly, fast decay says noise): for each
+    * event type's daily revenue-cents series, ACF(L) = Σ (x_t − x̄)
+    * (x_{t+L} − x̄) / Σ (x_t − x̄)² where the lag is CALENDAR days
+    * (pairs join on epoch-day + L, so a gappy series never
+    * misaligns — the jittered-series convention).
+    *
+    * Cross-engine exact by scaled-integer centering: z = n·x − S is
+    * pure BIGINT (no float mean enters), products z·z accumulate in
+    * decimal(38,0) / HUGEINT (z ~ 1e12 at sf0.1 → z² ~ 1e24, far past
+    * 2^63 but exact in 38 digits — ts_changepoint's precedent), and
+    * the single float op is one IEEE division of two exactly-rounded
+    * doubles, round-6 guarded (C29's rule). Scale shape: ONE
+    * map-side-combined fact shuffle to the O(types × days) daily
+    * frame; the 7-lag fan-out and self-join run on that collapsed
+    * frame (B31's collapse-the-stream-first rule), output O(types×7).
+    */
+  def tsAutocorr(spark: SparkSession, dir: String): DataFrame =
+    autocorr(Tables(spark, dir, "events"), maxLag = 7)
+
+  /** [[tsAutocorr]]'s kernel on any (event_type, ts, value) frame. */
+  private[operators] def autocorr(events: DataFrame, maxLag: Int)
+      : DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(sum(col("value")) * 100, 0).cast("long").as("cents"))
+      .withColumn("dn", datediff(col("day"), lit("1970-01-01")))
+    val tot = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+    // z = n·cents − S: the mean removed WITHOUT a division (scaled by
+    // n) — BIGINT-exact, identical on both engines
+    val z = daily.join(broadcast(tot), Seq("event_type"))
+      .select(col("event_type"), col("dn"),
+        (col("n") * col("cents") - col("s")).as("z"))
+    val den = z.groupBy(col("event_type"))
+      .agg(sum(col("z").cast("decimal(38,0)") * col("z")).as("den"))
+    val lagged = z.crossJoin(
+        events.sparkSession.range(1, maxLag + 1)
+          .select(col("id").cast("int").as("lag")))
+      .select(col("event_type"), col("lag"),
+        (col("dn") + col("lag")).as("dn"), col("z").as("zb"))
+    val num = z.join(lagged, Seq("event_type", "dn"))
+      .groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("z").cast("decimal(38,0)") * col("zb")).as("num"))
+    num.join(broadcast(den), Seq("event_type"))
+      .filter(col("den") > 0)
+      .select(col("event_type"), col("lag"), col("n_pairs"),
+        round(col("num").cast("double") / col("den").cast("double"), 6)
+          .as("acf"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
   /** `graph_pagerank` — iterative graph analytics expressed
     * declaratively: PageRank (d = 0.85, 3 power iterations, dangling
     * mass redistributed uniformly) over the nation-level trade network
@@ -957,6 +1012,7 @@ object Analytic {
     "ts_ewma" -> (tsEwma _),
     "ts_holt" -> (tsHolt _),
     "ts_changepoint" -> (tsChangepoint _),
+    "ts_autocorr" -> (tsAutocorr _),
     "ts_gapfill" -> (tsGapfill _),
     "robust_stats" -> (robustStats _),
     "corr_stats" -> (corrStats _),
@@ -1163,6 +1219,36 @@ object Analytic {
         |    9 * CAST(n_days AS HUGEINT) * n_days * total AS INT)
         |    AS flagged
         |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
+    // ts_autocorr: scaled-integer centering (z = n·x − S, BIGINT),
+    // HUGEINT product sums, one round-6 IEEE division at the end;
+    // calendar-day lag join replayed 1:1
+    "ts_autocorr" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(round(sum(value) * 100, 0) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |d2 AS (SELECT event_type,
+        |    date_diff('day', DATE '1970-01-01', day) AS dn, cents
+        |  FROM daily),
+        |tot AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS s FROM d2 GROUP BY 1),
+        |z AS (SELECT d.event_type, d.dn, t.n * d.cents - t.s AS z
+        |  FROM d2 d JOIN tot t USING (event_type)),
+        |den AS (SELECT event_type, sum(CAST(z AS HUGEINT) * z) AS den
+        |  FROM z GROUP BY 1),
+        |lags AS (SELECT CAST(unnest(generate_series(1, 7)) AS INT)
+        |    AS lag),
+        |num AS (SELECT a.event_type, l.lag,
+        |    CAST(count(*) AS BIGINT) AS n_pairs,
+        |    sum(CAST(a.z AS HUGEINT) * b.z) AS num
+        |  FROM z a CROSS JOIN lags l
+        |  JOIN z b ON b.event_type = a.event_type
+        |    AND b.dn = a.dn + l.lag
+        |  GROUP BY 1, 2)
+        |SELECT n.event_type, n.lag, n.n_pairs,
+        |  round(CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE), 6)
+        |    AS acf
+        |FROM num n JOIN den d USING (event_type) WHERE d.den > 0
+        |ORDER BY n.event_type, n.lag""".stripMargin,
     "agg_hist_quantiles" ->
       """WITH partials AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,

@@ -557,6 +557,55 @@ object GraphMining {
   def graphLpaCommunities(spark: SparkSession, dir: String): DataFrame =
     lpaCommunities(copurchaseEdges(Tables(spark, dir, "lineitem")))
 
+  val BfsSeedK = 3  // hub seeds: top-K by (degree DESC, node ASC)
+  val BfsRounds = 4 // hop horizon
+
+  /** `graph_bfs` — bounded-round multi-source BFS over the co-purchase
+    * graph: hop distance from the [[BfsSeedK]] highest-degree hubs
+    * ("how far is every part from the center of the catalog" — the
+    * reachability/radius primitive under influence spread, nearest-hub
+    * routing, and graph-radius audits). [[BfsRounds]] synchronized
+    * frontier expansions; nodes beyond the horizon simply don't
+    * report (the B85 bounded-round contract — deterministic,
+    * oracle-unrollable, wall-clock-bounded at 100 TB).
+    *
+    * Scale shape: the frontier and visited sets are O(nodes) frames;
+    * each round is ONE hash equi-join of the frontier against the
+    * symmetrized edge list plus an anti-join against visited — never
+    * a BFS queue on the driver, never a cartesian; per-round
+    * `localCheckpoint` truncates lineage (the D6 rule). Seed choice
+    * is a total order (degree, id) so the seed set is engine-exact.
+    */
+  private[operators] def bfsLayers(edges0: DataFrame): DataFrame = {
+    val edges = edges0.localCheckpoint()
+    val sym = edges.select(col("u").as("node"), col("v").as("nbr"))
+      .union(edges.select(col("v").as("node"), col("u").as("nbr")))
+      .localCheckpoint() // read every round
+    val seeds = sym.groupBy(col("node")).agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("node"))
+      .limit(BfsSeedK)
+      .select(col("node"))
+    var visited = seeds.withColumn("dist", lit(0)).localCheckpoint()
+    var frontier = visited
+    for (k <- 1 to BfsRounds) {
+      frontier = sym
+        .join(frontier.select(col("node")), Seq("node"), "left_semi")
+        .select(col("nbr").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("dist", lit(k))
+        .localCheckpoint()
+      visited = visited.union(frontier).localCheckpoint()
+    }
+    visited.select(col("node").as("p_partkey"), col("dist"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** `graph_bfs` over the part co-purchase graph: (part, hop distance
+    * from the hub seed set), reachable-within-[[BfsRounds]] only.
+    */
+  def graphBfs(spark: SparkSession, dir: String): DataFrame =
+    bfsLayers(copurchaseEdges(Tables(spark, dir, "lineitem")))
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -566,6 +615,7 @@ object GraphMining {
     "events_paths" -> (eventsPaths _),
     "orders_basket_rules" -> (ordersBasketRules _),
     "graph_components" -> (graphComponents _),
+    "graph_bfs" -> (graphBfs _),
     "skyline_3d" -> (skyline3d _),
     "graph_jaccard_links" -> (graphJaccardLinks _),
     "graph_kcore" -> (graphKcore _)
@@ -594,7 +644,34 @@ object GraphMining {
        |      ORDER BY cnt DESC, label ASC) AS rn
        |  FROM a_$out) WHERE rn = 1)""".stripMargin
 
+  /** One unrolled BFS round for the oracle: new frontier = unseen
+    * neighbors of the previous frontier, visited set grows by it.
+    */
+  private def bfsRoundOracle(k: Int): String =
+    s"""f$k AS (SELECT DISTINCT s.nbr AS node
+       |  FROM f${k - 1} f JOIN sym s USING (node)
+       |  WHERE s.nbr NOT IN (SELECT node FROM v${k - 1})),
+       |v$k AS (SELECT * FROM v${k - 1}
+       |  UNION ALL SELECT node, $k FROM f$k)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "graph_bfs" ->
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |    FROM lineitem),
+         |e AS (SELECT a.p AS u, b.p AS v
+         |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+         |  GROUP BY a.p, b.p HAVING count(*) >= $EdgeMinSupport),
+         |sym AS (SELECT u AS node, v AS nbr FROM e
+         |  UNION ALL SELECT v, u FROM e),
+         |deg AS (SELECT node, count(*) AS d FROM sym GROUP BY 1),
+         |seeds AS (SELECT node FROM (SELECT node,
+         |    row_number() OVER (ORDER BY d DESC, node) AS rn FROM deg)
+         |  WHERE rn <= $BfsSeedK),
+         |v0 AS (SELECT node, 0 AS dist FROM seeds),
+         |f0 AS (SELECT node FROM seeds),
+         |${(1 to BfsRounds).map(bfsRoundOracle).mkString(",\n")}
+         |SELECT node AS p_partkey, dist FROM v$BfsRounds
+         |ORDER BY p_partkey""".stripMargin,
     "graph_lpa_communities" ->
       s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
          |    FROM lineitem),

@@ -381,6 +381,30 @@ class GraphMiningSpec extends SparkSpec {
     assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("bfsLayers: hub seeding, layered distances, horizon cutoff") {
+    // star at 1 (degree 3) + chain 4-5-6-7-8-9-10: seeds are the top-3
+    // by (degree desc, id asc) = {1, 4, 5}; node 10 sits 5 hops from
+    // the nearest seed — past BfsRounds=4, so it must NOT report
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (7L, 8L), (8L, 9L), (9L, 10L))
+    val out = GraphMining.bfsLayers(edgesDf(g)).collect()
+      .map(r => r.getAs[Long]("p_partkey") -> r.getAs[Int]("dist")).toMap
+    assert(out == Map(1L -> 0, 4L -> 0, 5L -> 0,
+      2L -> 1, 3L -> 1, 6L -> 1, 7L -> 2, 8L -> 3, 9L -> 4))
+  }
+
+  test("bfsLayers: every node gets exactly one distance (a node " +
+      "reachable from two seeds reports the minimum once)") {
+    // 3 sits one hop from both seed candidates 1 and 2
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 5L))
+    val rows = GraphMining.bfsLayers(edgesDf(g)).collect()
+    val keys = rows.map(_.getAs[Long]("p_partkey")).toSeq
+    assert(keys.distinct.size == keys.size, "duplicate node rows")
+    assert(rows.map(r => r.getAs[Long]("p_partkey") ->
+      r.getAs[Int]("dist")).toMap ==
+      Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 1, 5L -> 1))
+  }
+
   test("queries are deterministic across runs") {
     for ((name, q) <- GraphMining.queries) {
       val a = q(spark, sfDir).collect().map(_.toString).toSeq
