@@ -240,7 +240,7 @@ object Ann {
     val thresh = math.floor(
       math.min(1.0, TrainCap.toDouble / math.max(n, 1L)) * 65536).toLong
     val kept = pq.toSeq.filter(_._1 < thresh)
-    if (kept.sizeIs >= safeK) trainSampleTwoJob(spark, c, sampleThresh(c))
+    if (kept.sizeIs >= safeK) trainSampleTwoJob(spark, c, thresh)
     else kept.map(t => (t._2, t._3)).sortBy(_._1)
       .toDF("vec_id", "embedding")
   }

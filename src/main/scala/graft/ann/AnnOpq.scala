@@ -139,9 +139,15 @@ object AnnOpq {
     * a 4096-node literal expression tree evaluate interpreted at
     * milliseconds per row — 100× the whole query.)
     */
-  private def rotateCol(v: Column, rt: Seq[Seq[Double]]): Column =
-    graft.functions.GraftFunctions.matVecF(
-      v, rt.flatten.toArray, Dim)
+  private def rotateCol(v: Column, rtFlat: Array[Double]): Column =
+    graft.functions.GraftFunctions.matVecF(v, rtFlat, Dim)
+
+  /** Flatten a row-per-output rotation ONCE — every rotate column built
+    * from the same flat array is structurally equal (MatVecF holds an
+    * IndexedSeq), so sample/corpus/query rotations canonicalize
+    * together instead of defeating subexpression elimination. */
+  private def flatRot(rt: Seq[Seq[Double]]): Array[Double] =
+    rt.flatten.toArray
 
   /** OPQ's eigenvalue-allocation step on the ROTATED frame: rank the
     * rotated dimensions by their (partially concentrated) variance —
@@ -171,8 +177,8 @@ object AnnOpq {
     // CollapseProject inlines the full 64-term rotate into EVERY
     // permuted element — a 64× expression blowup that turned the
     // corpus map into minutes of single-row work.)
-    val rtP = (0 until Dim).map(j =>
-      (0 until Dim).map(i => rot(i)(perm(j))))
+    val rtP = flatRot((0 until Dim).map(j =>
+      (0 until Dim).map(i => rot(i)(perm(j)))))
     def rotate(v: Column): Column = rotateCol(v, rtP)
     val sample = Ann.trainSample(spark, cUn)
       .select(col("vec_id"), rotate(col("embedding")).as("embedding"))
@@ -227,8 +233,8 @@ object AnnOpq {
     val cRaw = Ann.corpus(spark, dir)
     val (rot, cmf) = givensChain(covariance(cRaw))
     val perm = allocPerm(cmf)
-    val rtP = (0 until Dim).map(j =>
-      (0 until Dim).map(i => rot(i)(perm(j))))
+    val rtP = flatRot((0 until Dim).map(j =>
+      (0 until Dim).map(i => rot(i)(perm(j)))))
     val cRot = cRaw.select(col("vec_id"),
       rotateCol(col("embedding"), rtP).as("embedding"))
     val qRot = cRot.filter(col("vec_id") < Ann.NumQueries)

@@ -436,7 +436,77 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  val SubTokens = 16 // sliding window width (D7's segment width, unaligned)
+
+  /** D12 `dedup_substring` — EXACT-substring dedup by sliding-window
+    * fingerprinting (the Lee et al. "Deduplicating Training Data Makes
+    * Language Models Better" recipe production corpora pair with
+    * MinHash, re-expressed for Spark: corpus-wide window-hash groups
+    * instead of a distributed suffix array). D7's aligned segments
+    * miss any shared span that crosses a 16-token boundary at an
+    * offset — two docs sharing a SHIFTED 50-token run dedup to
+    * nothing there (spec plants exactly that). Here EVERY w-token
+    * window slides by 1: any shared ≥w-token run produces equal
+    * windows in both docs regardless of alignment.
+    *
+    * Mechanics: per doc, [[graft.functions.RollingWinHashes]] emits
+    * all window hashes in O(n + windows) via the Karp–Rabin rolling
+    * decomposition (NOT the O(n·w) per-window digest — at 100 TB
+    * that's w× the corpus bytes re-hashed); windows group corpus-wide
+    * on the 8-byte hash; a window occurring ≥2 times anywhere (other
+    * docs or a repeat in the same doc) is a duplicated span witness;
+    * per doc the duplicated token coverage is the interval UNION of
+    * its dup windows — one ordered window pass per doc (prev-end
+    * running max, the B16 sessionize trick), never materializing the
+    * w-row fan-out.
+    *
+    * Scale shape: the corpus-wide exchange carries (hash, doc, pos) =
+    * O(tokens) rows of ~24 bytes keyed on the hash — the same bucket
+    * discipline as D7, no doc pair ever held; the per-doc pass
+    * re-shuffles only dup-window rows. The per-doc stats branch is a
+    * second column-pruned scan that joins the O(docs) dup rollup by
+    * broadcast. The ORACLE groups on the literal window STRING —
+    * greener than replaying the fold: a Spark-side hash collision
+    * would flip the counts and fail the gate, so the gate itself
+    * certifies collision-freeness on the corpus (window-hash ≡
+    * window-string grouping), cf. aiesec.py:139's row-identity
+    * fingerprint generalized to span identity.
+    */
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame =
+    substringDedup(Tables(spark, dir, "documents"))
+
+  /** [[dedupSubstring]]'s kernel on any (doc_id, text) frame. */
+  private[dedup] def substringDedup(docs: DataFrame): DataFrame = {
+    val w = SubTokens
+    val wins = docs
+      .select(col("doc_id"),
+        posexplode(rollingWinHashes(col("text"), w)).as(Seq("pos", "wh")))
+    val dups = wins
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("wh"))))
+      .filter(col("c") >= 2)
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val perDoc = dups
+      .withColumn("prev_end", max(col("pos") + w).over(wDoc))
+      .withColumn("cov",
+        col("pos") + w -
+          greatest(col("pos"), coalesce(col("prev_end"), col("pos"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_windows"),
+        sum(col("cov")).as("dup_tokens"))
+    docs
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("n_windows",
+        greatest(col("n_tokens") - (w - 1), lit(0L)))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_dup_windows", "dup_tokens"))
+      .withColumn("dup_pm", expr("dup_tokens * 1000 div n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_substring" -> (dedupSubstring _),
     "dedup_segments" -> (dedupSegments _),
     "dedup_exact" -> (dedupExact _),
     "dedup_by_source" -> (dedupBySource _),
@@ -460,6 +530,44 @@ object Dedup {
   // (hi 3210233709 / lo 484763065), K3 0x94d049bb133111eb (hi
   // 2496678331 / lo 321982955).
   val oracle: Map[String, String] = Map(
+    // dedup_substring: the oracle keys window groups on the LITERAL
+    // 16-token window string (not a hash replay) — a Spark-side hash
+    // collision would therefore flip counts and FAIL the gate, so a
+    // green row certifies hash-grouping ≡ string-grouping on this
+    // corpus; interval union via the same prev-end running max
+    "dedup_substring" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |w0 AS (SELECT doc_id, w,
+        |    unnest(range(1, len(w) - 14)) AS i
+        |  FROM t WHERE len(w) >= 16),
+        |wins AS (SELECT doc_id, i - 1 AS pos,
+        |    array_to_string(w[i : i + 15], ' ') AS win
+        |  FROM w0),
+        |d AS (SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, count(*) OVER (PARTITION BY win) AS c
+        |    FROM wins) WHERE c >= 2),
+        |iv AS (SELECT doc_id, pos,
+        |    max(pos + 16) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_end
+        |  FROM d),
+        |agg AS (SELECT doc_id,
+        |    count(*) AS n_dup_windows,
+        |    sum(pos + 16 - greatest(pos, coalesce(prev_end, pos)))
+        |      AS dup_tokens
+        |  FROM iv GROUP BY doc_id),
+        |base AS (SELECT doc_id, len(w) AS n_tokens,
+        |    greatest(len(w) - 15, 0) AS n_windows
+        |  FROM t)
+        |SELECT b.doc_id, b.n_tokens, b.n_windows,
+        |  coalesce(a.n_dup_windows, 0) AS n_dup_windows,
+        |  CAST(coalesce(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |  CAST(coalesce(a.dup_tokens, 0) * 1000 // b.n_tokens AS BIGINT)
+        |    AS dup_pm
+        |FROM base b LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // dedup_segments: Spark's min(struct(doc_id, seg_id)) ≡ the rn=1
     // slot of a (doc_id, seg_id)-ordered window per segment hash
     "dedup_segments" ->

@@ -99,8 +99,19 @@ case class DotI(left: Expression, right: Expression)
   * object and the whole apply stays one static call inside
   * whole-stage codegen.
   */
-case class MatVecF(child: Expression, m: Array[Double], outDim: Int)
+case class MatVecF(child: Expression,
+    m: scala.collection.immutable.ArraySeq[Double], outDim: Int)
     extends UnaryExpression {
+  require(outDim > 0 && m.length % outDim == 0,
+    s"mat_vec_f: flat matrix length ${m.length} not a multiple of $outDim")
+
+  /** Matrix held as an IndexedSeq so case-class equality (and hence
+    * Catalyst canonicalization / subexpression elimination / exchange
+    * reuse) is structural, not reference — two independently flattened
+    * copies of the same rotation compare equal. */
+  private val inDim: Int = m.length / outDim
+  @transient private lazy val flat: Array[Double] =
+    m.unsafeArray.asInstanceOf[Array[Double]]
 
   override def checkInputDataTypes(): TypeCheckResult =
     GraftFunctions.checkTypes(prettyName, Seq(child),
@@ -109,12 +120,12 @@ case class MatVecF(child: Expression, m: Array[Double], outDim: Int)
   override def prettyName: String = "mat_vec_f"
 
   override def nullSafeEval(v: Any): Any =
-    VecOps.matVecF(v.asInstanceOf[ArrayData], m, outDim)
+    VecOps.matVecF(v.asInstanceOf[ArrayData], flat, outDim, inDim)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val mRef = ctx.addReferenceObj("rotm", m, "double[]")
+    val mRef = ctx.addReferenceObj("rotm", flat, "double[]")
     nullSafeCodeGen(ctx, ev, v =>
-      s"${ev.value} = graft.functions.VecOps.matVecF($v, $mRef, $outDim);")
+      s"${ev.value} = graft.functions.VecOps.matVecF($v, $mRef, $outDim, $inDim);")
   }
 
   override protected def withNewChildInternal(
@@ -265,6 +276,36 @@ case class RollingHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** `rolling_win_hashes(string, w) -> array<long>` — Karp–Rabin hash of
+  * EVERY sliding w-token window (single-space joined), O(n + windows)
+  * via the rolling prefix/power decomposition instead of the O(n·w)
+  * per-window re-fold: the exact-substring-dedup kernel (D12). Each
+  * element is bit-identical to `rolling_hash64` of that window's
+  * joined string (spec-pinned).
+  */
+case class RollingWinHashes(child: Expression, w: Int)
+    extends UnaryExpression {
+  require(w > 0, s"rolling_win_hashes: window must be positive, got $w")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.checkTypes(prettyName, Seq(child),
+      { case StringType => true })
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rolling_win_hashes"
+
+  override def nullSafeEval(a: Any): Any =
+    VecOps.rollingWinHashes(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VecOps.rollingWinHashes($a, $w);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RollingWinHashes =
+    copy(child = newChild)
+}
+
 /** `char_entropy(string) -> double` — Shannon entropy of the
   * code-point distribution, bits/char: the zero-shuffle gibberish /
   * boilerplate signal for corpus quality gates (a full SQL spelling
@@ -328,7 +369,8 @@ object GraftFunctions {
   def dotI(a: Column, b: Column): Column =
     column(DotI(expression(a), expression(b)))
   def matVecF(a: Column, m: Array[Double], outDim: Int): Column =
-    column(MatVecF(expression(a), m, outDim))
+    column(MatVecF(expression(a),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(m), outDim))
   def minhashSig(a: Column, k: Int): Column =
     column(MinHashSig(expression(a), k))
   def simhash64(a: Column): Column = column(SimHash64(expression(a)))
@@ -339,6 +381,8 @@ object GraftFunctions {
   def wordShingles(a: Column, n: Int): Column =
     column(WordShingles(expression(a), n))
   def rollingHash64(a: Column): Column = column(RollingHash64(expression(a)))
+  def rollingWinHashes(a: Column, w: Int): Column =
+    column(RollingWinHashes(expression(a), w))
   def zValue(a: Column, b: Column): Column =
     column(ZValue(expression(a), expression(b)))
   def charEntropy(a: Column): Column = column(CharEntropy(expression(a)))

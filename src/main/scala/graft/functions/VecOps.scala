@@ -48,15 +48,19 @@ object VecOps {
     * shape the oracle replays, one tight loop per row instead of a
     * 4096-node expression tree.
     */
-  def matVecF(x: ArrayData, m: Array[Double], outDim: Int): ArrayData = {
+  def matVecF(x: ArrayData, m: Array[Double], outDim: Int,
+      inDim: Int): ArrayData = {
     val n = x.numElements()
+    require(n == inDim && m.length == outDim * inDim,
+      s"mat_vec_f: vector length $n vs matrix ${outDim}x$inDim " +
+        s"(flat ${m.length})")
     val out = new Array[Any](outDim)
     var j = 0
     while (j < outDim) {
       var acc = 0.0
-      val base = j * n
+      val base = j * inDim
       var i = 0
-      while (i < n) { acc += x.getFloat(i).toDouble * m(base + i); i += 1 }
+      while (i < inDim) { acc += x.getFloat(i).toDouble * m(base + i); i += 1 }
       out(j) = acc.toFloat
       j += 1
     }
@@ -168,6 +172,72 @@ object VecOps {
       i += 1
     }
     h
+  }
+
+  private val RhBase = 1000003L // rollingHash64's radix
+
+  /** Karp–Rabin hashes of every sliding W-TOKEN window, O(n + windows)
+    * — the kernel under exact-substring dedup (D12). Tokens are
+    * maximal non-whitespace runs (Java `\s` set — `split(trim(s),
+    * "\\s+")` semantics); the hashed byte stream for window i is the
+    * single-space join of tokens i..i+w-1, and each output value is
+    * BIT-IDENTICAL to [[rollingHash64]] of that joined string
+    * (spec-pinned). The rolling property does the work: one prefix
+    * fold over the canonical "tok₀ tok₁ …" stream plus a power table,
+    * then every window hash is two lookups and one wrapping
+    * multiply-subtract — H(a..b) = P(b) − P(a)·B^(b−a) in the mod-2⁶⁴
+    * ring — instead of the O(n·w) re-fold a per-window digest (D7's
+    * aligned-segment md5) would pay on SLIDING windows.
+    * Fewer than w tokens → empty array.
+    */
+  def rollingWinHashes(s: UTF8String, w: Int): ArrayData = {
+    val b = s.getBytes
+    def ws(c: Byte): Boolean = c == ' ' || c == '\t' || c == '\n' ||
+      c == 0x0b || c == '\f' || c == '\r'
+    // token spans over the raw bytes
+    var m = 0
+    val starts = new Array[Int](b.length / 2 + 1)
+    val ends = new Array[Int](b.length / 2 + 1)
+    var i = 0
+    while (i < b.length) {
+      if (!ws(b(i))) {
+        starts(m) = i
+        while (i < b.length && !ws(b(i))) i += 1
+        ends(m) = i
+        m += 1
+      } else i += 1
+    }
+    if (m < w) return new GenericArrayData(Array.empty[Any])
+    // prefix hashes of the canonical single-space-joined stream,
+    // recorded at token starts/ends, plus B^k for every k ≤ stream len
+    val hs = new Array[Long](m) // P(canonical start of token k)
+    val he = new Array[Long](m) // P(canonical end of token k)
+    val cs = new Array[Int](m) // canonical start offset of token k
+    val ce = new Array[Int](m)
+    var h = 0L
+    var pos = 0
+    var k = 0
+    while (k < m) {
+      if (k > 0) { h = h * RhBase + ' '.toInt; pos += 1 }
+      hs(k) = h; cs(k) = pos
+      var j = starts(k)
+      while (j < ends(k)) { h = h * RhBase + (b(j) & 0xff); j += 1 }
+      pos += ends(k) - starts(k)
+      he(k) = h; ce(k) = pos
+      k += 1
+    }
+    val pow = new Array[Long](pos + 1)
+    pow(0) = 1L
+    i = 1
+    while (i <= pos) { pow(i) = pow(i - 1) * RhBase; i += 1 }
+    val out = new Array[Any](m - w + 1)
+    i = 0
+    while (i <= m - w) {
+      val a = cs(i); val bEnd = ce(i + w - 1)
+      out(i) = he(i + w - 1) - hs(i) * pow(bEnd - a)
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** splitmix64 finalizer — cheap stateless bit mixer. Public: also the

@@ -453,7 +453,8 @@ object CurationOps {
       .groupBy(col("c_nationkey"), col("c_mktsegment"),
         floor(col("c_acctbal") / 1000).cast("long").as("band"))
       .agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint() // one materialization feeds classes/gBands/join;
+    // released with the session (no session-lifetime persist pin)
     val classes = cells.groupBy(col("c_nationkey"), col("c_mktsegment"))
       .agg(sum(col("c")).as("n_c"))
     val gBands = cells.groupBy(col("band")).agg(sum(col("c")).as("g"))

@@ -184,4 +184,54 @@ class DedupSpec extends SparkSpec {
       assert(bp == r.getAs[Long]("n_dups") * 10000 / r.getAs[Long]("n_docs"))
     }
   }
+
+  test("dedup_substring catches a SHIFTED 31-token overlap that " +
+      "D7's aligned segments provably miss") {
+    import spark.implicits._
+    // doc 1: 60 distinct tokens; doc 2: 5 junk tokens then doc 1's
+    // tokens 19..49 — a 31-token shared run at relative shift -14,
+    // which is ≢ 0 (mod 16), so NO aligned 16-token segment can line up
+    val a = (0 until 60).map(i => s"a$i")
+    val b = (1 to 5).map(i => s"zz$i") ++ a.slice(19, 50)
+    def alignedSegs(ts: Seq[String]): Set[String] =
+      ts.grouped(Dedup.SegTokens).map(_.mkString(" ")).toSet
+    assert(alignedSegs(a).intersect(alignedSegs(b)).isEmpty,
+      "planted shift must defeat aligned segmentation (D7)")
+    val docs = Seq((1L, a.mkString(" ")), (2L, b.mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDedup(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // windows of width 16 inside the shared run: starts 19..34 in doc 1
+    // (16 windows covering tokens [19, 50)), starts 5..20 in doc 2
+    // (covering [5, 36)) — interval union = the full 31-token run
+    assert(out(1L).getAs[Long]("n_tokens") == 60)
+    assert(out(1L).getAs[Long]("n_windows") == 45)
+    assert(out(1L).getAs[Long]("n_dup_windows") == 16)
+    assert(out(1L).getAs[Long]("dup_tokens") == 31)
+    assert(out(1L).getAs[Long]("dup_pm") == 31000 / 60)
+    assert(out(2L).getAs[Long]("n_tokens") == 36)
+    assert(out(2L).getAs[Long]("n_windows") == 21)
+    assert(out(2L).getAs[Long]("n_dup_windows") == 16)
+    assert(out(2L).getAs[Long]("dup_tokens") == 31)
+  }
+
+  test("dedup_substring: intra-doc repetition counts, full coverage " +
+      "when a 20-token run repeats back-to-back") {
+    import spark.implicits._
+    val run = (0 until 20).map(i => s"r$i")
+    val docs = Seq(
+      (1L, (run ++ run).mkString(" ")), // 40 tokens, period 20
+      (2L, (0 until 30).map(i => s"u$i").mkString(" "))) // control
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDedup(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // equal windows: starts 0..4 ≡ starts 20..24 (the only pairs whose
+    // 16 tokens stay inside one period image) → 10 dup windows whose
+    // union [0,20) ∪ [20,40) covers the whole doc
+    assert(out(1L).getAs[Long]("n_dup_windows") == 10)
+    assert(out(1L).getAs[Long]("dup_tokens") == 40)
+    assert(out(1L).getAs[Long]("dup_pm") == 1000)
+    assert(out(2L).getAs[Long]("n_dup_windows") == 0)
+    assert(out(2L).getAs[Long]("dup_tokens") == 0)
+  }
 }

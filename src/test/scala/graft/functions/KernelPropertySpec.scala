@@ -47,6 +47,35 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("rollingWinHashes ≡ rollingHash64 of each space-joined window") {
+    val wsTok = Gen.listOf(Gen.oneOf(
+      "a", "bb", "ccc", "word", "x1", "Σσ", "käse")) // incl. multi-byte
+    val wGen = Gen.chooseNum(1, 5)
+    val pad = Gen.oneOf("", " ", "  ", "\t", "\n ")
+    check(Prop.forAll(wsTok, wGen, pad, pad) { (ts, w, lead, trail) =>
+      val raw = lead + ts.mkString(" ") + trail
+      val got = VecOps.rollingWinHashes(UTF8String.fromString(raw), w)
+      val want =
+        if (ts.length < w) Array.empty[Long]
+        else ts.sliding(w).map(win =>
+          VecOps.rollingHash64(
+            UTF8String.fromString(win.mkString(" ")))).toArray
+      got.numElements() == want.length &&
+        want.indices.forall(i => got.getLong(i) == want(i))
+    })
+  }
+
+  test("rollingWinHashes splits on every Java \\s whitespace kind") {
+    val s = "one\ttwo\nthree\u000bfour\ffive\rsix  seven"
+    val got = VecOps.rollingWinHashes(UTF8String.fromString(s), 2)
+    val toks = Seq("one", "two", "three", "four", "five", "six", "seven")
+    assert(got.numElements() == 6)
+    toks.sliding(2).zipWithIndex.foreach { case (win, i) =>
+      assert(got.getLong(i) ==
+        VecOps.rollingHash64(UTF8String.fromString(win.mkString(" "))))
+    }
+  }
+
   test("cosine ∈ [-1,1], exactly 1 on self for nonzero vectors") {
     check(Prop.forAll(vecs, vecs) { (v, w) =>
       val self = VecOps.cosineF(farr(v), farr(v))
