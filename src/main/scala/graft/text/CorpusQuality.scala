@@ -317,13 +317,38 @@ object CorpusQuality {
     */
   def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    var words = Tables(spark, dir, "documents")
+    val (merges, _) = bpeLearn(spark, bpeWords(spark, dir))
+    merges.toDF("iteration", "merged_pair", "pair_count")
+      .orderBy(col("iteration"))
+  }
+
+  /** The C24 preprocessing frame: corpus word frequencies with each
+    * word exploded to a space-separated char sequence — BPE's working
+    * state. One corpus scan; O(vocab) rows after.
+    */
+  private def bpeWords(spark: SparkSession, dir: String): DataFrame =
+    bpeWordsOf(Tables(spark, dir, "documents"))
+
+  /** [[bpeWords]] on any (doc_id, text) frame. */
+  private[text] def bpeWordsOf(docs: DataFrame): DataFrame =
+    docs
       .select(explode(toks).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .withColumn("seq", expr(
         """array_join(transform(sequence(1, char_length(w)),
           |  i -> substring(w, i, 1)), ' ')""".stripMargin))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** The C24 merge LOOP, factored so training (C24 reports the merge
+    * table) and encoding (C38 applies it) share one code path: runs
+    * [[BpeIters]] rounds over the word frame, returning the merge
+    * table AND the fully-rewritten word frame — word → final symbol
+    * sequence, which IS the encode dictionary a tokenizer ships.
+    */
+  private[text] def bpeLearn(spark: SparkSession, words0: DataFrame)
+      : (Seq[(Int, String, Long)], DataFrame) = {
+    import spark.implicits._
+    var words = words0
     val pairsOf = expr(
       """CASE WHEN size(split(seq, ' ')) >= 2
         |  THEN transform(sequence(1, size(split(seq, ' ')) - 1),
@@ -353,9 +378,55 @@ object CorpusQuality {
         s"trim(replace(replace(concat(' ', replace(seq, ' ', '  '), ' '), " +
           s"' $pat ', ' $sym '), '  ', ' '))"))
     }
-    merges.result().toDF("iteration", "merged_pair", "pair_count")
-      .orderBy(col("iteration"))
+    (merges.result(), words)
   }
+
+  /** C38 `bpe_encode` — APPLY the learned merge table to the corpus:
+    * the actual tokenizer step a training pipeline hands its
+    * dataloader (C24 trains the merges, C18 ranks ids; this one turns
+    * text into the post-merge symbol stream). The dictionary is the
+    * loop's rewritten word frame — word → final symbol sequence — so
+    * encoding a document is a per-token dictionary lookup, NOT a
+    * per-document rewrite: the merge closure is applied once per
+    * DISTINCT word on the O(vocab) frame, and the corpus-sized pass is
+    * a broadcast-join projection (a shipped tokenizer dictionary is a
+    * bounded artifact — ~50k entries in production — so the broadcast
+    * holds at any corpus size; the train-side vocab stand-in here is
+    * corpus-derived but the plan is the same either way).
+    *
+    * Per doc: word count, char count, post-merge symbol count (chars −
+    * symbols = merge applications landed), and the md5 fingerprint of
+    * the FULL ordered symbol stream (C18's trick: pins the entire
+    * encoded sequence through the gate without hauling every symbol
+    * row). Spec replays the whole train+encode chain against an
+    * independent plain-Scala BPE and pins the merge-table round-trip.
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeEncodeDocs(spark, Tables(spark, dir, "documents"))
+
+  /** Full train+encode chain on any (doc_id, text) frame. */
+  private[text] def bpeEncodeDocs(spark: SparkSession,
+      docs: DataFrame): DataFrame = {
+    val (_, dict) = bpeLearn(spark, bpeWordsOf(docs))
+    bpeEncodeWith(docs, dict)
+  }
+
+  /** [[bpeEncode]]'s corpus pass against any (w, seq) dictionary. */
+  private[text] def bpeEncodeWith(docs: DataFrame,
+      dict: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "w")))
+      .join(broadcast(dict.select(col("w"), col("seq"))), Seq("w"))
+      .withColumn("nsym", size(split(col("seq"), " ")).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(char_length(col("w")).cast("long")).as("n_chars"),
+        sum(col("nsym")).as("n_symbols"),
+        md5(concat_ws(" ",
+          expr("transform(array_sort(collect_list(struct(pos, seq)))," +
+            " x -> x.seq)")).cast("binary")).as("enc_fp"))
+      .orderBy(col("doc_id"))
 
   val QcDim = 1024     // hashed bag-of-words feature buckets
   val QcMult = 2654435761L // Knuth multiplicative hash spreads bucket→weight
@@ -560,6 +631,7 @@ object CorpusQuality {
     "corpus_budget" -> (corpusBudget _),
     "quality_classifier" -> (qualityClassifier _),
     "bpe_train" -> (bpeTrain _),
+    "bpe_encode" -> (bpeEncode _),
     "text_chunks" -> (textChunks _),
     "text_repetition" -> (textRepetition _),
     "text_ngram_lm" -> (textNgramLm _),
@@ -750,6 +822,34 @@ object CorpusQuality {
          |  UNION ALL SELECT 2, pr, cnt FROM t2
          |  UNION ALL SELECT 3, pr, cnt FROM t3)
          |ORDER BY iteration""".stripMargin,
+    // bpe_encode: the same 3 unrolled merge rounds, then every doc
+    // token joins its fully-rewritten dictionary entry; the ordered
+    // string_agg md5 pins the complete encoded symbol stream
+    "bpe_encode" ->
+      s"""WITH words AS (SELECT w, count(*) AS freq FROM (
+         |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+         |    FROM documents)
+         |  GROUP BY w),
+         |w0 AS (SELECT w, freq,
+         |    array_to_string([w[i] for i in range(1, len(w) + 1)], ' ')
+         |      AS seq
+         |  FROM words),
+         |${bpeRoundOracle("w0", "t1", "w1")},
+         |${bpeRoundOracle("w1", "t2", "w2")},
+         |${bpeRoundOracle("w2", "t3", "w3")},
+         |toks AS (SELECT doc_id, CAST(i AS INT) AS pos,
+         |    toklist[CAST(i AS INT)] AS tok
+         |  FROM (SELECT doc_id,
+         |          string_split_regex(trim(text), '\\s+') AS toklist
+         |        FROM documents),
+         |  unnest(range(1, len(toklist) + 1)) AS t(i)),
+         |enc AS (SELECT t.doc_id, t.pos, d.w, d.seq
+         |  FROM toks t JOIN w3 d ON t.tok = d.w)
+         |SELECT doc_id, count(*) AS n_words,
+         |  CAST(sum(length(w)) AS BIGINT) AS n_chars,
+         |  CAST(sum(len(string_split(seq, ' '))) AS BIGINT) AS n_symbols,
+         |  md5(string_agg(seq, ' ' ORDER BY pos)) AS enc_fp
+         |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the relational spelling (unnest + group + max) of the same
     // per-doc top token/bigram the Spark side reads off a sorted-array
     // run fold — different algorithm, same exact integers

@@ -132,6 +132,73 @@ class CorpusQualitySpec extends SparkSpec {
       "round-1 merge count must match the corpus top pair frequency")
   }
 
+  test("bpe_encode matches an independent plain-Scala BPE end-to-end " +
+      "(train 3 merges, left-to-right non-overlapping apply, encode)") {
+    import spark.implicits._
+    // corpus chosen so merges CHAIN (round 2 merges a round-1 symbol)
+    val texts = Seq(
+      "aaab aaab aaab banana banana",
+      "aaab cab cab banana",
+      "dab aaab banana cab")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+
+    // ---- independent reference BPE (lists of symbols, no SQL) ----
+    val freq = texts.flatMap(_.split("\\s+")).groupBy(identity)
+      .map { case (w, xs) => w -> xs.length.toLong }
+    var seqs: Map[String, Vector[String]] =
+      freq.keys.map(w => w -> w.map(_.toString).toVector).toMap
+    def applyMerge(s: Vector[String], p: (String, String)): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == p._1 && s(i + 1) == p._2) {
+          out += (p._1 + p._2); i += 2
+        } else { out += s(i); i += 1 }
+      }
+      out.result()
+    }
+    var refMerges = Vector.empty[(String, Long)]
+    for (_ <- 1 to CorpusQuality.BpeIters) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((w, s) <- seqs; i <- 0 until s.length - 1)
+        counts((s(i), s(i + 1))) =
+          counts.getOrElse((s(i), s(i + 1)), 0L) + freq(w)
+      val (bp, bc) = counts.toSeq
+        .map { case (p, c) => (p._1 + " " + p._2, c) }
+        .minBy { case (p, c) => (-c, p) }
+      val pair = bp.split(" ") match { case Array(a, b) => (a, b) }
+      refMerges :+= ((bp, bc))
+      seqs = seqs.map { case (w, s) => w -> applyMerge(s, pair) }
+    }
+    def refEncode(t: String): Vector[String] =
+      t.trim.split("\\s+").toVector.flatMap(seqs)
+    // ---- compare the merge table (round-trip) ----
+    val trained = CorpusQuality.bpeLearn(spark,
+      CorpusQuality.bpeWordsOf(docs))._1
+    assert(trained.map(m => (m._2, m._3)) == refMerges.toSeq,
+      s"merge tables differ: $trained vs $refMerges")
+    // ---- compare the encoded streams ----
+    val got = CorpusQuality.bpeEncodeDocs(spark, docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val enc = refEncode(t)
+      val row = got(i.toLong)
+      assert(row.getAs[Long]("n_words") == t.split("\\s+").length)
+      assert(row.getAs[Long]("n_chars") == t.split("\\s+").map(_.length).sum)
+      assert(row.getAs[Long]("n_symbols") == enc.length,
+        s"doc $i: symbol count ${row.getAs[Long]("n_symbols")} vs ${enc.length}")
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(enc.mkString(" ").getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      assert(row.getAs[String]("enc_fp") == fp,
+        s"doc $i: encoded stream fingerprint mismatch")
+    }
+    // merges actually landed: fewer symbols than chars somewhere
+    assert(got.values.exists(r =>
+      r.getAs[Long]("n_symbols") < r.getAs[Long]("n_chars")))
+  }
+
   test("text_bigram_lm: transitions = tokens−1, bits positive/bounded") {
     val lm = CorpusQuality.textBigramLm(spark, sfDir)
     val toks = graft.Tables(spark, sfDir, "documents")
