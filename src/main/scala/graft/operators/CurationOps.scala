@@ -481,7 +481,71 @@ object CurationOps {
       .orderBy(col("c_nationkey"), col("c_mktsegment"))
   }
 
+  val BlockCap = 512 // max (token, brand) block size — the skew knob
+  val LinkTau = 500  // milli-Jaccard match threshold
+
+  /** A45 `link_blocking` — entity-resolution blocking + verify, the
+    * record-linkage staple (Christen's two-stage shape every MDM /
+    * dedupe-the-catalog pipeline runs): candidate pairs generate ONLY
+    * inside composite blocking keys — (name token, brand) — then a
+    * full-record similarity verifies each candidate; here two part
+    * listings match when their name token sets agree at ≥
+    * [[LinkTau]] milli-Jaccard ("the same product listed twice under
+    * a brand", the duplicate-listing audit).
+    *
+    * Scale shape: the COMPOSITE key is the point — single-token
+    * blocks grow linearly with the corpus (every block a skew bomb),
+    * while token × brand keeps the per-block fan-out at
+    * corpus/(vocab·brands); blocks above [[BlockCap]] records are
+    * dropped entirely (D2's df-cap discipline: a key shared by
+    * everyone carries no linkage signal — it only recalls pairs a
+    * rarer key would also recall, or noise). The cap bounds the
+    * O(Σ block²) candidate join at any SF; similarity then scores
+    * FULL distinct token sets (the B84 lesson: caps thin candidates,
+    * never scores) in exact floor-division milli-Jaccard. Verify
+    * joins key on p_partkey; no stage holds an uncapped pair.
+    */
+  def linkBlocking(spark: SparkSession, dir: String): DataFrame =
+    linkBlockingOf(Tables(spark, dir, "part"))
+
+  /** [[linkBlocking]]'s kernel on any part-shaped frame. */
+  private[operators] def linkBlockingOf(parts: DataFrame): DataFrame = {
+    val recs = parts
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        col("p_type"),
+        array_distinct(split(col("p_name"), " ")).as("ts"))
+      .localCheckpoint() // feeds blocking + both verify sides
+    val toks = recs.select(col("p_partkey"), col("p_brand"),
+      explode(col("ts")).as("tok"))
+    val capped = toks
+      .withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy(col("tok"), col("p_brand"))))
+      .filter(col("bsz") <= BlockCap)
+    val cand = capped.as("a")
+      .join(capped.as("b"),
+        col("a.tok") === col("b.tok") &&
+          col("a.p_brand") === col("b.p_brand") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+      .select(col("a.p_partkey").as("pa"), col("b.p_partkey").as("pb"))
+      .distinct()
+    cand
+      .join(recs.select(col("p_partkey").as("pa"), col("ts").as("ta"),
+        col("p_type").as("type_a")), Seq("pa"))
+      .join(recs.select(col("p_partkey").as("pb"), col("ts").as("tb"),
+        col("p_type").as("type_b")), Seq("pb"))
+      .withColumn("n_common",
+        size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("n_union",
+        (size(col("ta")) + size(col("tb"))).cast("long") - col("n_common"))
+      .withColumn("milli_jaccard", expr("n_common * 1000 div n_union"))
+      .filter(col("milli_jaccard") >= LinkTau)
+      .select(col("pa"), col("pb"), col("milli_jaccard"),
+        (col("type_a") === col("type_b")).cast("int").as("same_type"))
+      .orderBy(col("pa"), col("pb"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "link_blocking" -> (linkBlocking _),
     "anon_t_closeness" -> (anonTCloseness _),
     "anon_l_diversity" -> (anonLDiversity _),
     "etl_dp_counts" -> (etlDpCounts _),
@@ -496,6 +560,32 @@ object CurationOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // A45: composite (token, brand) blocks with the same cap, verify
+    // on full distinct token sets, floor-division milli-Jaccard
+    "link_blocking" ->
+      s"""WITH r AS (SELECT p_partkey, p_brand, p_type,
+         |    list_distinct(string_split(p_name, ' ')) AS ts
+         |  FROM part),
+         |toks AS (SELECT p_partkey, p_brand, unnest(ts) AS tok FROM r),
+         |bl AS (SELECT tok, p_brand FROM toks GROUP BY tok, p_brand
+         |  HAVING count(*) <= $BlockCap),
+         |ct AS (SELECT t.p_partkey, t.p_brand, t.tok
+         |  FROM toks t JOIN bl USING (tok, p_brand)),
+         |cand AS (SELECT DISTINCT a.p_partkey AS pa, b.p_partkey AS pb
+         |  FROM ct a JOIN ct b ON a.tok = b.tok
+         |    AND a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey),
+         |v AS (SELECT c.pa, c.pb,
+         |    CAST(len(list_intersect(x.ts, y.ts)) AS BIGINT) AS n_common,
+         |    CAST(len(x.ts) + len(y.ts) AS BIGINT)
+         |      - CAST(len(list_intersect(x.ts, y.ts)) AS BIGINT)
+         |      AS n_union,
+         |    CASE WHEN x.p_type = y.p_type THEN 1 ELSE 0 END AS same_type
+         |  FROM cand c JOIN r x ON x.p_partkey = c.pa
+         |    JOIN r y ON y.p_partkey = c.pb)
+         |SELECT pa, pb, n_common * 1000 // n_union AS milli_jaccard,
+         |  same_type
+         |FROM v WHERE n_common * 1000 // n_union >= $LinkTau
+         |ORDER BY pa, pb""".stripMargin,
     // A43: dense class × band grid, per-mille-quantized cumulative
     // gaps (floor division — exact both engines), EMD = mean gap
     "anon_t_closeness" ->

@@ -281,4 +281,34 @@ class CurationOpsSpec extends SparkSpec {
       assert(r.getAs[Boolean]("diverse") == (l >= CurationOps.AnonL))
     }
   }
+
+  test("link_blocking: planted near-match found, sub-threshold and " +
+      "cross-brand pairs excluded, oversized block capped") {
+    import spark.implicits._
+    val hub = (100L until 100L + CurationOps.BlockCap + 8).map(k =>
+      (k, "ubiquitous filler", "Brand#9", "BULK"))
+    val parts = (Seq(
+      // near-match: 2 of 3 tokens shared -> milli-jaccard 666 >= 500,
+      // found through the ("acme"|"corp", Brand#1) blocks
+      (1L, "acme corp ltd", "Brand#1", "ECONOMY"),
+      (2L, "acme corp", "Brand#1", "STANDARD"),
+      // sub-threshold: 1 of 5 union -> 200 < 500, candidate but no match
+      (3L, "acme widget gmbh", "Brand#1", "ECONOMY"),
+      // same name, DIFFERENT brand: blocking never pairs it (by design)
+      (4L, "acme corp ltd", "Brand#2", "ECONOMY"),
+      // exact duplicate listing -> 1000
+      (5L, "blue bolt", "Brand#3", "SMALL"),
+      (6L, "blue bolt", "Brand#3", "LARGE")
+    ) ++ hub).toDF("p_partkey", "p_name", "p_brand", "p_type")
+    val out = CurationOps.linkBlockingOf(parts).collect()
+      .map(r => (r.getAs[Long]("pa"), r.getAs[Long]("pb")) -> r).toMap
+    assert(out.keySet == Set((1L, 2L), (5L, 6L)),
+      s"unexpected match set: ${out.keySet}")
+    assert(out((1L, 2L)).getAs[Long]("milli_jaccard") == 666)
+    assert(out((1L, 2L)).getAs[Int]("same_type") == 0)
+    assert(out((5L, 6L)).getAs[Long]("milli_jaccard") == 1000)
+    // the hub block ("ubiquitous"/"filler", Brand#9) exceeds BlockCap:
+    // its identical-name listings produce NO candidates — the cap
+    // dropped the block wholesale (asserted via the match set above)
+  }
 }
