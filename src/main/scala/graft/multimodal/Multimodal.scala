@@ -49,19 +49,79 @@ object Multimodal {
       math.max(1, math.round(h * scale).toInt))
   }
 
-  /** ==== STUB DECODER ====
-    * Stands in for a real image/audio codec (not installed in this
-    * container). Deterministic fake: format and dimensions derived from
-    * payload bytes, so tests are stable. Swap this single function for
-    * a real decoder (e.g. javax.imageio / ffmpeg bindings) in
-    * production — the Spark plumbing around it does not change.
+  private val PngSig =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Marker-walk bound for [[decodeHeader]]'s JPEG arm: a file whose
+    * SOF hides behind more than this many pre-scan segments (APPn/EXIF
+    * blobs, DQT, DHT, COM) falls back — an explicit bound keeps the
+    * parse total and deterministic on adversarial input.
     */
-  private[multimodal] def decodeStub(bytes: Array[Byte]): (String, Int, Int) = {
-    val fmts = Array("png", "jpeg", "webp")
-    val b0 = if (bytes.nonEmpty) bytes(0) & 0xff else 0
-    val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
-    (fmts(bytes.length % 3), 64 + b0 % 192, 64 + b1 % 192)
+  val JpegMaxSegs = 16
+
+  /** REAL public-format header parse — PNG IHDR and a bounded JPEG
+    * SOF marker walk, plain byte-slicing from the public specs
+    * (PNG: 8-byte signature, IHDR width/height as big-endian u32 at
+    * offsets 16/20; JPEG: FFD8 then FF-marker segments, frame height/
+    * width as big-endian u16 at SOFn payload offsets 3/5). Returns
+    * None for anything else — notably every payload derived from
+    * UTF-8 text, which can never start with 0x89 (a continuation
+    * byte) or contain 0xFF at all; that unrepresentability is WHY the
+    * DuckDB oracle's fallback arm stays the total function on the
+    * documents table while real binaries take this path.
+    */
+  private[multimodal] def decodeHeader(
+      b: Array[Byte]): Option[(String, Int, Int)] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Int =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def isSof(m: Int): Boolean =
+      m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+    if (b.length >= 24 && b.take(8).sameElements(PngSig) &&
+        u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' && u8(15) == 'R')
+      Some(("png", be32(16), be32(20)))
+    else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      var pos = 2
+      var steps = 0
+      while (steps < JpegMaxSegs && pos + 1 < b.length && u8(pos) == 0xff) {
+        val m = u8(pos + 1)
+        if (isSof(m))
+          return if (pos + 8 < b.length)
+            Some(("jpeg", be16(pos + 7), be16(pos + 5)))
+          else None
+        else if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7))
+          pos += 2 // standalone marker, no length field
+        else if (m == 0xd9 || m == 0xda)
+          return None // EOI / start-of-scan before any SOF
+        else {
+          if (pos + 3 >= b.length) return None
+          val len = be16(pos + 2)
+          if (len < 2) return None
+          pos += 2 + len
+        }
+        steps += 1
+      }
+      None
+    } else None
   }
+
+  /** Payload decode: the REAL [[decodeHeader]] parse when the bytes
+    * carry a public-format signature, else the ==== STUB DECODER ====
+    * deterministic fake (format/dimensions derived from payload bytes
+    * so tests are stable) standing in for the full pixel codec, which
+    * is not installed in this container. Swap the fallback for a real
+    * decoder (javax.imageio / ffmpeg bindings) in production — the
+    * Spark plumbing around it does not change, and genuine PNG/JPEG
+    * headers already report true dimensions through this path.
+    */
+  private[multimodal] def decodeStub(bytes: Array[Byte]): (String, Int, Int) =
+    decodeHeader(bytes).getOrElse {
+      val fmts = Array("png", "jpeg", "webp")
+      val b0 = if (bytes.nonEmpty) bytes(0) & 0xff else 0
+      val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
+      (fmts(bytes.length % 3), 64 + b0 % 192, 64 + b1 % 192)
+    }
 
   /** F2 `mm_features` — partition-parallel decode + feature extraction
     * over binary payloads via `mapPartitions`: one decoder instance per

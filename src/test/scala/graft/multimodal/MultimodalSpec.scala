@@ -101,6 +101,65 @@ class MultimodalSpec extends SparkSpec {
     assert(singles >= 0)
   }
 
+  private def be16(v: Int): Seq[Int] = Seq((v >> 8) & 0xff, v & 0xff)
+  private def be32(v: Int): Seq[Int] =
+    Seq((v >> 24) & 0xff, (v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff)
+  private def bytesOf(xs: Seq[Int]): Array[Byte] = xs.map(_.toByte).toArray
+
+  test("decodeHeader parses a real PNG IHDR: true width/height") {
+    val png = bytesOf(
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a) ++ // signature
+        be32(13) ++ Seq(0x49, 0x48, 0x44, 0x52) ++ // len + "IHDR"
+        be32(100) ++ be32(50) ++ // width, height
+        Seq(8, 6, 0, 0, 0)) // bit depth, color type, ...
+    assert(Multimodal.decodeHeader(png).contains(("png", 100, 50)))
+    assert(Multimodal.decodeStub(png) == (("png", 100, 50)))
+    // corrupt signature -> not a PNG, falls back
+    val bad = png.clone(); bad(1) = 'Q'.toByte
+    assert(Multimodal.decodeHeader(bad).isEmpty)
+  }
+
+  test("decodeHeader walks JPEG markers to SOF0 behind APP0 + DQT") {
+    val jpeg = bytesOf(
+      Seq(0xff, 0xd8) ++ // SOI
+        Seq(0xff, 0xe0) ++ be16(16) ++ // APP0, len 16
+        "JFIF".map(_.toInt) ++ Seq(0, 1, 1, 0, 0, 1, 0, 1, 0, 0) ++
+        Seq(0xff, 0xdb) ++ be16(4) ++ Seq(0, 0) ++ // DQT (len 4)
+        Seq(0xff, 0xc0) ++ be16(17) ++ Seq(8) ++ // SOF0, precision
+        be16(240) ++ be16(320) ++ // height, width
+        Seq(3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)) // components
+    assert(Multimodal.decodeHeader(jpeg).contains(("jpeg", 320, 240)))
+    assert(Multimodal.decodeStub(jpeg) == (("jpeg", 320, 240)))
+    // progressive variant (SOF2) parses the same frame header
+    val prog = jpeg.clone()
+    prog(jpeg.indexOfSlice(Array(0xff.toByte, 0xc0.toByte)) + 1) =
+      0xc2.toByte
+    assert(Multimodal.decodeHeader(prog).contains(("jpeg", 320, 240)))
+    // SOS before any SOF -> no frame header, falls back
+    val sos = bytesOf(Seq(0xff, 0xd8, 0xff, 0xda) ++ be16(4) ++ Seq(0, 0))
+    assert(Multimodal.decodeHeader(sos).isEmpty)
+    // SOF buried behind more than JpegMaxSegs segments -> bounded walk
+    // gives up deterministically
+    val deep = bytesOf(
+      Seq(0xff, 0xd8) ++
+        (1 to Multimodal.JpegMaxSegs + 1).flatMap(_ =>
+          Seq(0xff, 0xfe) ++ be16(3) ++ Seq(0)) ++ // COM segments
+        Seq(0xff, 0xc0) ++ be16(17) ++ Seq(8) ++ be16(1) ++ be16(1) ++
+        Seq(1, 1, 0x11, 0))
+    assert(Multimodal.decodeHeader(deep).isEmpty)
+  }
+
+  test("UTF-8 text payloads can never reach the real-parse arm") {
+    // 0x89 is a UTF-8 continuation byte (invalid initial) and 0xff
+    // never occurs in UTF-8 — so text-derived payloads always fall
+    // back, which is why the DuckDB oracle's fallback arm is total on
+    // the documents table
+    val texts = Seq("hello", "", "Σσ käse", "a b c", "ÿ")
+    texts.foreach { t =>
+      assert(Multimodal.decodeHeader(t.getBytes("UTF-8")).isEmpty, t)
+    }
+  }
+
   test("decodeStub is pure and total") {
     val a = Multimodal.decodeStub("hello".getBytes)
     assert(a == Multimodal.decodeStub("hello".getBytes))
