@@ -46,13 +46,60 @@ object IvfIndex {
   def build(spark: SparkSession, dir: String, root: String): Unit = {
     val c = graft.Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    val cents = Ann.refinedCentroids(spark, c)
+    writeIndex(spark, c, Ann.refinedCentroids(spark, c), root)
+  }
+
+  /** Materialize an index from a vector frame and an EXPLICIT centroid
+    * frame — [[build]]'s write half, shared with the append-equivalence
+    * spec (which rebuilds against the stored sidecar to prove
+    * append ≡ rebuild bit-equal).
+    */
+  private[ann] def writeIndex(spark: SparkSession, c: DataFrame,
+      cents: DataFrame, root: String): Unit = {
     cents.coalesce(1).write.mode("overwrite").parquet(centroidsDir(root))
     Ann.assignCells(c, cents)
       .select(col("cell_id"), col("vec_id"), col("embedding"))
       .write.mode("overwrite").partitionBy("cell_id")
       .parquet(vectorsDir(root))
   }
+
+  /** Append a (vec_id, embedding) delta batch to a BUILT index without
+    * retraining: assignment runs against the STORED centroid sidecar —
+    * the artifact freeze that makes daily appends cheap AND
+    * deterministic (a vector lands in the same cell no matter which
+    * batch delivers it, so append ≡ rebuild-under-the-same-sidecar
+    * bit-exactly — spec-pinned). The write appends files only under
+    * the touched `cell_id=` partitions (A23's partition-is-the-unit
+    * discipline; untouched inverted lists keep their bytes), and the
+    * returned per-cell report is the A26-style signal the
+    * [[maintain]] trigger reads. Each append adds one file per
+    * touched cell; [[maintain]] folds them back.
+    */
+  def appendToIndex(spark: SparkSession, root: String,
+      delta: DataFrame): DataFrame = {
+    val cents = spark.read.parquet(centroidsDir(root))
+    val assigned = Ann.assignCells(
+      delta.select(col("vec_id"), col("embedding")), cents)
+      .select(col("cell_id"), col("vec_id"), col("embedding"))
+      .localCheckpoint() // one assignment feeds the write AND the report
+    assigned.write.mode("append").partitionBy("cell_id")
+      .parquet(vectorsDir(root))
+    assigned.groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n_appended"))
+      .orderBy(col("cell_id"))
+  }
+
+  /** Maintenance pass after appends: compact the inverted lists whose
+    * file layout went unhealthy — verbatim A36 ([[graft.etl.Compactor]]
+    * per-partition rewrite, tmp-staged swap, row-conservation guard)
+    * driven by A26's per-partition health report; hot cells fold their
+    * append files back to target-sized ones, cold cells keep their
+    * bytes untouched. Query results are unaffected by construction
+    * (same rows, same values) — also spec-pinned.
+    */
+  def maintain(spark: SparkSession,
+      root: String): graft.etl.Compactor.Result =
+    graft.etl.Compactor.compact(spark, vectorsDir(root), Some("cell_id"))
 
   /** Retrieve top-k for a (q_id, q_emb) query frame against a built
     * index. The vectors scan carries the probed-cells IN-list as a

@@ -50,6 +50,18 @@ object PqIndex {
     val cb = Ann.pqTrainLocal(spark, resSample)
     refined.coalesce(1).write.mode("overwrite").parquet(centroidsDir(root))
     cb.coalesce(1).write.mode("overwrite").parquet(codebookDir(root))
+    encodeFrame(c, refined, cb)
+      .write.mode("overwrite").partitionBy("cell_id")
+      .parquet(vectorsDir(root))
+  }
+
+  /** Assign + residual-encode a vector frame against EXPLICIT
+    * quantizers → the (cell_id, vec_id, codes) at-rest rows.
+    * [[build]]'s encode half, shared with [[appendToIndex]] (stored
+    * sidecars in, identical codes out) and the equivalence spec.
+    */
+  private[ann] def encodeFrame(c: DataFrame, refined: DataFrame,
+      cb: DataFrame): DataFrame = {
     val asg = residual(
       Ann.assignCells(c, refined).join(broadcast(refined), Seq("cell_id")))
     val sv = Ann.subvecFrame(
@@ -62,9 +74,38 @@ object PqIndex {
         .as("codes"))
       .join(asg.select(col("vec_id"), col("cell_id")), Seq("vec_id"))
       .select(col("cell_id"), col("vec_id"), col("codes"))
-      .write.mode("overwrite").partitionBy("cell_id")
-      .parquet(vectorsDir(root))
   }
+
+  /** Append a (vec_id, embedding) delta to a BUILT compressed index
+    * without retraining: coarse assignment AND residual PQ encoding
+    * both run against the STORED sidecars (centroids + codebook are
+    * the frozen artifacts — a vector gets the same cell and the same
+    * codes no matter which batch delivers it, so append ≡
+    * rebuild-under-the-same-sidecars bit-exactly, spec-pinned);
+    * appends files only under touched `cell_id=` partitions (A23's
+    * discipline). Returns the per-cell report feeding [[maintain]].
+    */
+  def appendToIndex(spark: SparkSession, root: String,
+      delta: DataFrame): DataFrame = {
+    val refined = spark.read.parquet(centroidsDir(root))
+    val cb = spark.read.parquet(codebookDir(root))
+    val rows = encodeFrame(
+      delta.select(col("vec_id"), col("embedding")), refined, cb)
+      .localCheckpoint() // one encode feeds the write AND the report
+    rows.write.mode("append").partitionBy("cell_id")
+      .parquet(vectorsDir(root))
+    rows.groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n_appended"))
+      .orderBy(col("cell_id"))
+  }
+
+  /** Post-append maintenance: A36 per-partition compaction of hot
+    * cells via A26's health report — same contract as
+    * [[IvfIndex.maintain]].
+    */
+  def maintain(spark: SparkSession,
+      root: String): graft.etl.Compactor.Result =
+    graft.etl.Compactor.compact(spark, vectorsDir(root), Some("cell_id"))
 
   /** Retrieve top-k against a built index; `dir` locates the primary
     * embeddings table the exact re-rank reads.

@@ -58,4 +58,40 @@ class IvfIndexSpec extends SparkSpec {
     assert(perQuery.getLong(0) >= math.min(Ann.IvfProbes, allCells))
     assert(perQuery.getLong(1) <= Ann.IvfMaxProbes)
   }
+
+  test("append + maintain ≡ full rebuild under the same stored sidecar, " +
+      "bit-equal query results") {
+    val c = graft.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val base = c.filter(col("vec_id") % 3 =!= 0)
+    val d1 = c.filter(col("vec_id") % 3 === 0 && col("vec_id") % 2 === 0)
+    val d2 = c.filter(col("vec_id") % 3 === 0 && col("vec_id") % 2 =!= 0)
+    // build on the base slice, then append two daily batches
+    val rootA = Files.createTempDirectory("ivfappend").toString
+    IvfIndex.writeIndex(spark, base,
+      Ann.refinedCentroids(spark, base), rootA)
+    val rep = IvfIndex.appendToIndex(spark, rootA, d1).collect()
+    assert(rep.map(_.getAs[Long]("n_appended")).sum == d1.count())
+    IvfIndex.appendToIndex(spark, rootA, d2)
+    // reference: one fresh write of ALL vectors against the SAME
+    // stored sidecar (the artifact freeze is what makes this exact)
+    val rootB = Files.createTempDirectory("ivfrebuild").toString
+    IvfIndex.writeIndex(spark, c,
+      spark.read.parquet(IvfIndex.centroidsDir(rootA)), rootB)
+    val qs = Ann.queriesDf(spark, sfDir)
+    def res(r: String) = IvfIndex.query(spark, r, qs)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val appended = res(rootA)
+    assert(appended.length > 0)
+    assert(appended.toSeq == res(rootB).toSeq,
+      "appended index must answer bit-identically to the rebuild")
+    // maintenance folds the per-append files back; results unchanged
+    val before = res(rootA)
+    val m = IvfIndex.maintain(spark, rootA)
+    assert(m.partitionsCompacted > 0,
+      "two appends must leave at least one cell worth compacting")
+    assert(m.filesAfter < m.filesBefore)
+    assert(res(rootA).toSeq == before.toSeq,
+      "compaction must not change query results")
+  }
 }
