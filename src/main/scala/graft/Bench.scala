@@ -16,6 +16,15 @@ import org.apache.spark.sql.SparkSession
   * in an "errors" object, so a crashing query can't masquerade as a
   * fast success in the bench total.
   *
+  * Since round 9 each query materializes through its OWN physical plan
+  * (`queryExecution.toRdd`), not a `count()` on top — count()
+  * re-optimizes and legally deletes work (outer-join elimination,
+  * aggregate/fingerprint column pruning, final-sort removal), so it
+  * timed plans the user never runs. Totals from r9 on are therefore
+  * NOT comparable to r8 and earlier; task-metric diffs across that
+  * boundary show the previously-unmeasured work appearing, not
+  * regressions.
+  *
   * Beyond wall time, a SparkListener accumulates per-query task metrics
   * (shuffle read/write bytes, spill, input bytes, task count — the
   * numbers that predict cluster cost at 100 TB where wall time on a
@@ -46,7 +55,21 @@ object Bench {
       val before = metrics.snapshot(spark.sparkContext)
       val t0 = System.nanoTime()
       val r =
-        try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+        // materialize through the query's OWN physical plan
+        // (queryExecution.toRdd), not df.count(): a count() on top
+        // re-optimizes and legally DELETES work — outer joins to
+        // unique-keyed aggregates are eliminated, fingerprint/agg
+        // columns pruned, final sorts dropped — so count() times a
+        // plan the user never runs (dedup_substring benched as 59
+        // shuffle BYTES under count() vs its real corpus-wide window
+        // shuffle; every md5-fingerprint assembly was skipped).
+        // toRdd drains every operator of the declared plan exactly
+        // once. Measurement-basis change in round 9 — totals are NOT
+        // comparable to BENCH_r08 and earlier (see BENCHTREND_r09).
+        try {
+          fn(spark, sfDir).queryExecution.toRdd.count()
+          Right((System.nanoTime() - t0) / 1e9)
+        }
         catch { case t: Throwable => Left(t.toString.replaceAll("[\"\\n\\r]", " ").take(200)) }
         // queries that persist() intermediates (ann_pq, corpus_pipeline,
         // bpe_train, …) would otherwise leak cached frames into executor

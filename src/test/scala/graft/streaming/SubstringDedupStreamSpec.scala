@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.SparkSpec
+
+class SubstringDedupStreamSpec extends SparkSpec {
+
+  // the D12 planted corpus: doc 2 repeats doc 1's tokens 19..49 at a
+  // shift that aligned segmentation misses; doc 3 is clean
+  private val a = (0 until 60).map(i => s"a$i")
+  private val docs = Seq(
+    StreamDoc(1L, a.mkString(" ")),
+    StreamDoc(2L, ((1 to 5).map(i => s"zz$i") ++ a.slice(19, 50)).mkString(" ")),
+    StreamDoc(3L, (0 until 30).map(i => s"u$i").mkString(" ")))
+
+  /** Batch keep-first reference: all window occurrences grouped by
+    * hash, min (doc_id, pos) claims, the rest are dups.
+    */
+  private def batchRef(ds: Seq[StreamDoc]): Set[(Long, Long, Int, Long, Int)] = {
+    val occ = ds.flatMap { d =>
+      val hs = graft.functions.VecOps.rollingWinHashes(
+        UTF8String.fromString(d.text), SubstringDedupStream.W)
+      (0 until hs.numElements()).map(i => (hs.getLong(i), d.doc_id, i))
+    }
+    occ.groupBy(_._1).toSeq.flatMap { case (wh, os) =>
+      val sorted = os.sortBy(o => (o._2, o._3))
+      val first = sorted.head
+      sorted.tail.map(o => (wh, o._2, o._3, first._2, first._3))
+    }.toSet
+  }
+
+  private def run(batches: Seq[Seq[StreamDoc]]): Set[(Long, Long, Int, Long, Int)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamDoc]
+    val name = s"subdup${batches.map(_.size).mkString("_")}"
+    val q = SubstringDedupStream.pipeline(mem.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      spark.sql(s"SELECT * FROM $name").collect()
+        .map(r => (r.getAs[Long]("wh"), r.getAs[Long]("doc_id"),
+          r.getAs[Int]("pos"), r.getAs[Long]("first_doc"),
+          r.getAs[Int]("first_pos"))).toSet
+    } finally q.stop()
+  }
+
+  test("stream dup witnesses == the batch keep-first rule, and the " +
+      "micro-batch split does not change the output") {
+    val want = batchRef(docs)
+    assert(want.nonEmpty, "planted overlap must produce dup windows")
+    // doc 2's shifted 31-token run: 16 dup windows, all claimed by doc 1
+    assert(want.size == 16)
+    assert(want.forall { case (_, d, _, fd, _) => d == 2L && fd == 1L })
+    val oneBatch = run(Seq(docs))
+    val threeBatches = run(docs.map(Seq(_)))
+    assert(oneBatch == want, "single-batch stream must equal batch ref")
+    assert(threeBatches == want, "batching must not change the witnesses")
+  }
+
+  test("intra-batch claims follow the (doc_id, pos) tiebreak and an " +
+      "intra-doc repeat witnesses its own earlier span") {
+    val run20 = (0 until 20).map(i => s"r$i")
+    val rep = Seq(StreamDoc(7L, (run20 ++ run20).mkString(" ")))
+    val got = run(Seq(rep))
+    // the 5 second-period windows repeat the 5 first-period ones
+    assert(got == batchRef(rep))
+    assert(got.size == 5)
+    got.foreach { case (_, d, pos, fd, fpos) =>
+      assert(d == 7L && fd == 7L && pos == fpos + 20)
+    }
+  }
+}
