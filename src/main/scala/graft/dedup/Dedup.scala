@@ -505,7 +505,46 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  val SubPairCap = 16 // df-cap on window-hash groups for pair mining
+
+  /** D13 `dedup_substring_pairs` — the audit companion to D12: WHICH
+    * doc pairs share long exact spans (D12 scores coverage per doc;
+    * the curation decision "these two are copies of each other" wants
+    * the pair). Shared-window counts per unordered doc pair, mined
+    * from the same corpus-wide window-hash groups: one row per
+    * (hash, doc) first (intra-doc repeats collapse so a pair is
+    * counted once per DISTINCT shared window), then pairs generate
+    * ONLY inside hash groups touching ≥2 and ≤ [[SubPairCap]] docs —
+    * D2's df-cap discipline again: a window shared by everyone is
+    * boilerplate carrying no pairwise-copy signal, and the cap is
+    * what bounds the O(Σ g²) fan-out at 100 TB. Top-20 by
+    * (shared-window count, pair) — TakeOrderedAndProject, no global
+    * materialization. The heaviest pairs feed D6's cluster step.
+    */
+  def dedupSubstringPairs(spark: SparkSession, dir: String): DataFrame =
+    substringPairs(Tables(spark, dir, "documents"))
+
+  /** [[dedupSubstringPairs]]'s kernel on any (doc_id, text) frame. */
+  private[dedup] def substringPairs(docs: DataFrame): DataFrame = {
+    val occ = docs
+      .select(col("doc_id"),
+        explode(rollingWinHashes(col("text"), SubTokens)).as("wh"))
+      .groupBy(col("wh"), col("doc_id")).agg(count(lit(1)).as("n_occ"))
+    val grp = occ
+      .withColumn("g", count(lit(1)).over(Window.partitionBy(col("wh"))))
+      .filter(col("g") >= 2 && col("g") <= SubPairCap)
+      .select(col("wh"), col("doc_id"))
+    grp.as("a").join(grp.as("b"),
+        col("a.wh") === col("b.wh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("n_shared_windows"))
+      .orderBy(col("n_shared_windows").desc, col("da"), col("db"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_substring_pairs" -> (dedupSubstringPairs _),
     "dedup_substring" -> (dedupSubstring _),
     "dedup_segments" -> (dedupSegments _),
     "dedup_exact" -> (dedupExact _),
@@ -568,6 +607,31 @@ object Dedup {
         |    AS dup_pm
         |FROM base b LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // dedup_substring_pairs: same literal-window-string grouping as
+    // D12 (collision-freeness certified by the gate), distinct
+    // (window, doc) rows, df-capped groups, pair counts, top-20
+    "dedup_substring_pairs" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |w0 AS (SELECT doc_id, w,
+         |    unnest(range(1, len(w) - 14)) AS i
+         |  FROM t WHERE len(w) >= 16),
+         |wins AS (SELECT doc_id,
+         |    array_to_string(w[i : i + 15], ' ') AS win
+         |  FROM w0),
+         |occ AS (SELECT win, doc_id FROM wins GROUP BY win, doc_id),
+         |grp AS (SELECT win, doc_id FROM (
+         |    SELECT win, doc_id, count(*) OVER (PARTITION BY win) AS g
+         |    FROM occ)
+         |  WHERE g >= 2 AND g <= $SubPairCap),
+         |p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+         |    count(*) AS n_shared_windows
+         |  FROM grp a JOIN grp b
+         |    ON a.win = b.win AND a.doc_id < b.doc_id
+         |  GROUP BY da, db)
+         |SELECT da, db, n_shared_windows FROM p
+         |ORDER BY n_shared_windows DESC, da, db LIMIT 20""".stripMargin,
     // dedup_segments: Spark's min(struct(doc_id, seg_id)) ≡ the rn=1
     // slot of a (doc_id, seg_id)-ordered window per segment hash
     "dedup_segments" ->

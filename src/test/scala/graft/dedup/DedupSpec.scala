@@ -215,6 +215,34 @@ class DedupSpec extends SparkSpec {
     assert(out(2L).getAs[Long]("dup_tokens") == 31)
   }
 
+  test("dedup_substring_pairs: shared-span pair surfaces with its " +
+      "exact window count; boilerplate over the df-cap contributes " +
+      "no pairs; intra-doc repeats collapse") {
+    import spark.implicits._
+    val a = (0 until 60).map(i => s"a$i")
+    val boiler = (0 until 16).map(i => s"bp$i") // one shared window
+    // docs 1/2: the D12 shifted 31-token overlap -> 16 shared windows;
+    // docs 100.. all share the SAME boilerplate window (group size 20
+    // > SubPairCap) -> no pairs from it; doc 3 repeats a window of
+    // doc 1 TWICE -> still counts once (distinct-window collapse)
+    val docs = (Seq(
+      (1L, a.mkString(" ")),
+      (2L, ((1 to 5).map(i => s"zz$i") ++ a.slice(19, 50)).mkString(" ")),
+      (3L, (a.slice(0, 16) ++ Seq("x1") ++ a.slice(0, 16)).mkString(" "))
+    ) ++ (100L until 120L).map(k =>
+      (k, (boiler ++ Seq(s"u$k")).mkString(" ")))
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringPairs(docs).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")) ->
+        r.getAs[Long]("n_shared_windows")).toMap
+    // expected: (1,2) share the 16 run windows; (1,3) share exactly
+    // the window a0..a15 (doc 3's two copies collapse to one row);
+    // (2,3) share nothing >= 16 tokens; boilerplate docs pair nowhere
+    assert(out.keySet == Set((1L, 2L), (1L, 3L)), s"got ${out.keySet}")
+    assert(out((1L, 2L)) == 16)
+    assert(out((1L, 3L)) == 1)
+  }
+
   test("dedup_substring: intra-doc repetition counts, full coverage " +
       "when a 20-token run repeats back-to-back") {
     import spark.implicits._
