@@ -59,16 +59,27 @@ object Multimodal {
     */
   val JpegMaxSegs = 16
 
-  /** REAL public-format header parse — PNG IHDR and a bounded JPEG
-    * SOF marker walk, plain byte-slicing from the public specs
-    * (PNG: 8-byte signature, IHDR width/height as big-endian u32 at
-    * offsets 16/20; JPEG: FFD8 then FF-marker segments, frame height/
-    * width as big-endian u16 at SOFn payload offsets 3/5). Returns
-    * None for anything else — notably every payload derived from
-    * UTF-8 text, which can never start with 0x89 (a continuation
-    * byte) or contain 0xFF at all; that unrepresentability is WHY the
-    * DuckDB oracle's fallback arm stays the total function on the
-    * documents table while real binaries take this path.
+  /** REAL public-format header parse — PNG IHDR, a bounded JPEG SOF
+    * marker walk, GIF logical-screen descriptor, and WebP VP8X canvas
+    * size; plain byte-slicing from the public specs (PNG: 8-byte
+    * signature, IHDR width/height as big-endian u32 at offsets 16/20;
+    * JPEG: FFD8 then FF-marker segments, frame height/width as
+    * big-endian u16 at SOFn payload offsets 3/5; GIF: "GIF87a"/
+    * "GIF89a" then little-endian u16 screen width/height at 6/8;
+    * WebP: RIFF/"WEBP"/"VP8X" then little-endian u24 canvas-minus-one
+    * at 24/27 — the byte-aligned extended format; simple-format VP8/
+    * VP8L dims are entropy-coded and fall back). Returns None for
+    * anything else.
+    *
+    * Oracle reachability note: the PNG and JPEG signatures are
+    * UNREPRESENTABLE in UTF-8 text (0x89 is a continuation byte,
+    * 0xFF never occurs), so those arms can never fire on a payload
+    * derived from the documents table and the DuckDB oracle omits
+    * them. The GIF and WebP signatures ARE plain ASCII — a text
+    * document could legitimately start with "GIF89a…" — so BOTH
+    * oracles (mm_features, mm_dedup) mirror those two arms
+    * byte-for-byte; cross-engine equivalence is total, not
+    * probabilistic.
     */
   private[multimodal] def decodeHeader(
       b: Array[Byte]): Option[(String, Int, Int)] = {
@@ -76,11 +87,21 @@ object Multimodal {
     def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
     def be32(i: Int): Int =
       (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le24(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)
+    def ascii(i: Int, s: String): Boolean =
+      b.length >= i + s.length &&
+        s.indices.forall(j => u8(i + j) == s.charAt(j).toInt)
     def isSof(m: Int): Boolean =
       m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
     if (b.length >= 24 && b.take(8).sameElements(PngSig) &&
         u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' && u8(15) == 'R')
       Some(("png", be32(16), be32(20)))
+    else if (b.length >= 10 && (ascii(0, "GIF87a") || ascii(0, "GIF89a")))
+      Some(("gif", le16(6), le16(8)))
+    else if (b.length >= 30 && ascii(0, "RIFF") && ascii(8, "WEBP") &&
+        ascii(12, "VP8X"))
+      Some(("webp", 1 + le24(24), 1 + le24(27)))
     else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
       var pos = 2
       var steps = 0
@@ -451,6 +472,41 @@ object Multimodal {
       .filter(col("group_size") >= 2)
       .orderBy(col("fmt"), col("wband"), col("hband"), col("mband"))
 
+  /** Shared oracle fragment mirroring [[decodeHeader]]'s REACHABLE
+    * arms over a `b(doc_id, n, bytes)` relation: GIF logical-screen
+    * and WebP VP8X canvas dims byte-for-byte, then the stub fallback.
+    * The PNG/JPEG arms are omitted ON PURPOSE — their signature bytes
+    * (0x89 initial / any 0xFF) are unrepresentable in the UTF-8
+    * `encode(text)` byte stream, so those branches can never fire on
+    * the documents table (decodeHeader's doc states the argument);
+    * GIF/WebP signatures are plain ASCII and CAN occur in text, so
+    * they must (and do) replay exactly.
+    */
+  private def oracleDecode: String =
+    """sig AS (SELECT *,
+      |    n >= 10 AND bytes[1] = 71 AND bytes[2] = 73 AND bytes[3] = 70
+      |      AND bytes[4] = 56 AND (bytes[5] = 55 OR bytes[5] = 57)
+      |      AND bytes[6] = 97 AS is_gif,
+      |    n >= 30 AND bytes[1] = 82 AND bytes[2] = 73 AND bytes[3] = 70
+      |      AND bytes[4] = 70 AND bytes[9] = 87 AND bytes[10] = 69
+      |      AND bytes[11] = 66 AND bytes[12] = 80 AND bytes[13] = 86
+      |      AND bytes[14] = 80 AND bytes[15] = 56 AND bytes[16] = 88
+      |      AS is_webpx
+      |  FROM b),
+      |d0 AS (SELECT *,
+      |    CASE WHEN is_gif THEN 'gif' WHEN is_webpx THEN 'webp'
+      |      ELSE CASE n % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+      |        ELSE 'webp' END END AS fmt,
+      |    CASE WHEN is_gif THEN bytes[7] + bytes[8] * 256
+      |      WHEN is_webpx
+      |        THEN 1 + bytes[25] + bytes[26] * 256 + bytes[27] * 65536
+      |      ELSE 64 + coalesce(bytes[1], 0) % 192 END AS width,
+      |    CASE WHEN is_gif THEN bytes[9] + bytes[10] * 256
+      |      WHEN is_webpx
+      |        THEN 1 + bytes[28] + bytes[29] * 256 + bytes[30] * 65536
+      |      ELSE 64 + coalesce(bytes[2], 0) % 192 END AS height
+      |  FROM sig)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // F9: replay the per-stream greedy byte walk with a recursive CTE
     // (the C10 oracle shape, byte-budgeted), then the manifest md5
@@ -523,7 +579,7 @@ object Multimodal {
         |  CASE WHEN len(runs) > 0 THEN runs[1][1:40] END AS first_run
         |FROM r ORDER BY doc_id""".stripMargin,
     "mm_dedup" ->
-      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+      s"""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
         |    octet_length(encode(text)) AS n
         |  FROM documents),
         |b AS (SELECT doc_id, n,
@@ -531,16 +587,13 @@ object Multimodal {
         |      + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1
         |      for i in range(1, n + 1)] AS bytes
         |  FROM h),
-        |d AS (SELECT doc_id,
-        |    CASE n % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-        |      ELSE 'webp' END AS fmt,
-        |    CAST((64 + coalesce(bytes[1], 0) % 192) // 32 AS INT)
-        |      AS wband,
-        |    CAST((64 + coalesce(bytes[2], 0) % 192) // 32 AS INT)
-        |      AS hband,
+        |$oracleDecode,
+        |d AS (SELECT doc_id, fmt,
+        |    CAST(width // 32 AS INT) AS wband,
+        |    CAST(height // 32 AS INT) AS hband,
         |    CAST(floor(coalesce(round(list_avg(bytes), 4), 0.0) / 16)
         |      AS INT) AS mband
-        |  FROM b)
+        |  FROM d0)
         |SELECT fmt, wband, hband, mband, count(*) AS group_size,
         |  min(doc_id) AS keep_id,
         |  array_to_string(list_sort(list(doc_id))[1:10], ',')
@@ -549,7 +602,7 @@ object Multimodal {
         |HAVING count(*) >= 2
         |ORDER BY fmt, wband, hband, mband""".stripMargin,
     "mm_features" ->
-      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+      s"""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
         |    octet_length(encode(text)) AS n
         |  FROM documents),
         |b AS (SELECT doc_id, n,
@@ -557,14 +610,9 @@ object Multimodal {
         |      + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1
         |      for i in range(1, n + 1)] AS bytes
         |  FROM h),
-        |d AS (SELECT doc_id, n, bytes,
-        |    CASE n % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-        |      ELSE 'webp' END AS fmt,
-        |    64 + coalesce(bytes[1], 0) % 192 AS width,
-        |    64 + coalesce(bytes[2], 0) % 192 AS height
-        |  FROM b),
+        |$oracleDecode,
         |r AS (SELECT *,
-        |    64.0 / greatest(width, height) AS scale FROM d)
+        |    64.0 / greatest(width, height) AS scale FROM d0)
         |SELECT doc_id, fmt, width, height,
         |  greatest(1, CAST(round(width * scale) AS INT)) AS out_w,
         |  greatest(1, CAST(round(height * scale) AS INT)) AS out_h,

@@ -149,11 +149,36 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeHeader(deep).isEmpty)
   }
 
-  test("UTF-8 text payloads can never reach the real-parse arm") {
+  test("decodeHeader parses GIF logical-screen and WebP VP8X canvas " +
+      "dims; ASCII-signature text replays identically (oracle arm)") {
+    val gif = bytesOf("GIF89a".map(_.toInt) ++
+      Seq(0x40, 0x01, 0xf0, 0x00) ++ Seq(0x91, 0, 0)) // 320 x 240
+    assert(Multimodal.decodeHeader(gif).contains(("gif", 320, 240)))
+    val gif87 = bytesOf("GIF87a".map(_.toInt) ++
+      Seq(7, 0, 5, 0) ++ Seq(0, 0))
+    assert(Multimodal.decodeHeader(gif87).contains(("gif", 7, 5)))
+    val webp = bytesOf("RIFF".map(_.toInt) ++ Seq(0x2a, 0, 0, 0) ++
+      "WEBPVP8X".map(_.toInt) ++ Seq(0x0a, 0, 0, 0) ++ // chunk size
+      Seq(0, 0, 0, 0) ++ // flags + reserved
+      Seq(0x7f, 0x02, 0x00) ++ Seq(0xdf, 0x01, 0x00)) // 640-1, 480-1
+    assert(Multimodal.decodeHeader(webp).contains(("webp", 640, 480)))
+    // a PLAIN-TEXT doc whose UTF-8 bytes happen to spell a GIF header:
+    // reachable from the documents table, so the DuckDB oracle mirrors
+    // this arm byte-for-byte (the spec value below is the contract)
+    val txt = "GIF89aABCD some perfectly ordinary text"
+    assert(Multimodal.decodeHeader(txt.getBytes("UTF-8"))
+      .contains(("gif", 65 + 66 * 256, 67 + 68 * 256)))
+    // simple-format WebP (VP8 /VP8L fourCC): entropy-coded dims -> fallback
+    val simple = bytesOf("RIFF".map(_.toInt) ++ Seq(0x2a, 0, 0, 0) ++
+      "WEBPVP8 ".map(_.toInt) ++ Seq.fill(18)(0))
+    assert(Multimodal.decodeHeader(simple).isEmpty)
+  }
+
+  test("UTF-8 text payloads can never reach the PNG/JPEG arms") {
     // 0x89 is a UTF-8 continuation byte (invalid initial) and 0xff
-    // never occurs in UTF-8 — so text-derived payloads always fall
-    // back, which is why the DuckDB oracle's fallback arm is total on
-    // the documents table
+    // never occurs in UTF-8 — so text-derived payloads can only hit
+    // the ASCII-signature arms (GIF/WebP, mirrored in the oracle) or
+    // fall back; the PNG/JPEG arms are oracle-omittable
     val texts = Seq("hello", "", "Σσ käse", "a b c", "ÿ")
     texts.foreach { t =>
       assert(Multimodal.decodeHeader(t.getBytes("UTF-8")).isEmpty, t)
