@@ -16,6 +16,13 @@ case class WinOcc(wh: Long, doc_id: Long, pos: Int)
 case class WinDup(wh: Long, doc_id: Long, pos: Int,
     first_doc: Long, first_pos: Int)
 
+/** A timestamped intake document (the TTL arm's input). */
+case class TsDoc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
+/** Timestamped window occurrence. */
+case class WinOccT(wh: Long, doc_id: Long, pos: Int,
+    ts: java.sql.Timestamp)
+
 /** G15 `SubstringDedupStream` — the streaming twin of D12
   * `dedup_substring`: CONTINUOUS exact-substring dedup at corpus
   * intake (the CCNet-shape "check new documents against everything
@@ -86,6 +93,63 @@ object SubstringDedupStream {
       }
     }
     claim.foreach(state.update)
+    out.result().iterator
+  }
+
+  // ------------------------------------------------------- TTL arm
+
+  /** How long a window claim outlives its last sighting. */
+  val ClaimTtl = "10 minutes"
+  private val ClaimTtlMs = 10L * 60 * 1000
+
+  /** The bounded-state arm: claims AGE OUT [[ClaimTtl]] of EVENT time
+    * after their last sighting (every re-occurrence refreshes the
+    * clock), exactly how a production CCNet-style intake ages its
+    * hash shards so state tracks the live dedup horizon instead of
+    * the full corpus history. Event-time timeouts (not processing
+    * time) keep expiry DETERMINISTIC on a replayed log — the spec
+    * replays the same batches and gets the same expiries. After a
+    * claim expires, the next occurrence re-claims and is NOT a dup:
+    * the horizon is the contract, matching a batch dedup run over
+    * only the trailing window of the corpus.
+    */
+  def pipelineTtl(docs: Dataset[TsDoc]): Dataset[WinDup] = {
+    import docs.sparkSession.implicits._
+    docs
+      .flatMap { d =>
+        val hs = graft.functions.VecOps.rollingWinHashes(
+          UTF8String.fromString(d.text), W)
+        (0 until hs.numElements()).map(i =>
+          WinOccT(hs.getLong(i), d.doc_id, i, d.ts))
+      }
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.wh)
+      .flatMapGroupsWithState[WinClaim, WinDup](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(applyTtl)
+  }
+
+  private def applyTtl(wh: Long, rows: Iterator[WinOccT],
+      state: GroupState[WinClaim]): Iterator[WinDup] = {
+    if (state.hasTimedOut) {
+      state.remove() // claim aged out; next sighting re-claims
+      return Iterator.empty
+    }
+    val sorted = rows.toSeq.sortBy(o => (o.doc_id, o.pos))
+    var claim = state.getOption
+    val out = Seq.newBuilder[WinDup]
+    sorted.foreach { o =>
+      claim match {
+        case None =>
+          claim = Some(WinClaim(o.doc_id, o.pos))
+        case Some(c) =>
+          out += WinDup(wh, o.doc_id, o.pos, c.first_doc, c.first_pos)
+      }
+    }
+    claim.foreach { c =>
+      state.update(c)
+      val lastSeen = sorted.map(_.ts.getTime).max
+      state.setTimeoutTimestamp(lastSeen + ClaimTtlMs)
+    }
     out.result().iterator
   }
 }

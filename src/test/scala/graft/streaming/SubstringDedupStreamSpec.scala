@@ -61,6 +61,46 @@ class SubstringDedupStreamSpec extends SparkSpec {
     assert(threeBatches == want, "batching must not change the witnesses")
   }
 
+  test("TTL arm: claims age out on EVENT time after the last sighting; " +
+      "a post-expiry repeat re-claims instead of witnessing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // day-1 base: an epoch-0 event time would equal the INITIAL
+    // watermark (0) and be dropped as late before ever reaching state
+    def t(min: Int) = new java.sql.Timestamp((1440 + min) * 60L * 1000)
+    val run = (0 until 16).map(i => s"w$i").mkString(" ")
+    val other = (0 until 16).map(i => s"z$i").mkString(" ")
+    val mem = MemoryStream[TsDoc]
+    val q = SubstringDedupStream.pipelineTtl(mem.toDS())
+      .writeStream.format("memory").queryName("subdup_ttl")
+      .outputMode("append").start()
+    try {
+      def dups() = spark.sql("SELECT doc_id FROM subdup_ttl")
+        .collect().map(_.getLong(0)).toSeq.sorted
+      // minute 0: doc 1 claims the run's single window
+      mem.addData(TsDoc(1L, t(0), run)); q.processAllAvailable()
+      // minute 5 (inside the 10-min TTL): doc 2 repeats -> witness,
+      // and the sighting refreshes the claim's clock
+      mem.addData(TsDoc(2L, t(5), run)); q.processAllAvailable()
+      assert(dups() == Seq(2L))
+      // minute 40: unrelated traffic advances the watermark far past
+      // the refreshed expiry (5 + 10 = minute 15) -> claim removed
+      mem.addData(TsDoc(50L, t(40), other)); q.processAllAvailable()
+      mem.addData(TsDoc(51L, t(41),
+        (0 until 16).map(i => s"y$i").mkString(" "))); q.processAllAvailable()
+      // minute 42: doc 3 repeats the run AFTER expiry -> re-claims,
+      // no witness; minute 43: doc 4 repeats -> witnesses doc 3
+      mem.addData(TsDoc(3L, t(42), run)); q.processAllAvailable()
+      assert(dups() == Seq(2L), "post-expiry repeat must re-claim")
+      mem.addData(TsDoc(4L, t(43), run)); q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT doc_id, first_doc FROM subdup_ttl ORDER BY doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows == Seq((2L, 1L), (4L, 3L)),
+        s"doc 4 must witness the NEW claimant (doc 3), got $rows")
+    } finally q.stop()
+  }
+
   test("intra-batch claims follow the (doc_id, pos) tiebreak and an " +
       "intra-doc repeat witnesses its own earlier span") {
     val run20 = (0 until 20).map(i => s"r$i")
