@@ -152,7 +152,42 @@ object Streaming {
     topkPerWindow(windowCountsTransform(Tables(spark, dir, "events")))
       .orderBy(col("window_start"), col("rk"))
 
+  /** G15 `stream_substring_dedup` — batch equivalent of
+    * [[SubstringDedupStream]]'s keep-first rule: per document, how
+    * many of its sliding 16-token windows repeat a window FIRST
+    * claimed elsewhere (corpus-wide min (doc_id, pos) per window
+    * hash — exactly the claim the stream's state store hands out, so
+    * a doc-id-ordered replay of this corpus through the stream emits
+    * exactly these dup counts; SubstringDedupStreamSpec pins that).
+    * Distinct from D12's symmetric c≥2 rule: the FIRST copy is clean
+    * here — this is the intake-gate number ("how much of this NEW doc
+    * was already admitted"), D12 is the audit number. One rank window
+    * keyed on the hash + the D12 stats-branch join; no pairs held.
+    */
+  def streamSubstringDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = graft.dedup.Dedup.SubTokens
+    val wins = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(graft.functions.GraftFunctions.rollingWinHashes(
+          col("text"), w)).as(Seq("pos", "wh")))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("wh")).orderBy(col("doc_id"), col("pos"))
+    val dups = wins
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") > 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_keepfirst"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        greatest(size(graft.text.TextOps.tokens(col("text")))
+          .cast("long") - (w - 1), lit(0L)).as("n_windows"))
+      .join(dups, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_dup_keepfirst"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_substring_dedup" -> (streamSubstringDedup _),
     "stream_topk" -> (streamTopk _),
     "stream_window_counts" -> (windowCounts _),
     "stream_first_seen" -> (firstSeen _),
@@ -161,6 +196,32 @@ object Streaming {
   )
 
   val oracle: Map[String, String] = Map(
+    // G15 batch arm: literal-window-string groups (D12's collision
+    // certification), keep-first = rank 1 per group in (doc_id, pos)
+    // order, per-doc count of the non-first occurrences
+    "stream_substring_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |w0 AS (SELECT doc_id, w,
+        |    unnest(range(1, len(w) - 14)) AS i
+        |  FROM t WHERE len(w) >= 16),
+        |wins AS (SELECT doc_id, i - 1 AS pos,
+        |    array_to_string(w[i : i + 15], ' ') AS win
+        |  FROM w0),
+        |r AS (SELECT doc_id,
+        |    row_number() OVER (PARTITION BY win
+        |      ORDER BY doc_id, pos) AS rn
+        |  FROM wins),
+        |agg AS (SELECT doc_id, count(*) AS n_dup
+        |  FROM r WHERE rn > 1 GROUP BY doc_id),
+        |base AS (SELECT doc_id,
+        |    greatest(len(w) - 15, 0) AS n_windows
+        |  FROM t)
+        |SELECT b.doc_id, b.n_windows,
+        |  CAST(coalesce(a.n_dup, 0) AS BIGINT) AS n_dup_keepfirst
+        |FROM base b LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "stream_topk" ->
       """WITH wc AS (
         |  SELECT date_trunc('hour', ts) AS window_start, event_type,

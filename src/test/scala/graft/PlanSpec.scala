@@ -532,6 +532,53 @@ class PlanSpec extends SparkSpec {
     assert(!p2.contains("CartesianProduct"))
   }
 
+  test("dedup_substring: window hashes shuffle on the 8-byte hash, " +
+      "dup rollup broadcasts back, no cartesian") {
+    val p = plan("dedup_substring")
+    assert(p.contains("rolling_win_hashes"),
+      "the H14 kernel must be the window source")
+    assert(p.contains("hashpartitioning(wh#"),
+      "corpus-wide grouping must key on the window hash")
+    assert(p.contains("BroadcastHashJoin LeftOuter"),
+      "the O(docs) dup rollup must broadcast to the stats branch")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(countOccurrences(p, "rangepartitioning") == 1,
+      "only the final presentation sort may range-shuffle")
+  }
+
+  test("dedup_substring_pairs: pairs generate via a hash equi join " +
+      "inside capped groups, top-20 is a bounded take") {
+    val p = plan("dedup_substring_pairs")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must never materialize a global sort")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the self-join must stay an equi join on the window hash")
+  }
+
+  test("bpe_encode: the dictionary broadcasts; the corpus pass is " +
+      "one generate + join, no corpus self-join") {
+    val p = plan("bpe_encode")
+    assert(p.contains("BroadcastHashJoin"),
+      "the vocab dictionary must broadcast into the token stream")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus-sized side must never shuffle for the dict join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("link_blocking: candidates join on (token, brand) equi keys; " +
+      "verify sides come from the checkpointed record frame") {
+    val p = plan("link_blocking")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "blocking must never degrade to an unkeyed pair join")
+    // the record frame is checkpointed once and read four times —
+    // no repeated parquet scan of the part table
+    assert(!p.contains("Scan parquet") || countOccurrences(p, "Location: InMemoryFileIndex") == 0,
+      "all consumers must read the checkpointed recs, not re-scan")
+  }
+
   test("emb_knn_graph: the quadratic scoring pass runs once — the " +
       "mutuality join reads the checkpointed O(n·k) frame") {
     // mutualKnn checkpoints the directed top-k before the self-join,

@@ -61,6 +61,36 @@ class SubstringDedupStreamSpec extends SparkSpec {
     assert(threeBatches == want, "batching must not change the witnesses")
   }
 
+  test("replaying the sf corpus through the stream reproduces the " +
+      "registered stream_substring_dedup batch query exactly") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = graft.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().sortBy(_._1).map { case (i, t) => StreamDoc(i, t) }
+    val mem = MemoryStream[StreamDoc]
+    val q = SubstringDedupStream.pipeline(mem.toDS())
+      .writeStream.format("memory").queryName("subdup_corpus")
+      .outputMode("append").start()
+    val streamed =
+      try {
+        corpus.grouped(17).foreach { b =>
+          mem.addData(b.toSeq: _*); q.processAllAvailable()
+        }
+        spark.sql(
+          "SELECT doc_id, count(*) AS c FROM subdup_corpus GROUP BY doc_id")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      } finally q.stop()
+    val batch = Streaming.streamSubstringDedup(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_dup_keepfirst"))
+      .filter(_._2 > 0).toMap
+    assert(batch.nonEmpty, "sf corpus must contain keep-first dups")
+    assert(streamed == batch,
+      "per-doc stream witness counts must equal the batch query")
+  }
+
   test("TTL arm: claims age out on EVENT time after the last sighting; " +
       "a post-expiry repeat re-claims instead of witnessing") {
     import spark.implicits._
