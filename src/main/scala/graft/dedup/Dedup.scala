@@ -525,7 +525,13 @@ object Dedup {
     substringPairs(Tables(spark, dir, "documents"))
 
   /** [[dedupSubstringPairs]]'s kernel on any (doc_id, text) frame. */
-  private[dedup] def substringPairs(docs: DataFrame): DataFrame = {
+  private[dedup] def substringPairs(docs: DataFrame): DataFrame =
+    substringPairFrame(docs)
+      .orderBy(col("n_shared_windows").desc, col("da"), col("db"))
+      .limit(20)
+
+  /** The full (da, db, n_shared_windows) pair frame behind D13/D14. */
+  private[dedup] def substringPairFrame(docs: DataFrame): DataFrame = {
     val occ = docs
       .select(col("doc_id"),
         explode(rollingWinHashes(col("text"), SubTokens)).as("wh"))
@@ -539,11 +545,43 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("n_shared_windows"))
-      .orderBy(col("n_shared_windows").desc, col("da"), col("db"))
-      .limit(20)
+  }
+
+  val SubClusterMinShared = 4 // edge threshold: ≥ a 19-token shared run
+
+  /** D14 `dedup_substring_clusters` — copy GROUPS from exact-substring
+    * evidence: D13's pair frame thresholded at
+    * [[SubClusterMinShared]] shared windows (≥ 4 sliding 16-token
+    * windows ⟺ a shared run of ≥ 19 tokens — long enough to mean
+    * copying, not idiom) becomes an edge list, resolved by the SAME
+    * [[connectedComponents]] hybrid kernel D6 uses (reused, not
+    * re-implemented), so transitive copies group even when the
+    * endpoints share nothing directly (A copies B, B copies C ⇒ one
+    * cluster). Output one row per clustered doc with its canonical
+    * min-id label and cluster size — the drop-decision frame a
+    * curation pipeline acts on, completing the substring family:
+    * D12 scores coverage, D13 names pairs, D14 hands over the groups.
+    * Scale shape: everything up to the edge list is D13's bucketed
+    * plan; the CC kernel sees only the O(pairs) thresholded edges
+    * (231 at sf0.1), never documents.
+    */
+  def dedupSubstringClusters(spark: SparkSession, dir: String): DataFrame =
+    substringClusters(Tables(spark, dir, "documents"))
+
+  /** [[dedupSubstringClusters]]'s kernel on any (doc_id, text) frame. */
+  private[dedup] def substringClusters(docs: DataFrame): DataFrame = {
+    val edges = substringPairFrame(docs)
+      .filter(col("n_shared_windows") >= SubClusterMinShared)
+      .select(col("da").as("u"), col("db").as("v"))
+    val wc = Window.partitionBy(col("cluster_id"))
+    connectedComponents(edges)
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(wc))
+      .orderBy(col("doc_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_substring_clusters" -> (dedupSubstringClusters _),
     "dedup_substring_pairs" -> (dedupSubstringPairs _),
     "dedup_substring" -> (dedupSubstring _),
     "dedup_segments" -> (dedupSegments _),
@@ -607,6 +645,43 @@ object Dedup {
         |    AS dup_pm
         |FROM base b LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // dedup_substring_clusters: D13's pair chain thresholded into an
+    // edge list, resolved by the D6 recursive reach (bounded: the
+    // substring-pair graph is O(hundreds) of edges at any test SF)
+    "dedup_substring_clusters" ->
+      s"""WITH RECURSIVE
+         |t AS (SELECT doc_id,
+         |    string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |w0 AS (SELECT doc_id, w,
+         |    unnest(range(1, len(w) - 14)) AS i
+         |  FROM t WHERE len(w) >= 16),
+         |wins AS (SELECT doc_id,
+         |    array_to_string(w[i : i + 15], ' ') AS win
+         |  FROM w0),
+         |occ AS (SELECT win, doc_id FROM wins GROUP BY win, doc_id),
+         |grp AS (SELECT win, doc_id FROM (
+         |    SELECT win, doc_id, count(*) OVER (PARTITION BY win) AS g
+         |    FROM occ)
+         |  WHERE g >= 2 AND g <= $SubPairCap),
+         |p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+         |    count(*) AS n_shared
+         |  FROM grp a JOIN grp b
+         |    ON a.win = b.win AND a.doc_id < b.doc_id
+         |  GROUP BY da, db),
+         |pairs AS (SELECT da, db FROM p
+         |  WHERE n_shared >= $SubClusterMinShared),
+         |edges AS (SELECT da AS u, db AS v FROM pairs
+         |  UNION SELECT db, da FROM pairs),
+         |reach(u, r) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e2.u, reach.r FROM edges e2 JOIN reach ON reach.u = e2.v),
+         |res AS (SELECT u AS doc_id, min(r) AS cluster_id
+         |  FROM reach GROUP BY u)
+         |SELECT doc_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM res ORDER BY doc_id""".stripMargin,
     // dedup_substring_pairs: same literal-window-string grouping as
     // D12 (collision-freeness certified by the gate), distinct
     // (window, doc) rows, df-capped groups, pair counts, top-20

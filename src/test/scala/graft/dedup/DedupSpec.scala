@@ -243,6 +243,36 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 3L)) == 1)
   }
 
+  test("dedup_substring_clusters: transitive copies group (A~B, B~C " +
+      "=> one cluster) and sub-threshold pairs stay out") {
+    import spark.implicits._
+    val runX = (0 until 26).map(i => s"x$i") // 11 shared windows
+    val runY = (0 until 26).map(i => s"y$i")
+    val run18 = (0 until 18).map(i => s"s$i") // 3 windows < threshold 4
+    val docs = Seq(
+      (1L, (runX ++ (0 until 10).map(i => s"pa$i")).mkString(" ")),
+      (2L, (runX ++ Seq("q1") ++ runY).mkString(" ")),
+      (3L, (runY ++ (0 until 10).map(i => s"pc$i")).mkString(" ")),
+      (8L, (run18 ++ (0 until 10).map(i => s"pd$i")).mkString(" ")),
+      (9L, ((0 until 10).map(i => s"pe$i") ++ run18).mkString(" ")))
+      .toDF("doc_id", "text")
+    // sanity: A and C share no window; A-B and B-C share 11 each;
+    // D-E share exactly 3 (below the 4-window edge threshold)
+    val pf = Dedup.substringPairFrame(docs).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")) ->
+        r.getAs[Long]("n_shared_windows")).toMap
+    assert(pf((1L, 2L)) == 11 && pf((2L, 3L)) == 11)
+    assert(pf((8L, 9L)) == 3 && !pf.contains((1L, 3L)))
+    val out = Dedup.substringClusters(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size")))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L),
+      s"only the transitive copy group clusters, got ${out.keySet}")
+    assert(out.values.toSet == Set((1L, 3L)),
+      "one cluster, canonical min-id label 1, size 3")
+  }
+
   test("dedup_substring: intra-doc repetition counts, full coverage " +
       "when a 20-token run repeats back-to-back") {
     import spark.implicits._
