@@ -31,6 +31,11 @@ object GraftExtensions {
     registerFunction(spark, "char_entropy", args => CharEntropy(args(0)))
     registerFunction(spark, "gram_upper",
       args => GramUpper(args(0)).toAggregateExpression())
+    registerFunction(spark, "rolling_hash64", args => RollingHash64(args(0)))
+    registerFunction(spark, "rolling_win_hashes", args =>
+      RollingWinHashes(args(0), intLit(args(1), "rolling_win_hashes")))
+    registerFunction(spark, "word_shingles", args =>
+      WordShingles(args(0), intLit(args(1), "word_shingles")))
   }
 
   private[functions] def intLit(e: Expression, fn: String): Int = e match {
@@ -89,6 +94,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("gram_upper"),
       info("gram_upper", classOf[GramUpper]),
       (args: Seq[Expression]) => GramUpper(args(0)).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("rolling_hash64"),
+      info("rolling_hash64", classOf[RollingHash64]),
+      (args: Seq[Expression]) => RollingHash64(args(0))))
+    ext.injectFunction((FunctionIdentifier("rolling_win_hashes"),
+      info("rolling_win_hashes", classOf[RollingWinHashes]),
+      (args: Seq[Expression]) =>
+        RollingWinHashes(args(0), intLit(args(1), "rolling_win_hashes"))))
+    ext.injectFunction((FunctionIdentifier("word_shingles"),
+      info("word_shingles", classOf[WordShingles]),
+      (args: Seq[Expression]) =>
+        WordShingles(args(0), intLit(args(1), "word_shingles"))))
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
     ext.injectOptimizerRule(_ => graft.plans.RewriteRankFilterToTopK)
   }

@@ -146,5 +146,20 @@ class ExpressionsSpec extends SparkSpec {
       assert(r.getInt(3) == 16)
       assert(r.getInt(4) == 4)
     }
+    locally {
+      val r = spark.sql(
+        """SELECT rolling_hash64('ab') h,
+          |  rolling_win_hashes('a b c', 2) ws,
+          |  word_shingles(array('a','b','c'), 2) sh
+          |""".stripMargin).head()
+      assert(r.getLong(0) == 'a'.toLong * 1000003L + 'b'.toLong)
+      // window hashes equal rolling_hash64 of each joined window
+      assert(r.getSeq[Long](1) == Seq(
+        VecOps.rollingHash64(
+          org.apache.spark.unsafe.types.UTF8String.fromString("a b")),
+        VecOps.rollingHash64(
+          org.apache.spark.unsafe.types.UTF8String.fromString("b c"))))
+      assert(r.getSeq[String](2) == Seq("a b", "b c"))
+    }
   }
 }
