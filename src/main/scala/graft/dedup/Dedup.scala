@@ -580,7 +580,122 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  val IncMod = 5 // deterministic intake slice: doc_id % IncMod == 0
+
+  /** D15 `dedup_incremental` — INTAKE-vs-STORE dedup, the daily-crawl
+    * shape every production corpus actually runs (D1–D14 dedup a
+    * corpus against itself; a live pipeline dedups today's batch
+    * against yesterday's 100 TB store, and must NEVER re-dedup the
+    * store): the store reduces to two persisted sidecars — its
+    * DISTINCT window-hash set (the D12 substring evidence) and its
+    * DISTINCT content-fingerprint set (the D1 exact evidence) — and
+    * each intake doc is scored against them. Here the store/intake
+    * split is the deterministic `doc_id % [[IncMod]]` slice (the
+    * house stand-in for a date boundary; production swaps one filter
+    * for a snapshot read, A3's discipline).
+    *
+    * Per intake doc: window hits against the store (LEFT SEMI on the
+    * 8-byte hash — the store side never fans out, no doc pair exists
+    * anywhere), duplicated-token coverage as the interval union of
+    * hit windows (D12's prev-end running max), and the exact-copy
+    * flag via fingerprint semi-join. Scale shape: the two store
+    * sidecars are O(store tokens) / O(store docs) hash sets that at
+    * 100 TB are built ONCE and appended per batch (E30's append
+    * discipline applied to dedup state); the per-batch cost is one
+    * intake-sized scan + two hash-keyed semi-joins — the store is
+    * scanned zero times per batch once the sidecars exist. The
+    * streaming twin is G15's keep-first gate; this is the batch
+    * replay that backfills it. Oracle: literal window strings +
+    * the C4 fingerprint spelling (D12's collision-certification
+    * argument carries over verbatim).
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame =
+    incrementalDedup(Tables(spark, dir, "documents"))
+
+  /** [[dedupIncremental]]'s kernel on any (doc_id, text) frame. */
+  private[dedup] def incrementalDedup(docs: DataFrame): DataFrame = {
+    val w = SubTokens
+    val store = docs.filter(col("doc_id") % IncMod =!= 0)
+    val intake = docs.filter(col("doc_id") % IncMod === 0)
+    val storeWins = store
+      .select(explode(rollingWinHashes(col("text"), w)).as("wh"))
+      .distinct()
+    val storeFps = store
+      .select(TextOps.fingerprint(col("text")).as("fp"))
+      .distinct()
+    val wins = intake.select(col("doc_id"),
+      posexplode(rollingWinHashes(col("text"), w)).as(Seq("pos", "wh")))
+    val hits = wins.join(storeWins, Seq("wh"), "left_semi")
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val perDoc = hits
+      .withColumn("prev_end", max(col("pos") + w).over(wDoc))
+      .withColumn("cov",
+        col("pos") + w -
+          greatest(col("pos"), coalesce(col("prev_end"), col("pos"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_windows"),
+        sum(col("cov")).as("dup_tokens"))
+    val exact = intake
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .join(storeFps, Seq("fp"), "left_semi")
+      .select(col("doc_id"), lit(1).as("exact_dup"))
+    intake
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("n_windows",
+        greatest(col("n_tokens") - (w - 1), lit(0L)))
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(exact, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_hit_windows", "dup_tokens"))
+      .na.fill(0, Seq("exact_dup"))
+      .withColumn("dup_pm", expr("dup_tokens * 1000 div n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** D16 `dedup_hot_spans` — WHAT text is duplicated: the top-20 most
+    * repeated 16-token windows corpus-wide, with occurrence and
+    * distinct-doc counts (D12 scores docs, D13/D14 name pairs and
+    * groups; the curation question left is "what IS this boilerplate"
+    * — the report that decides between a regex strip rule and a
+    * crawler fix). Groups form on the 8-byte rolling hash (never the
+    * string — the corpus-sized exchange carries ~24-byte rows);
+    * the literal window text materializes ONLY for dup groups, by
+    * joining each group's canonical (min (doc, pos)) occurrence back
+    * to its document and slicing the token range — O(dup groups)
+    * rows against one corpus-side join, never a corpus-wide string
+    * fan-out. Top-20 by (occurrences, window text) rides
+    * TakeOrderedAndProject. The oracle groups on the literal window
+    * string, so the green gate again certifies hash ≡ string
+    * grouping (D12's argument).
+    */
+  def dedupHotSpans(spark: SparkSession, dir: String): DataFrame =
+    hotSpans(Tables(spark, dir, "documents"))
+
+  /** [[dedupHotSpans]]'s kernel on any (doc_id, text) frame. */
+  private[dedup] def hotSpans(docs: DataFrame): DataFrame = {
+    val w = SubTokens
+    val wins = docs.select(col("doc_id"),
+      posexplode(rollingWinHashes(col("text"), w)).as(Seq("pos", "wh")))
+    val grps = wins.groupBy(col("wh"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(struct(col("doc_id"), col("pos"))).as("canon"))
+      .filter(col("n_occurrences") >= 2)
+    grps
+      .select(col("n_occurrences"), col("n_docs"),
+        col("canon.doc_id").as("doc_id"), col("canon.pos").as("pos"))
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .withColumn("win", array_join(
+        slice(TextOps.tokens(col("text")), col("pos") + 1, lit(w)), " "))
+      .select(col("win"), col("n_occurrences"), col("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("win"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_incremental" -> (dedupIncremental _),
+    "dedup_hot_spans" -> (dedupHotSpans _),
     "dedup_substring_clusters" -> (dedupSubstringClusters _),
     "dedup_substring_pairs" -> (dedupSubstringPairs _),
     "dedup_substring" -> (dedupSubstring _),
@@ -607,6 +722,69 @@ object Dedup {
   // (hi 3210233709 / lo 484763065), K3 0x94d049bb133111eb (hi
   // 2496678331 / lo 321982955).
   val oracle: Map[String, String] = Map(
+    // dedup_incremental: store sidecars as DISTINCT literal-window /
+    // fingerprint sets, intake scored by semi-join — same literal-
+    // string grouping as D12, so the gate certifies the hash sidecar
+    "dedup_incremental" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |sw0 AS (SELECT w, unnest(range(1, len(w) - 14)) AS i
+         |  FROM t WHERE doc_id % $IncMod <> 0 AND len(w) >= 16),
+         |swins AS (SELECT DISTINCT array_to_string(w[i : i + 15], ' ')
+         |    AS win FROM sw0),
+         |iw0 AS (SELECT doc_id, w, unnest(range(1, len(w) - 14)) AS i
+         |  FROM t WHERE doc_id % $IncMod = 0 AND len(w) >= 16),
+         |iwins AS (SELECT doc_id, i - 1 AS pos,
+         |    array_to_string(w[i : i + 15], ' ') AS win
+         |  FROM iw0),
+         |h AS (SELECT doc_id, pos FROM iwins JOIN swins USING (win)),
+         |iv AS (SELECT doc_id, pos,
+         |    max(pos + 16) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS prev_end
+         |  FROM h),
+         |agg AS (SELECT doc_id,
+         |    count(*) AS n_hit_windows,
+         |    sum(pos + 16 - greatest(pos, coalesce(prev_end, pos)))
+         |      AS dup_tokens
+         |  FROM iv GROUP BY doc_id),
+         |sfp AS (SELECT DISTINCT
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents WHERE doc_id % $IncMod <> 0),
+         |ifp AS (SELECT doc_id,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents WHERE doc_id % $IncMod = 0),
+         |ex AS (SELECT doc_id FROM ifp JOIN sfp USING (fp)),
+         |base AS (SELECT doc_id, len(w) AS n_tokens,
+         |    greatest(len(w) - 15, 0) AS n_windows
+         |  FROM t WHERE doc_id % $IncMod = 0)
+         |SELECT b.doc_id, b.n_tokens, b.n_windows,
+         |  coalesce(a.n_hit_windows, 0) AS n_hit_windows,
+         |  CAST(coalesce(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+         |  CAST(coalesce(a.dup_tokens, 0) * 1000 // b.n_tokens AS BIGINT)
+         |    AS dup_pm,
+         |  CAST(e.doc_id IS NOT NULL AS INT) AS exact_dup
+         |FROM base b LEFT JOIN agg a USING (doc_id)
+         |  LEFT JOIN ex e USING (doc_id)
+         |ORDER BY b.doc_id""".stripMargin,
+    // dedup_hot_spans: literal-window grouping (collision
+    // certification, D12's argument), top-20 by (count, window)
+    "dedup_hot_spans" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |w0 AS (SELECT doc_id, w,
+        |    unnest(range(1, len(w) - 14)) AS i
+        |  FROM t WHERE len(w) >= 16),
+        |wins AS (SELECT doc_id,
+        |    array_to_string(w[i : i + 15], ' ') AS win
+        |  FROM w0),
+        |g AS (SELECT win, count(*) AS n_occurrences,
+        |    count(DISTINCT doc_id) AS n_docs
+        |  FROM wins GROUP BY win HAVING count(*) >= 2)
+        |SELECT win, n_occurrences, n_docs FROM g
+        |ORDER BY n_occurrences DESC, win LIMIT 20""".stripMargin,
     // dedup_substring: the oracle keys window groups on the LITERAL
     // 16-token window string (not a hash replay) — a Spark-side hash
     // collision would therefore flip counts and FAIL the gate, so a

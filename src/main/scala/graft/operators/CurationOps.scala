@@ -509,7 +509,11 @@ object CurationOps {
     linkBlockingOf(Tables(spark, dir, "part"))
 
   /** [[linkBlocking]]'s kernel on any part-shaped frame. */
-  private[operators] def linkBlockingOf(parts: DataFrame): DataFrame = {
+  private[operators] def linkBlockingOf(parts: DataFrame): DataFrame =
+    linkPairFrame(parts).orderBy(col("pa"), col("pb"))
+
+  /** The unsorted matched-pair frame behind A45/A46. */
+  private[operators] def linkPairFrame(parts: DataFrame): DataFrame = {
     val recs = parts
       .select(col("p_partkey"), col("p_name"), col("p_brand"),
         col("p_type"),
@@ -541,10 +545,40 @@ object CurationOps {
       .filter(col("milli_jaccard") >= LinkTau)
       .select(col("pa"), col("pb"), col("milli_jaccard"),
         (col("type_a") === col("type_b")).cast("int").as("same_type"))
-      .orderBy(col("pa"), col("pb"))
+  }
+
+  /** A46 `link_entities` — the RESOLUTION step on top of A45's
+    * matched pairs (blocking + verify yields pairs; master-data
+    * management wants the ENTITY: one golden-record group per real-
+    * world product, transitively closed — A matches B and B matches C
+    * puts all three in one entity even when A–C alone misses the
+    * [[LinkTau]] threshold, exactly the chain survivorship rules are
+    * written against). A45's pair frame becomes an edge list resolved
+    * by the SAME `Dedup.connectedComponents` hybrid kernel D6/D14 use
+    * (reused, not re-implemented — driver union-find below the edge
+    * bound, iterative min-label propagation with lineage truncation
+    * above); output one row per linked record with its canonical
+    * min-partkey entity id and entity size — the survivorship frame a
+    * dedupe-the-catalog pipeline merges from. Scale shape: everything
+    * up to the edge list is A45's capped-block plan; the CC kernel
+    * sees only the O(matched pairs) edges, never the part table.
+    */
+  def linkEntities(spark: SparkSession, dir: String): DataFrame =
+    linkEntitiesOf(Tables(spark, dir, "part"))
+
+  /** [[linkEntities]]'s kernel on any part-shaped frame. */
+  private[operators] def linkEntitiesOf(parts: DataFrame): DataFrame = {
+    val edges = linkPairFrame(parts)
+      .select(col("pa").as("u"), col("pb").as("v"))
+    val wc = Window.partitionBy(col("entity_id"))
+    graft.dedup.Dedup.connectedComponents(edges)
+      .select(col("node").as("p_partkey"), col("label").as("entity_id"))
+      .withColumn("entity_size", count(lit(1)).over(wc))
+      .orderBy(col("p_partkey"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "link_entities" -> (linkEntities _),
     "link_blocking" -> (linkBlocking _),
     "anon_t_closeness" -> (anonTCloseness _),
     "anon_l_diversity" -> (anonLDiversity _),
@@ -559,33 +593,58 @@ object CurationOps {
     "emb_whiten" -> (embWhiten _)
   )
 
+  /** A45's blocking + verify chain as a shared oracle CTE prefix
+    * (A46 resolves the same pair set into entities).
+    */
+  private[operators] val linkPairsCte: String =
+    s"""r AS (SELECT p_partkey, p_brand, p_type,
+       |    list_distinct(string_split(p_name, ' ')) AS ts
+       |  FROM part),
+       |toks AS (SELECT p_partkey, p_brand, unnest(ts) AS tok FROM r),
+       |bl AS (SELECT tok, p_brand FROM toks GROUP BY tok, p_brand
+       |  HAVING count(*) <= $BlockCap),
+       |ct AS (SELECT t.p_partkey, t.p_brand, t.tok
+       |  FROM toks t JOIN bl USING (tok, p_brand)),
+       |cand AS (SELECT DISTINCT a.p_partkey AS pa, b.p_partkey AS pb
+       |  FROM ct a JOIN ct b ON a.tok = b.tok
+       |    AND a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey),
+       |v AS (SELECT c.pa, c.pb,
+       |    CAST(len(list_intersect(x.ts, y.ts)) AS BIGINT) AS n_common,
+       |    CAST(len(x.ts) + len(y.ts) AS BIGINT)
+       |      - CAST(len(list_intersect(x.ts, y.ts)) AS BIGINT)
+       |      AS n_union,
+       |    CASE WHEN x.p_type = y.p_type THEN 1 ELSE 0 END AS same_type
+       |  FROM cand c JOIN r x ON x.p_partkey = c.pa
+       |    JOIN r y ON y.p_partkey = c.pb)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // A45: composite (token, brand) blocks with the same cap, verify
     // on full distinct token sets, floor-division milli-Jaccard
     "link_blocking" ->
-      s"""WITH r AS (SELECT p_partkey, p_brand, p_type,
-         |    list_distinct(string_split(p_name, ' ')) AS ts
-         |  FROM part),
-         |toks AS (SELECT p_partkey, p_brand, unnest(ts) AS tok FROM r),
-         |bl AS (SELECT tok, p_brand FROM toks GROUP BY tok, p_brand
-         |  HAVING count(*) <= $BlockCap),
-         |ct AS (SELECT t.p_partkey, t.p_brand, t.tok
-         |  FROM toks t JOIN bl USING (tok, p_brand)),
-         |cand AS (SELECT DISTINCT a.p_partkey AS pa, b.p_partkey AS pb
-         |  FROM ct a JOIN ct b ON a.tok = b.tok
-         |    AND a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey),
-         |v AS (SELECT c.pa, c.pb,
-         |    CAST(len(list_intersect(x.ts, y.ts)) AS BIGINT) AS n_common,
-         |    CAST(len(x.ts) + len(y.ts) AS BIGINT)
-         |      - CAST(len(list_intersect(x.ts, y.ts)) AS BIGINT)
-         |      AS n_union,
-         |    CASE WHEN x.p_type = y.p_type THEN 1 ELSE 0 END AS same_type
-         |  FROM cand c JOIN r x ON x.p_partkey = c.pa
-         |    JOIN r y ON y.p_partkey = c.pb)
+      s"""WITH $linkPairsCte
          |SELECT pa, pb, n_common * 1000 // n_union AS milli_jaccard,
          |  same_type
          |FROM v WHERE n_common * 1000 // n_union >= $LinkTau
          |ORDER BY pa, pb""".stripMargin,
+    // A46: A45's matched pairs closed transitively by the D6/D14
+    // recursive reach (bounded: the matched-pair graph is tiny — the
+    // block cap and the 0.5 Jaccard bar keep it to true near-copies)
+    "link_entities" ->
+      s"""WITH RECURSIVE $linkPairsCte,
+         |mp AS (SELECT pa, pb FROM v
+         |  WHERE n_common * 1000 // n_union >= $LinkTau),
+         |edges AS (SELECT pa AS eu, pb AS ev FROM mp
+         |  UNION SELECT pb, pa FROM mp),
+         |reach(eu, rr) AS (
+         |  SELECT eu, eu FROM (SELECT DISTINCT eu FROM edges)
+         |  UNION
+         |  SELECT e2.eu, reach.rr FROM edges e2
+         |    JOIN reach ON reach.eu = e2.ev),
+         |res AS (SELECT eu AS p_partkey, min(rr) AS entity_id
+         |  FROM reach GROUP BY eu)
+         |SELECT p_partkey, entity_id,
+         |  count(*) OVER (PARTITION BY entity_id) AS entity_size
+         |FROM res ORDER BY p_partkey""".stripMargin,
     // A43: dense class × band grid, per-mille-quantized cumulative
     // gaps (floor division — exact both engines), EMD = mean gap
     "anon_t_closeness" ->

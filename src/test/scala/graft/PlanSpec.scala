@@ -557,6 +557,32 @@ class PlanSpec extends SparkSpec {
       "the self-join must stay an equi join on the window hash")
   }
 
+  test("dedup_incremental: intake scores against the store via " +
+      "hash-keyed SEMI joins — the store side never fans out") {
+    val p = plan("dedup_incremental")
+    assert(p.contains("rolling_win_hashes"),
+      "the H14 kernel must be the window source")
+    assert(p.contains("LeftSemi"),
+      "store membership must be a semi join (no store row duplication)")
+    assert(p.contains("hashpartitioning(wh#"),
+      "the window-hit join must key on the 8-byte window hash")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("dedup_hot_spans: groups key on the hash, window text " +
+      "materializes only for dup groups, top-20 is a bounded take") {
+    val p = plan("dedup_hot_spans")
+    assert(p.contains("rolling_win_hashes"),
+      "the H14 kernel must be the window source")
+    assert(p.contains("hashpartitioning(wh#"),
+      "corpus-wide grouping must key on the window hash")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must never materialize a global sort")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("bpe_encode: the dictionary broadcasts; the corpus pass is " +
       "one generate + join, no corpus self-join") {
     val p = plan("bpe_encode")

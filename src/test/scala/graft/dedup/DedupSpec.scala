@@ -273,6 +273,62 @@ class DedupSpec extends SparkSpec {
       "one cluster, canonical min-id label 1, size 3")
   }
 
+  test("dedup_incremental: intake docs score against the store only — " +
+      "store-internal dups never flag, exact copies set the flag, " +
+      "partial overlaps get interval-union coverage") {
+    import spark.implicits._
+    val run = (0 until 40).map(i => s"k$i")
+    val docs = Seq(
+      // store (doc_id % 5 != 0)
+      (1L, run.mkString(" ")),                       // store original
+      (2L, run.mkString(" ")),                       // store-internal dup
+      (3L, (0 until 30).map(i => s"s$i").mkString(" ")),
+      // intake (doc_id % 5 == 0)
+      (5L, run.mkString(" ")),                       // exact copy of store
+      (10L, ((1 to 4).map(i => s"j$i") ++ run.slice(10, 34))
+        .mkString(" ")),                             // 24-token shifted span
+      (15L, (0 until 25).map(i => s"f$i").mkString(" ")) // fresh
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == Set(5L, 10L, 15L),
+      "only intake docs report — the store is never re-deduped")
+    // doc 5: full coverage + exact flag
+    assert(out(5L).getAs[Int]("exact_dup") == 1)
+    assert(out(5L).getAs[Long]("n_hit_windows") == 25) // 40 - 16 + 1
+    assert(out(5L).getAs[Long]("dup_tokens") == 40)
+    assert(out(5L).getAs[Long]("dup_pm") == 1000)
+    // doc 10: 24 shared tokens at offset 4 → windows at pos 4..12 hit
+    // (9 windows, union covers [4, 28) = 24 tokens); not exact
+    assert(out(10L).getAs[Int]("exact_dup") == 0)
+    assert(out(10L).getAs[Long]("n_hit_windows") == 9)
+    assert(out(10L).getAs[Long]("dup_tokens") == 24)
+    assert(out(10L).getAs[Long]("dup_pm") == 24000 / 28)
+    // doc 15: fresh
+    assert(out(15L).getAs[Long]("n_hit_windows") == 0)
+    assert(out(15L).getAs[Long]("dup_tokens") == 0)
+    assert(out(15L).getAs[Int]("exact_dup") == 0)
+  }
+
+  test("dedup_hot_spans: the hottest window surfaces with exact " +
+      "occurrence/doc counts and its literal text; singletons stay out") {
+    import spark.implicits._
+    val boiler = (0 until 16).map(i => s"bp$i")
+    val docs = (Seq(
+      (1L, (boiler ++ Seq("t1") ++ boiler).mkString(" ")), // 2 occurrences
+      (2L, (boiler ++ Seq("t2")).mkString(" ")),
+      (3L, (0 until 20).map(i => s"solo$i").mkString(" ")) // no dups
+    )).toDF("doc_id", "text")
+    val out = Dedup.hotSpans(docs).collect()
+    // doc 1 contributes the boilerplate window twice (pos 0 and 17),
+    // doc 2 once → 3 occurrences across 2 docs; every window of doc 3
+    // and the bridge windows of doc 1 are singletons
+    assert(out.length == 1, s"got ${out.length} rows")
+    assert(out.head.getAs[String]("win") == boiler.mkString(" "))
+    assert(out.head.getAs[Long]("n_occurrences") == 3)
+    assert(out.head.getAs[Long]("n_docs") == 2)
+  }
+
   test("dedup_substring: intra-doc repetition counts, full coverage " +
       "when a 20-token run repeats back-to-back") {
     import spark.implicits._

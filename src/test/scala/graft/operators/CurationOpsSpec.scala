@@ -311,4 +311,36 @@ class CurationOpsSpec extends SparkSpec {
     // its identical-name listings produce NO candidates — the cap
     // dropped the block wholesale (asserted via the match set above)
   }
+
+  test("link_entities: transitive match chain resolves to ONE entity " +
+      "even when the endpoints miss the threshold; isolated pair and " +
+      "unmatched records stay apart") {
+    import spark.implicits._
+    val parts = Seq(
+      // chain: 1~2 (3/5 = 600) and 2~3 (3/5 = 600) match, but
+      // 1~3 share only {alpha, beta} of 6 -> 333 < 500: transitivity
+      // must still put all three in one entity labeled min id 1
+      (1L, "alpha beta gamma delta", "Brand#1", "A"),
+      (2L, "alpha beta gamma epsilon", "Brand#1", "B"),
+      (3L, "alpha beta epsilon zeta", "Brand#1", "C"),
+      // isolated exact pair -> its own entity
+      (7L, "red rod", "Brand#2", "A"),
+      (8L, "red rod", "Brand#2", "A"),
+      // unmatched -> appears in NO entity (CC only sees edge nodes)
+      (9L, "lone widget", "Brand#3", "A")
+    ).toDF("p_partkey", "p_name", "p_brand", "p_type")
+    // sanity: the endpoints are NOT a matched pair on their own
+    val pairs = CurationOps.linkPairFrame(parts).collect()
+      .map(r => (r.getAs[Long]("pa"), r.getAs[Long]("pb"))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L), (7L, 8L)), s"got $pairs")
+    val out = CurationOps.linkEntitiesOf(parts).collect()
+      .map(r => r.getAs[Long]("p_partkey") ->
+        (r.getAs[Long]("entity_id"), r.getAs[Long]("entity_size")))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 7L, 8L),
+      s"only linked records resolve, got ${out.keySet}")
+    assert(out(1L) == (1L, 3L) && out(2L) == (1L, 3L) &&
+      out(3L) == (1L, 3L), "the chain is one entity, min-id label 1")
+    assert(out(7L) == (7L, 2L) && out(8L) == (7L, 2L))
+  }
 }
