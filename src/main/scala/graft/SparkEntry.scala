@@ -32,6 +32,7 @@ object SparkEntry {
       ann.AnnEval.queries ++
       ann.MatryoshkaEval.queries ++
       ann.EmbPca.queries ++
+      ann.EmbDrift.queries ++
       ann.Hybrid.queries ++
       multimodal.Multimodal.queries ++
       streaming.Streaming.queries ++
@@ -62,6 +63,7 @@ object SparkEntry {
       ann.AnnEval.oracle ++
       ann.MatryoshkaEval.oracle ++
       ann.EmbPca.oracle ++
+      ann.EmbDrift.oracle ++
       ann.Hybrid.oracle ++
       multimodal.Multimodal.oracle ++
       streaming.Streaming.oracle ++

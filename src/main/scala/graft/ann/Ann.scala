@@ -1232,7 +1232,12 @@ object Ann {
     * coordinates CTE instead of the raw embeddings table. NOTE: does
     * NOT emit the leading WITH (callers may put rotation CTEs first).
     */
-  private[ann] def ivfOracleCommonOver(src: String): String =
+  /** Just the TRAINING replay of [[ivfOracleCommonOver]] — sample →
+    * seeds → sample-assign → one Lloyd mean → `cents` — with the
+    * training source parameterized, for oracles that train on one
+    * slice and assign another (E32 drift).
+    */
+  private[ann] def ivfTrainOracleOver(src: String): String =
     s"""${smpCteOver(src)},
        |seeds AS (SELECT vec_id AS cell_id, embedding AS c_emb
        |  FROM smp WHERE vec_id % $IvfSeedMod = 0),
@@ -1247,7 +1252,10 @@ object Ann {
        |  FROM asg0 a JOIN smp e USING (vec_id), range(1, 65) r(d)
        |  GROUP BY a.cell_id, r.d),
        |cents AS (SELECT cell_id, array_agg(cv ORDER BY d) AS c_emb
-       |  FROM cent GROUP BY cell_id),
+       |  FROM cent GROUP BY cell_id)""".stripMargin
+
+  private[ann] def ivfOracleCommonOver(src: String): String =
+    s"""${ivfTrainOracleOver(src)},
        |a1 AS (SELECT e.vec_id, e.embedding, c.cell_id, row_number() OVER (
        |    PARTITION BY e.vec_id ORDER BY round(list_cosine_similarity(
        |      CAST(e.embedding AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[])), 6)
