@@ -566,18 +566,69 @@ object CurationOps {
   def linkEntities(spark: SparkSession, dir: String): DataFrame =
     linkEntitiesOf(Tables(spark, dir, "part"))
 
+  /** The (p_partkey, entity_id) label frame behind A46/A47. */
+  private[operators] def linkEntityLabels(parts: DataFrame): DataFrame =
+    graft.dedup.Dedup.connectedComponents(
+        linkPairFrame(parts).select(col("pa").as("u"), col("pb").as("v")))
+      .select(col("node").as("p_partkey"), col("label").as("entity_id"))
+
   /** [[linkEntities]]'s kernel on any part-shaped frame. */
   private[operators] def linkEntitiesOf(parts: DataFrame): DataFrame = {
-    val edges = linkPairFrame(parts)
-      .select(col("pa").as("u"), col("pb").as("v"))
     val wc = Window.partitionBy(col("entity_id"))
-    graft.dedup.Dedup.connectedComponents(edges)
-      .select(col("node").as("p_partkey"), col("label").as("entity_id"))
+    linkEntityLabels(parts)
       .withColumn("entity_size", count(lit(1)).over(wc))
       .orderBy(col("p_partkey"))
   }
 
+  /** A47 `link_survivorship` — GOLDEN-RECORD construction per A46
+    * entity, the step MDM pipelines call survivorship (A45 finds
+    * pairs, A46 groups them; a catalog still needs ONE canonical
+    * record per entity, assembled from the members by deterministic
+    * per-attribute rules): most-frequent name wins (count-desc,
+    * value-asc tiebreak — the mode rule), the anchor record (min
+    * partkey — production's "most trusted source" slot) donates its
+    * type, the price range survives as min/max integer cents (the
+    * dispersion a pricing audit reads), and the distinct-type count
+    * flags attribute conflicts needing a steward. Brand is uniform by
+    * construction (A45 blocks within brand, so components are
+    * brand-homogeneous) and carried via min. Scale shape: A46's label
+    * frame joins part on the key, then TWO collapses to the
+    * O(entities) frame (one attribute-mode rank over (entity, name)
+    * counts, one rollup); windows only over collapsed frames.
+    */
+  def linkSurvivorship(spark: SparkSession, dir: String): DataFrame =
+    linkSurvivorshipOf(Tables(spark, dir, "part"))
+
+  /** [[linkSurvivorship]]'s kernel on any part-shaped frame. */
+  private[operators] def linkSurvivorshipOf(parts: DataFrame): DataFrame = {
+    val m = linkEntityLabels(parts)
+      .join(parts, Seq("p_partkey"))
+      .withColumn("cents",
+        expr("cast(round(p_retailprice * 100) as bigint)"))
+    val nameCnt = m.groupBy(col("entity_id"), col("p_name"))
+      .agg(count(lit(1)).as("c"))
+    val wn = Window.partitionBy(col("entity_id"))
+      .orderBy(col("c").desc, col("p_name"))
+    val golden = nameCnt
+      .withColumn("rn", row_number().over(wn))
+      .filter(col("rn") === 1)
+      .select(col("entity_id"), col("p_name").as("name_golden"))
+    m.groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("n_records"),
+        min(col("p_brand")).as("brand"),
+        min_by(col("p_type"), col("p_partkey")).as("type_anchor"),
+        countDistinct(col("p_type")).as("n_types"),
+        min(col("cents")).as("price_min_cents"),
+        max(col("cents")).as("price_max_cents"))
+      .join(golden, Seq("entity_id"))
+      .select(col("entity_id"), col("n_records"), col("name_golden"),
+        col("brand"), col("type_anchor"), col("n_types"),
+        col("price_min_cents"), col("price_max_cents"))
+      .orderBy(col("entity_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "link_survivorship" -> (linkSurvivorship _),
     "link_entities" -> (linkEntities _),
     "link_blocking" -> (linkBlocking _),
     "anon_t_closeness" -> (anonTCloseness _),
@@ -617,6 +668,23 @@ object CurationOps {
        |  FROM cand c JOIN r x ON x.p_partkey = c.pa
        |    JOIN r y ON y.p_partkey = c.pb)""".stripMargin
 
+  /** A46/A47's shared entity-resolution suffix: matched pairs →
+    * symmetric edges → recursive reach → min-label entities
+    * (expects [[linkPairsCte]]'s `v` in scope).
+    */
+  private[operators] val linkEntityCte: String =
+    s"""mp AS (SELECT pa, pb FROM v
+       |  WHERE n_common * 1000 // n_union >= $LinkTau),
+       |edges AS (SELECT pa AS eu, pb AS ev FROM mp
+       |  UNION SELECT pb, pa FROM mp),
+       |reach(eu, rr) AS (
+       |  SELECT eu, eu FROM (SELECT DISTINCT eu FROM edges)
+       |  UNION
+       |  SELECT e2.eu, reach.rr FROM edges e2
+       |    JOIN reach ON reach.eu = e2.ev),
+       |res AS (SELECT eu AS p_partkey, min(rr) AS entity_id
+       |  FROM reach GROUP BY eu)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // A45: composite (token, brand) blocks with the same cap, verify
     // on full distinct token sets, floor-division milli-Jaccard
@@ -631,20 +699,40 @@ object CurationOps {
     // block cap and the 0.5 Jaccard bar keep it to true near-copies)
     "link_entities" ->
       s"""WITH RECURSIVE $linkPairsCte,
-         |mp AS (SELECT pa, pb FROM v
-         |  WHERE n_common * 1000 // n_union >= $LinkTau),
-         |edges AS (SELECT pa AS eu, pb AS ev FROM mp
-         |  UNION SELECT pb, pa FROM mp),
-         |reach(eu, rr) AS (
-         |  SELECT eu, eu FROM (SELECT DISTINCT eu FROM edges)
-         |  UNION
-         |  SELECT e2.eu, reach.rr FROM edges e2
-         |    JOIN reach ON reach.eu = e2.ev),
-         |res AS (SELECT eu AS p_partkey, min(rr) AS entity_id
-         |  FROM reach GROUP BY eu)
+         |$linkEntityCte
          |SELECT p_partkey, entity_id,
          |  count(*) OVER (PARTITION BY entity_id) AS entity_size
          |FROM res ORDER BY p_partkey""".stripMargin,
+    // A47: the same entity labels joined back to part, then the
+    // survivorship rules — name mode (count desc, value asc), anchor
+    // type (min partkey), min/max integer cents, distinct-type width
+    "link_survivorship" ->
+      s"""WITH RECURSIVE $linkPairsCte,
+         |$linkEntityCte,
+         |m AS (SELECT res.entity_id, p.*,
+         |    CAST(round(p.p_retailprice * 100) AS BIGINT) AS cents
+         |  FROM res JOIN part p USING (p_partkey)),
+         |nc AS (SELECT entity_id, p_name, count(*) AS c
+         |  FROM m GROUP BY 1, 2),
+         |gn AS (SELECT entity_id, p_name AS name_golden FROM (
+         |    SELECT entity_id, p_name, row_number() OVER (
+         |      PARTITION BY entity_id ORDER BY c DESC, p_name) AS rn
+         |    FROM nc) WHERE rn = 1),
+         |an AS (SELECT entity_id, p_type AS type_anchor FROM (
+         |    SELECT entity_id, p_type, row_number() OVER (
+         |      PARTITION BY entity_id ORDER BY p_partkey) AS rn
+         |    FROM m) WHERE rn = 1),
+         |ag AS (SELECT entity_id, count(*) AS n_records,
+         |    min(p_brand) AS brand,
+         |    count(DISTINCT p_type) AS n_types,
+         |    min(cents) AS price_min_cents,
+         |    max(cents) AS price_max_cents
+         |  FROM m GROUP BY entity_id)
+         |SELECT ag.entity_id, ag.n_records, gn.name_golden, ag.brand,
+         |  an.type_anchor, ag.n_types, ag.price_min_cents,
+         |  ag.price_max_cents
+         |FROM ag JOIN gn USING (entity_id) JOIN an USING (entity_id)
+         |ORDER BY ag.entity_id""".stripMargin,
     // A43: dense class × band grid, per-mille-quantized cumulative
     // gaps (floor division — exact both engines), EMD = mean gap
     "anon_t_closeness" ->

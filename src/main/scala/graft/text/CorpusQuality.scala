@@ -624,7 +624,50 @@ object CorpusQuality {
       .orderBy(col("doc_id"))
   }
 
+  /** C39 `corpus_novelty` — what each source UNIQUELY contributes:
+    * per source, its distinct word-3-gram count and how many of those
+    * shingles appear in NO other source, as an exact basis-point
+    * uniqueness rate (C21 weighs sources by token MASS and C29 by
+    * lexical drift; acquisition/renewal decisions hinge on marginal
+    * CONTENT — a source whose shingles all exist elsewhere adds
+    * volume, not coverage, and is the first candidate to drop when
+    * the compute budget tightens). Mechanics: distinct (source,
+    * shingle) pairs — shingles enter the wide shuffle as 8-byte
+    * xxhash64 values, not ~25-byte strings (D2's discipline;
+    * set-cardinality semantics unchanged, and the oracle counts
+    * LITERAL shingle strings so the green gate certifies the hashing
+    * collision-free on the corpus); one window over the shingle key
+    * counts carrying sources, then everything collapses to the
+    * O(sources) frame. No stage holds doc pairs or a per-doc
+    * explosion beyond the one shingle pass.
+    */
+  def corpusNovelty(spark: SparkSession, dir: String): DataFrame =
+    noveltyOf(Tables(spark, dir, "documents"))
+
+  /** [[corpusNovelty]]'s kernel on any (source, text) frame. */
+  private[text] def noveltyOf(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("source"),
+        explode(TextOps.wordShingles(TextOps.tokens(col("text"))))
+          .as("gs"))
+      .select(col("source"), xxhash64(col("gs")).as("g"))
+      .distinct()
+    val nd = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    sh.withColumn("n_sources", count(lit(1)).over(wg))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("n_sources") === 1, 1L).otherwise(0L))
+          .as("n_unique"))
+      .join(nd, Seq("source"))
+      .withColumn("unique_bp", expr("n_unique * 10000 div n_shingles"))
+      .select(col("source"), col("n_docs"), col("n_shingles"),
+        col("n_unique"), col("unique_bp"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_novelty" -> (corpusNovelty _),
     "corpus_curriculum" -> (corpusCurriculum _),
     "corpus_dsir_select" -> (corpusDsirSelect _),
     "corpus_dsir" -> (corpusDsir _),
@@ -688,6 +731,28 @@ object CorpusQuality {
        |  GROUP BY b.doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // corpus_novelty: LITERAL shingle strings (Spark shuffles xxhash64
+    // values — the gate certifies the hashing collision-free, D2's
+    // set-equality argument)
+    "corpus_novelty" ->
+      """WITH t AS (SELECT source,
+        |    string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |g0 AS (SELECT source, w, unnest(range(1, len(w) - 1)) AS i
+        |  FROM t WHERE len(w) >= 3),
+        |sh AS (SELECT DISTINCT source,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gs
+        |  FROM g0),
+        |deg AS (SELECT gs, count(*) AS n_sources FROM sh GROUP BY gs),
+        |nd AS (SELECT source, count(*) AS n_docs FROM documents
+        |  GROUP BY source),
+        |r AS (SELECT s.source, count(*) AS n_shingles,
+        |    CAST(sum(CASE WHEN d.n_sources = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_unique
+        |  FROM sh s JOIN deg d USING (gs) GROUP BY s.source)
+        |SELECT r.source, nd.n_docs, r.n_shingles, r.n_unique,
+        |  n_unique * 10000 // n_shingles AS unique_bp
+        |FROM r JOIN nd USING (source) ORDER BY r.source""".stripMargin,
     "corpus_dsir" ->
       s"""$dsirCte
          |SELECT doc_id, lang, n_tokens, dsir_logw

@@ -343,4 +343,35 @@ class CurationOpsSpec extends SparkSpec {
       out(3L) == (1L, 3L), "the chain is one entity, min-id label 1")
     assert(out(7L) == (7L, 2L) && out(8L) == (7L, 2L))
   }
+
+  test("link_survivorship: golden record per entity — name mode with " +
+      "asc tiebreak, anchor type from the min-partkey member, exact " +
+      "cent bounds, conflict width") {
+    import spark.implicits._
+    val parts = Seq(
+      // one entity of three: names 2-1 split -> mode "acme corp kit";
+      // anchor (min partkey 1) donates type "A"; prices 9.99/12.50/9.99
+      (1L, "acme corp kit deluxe", "Brand#1", "A", 5, 9.99),
+      (2L, "acme corp kit", "Brand#1", "B", 5, 12.50),
+      (3L, "acme corp kit", "Brand#1", "B", 7, 9.99),
+      // exact pair, names tie 1-1 -> lexicographically smaller wins
+      (7L, "red rod z", "Brand#2", "C", 2, 3.00),
+      (8L, "red rod y z", "Brand#2", "C", 2, 4.00)
+    ).toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+      "p_retailprice")
+    val out = CurationOps.linkSurvivorshipOf(parts).collect()
+      .map(r => r.getAs[Long]("entity_id") -> r).toMap
+    assert(out.keySet == Set(1L, 7L))
+    val e1 = out(1L)
+    assert(e1.getAs[Long]("n_records") == 3)
+    assert(e1.getAs[String]("name_golden") == "acme corp kit")
+    assert(e1.getAs[String]("type_anchor") == "A")
+    assert(e1.getAs[Long]("n_types") == 2)
+    assert(e1.getAs[Long]("price_min_cents") == 999)
+    assert(e1.getAs[Long]("price_max_cents") == 1250)
+    val e7 = out(7L)
+    assert(e7.getAs[Long]("n_records") == 2)
+    assert(e7.getAs[String]("name_golden") == "red rod y z")
+    assert(e7.getAs[Long]("n_types") == 1)
+  }
 }

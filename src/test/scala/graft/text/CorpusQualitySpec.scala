@@ -365,4 +365,25 @@ class CorpusQualitySpec extends SparkSpec {
     assert(avg(en) > avg(other),
       s"en avg ${avg(en)} must exceed non-en ${avg(other)}")
   }
+
+  test("corpus_novelty: per-source distinct and unique shingle counts " +
+      "are exact — cross-doc repeats collapse, shared shingles are " +
+      "not unique, rates in basis points") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4", "a"), // a: {t1t2t3, t2t3t4}
+      (3L, "t2 t3 t4 t5", "a"), // a adds {t3t4t5}; t2t3t4 collapses
+      (2L, "t1 t2 t3 x1", "b")  // b: {t1t2t3 (shared with a), t2t3x1}
+    ).toDF("doc_id", "text", "source")
+    val out = CorpusQuality.noveltyOf(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("a").getAs[Long]("n_docs") == 2)
+    assert(out("a").getAs[Long]("n_shingles") == 3)
+    assert(out("a").getAs[Long]("n_unique") == 2) // t2t3t4, t3t4t5
+    assert(out("a").getAs[Long]("unique_bp") == 6666)
+    assert(out("b").getAs[Long]("n_docs") == 1)
+    assert(out("b").getAs[Long]("n_shingles") == 2)
+    assert(out("b").getAs[Long]("n_unique") == 1) // t2t3x1
+    assert(out("b").getAs[Long]("unique_bp") == 5000)
+  }
 }
