@@ -428,6 +428,46 @@ object CorpusQuality {
             " x -> x.seq)")).cast("binary")).as("enc_fp"))
       .orderBy(col("doc_id"))
 
+  /** C40 `tokenize_fertility` — per-language fertility of the learned
+    * tokenizer: symbols-per-word and chars-per-symbol under C24's
+    * merge table, rolled up by language (THE standard tokenizer-eval
+    * metric — a shared vocab trained on a mixed corpus over-merges
+    * the dominant language and shreds the rest, so fertility decides
+    * how vocab capacity is allocated across languages and which
+    * language's text silently costs 2× the sequence length at
+    * training time; C37 evals the langid model, D10 the LSH banding —
+    * this is the eval-as-data row for the tokenizer). Same
+    * train-once/encode-by-dictionary plan as C38: the merge closure
+    * runs on the O(vocab) word frame, the corpus pass is one
+    * broadcast-dictionary join, then ONE map-side-combined shuffle to
+    * the O(languages) frame; ratios ship as exact floor-division
+    * basis points (the C26 rule). Spec plants a merge-friendly and a
+    * merge-hostile language and pins the fertility gap plus exact
+    * hand-computed counts.
+    */
+  def tokenizeFertility(spark: SparkSession, dir: String): DataFrame =
+    tokenizeFertilityDocs(spark, Tables(spark, dir, "documents"))
+
+  /** [[tokenizeFertility]]'s chain on any (doc_id, text, lang) frame. */
+  private[text] def tokenizeFertilityDocs(spark: SparkSession,
+      docs: DataFrame): DataFrame = {
+    val (_, dict) = bpeLearn(spark, bpeWordsOf(docs))
+    docs
+      .select(col("lang"), col("doc_id"), explode(toks).as("w"))
+      .join(broadcast(dict.select(col("w"), col("seq"))), Seq("w"))
+      .withColumn("nsym", size(split(col("seq"), " ")).cast("long"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(char_length(col("w")).cast("long")).as("n_chars"),
+        sum(col("nsym")).as("n_symbols"))
+      .withColumn("fertility_bp",
+        expr("n_symbols * 10000 div n_words"))
+      .withColumn("chars_per_sym_bp",
+        expr("n_chars * 10000 div n_symbols"))
+      .orderBy(col("lang"))
+  }
+
   val QcDim = 1024     // hashed bag-of-words feature buckets
   val QcMult = 2654435761L // Knuth multiplicative hash spreads bucket→weight
   val QcMod = 1997L    // prime weight lattice: w ∈ [−998, 998] ⊂ ℤ
@@ -667,6 +707,7 @@ object CorpusQuality {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tokenize_fertility" -> (tokenizeFertility _),
     "corpus_novelty" -> (corpusNovelty _),
     "corpus_curriculum" -> (corpusCurriculum _),
     "corpus_dsir_select" -> (corpusDsirSelect _),
@@ -890,6 +931,36 @@ object CorpusQuality {
     // bpe_encode: the same 3 unrolled merge rounds, then every doc
     // token joins its fully-rewritten dictionary entry; the ordered
     // string_agg md5 pins the complete encoded symbol stream
+    // tokenize_fertility: the same 3 unrolled merge rounds and
+    // dictionary join as bpe_encode, rolled up per language in exact
+    // floor-division basis points
+    "tokenize_fertility" ->
+      s"""WITH words AS (SELECT w, count(*) AS freq FROM (
+         |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+         |    FROM documents)
+         |  GROUP BY w),
+         |w0 AS (SELECT w, freq,
+         |    array_to_string([w[i] for i in range(1, len(w) + 1)], ' ')
+         |      AS seq
+         |  FROM words),
+         |${bpeRoundOracle("w0", "t1", "w1")},
+         |${bpeRoundOracle("w1", "t2", "w2")},
+         |${bpeRoundOracle("w2", "t3", "w3")},
+         |toks AS (SELECT lang, doc_id, unnest(
+         |    string_split_regex(trim(text), '\\s+')) AS tok
+         |  FROM documents),
+         |enc AS (SELECT t.lang, t.doc_id, d.w, d.seq
+         |  FROM toks t JOIN w3 d ON t.tok = d.w),
+         |r AS (SELECT lang, count(DISTINCT doc_id) AS n_docs,
+         |    count(*) AS n_words,
+         |    CAST(sum(length(w)) AS BIGINT) AS n_chars,
+         |    CAST(sum(len(string_split(seq, ' '))) AS BIGINT)
+         |      AS n_symbols
+         |  FROM enc GROUP BY lang)
+         |SELECT lang, n_docs, n_words, n_chars, n_symbols,
+         |  n_symbols * 10000 // n_words AS fertility_bp,
+         |  n_chars * 10000 // n_symbols AS chars_per_sym_bp
+         |FROM r ORDER BY lang""".stripMargin,
     "bpe_encode" ->
       s"""WITH words AS (SELECT w, count(*) AS freq FROM (
          |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w

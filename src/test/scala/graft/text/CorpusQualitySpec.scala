@@ -386,4 +386,37 @@ class CorpusQualitySpec extends SparkSpec {
     assert(out("b").getAs[Long]("n_unique") == 1) // t2t3x1
     assert(out("b").getAs[Long]("unique_bp") == 5000)
   }
+
+  test("tokenize_fertility: the merge-friendly language compresses to " +
+      "1 symbol/word while the merge-hostile one stays shredded — " +
+      "exact per-language counts") {
+    import spark.implicits._
+    // lang aa: one high-freq word 'abab' -> rounds 1-2 merge it fully
+    // ('a b'x24 -> 'ab ab', then 'ab ab' -> 'abab'); lang bb: four
+    // singleton words of distinct chars -> only round 3's tie-break
+    // merge ('j k', lexicographically first) lands, on one word
+    val docs = Seq(
+      (1L, "abab abab abab abab", "aa"),
+      (2L, "abab abab abab abab", "aa"),
+      (3L, "abab abab abab abab", "aa"),
+      (4L, "qrst uvwx", "bb"),
+      (5L, "mnop jklh", "bb")
+    ).toDF("doc_id", "text", "lang")
+    val out = CorpusQuality.tokenizeFertilityDocs(spark, docs).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    val aa = out("aa")
+    assert(aa.getAs[Long]("n_docs") == 3 && aa.getAs[Long]("n_words") == 12)
+    assert(aa.getAs[Long]("n_chars") == 48)
+    assert(aa.getAs[Long]("n_symbols") == 12, "abab must fully merge")
+    assert(aa.getAs[Long]("fertility_bp") == 10000)
+    assert(aa.getAs[Long]("chars_per_sym_bp") == 40000)
+    val bb = out("bb")
+    assert(bb.getAs[Long]("n_docs") == 2 && bb.getAs[Long]("n_words") == 4)
+    assert(bb.getAs[Long]("n_chars") == 16)
+    assert(bb.getAs[Long]("n_symbols") == 15, "only 'j k' merges in bb")
+    assert(bb.getAs[Long]("fertility_bp") == 37500)
+    assert(bb.getAs[Long]("chars_per_sym_bp") == 16L * 10000 / 15)
+    assert(aa.getAs[Long]("fertility_bp") < bb.getAs[Long]("fertility_bp"),
+      "the dominant merge-friendly language must show lower fertility")
+  }
 }
