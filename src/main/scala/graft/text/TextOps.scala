@@ -535,6 +535,43 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** C41 `decontaminate_report` — the EVAL-side view of C12 (C12 tells
+    * the corpus pipeline which training docs to drop; the eval owner
+    * needs the transpose: which BENCHMARK items are compromised and
+    * how badly, because a leaked eval item must be re-drawn or its
+    * score asterisked no matter what the corpus does — the report
+    * behind every "decontaminated eval" appendix): per held-out doc,
+    * its distinct word-[[ContamN]]-gram count, how many of those
+    * shingles appear ANYWHERE in the training slice, the exact
+    * basis-point contamination rate, and the number of distinct
+    * training docs touching it (1 leaky doc vs 400 is a different
+    * remediation). Same plan discipline as C12 mirrored: the eval
+    * side is tiny by nature and broadcasts, the corpus is scanned
+    * once map-only into the broadcast hash join, and ONLY matching
+    * rows shuffle — to an O(eval docs) frame.
+    */
+  def decontaminateReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.wordShingles(toks, ContamN).as("gs"))
+    val bench = docs.filter(pmod(col("doc_id"), lit(ContamMod)) === 0)
+      .select(col("doc_id").as("bench_id"), explode(col("gs")).as("g"))
+    val corpus = docs.filter(pmod(col("doc_id"), lit(ContamMod)) =!= 0)
+      .select(col("doc_id").as("cdoc"), explode(col("gs")).as("g"))
+    val hits = corpus.join(broadcast(bench), Seq("g"))
+      .groupBy(col("bench_id"))
+      .agg(countDistinct(col("g")).as("n_hit_shingles"),
+        countDistinct(col("cdoc")).as("n_corpus_docs"))
+    docs.filter(pmod(col("doc_id"), lit(ContamMod)) === 0)
+      .select(col("doc_id").as("bench_id"),
+        size(col("gs")).cast("long").as("n_shingles"))
+      .join(hits, Seq("bench_id"), "left")
+      .na.fill(0L, Seq("n_hit_shingles", "n_corpus_docs"))
+      .withColumn("contam_bp",
+        expr("n_hit_shingles * 10000 div greatest(n_shingles, 1)"))
+      .orderBy(col("bench_id"))
+  }
+
   /** C13 `text_entropy` — per-doc character entropy (bits/char) via the
     * codegen `char_entropy` expression: the cheap gibberish /
     * repeated-boilerplate gate, map-only and zero-shuffle where the SQL
@@ -554,6 +591,7 @@ object TextOps {
     "text_bigrams" -> (textBigrams _),
     "text_entropy" -> (textEntropy _),
     "decontaminate" -> (decontaminate _),
+    "decontaminate_report" -> (decontaminateReport _),
     "heavy_hitters" -> (heavyHitters _),
     "sketch_cms" -> (sketchCms _),
     "pack_sequences" -> (packSequences _),
@@ -697,6 +735,35 @@ object TextOps {
         |FROM sh s JOIN bench b USING (g)
         |WHERE s.doc_id % 20 <> 0
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    // decontaminate_report: same literal 4-gram shingles as C12, per
+    // BENCH doc — distinct-shingle base, hit count, distinct touching
+    // training docs, floor-division contamination bp
+    "decontaminate_report" ->
+      """WITH toks AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        |idx AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 2)) AS i
+        |  FROM toks),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] AS g
+        |  FROM idx),
+        |bench AS (SELECT doc_id AS bench_id, g FROM sh
+        |  WHERE doc_id % 20 = 0),
+        |corpus AS (SELECT doc_id AS cdoc, g FROM sh
+        |  WHERE doc_id % 20 <> 0),
+        |h AS (SELECT b.bench_id, count(DISTINCT b.g) AS n_hit_shingles,
+        |    count(DISTINCT c.cdoc) AS n_corpus_docs
+        |  FROM bench b JOIN corpus c USING (g)
+        |  GROUP BY b.bench_id),
+        |base AS (SELECT t.doc_id AS bench_id, count(s.g) AS n_shingles
+        |  FROM toks t LEFT JOIN sh s ON s.doc_id = t.doc_id
+        |  WHERE t.doc_id % 20 = 0 GROUP BY 1)
+        |SELECT base.bench_id, base.n_shingles,
+        |  coalesce(h.n_hit_shingles, 0) AS n_hit_shingles,
+        |  coalesce(h.n_corpus_docs, 0) AS n_corpus_docs,
+        |  coalesce(h.n_hit_shingles, 0) * 10000
+        |    // greatest(base.n_shingles, 1) AS contam_bp
+        |FROM base LEFT JOIN h USING (bench_id)
+        |ORDER BY base.bench_id""".stripMargin,
     "heavy_hitters" ->
       """WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
         |  FROM documents)

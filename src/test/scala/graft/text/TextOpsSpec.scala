@@ -146,6 +146,36 @@ class TextOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((21L, 1L)))
   }
 
+  test("decontaminate_report: per-bench contamination rate and " +
+      "touching-doc count are exact; an untouched bench doc reports " +
+      "zero") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // doc 0: 6 tokens → 3 distinct 4-grams; docs 21 AND 23 both copy
+    // its first 4-gram (2 touching docs), nothing else leaks;
+    // doc 20 is a second bench item nothing in the corpus touches
+    val bench = "alpha beta gamma delta epsilon zeta"
+    val dir = Files.createTempDirectory("deconrep").toString
+    Seq(
+      (0L, bench),
+      (20L, "pure holdout item nothing copies this one"),
+      (21L, "noise one two alpha beta gamma delta done"),
+      (23L, "other prefix alpha beta gamma delta suffix"),
+      (22L, "totally different words with no overlap at all"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.decontaminateReport(spark, dir).collect()
+      .map(r => r.getAs[Long]("bench_id") -> r).toMap
+    assert(out.keySet == Set(0L, 20L))
+    assert(out(0L).getAs[Long]("n_shingles") == 3)
+    assert(out(0L).getAs[Long]("n_hit_shingles") == 1)
+    assert(out(0L).getAs[Long]("n_corpus_docs") == 2)
+    assert(out(0L).getAs[Long]("contam_bp") == 3333)
+    assert(out(20L).getAs[Long]("n_hit_shingles") == 0)
+    assert(out(20L).getAs[Long]("n_corpus_docs") == 0)
+    assert(out(20L).getAs[Long]("contam_bp") == 0)
+  }
+
   test("sketch_cms: estimate ≥ exact on every probe, state stays D×W") {
     val rows = TextOps.sketchCms(spark, sfDir).collect()
     assert(rows.length == TextOps.CmsProbeK)
