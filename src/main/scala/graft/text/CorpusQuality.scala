@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -468,6 +469,73 @@ object CorpusQuality {
       .orderBy(col("lang"))
   }
 
+  val GrowthBuckets = 10 // prefix checkpoints for the growth curve
+
+  /** C42 `vocab_growth` — the Heaps-law vocabulary growth curve:
+    * cumulative distinct tokens vs cumulative token mass at
+    * [[GrowthBuckets]] prefix checkpoints of the corpus in doc_id
+    * order (the corpus-diversity diagnostic: a healthy crawl keeps
+    * minting new vocabulary roughly as n^β, a flattening curve says
+    * the incoming data is re-treading what the corpus already has —
+    * the macro signal that D11/C39 explain per source — and the
+    * type-token ratio trend feeds the same mixture decisions as C21).
+    *
+    * Scale shape — NO global sort anywhere: checkpoints are the
+    * equal-width doc_id value grid off one broadcast min/max row (the
+    * A32 span trick; prefix-by-value ≡ prefix-by-order for the ranked
+    * ingest ids a pipeline assigns, and stays exact integer
+    * arithmetic at any id density), a token's first-occurrence
+    * checkpoint is min(doc_id)'s bucket off ONE token-keyed
+    * map-side-combined shuffle, per-bucket doc/token masses are one
+    * doc-level aggregation, and every cumulative window runs over the
+    * O([[GrowthBuckets]]) spine (B63's rule). Output: one row per
+    * checkpoint with cumulative docs / tokens / distinct tokens, the
+    * decile's newly-minted distinct count, and the exact basis-point
+    * type-token ratio.
+    */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame =
+    vocabGrowthOf(spark, Tables(spark, dir, "documents"))
+
+  /** [[vocabGrowth]]'s kernel on any (doc_id, text) frame. */
+  private[text] def vocabGrowthOf(spark: SparkSession,
+      docs: DataFrame): DataFrame = {
+    val b = GrowthBuckets
+    val span = docs.agg(min(col("doc_id")).as("lo"),
+      max(col("doc_id")).as("hi"))
+    def bucketOf(name: String): Column =
+      expr(s"($name - lo) * $b div (hi - lo + 1)") + 1
+    val d = docs
+      .select(col("doc_id"), size(TextOps.tokens(col("text")))
+        .cast("long").as("n_toks"))
+      .crossJoin(broadcast(span))
+      .withColumn("bkt", bucketOf("doc_id"))
+      .groupBy(col("bkt"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val firsts = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tk"))
+      .groupBy(col("tk")).agg(min(col("doc_id")).as("first_doc"))
+      .crossJoin(broadcast(span))
+      .withColumn("bkt", bucketOf("first_doc"))
+      .groupBy(col("bkt")).agg(count(lit(1)).as("new_distinct"))
+    val spine = spark.range(1, b + 1)
+      .select(col("id").as("bkt"))
+    val w = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(d, Seq("bkt"), "left")
+      .join(firsts, Seq("bkt"), "left")
+      .na.fill(0L, Seq("n_docs", "n_tokens", "new_distinct"))
+      .withColumn("n_docs_cum", sum(col("n_docs")).over(w))
+      .withColumn("n_tokens_cum", sum(col("n_tokens")).over(w))
+      .withColumn("n_distinct_cum", sum(col("new_distinct")).over(w))
+      .withColumn("ttr_bp",
+        expr("n_distinct_cum * 10000 div greatest(n_tokens_cum, 1)"))
+      .select(col("bkt").as("checkpoint"), col("n_docs_cum"),
+        col("n_tokens_cum"), col("new_distinct"), col("n_distinct_cum"),
+        col("ttr_bp"))
+      .orderBy(col("checkpoint"))
+  }
+
   val QcDim = 1024     // hashed bag-of-words feature buckets
   val QcMult = 2654435761L // Knuth multiplicative hash spreads bucket→weight
   val QcMod = 1997L    // prime weight lattice: w ∈ [−998, 998] ⊂ ℤ
@@ -707,6 +775,7 @@ object CorpusQuality {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vocab_growth" -> (vocabGrowth _),
     "tokenize_fertility" -> (tokenizeFertility _),
     "corpus_novelty" -> (corpusNovelty _),
     "corpus_curriculum" -> (corpusCurriculum _),
@@ -931,6 +1000,47 @@ object CorpusQuality {
     // bpe_encode: the same 3 unrolled merge rounds, then every doc
     // token joins its fully-rewritten dictionary entry; the ordered
     // string_agg md5 pins the complete encoded symbol stream
+    // vocab_growth: same value-grid prefix buckets (integer floor
+    // div off one min/max row), token first-occurrence by min doc_id,
+    // cumulative windows over the 10-row spine
+    "vocab_growth" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |span AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi
+         |  FROM documents),
+         |d AS (SELECT (doc_id - lo) * $GrowthBuckets // (hi - lo + 1) + 1
+         |      AS bkt,
+         |    count(*) AS n_docs,
+         |    CAST(sum(len(w)) AS BIGINT) AS n_tokens
+         |  FROM t CROSS JOIN span GROUP BY 1),
+         |fo AS (SELECT tk, min(doc_id) AS first_doc FROM (
+         |    SELECT doc_id, unnest(w) AS tk FROM t) GROUP BY tk),
+         |fs AS (SELECT
+         |    (first_doc - lo) * $GrowthBuckets // (hi - lo + 1) + 1
+         |      AS bkt,
+         |    count(*) AS new_distinct
+         |  FROM fo CROSS JOIN span GROUP BY 1),
+         |spine AS (SELECT CAST(unnest(range(1, $GrowthBuckets + 1))
+         |    AS BIGINT) AS checkpoint),
+         |f AS (SELECT s.checkpoint,
+         |    coalesce(d.n_docs, 0) AS n_docs,
+         |    coalesce(d.n_tokens, 0) AS n_tokens,
+         |    coalesce(fs.new_distinct, 0) AS new_distinct
+         |  FROM spine s LEFT JOIN d ON d.bkt = s.checkpoint
+         |  LEFT JOIN fs ON fs.bkt = s.checkpoint)
+         |SELECT checkpoint,
+         |  CAST(sum(n_docs) OVER wc AS BIGINT) AS n_docs_cum,
+         |  CAST(sum(n_tokens) OVER wc AS BIGINT) AS n_tokens_cum,
+         |  CAST(new_distinct AS BIGINT) AS new_distinct,
+         |  CAST(sum(new_distinct) OVER wc AS BIGINT) AS n_distinct_cum,
+         |  CAST(sum(new_distinct) OVER wc AS BIGINT) * 10000
+         |    // greatest(CAST(sum(n_tokens) OVER wc AS BIGINT), 1)
+         |    AS ttr_bp
+         |FROM f
+         |WINDOW wc AS (ORDER BY checkpoint
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |ORDER BY checkpoint""".stripMargin,
     // tokenize_fertility: the same 3 unrolled merge rounds and
     // dictionary join as bpe_encode, rolled up per language in exact
     // floor-division basis points

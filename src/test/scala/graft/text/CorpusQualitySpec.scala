@@ -419,4 +419,34 @@ class CorpusQualitySpec extends SparkSpec {
     assert(aa.getAs[Long]("fertility_bp") < bb.getAs[Long]("fertility_bp"),
       "the dominant merge-friendly language must show lower fertility")
   }
+
+  test("vocab_growth: value-grid prefixes accumulate exactly — " +
+      "first occurrences mint once, empty checkpoints carry, the " +
+      "last row conserves corpus totals") {
+    import spark.implicits._
+    // doc_ids 0..3 on a 10-bucket grid -> buckets 1, 3, 6, 8
+    val docs = Seq(
+      (0L, "a b"),     // mints a, b
+      (1L, "b c"),     // mints c
+      (2L, "a b c"),   // mints nothing
+      (3L, "d d d")    // mints d
+    ).toDF("doc_id", "text")
+    val out = CorpusQuality.vocabGrowthOf(spark, docs).collect()
+      .map(r => r.getAs[Long]("checkpoint") -> r).toMap
+    assert(out.size == CorpusQuality.GrowthBuckets)
+    assert(out(1L).getAs[Long]("new_distinct") == 2)
+    assert(out(1L).getAs[Long]("ttr_bp") == 10000) // 2 distinct / 2 toks
+    assert(out(2L).getAs[Long]("n_docs_cum") == 1, "empty bucket carries")
+    assert(out(3L).getAs[Long]("new_distinct") == 1)
+    assert(out(6L).getAs[Long]("new_distinct") == 0)
+    assert(out(8L).getAs[Long]("new_distinct") == 1)
+    val last = out(10L)
+    assert(last.getAs[Long]("n_docs_cum") == 4)
+    assert(last.getAs[Long]("n_tokens_cum") == 10)
+    assert(last.getAs[Long]("n_distinct_cum") == 4)
+    assert(last.getAs[Long]("ttr_bp") == 4000)
+    // monotone non-decreasing cumulatives
+    val cums = (1 to 10).map(k => out(k.toLong).getAs[Long]("n_distinct_cum"))
+    assert(cums == cums.sorted)
+  }
 }
