@@ -27,7 +27,7 @@ object Dedup {
     * the one small shuffle — the ANN-paths trade; a multi-file 100 TB
     * corpus splits naturally).
     */
-  private def shingled(spark: SparkSession, dir: String): DataFrame =
+  private[dedup] def shingled(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("toks", TextOps.tokens(col("text")))
@@ -721,6 +721,74 @@ object Dedup {
   // 0x85ebca6b, splitmix K1 0x9e3779b97f4a7c15, K2 0xbf58476d1ce4e5b9
   // (hi 3210233709 / lo 484763065), K3 0x94d049bb133111eb (hi
   // 2496678331 / lo 321982955).
+  /** The exact 128-perm minhash-signature replay (shingles → byte
+    * fold → splitmix finalizer → (a, b) permutation family → per-perm
+    * min-hash → `sig`, with `s` carrying per-doc shingle sets) as a
+    * shared oracle prefix for D3 and the D17 banding sweep.
+    */
+  private[dedup] val minhashSigOracleCte: String =
+    """t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |    FROM documents),
+        |s AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+        |    THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |      for i in range(1, len(w) - 1)]
+        |    ELSE [] END) AS sh FROM t),
+        |g0 AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |hb AS (SELECT doc_id, g, hex(encode(g)) AS hx,
+        |    octet_length(encode(g)) AS n FROM g0),
+        |bl AS (SELECT doc_id, g,
+        |    [CAST(16*(strpos('0123456789ABCDEF', substr(hx,2*i-1,1))-1)
+        |      + strpos('0123456789ABCDEF', substr(hx,2*i,1))-1 AS HUGEINT)
+        |     for i in range(1, n+1)] AS bs
+        |  FROM hb),
+        |fa0 AS (SELECT doc_id, g,
+        |    list_reduce(list_prepend(CAST('2538058380' AS HUGEINT), bs),
+        |      (acc,x) -> (acc*1000003+x)
+        |        % CAST('18446744073709551616' AS HUGEINT)) AS za,
+        |    list_reduce(list_prepend(CAST('2246822507' AS HUGEINT), bs),
+        |      (acc,x) -> (acc*1000003+x)
+        |        % CAST('18446744073709551616' AS HUGEINT)) AS zb
+        |  FROM bl),
+        |fa1 AS (SELECT doc_id, g,
+        |    (za + CAST('11400714819323198485' AS HUGEINT))
+        |      % CAST('18446744073709551616' AS HUGEINT) AS za,
+        |    (zb + CAST('11400714819323198485' AS HUGEINT))
+        |      % CAST('18446744073709551616' AS HUGEINT) AS zb FROM fa0),
+        |fa2 AS (SELECT doc_id, g,
+        |    ((xor(za, za // 1073741824)*484763065)
+        |      % CAST('18446744073709551616' AS HUGEINT)
+        |    + ((xor(za, za // 1073741824)*3210233709) % 4294967296)
+        |      * 4294967296)
+        |      % CAST('18446744073709551616' AS HUGEINT) AS za,
+        |    ((xor(zb, zb // 1073741824)*484763065)
+        |      % CAST('18446744073709551616' AS HUGEINT)
+        |    + ((xor(zb, zb // 1073741824)*3210233709) % 4294967296)
+        |      * 4294967296)
+        |      % CAST('18446744073709551616' AS HUGEINT) AS zb FROM fa1),
+        |fa3 AS (SELECT doc_id, g,
+        |    ((xor(za, za // 134217728)*321982955)
+        |      % CAST('18446744073709551616' AS HUGEINT)
+        |    + ((xor(za, za // 134217728)*2496678331) % 4294967296)
+        |      * 4294967296)
+        |      % CAST('18446744073709551616' AS HUGEINT) AS za,
+        |    ((xor(zb, zb // 134217728)*321982955)
+        |      % CAST('18446744073709551616' AS HUGEINT)
+        |    + ((xor(zb, zb // 134217728)*2496678331) % 4294967296)
+        |      * 4294967296)
+        |      % CAST('18446744073709551616' AS HUGEINT) AS zb FROM fa2),
+        |ab AS (SELECT doc_id, g,
+        |    xor(za, za // 2147483648) AS a,
+        |    CASE WHEN xor(zb, zb // 2147483648) % 2 = 0
+        |      THEN xor(zb, zb // 2147483648) + 1
+        |      ELSE xor(zb, zb // 2147483648) END AS b
+        |  FROM fa3),
+        |perm AS (SELECT doc_id, a, b, unnest(range(0, 128)) AS i FROM ab),
+        |hv AS (SELECT doc_id, i, (a + CAST(i AS HUGEINT) * b)
+        |    % CAST('18446744073709551616' AS HUGEINT) AS h FROM perm),
+        |sigv AS (SELECT doc_id, i, min(h) AS mh FROM hv GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, array_agg(mh ORDER BY i) AS sig
+        |  FROM sigv GROUP BY doc_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // dedup_incremental: store sidecars as DISTINCT literal-window /
     // fingerprint sets, intake scored by semi-join — same literal-
@@ -958,67 +1026,7 @@ object Dedup {
         |FROM cand WHERE bit_count(xor(sua, sub)) <= 3
         |ORDER BY ia, ib""".stripMargin,
     "dedup_minhash_lsh" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-        |    FROM documents),
-        |s AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
-        |    THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-        |      for i in range(1, len(w) - 1)]
-        |    ELSE [] END) AS sh FROM t),
-        |g0 AS (SELECT doc_id, unnest(sh) AS g FROM s),
-        |hb AS (SELECT doc_id, g, hex(encode(g)) AS hx,
-        |    octet_length(encode(g)) AS n FROM g0),
-        |bl AS (SELECT doc_id, g,
-        |    [CAST(16*(strpos('0123456789ABCDEF', substr(hx,2*i-1,1))-1)
-        |      + strpos('0123456789ABCDEF', substr(hx,2*i,1))-1 AS HUGEINT)
-        |     for i in range(1, n+1)] AS bs
-        |  FROM hb),
-        |fa0 AS (SELECT doc_id, g,
-        |    list_reduce(list_prepend(CAST('2538058380' AS HUGEINT), bs),
-        |      (acc,x) -> (acc*1000003+x)
-        |        % CAST('18446744073709551616' AS HUGEINT)) AS za,
-        |    list_reduce(list_prepend(CAST('2246822507' AS HUGEINT), bs),
-        |      (acc,x) -> (acc*1000003+x)
-        |        % CAST('18446744073709551616' AS HUGEINT)) AS zb
-        |  FROM bl),
-        |fa1 AS (SELECT doc_id, g,
-        |    (za + CAST('11400714819323198485' AS HUGEINT))
-        |      % CAST('18446744073709551616' AS HUGEINT) AS za,
-        |    (zb + CAST('11400714819323198485' AS HUGEINT))
-        |      % CAST('18446744073709551616' AS HUGEINT) AS zb FROM fa0),
-        |fa2 AS (SELECT doc_id, g,
-        |    ((xor(za, za // 1073741824)*484763065)
-        |      % CAST('18446744073709551616' AS HUGEINT)
-        |    + ((xor(za, za // 1073741824)*3210233709) % 4294967296)
-        |      * 4294967296)
-        |      % CAST('18446744073709551616' AS HUGEINT) AS za,
-        |    ((xor(zb, zb // 1073741824)*484763065)
-        |      % CAST('18446744073709551616' AS HUGEINT)
-        |    + ((xor(zb, zb // 1073741824)*3210233709) % 4294967296)
-        |      * 4294967296)
-        |      % CAST('18446744073709551616' AS HUGEINT) AS zb FROM fa1),
-        |fa3 AS (SELECT doc_id, g,
-        |    ((xor(za, za // 134217728)*321982955)
-        |      % CAST('18446744073709551616' AS HUGEINT)
-        |    + ((xor(za, za // 134217728)*2496678331) % 4294967296)
-        |      * 4294967296)
-        |      % CAST('18446744073709551616' AS HUGEINT) AS za,
-        |    ((xor(zb, zb // 134217728)*321982955)
-        |      % CAST('18446744073709551616' AS HUGEINT)
-        |    + ((xor(zb, zb // 134217728)*2496678331) % 4294967296)
-        |      * 4294967296)
-        |      % CAST('18446744073709551616' AS HUGEINT) AS zb FROM fa2),
-        |ab AS (SELECT doc_id, g,
-        |    xor(za, za // 2147483648) AS a,
-        |    CASE WHEN xor(zb, zb // 2147483648) % 2 = 0
-        |      THEN xor(zb, zb // 2147483648) + 1
-        |      ELSE xor(zb, zb // 2147483648) END AS b
-        |  FROM fa3),
-        |perm AS (SELECT doc_id, a, b, unnest(range(0, 128)) AS i FROM ab),
-        |hv AS (SELECT doc_id, i, (a + CAST(i AS HUGEINT) * b)
-        |    % CAST('18446744073709551616' AS HUGEINT) AS h FROM perm),
-        |sigv AS (SELECT doc_id, i, min(h) AS mh FROM hv GROUP BY 1, 2),
-        |sig AS (SELECT doc_id, array_agg(mh ORDER BY i) AS sig
-        |  FROM sigv GROUP BY doc_id),
+      s"""WITH $minhashSigOracleCte,
         |bk AS (SELECT doc_id, band, list_slice(sig, band*4+1, band*4+4)
         |    AS bucket
         |  FROM (SELECT doc_id, sig, unnest(range(0, 32)) AS band FROM sig)),

@@ -39,13 +39,102 @@ object DedupEval {
           .as("precision"))
   }
 
+  /** The banding sweep grid: bands ∈ SweepBands at fixed
+    * [[Dedup.NumPerms]]-perm signatures (rows = perms / bands). Rows
+    * nest by halving, so candidates(4) ⊆ candidates(8) ⊆ … — recall is
+    * provably monotone in the band count (spec-pinned).
+    */
+  val SweepBands: Seq[Int] = Seq(4, 8, 16, 32)
+
+  /** D17 `dedup_lsh_sweep` — the TUNING artifact above D10's single
+    * point: candidate recall AND candidate volume for the whole
+    * banding grid at one fixed signature budget (band/row choice
+    * trades recall against verify cost — P(candidate) = 1−(1−j^r)^b —
+    * and a production dedup picks its operating point off exactly
+    * this table; D10 then monitors the chosen point). Ground truth is
+    * D2's exhaustive inverted-index pair set at the same τ; per
+    * config the report carries the candidate-pair count (the verify
+    * COST axis), true-pair hits, and recall. The 128-perm signature
+    * computes ONCE (checkpointed) and each config is one band-explode
+    * + bucket self-join over it; the truth frame computes once. At
+    * 100 TB this is a sample-slice job by construction — the sweep is
+    * run on a slice to pick (b, r), then D3 runs the choice.
+    */
+  def dedupLshSweep(spark: SparkSession, dir: String): DataFrame = {
+    import Dedup.NumPerms
+    val sig = Dedup.shingled(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.minhashSig(col("shingles"), NumPerms)
+          .as("sig"))
+      .localCheckpoint()
+    val truth = Dedup.dedupNgramJaccard(spark, dir)
+      .select(col("ia"), col("ib"))
+      .localCheckpoint()
+    SweepBands.map { b =>
+      val r = NumPerms / b
+      val bands = sig.select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, $b - 1), x -> slice(sig, x * $r + 1, $r))"))
+          .as(Seq("band", "bucket")))
+      val cand = bands
+        .select(col("doc_id").as("ia"), col("band"), col("bucket"))
+        .join(bands.select(col("doc_id").as("ib"), col("band"),
+          col("bucket")), Seq("band", "bucket"))
+        .filter(col("ia") < col("ib"))
+        .select("ia", "ib").distinct()
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true_pairs"))))
+        .crossJoin(broadcast(
+          truth.join(cand, Seq("ia", "ib"), "left_semi")
+            .agg(count(lit(1)).as("n_hits"))))
+        .select(lit(b).as("n_bands"), lit(r).as("n_rows"),
+          col("n_candidates"), col("n_true_pairs"), col("n_hits"))
+    }.reduce(_ unionByName _)
+      .withColumn("recall",
+        round(col("n_hits") / col("n_true_pairs").cast("double"), 4))
+      .orderBy(col("n_bands"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_lsh_sweep" -> (dedupLshSweep _),
     "dedup_lsh_eval" -> (dedupLshEval _))
 
   /** Both arms' oracles replayed verbatim as derived tables, joined
     * and aggregated exactly as the Spark side.
     */
+  /** One sweep config's oracle CTEs: band slice, bucket self-join,
+    * and the summary scalar row.
+    */
+  private def sweepCfgCte(b: Int): String = {
+    val r = Dedup.NumPerms / b
+    s"""bk$b AS (SELECT doc_id, band,
+       |    list_slice(sig, band*$r+1, band*$r+$r) AS bucket
+       |  FROM (SELECT doc_id, sig, unnest(range(0, $b)) AS band
+       |        FROM sig)),
+       |cand$b AS (SELECT DISTINCT a.doc_id ia, b.doc_id ib
+       |  FROM bk$b a JOIN bk$b b ON a.band = b.band
+       |    AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |r$b AS (SELECT CAST($b AS INT) AS n_bands, CAST($r AS INT) AS n_rows,
+       |    (SELECT count(*) FROM cand$b) AS n_candidates,
+       |    (SELECT count(*) FROM truth) AS n_true_pairs,
+       |    (SELECT count(*) FROM truth t2 JOIN cand$b c
+       |      ON t2.ia = c.ia AND t2.ib = c.ib) AS n_hits)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    // dedup_lsh_sweep: the shared 128-perm signature replay, D2's
+    // oracle verbatim as the truth table, one band-slice + self-join
+    // + summary row per config, unioned
+    "dedup_lsh_sweep" ->
+      s"""WITH ${Dedup.minhashSigOracleCte},
+         |truth AS (SELECT ia, ib
+         |  FROM (${Dedup.oracle("dedup_ngram_jaccard")})),
+         |${SweepBands.map(sweepCfgCte).mkString(",\n")}
+         |SELECT n_bands, n_rows, n_candidates, n_true_pairs, n_hits,
+         |  round(n_hits / CAST(n_true_pairs AS DOUBLE), 4) AS recall
+         |FROM (${SweepBands.map(b => s"SELECT * FROM r$b")
+          .mkString(" UNION ALL ")})
+         |ORDER BY n_bands""".stripMargin,
     "dedup_lsh_eval" ->
       s"""SELECT
          |  CAST(sum(CASE WHEN e.ia IS NOT NULL THEN 1 ELSE 0 END)

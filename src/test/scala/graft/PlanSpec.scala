@@ -583,6 +583,58 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("corpus_novelty: shingles shuffle as 8-byte hashes, the " +
+      "source-degree window keys on the hash, no cartesian") {
+    val p = plan("corpus_novelty")
+    assert(p.contains("xxhash64"),
+      "shingle strings must compress to hashes before the wide shuffle")
+    assert(p.contains("hashpartitioning(g#"),
+      "the degree window must key on the shingle hash")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("tokenize_fertility: the merge dictionary broadcasts into the " +
+      "corpus token stream, rollup collapses map-side") {
+    val p = plan("tokenize_fertility")
+    assert(p.contains("BroadcastHashJoin"),
+      "the dictionary must broadcast into the token stream")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("decontaminate_report: the eval side broadcasts, only matches " +
+      "shuffle, no corpus self-join") {
+    val p = plan("decontaminate_report")
+    assert(p.contains("BroadcastHashJoin"),
+      "the bench shingles must broadcast into the corpus scan")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("vocab_growth: one-row span broadcasts (the only nested-loop " +
+      "join), first occurrences shuffle on the token, cumulatives on " +
+      "the 10-row spine") {
+    val p = plan("vocab_growth")
+    assert(p.contains("hashpartitioning(tk#"),
+      "token first-occurrence must be one token-keyed shuffle")
+    assert(!p.contains("CartesianProduct"))
+    // the two span crossJoins are one-row broadcasts — allowed (each
+    // appears twice in FormattedMode: tree + detail); nothing
+    // corpus-sized may nested-loop beyond them
+    assert(countOccurrences(p, "BroadcastNestedLoopJoin") <= 4)
+  }
+
+  test("emb_drift_cells: centroids and totals broadcast, the cell " +
+      "rollup keys on cell_id") {
+    val p = plan("emb_drift_cells")
+    assert(p.contains("BroadcastExchange"),
+      "centroids/totals must broadcast, never shuffle the corpus")
+    assert(p.contains("hashpartitioning(cell_id#"),
+      "the per-cell rollup must key on cell_id")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("bpe_encode: the dictionary broadcasts; the corpus pass is " +
       "one generate + join, no corpus self-join") {
     val p = plan("bpe_encode")
