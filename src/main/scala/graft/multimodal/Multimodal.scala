@@ -303,6 +303,34 @@ object Multimodal {
       .orderBy(col("ia"), col("ib"))
   }
 
+  /** F10 `mm_phash_clusters` — perceptual copy GROUPS from F8's pair
+    * evidence, completing the multimodal dedup family the way D14
+    * completed the substring one (F4 flags near-dup groups by exact
+    * signature match, F8 mines banded Hamming-≤τ pairs; the drop/
+    * canonicalize decision wants transitively-closed groups — a
+    * re-encode chain A~B~C is ONE asset even when A and C differ by
+    * more than τ bits): F8's pair frame becomes an edge list resolved
+    * by the SAME `Dedup.connectedComponents` hybrid kernel
+    * (D6/D14/A46's reuse), one row per clustered payload with its
+    * canonical min-id label and cluster size. The CC kernel sees only
+    * the O(pairs) edges, never payloads.
+    */
+  def mmPhashClusters(spark: SparkSession, dir: String): DataFrame =
+    phashClusters(Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload")))
+
+  /** [[mmPhashClusters]]'s core on any (doc_id, payload) frame. */
+  def phashClusters(docs: DataFrame): DataFrame = {
+    val edges = phashPairs(docs)
+      .select(col("ia").as("u"), col("ib").as("v"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+    graft.dedup.Dedup.connectedComponents(edges)
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(wc))
+      .orderBy(col("doc_id"))
+  }
+
   val ShardStreams = 8    // deterministic parallel pack streams
   val ShardBytes = 4096   // shard payload-byte budget
 
@@ -364,7 +392,8 @@ object Multimodal {
     "mm_audio_energy" -> (mmAudioEnergy _),
     "mm_embed_topk" -> (mmEmbedTopK _),
     "mm_dedup" -> (mmDedup _),
-    "mm_phash_pairs" -> (mmPhashPairs _)
+    "mm_phash_pairs" -> (mmPhashPairs _),
+    "mm_phash_clusters" -> (mmPhashClusters _)
   )
 
   /** The stub decoders are pure byte arithmetic, so even F2/F3 oracle
@@ -507,6 +536,40 @@ object Multimodal {
       |      ELSE 64 + coalesce(bytes[2], 0) % 192 END AS height
       |  FROM sig)""".stripMargin
 
+  /** F8's signature + banded candidate replay (bytes -> stub pHash ->
+    * four 16-bit bands -> candidate pairs `cand`) as a shared oracle
+    * prefix for F8/F10.
+    */
+  private[multimodal] val phashCandOracleCte: String =
+    s"""h AS (SELECT doc_id, hex(encode(text)) AS hx,
+         |    octet_length(encode(text)) AS n FROM documents),
+         |b AS (SELECT doc_id, n,
+         |    [16 * (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1)
+         |      + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1
+         |      for i in range(1, n + 1)] AS bytes
+         |  FROM h),
+         |ph AS (SELECT doc_id,
+         |    (CAST(coalesce(bytes[1], 0) % 128 AS BIGINT) << 56)
+         |    | (CAST(coalesce(bytes[(n * 1) // 8 + 1], 0) AS BIGINT) << 48)
+         |    | (CAST(coalesce(bytes[(n * 2) // 8 + 1], 0) AS BIGINT) << 40)
+         |    | (CAST(coalesce(bytes[(n * 3) // 8 + 1], 0) AS BIGINT) << 32)
+         |    | (CAST(coalesce(bytes[(n * 4) // 8 + 1], 0) AS BIGINT) << 24)
+         |    | (CAST(coalesce(bytes[(n * 5) // 8 + 1], 0) AS BIGINT) << 16)
+         |    | (CAST(coalesce(bytes[(n * 6) // 8 + 1], 0) AS BIGINT) << 8)
+         |    | CAST(coalesce(bytes[(n * 7) // 8 + 1], 0) AS BIGINT) AS ph
+         |  FROM b),
+         |bands AS (SELECT doc_id, ph, i AS band,
+         |    (ph >> (16 * i)) & 65535 AS bv
+         |  FROM ph, range(0, 4) r(i)),
+         |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib,
+         |    a.ph AS pha, b.ph AS phb
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)"""
+  // NOTE: deliberately NOT stripMargin'd — the `ph` CTE's bitwise-OR
+  // lines start with a literal `|` after the margin, so the margins
+  // must survive until the CONSUMING oracle entry's single stripMargin
+  // (a second strip would eat the operators).
+
   val oracle: Map[String, String] = Map(
     // F9: replay the per-stream greedy byte walk with a recursive CTE
     // (the C10 oracle shape, byte-budgeted), then the manifest md5
@@ -538,31 +601,26 @@ object Multimodal {
     // pack in exact integer arithmetic (bit shifts, NOT 65536**i —
     // DuckDB's ** returns double and loses bits past 2^53), then the
     // same band join + xor/bit_count verify
+    // mm_phash_clusters: F8's candidate chain + Hamming threshold as
+    // the edge list, resolved by the D6/D14 recursive reach
+    "mm_phash_clusters" ->
+      s"""WITH RECURSIVE $phashCandOracleCte,
+         |prs AS (SELECT ia, ib FROM cand
+         |  WHERE bit_count(xor(pha, phb)) <= $PhashMaxHamming),
+         |edges AS (SELECT ia AS eu, ib AS ev FROM prs
+         |  UNION SELECT ib, ia FROM prs),
+         |reach(eu, rr) AS (
+         |  SELECT eu, eu FROM (SELECT DISTINCT eu FROM edges)
+         |  UNION
+         |  SELECT e2.eu, reach.rr FROM edges e2
+         |    JOIN reach ON reach.eu = e2.ev),
+         |res AS (SELECT eu AS doc_id, min(rr) AS cluster_id
+         |  FROM reach GROUP BY eu)
+         |SELECT doc_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM res ORDER BY doc_id""".stripMargin,
     "mm_phash_pairs" ->
-      s"""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
-         |    octet_length(encode(text)) AS n FROM documents),
-         |b AS (SELECT doc_id, n,
-         |    [16 * (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1)
-         |      + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1
-         |      for i in range(1, n + 1)] AS bytes
-         |  FROM h),
-         |ph AS (SELECT doc_id,
-         |    (CAST(coalesce(bytes[1], 0) % 128 AS BIGINT) << 56)
-         |    | (CAST(coalesce(bytes[(n * 1) // 8 + 1], 0) AS BIGINT) << 48)
-         |    | (CAST(coalesce(bytes[(n * 2) // 8 + 1], 0) AS BIGINT) << 40)
-         |    | (CAST(coalesce(bytes[(n * 3) // 8 + 1], 0) AS BIGINT) << 32)
-         |    | (CAST(coalesce(bytes[(n * 4) // 8 + 1], 0) AS BIGINT) << 24)
-         |    | (CAST(coalesce(bytes[(n * 5) // 8 + 1], 0) AS BIGINT) << 16)
-         |    | (CAST(coalesce(bytes[(n * 6) // 8 + 1], 0) AS BIGINT) << 8)
-         |    | CAST(coalesce(bytes[(n * 7) // 8 + 1], 0) AS BIGINT) AS ph
-         |  FROM b),
-         |bands AS (SELECT doc_id, ph, i AS band,
-         |    (ph >> (16 * i)) & 65535 AS bv
-         |  FROM ph, range(0, 4) r(i)),
-         |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib,
-         |    a.ph AS pha, b.ph AS phb
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+      s"""WITH $phashCandOracleCte
          |SELECT ia, ib, CAST(bit_count(xor(pha, phb)) AS INT) AS hamming
          |FROM cand WHERE bit_count(xor(pha, phb)) <= $PhashMaxHamming
          |ORDER BY ia, ib""".stripMargin,

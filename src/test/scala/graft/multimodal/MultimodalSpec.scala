@@ -235,6 +235,35 @@ class MultimodalSpec extends SparkSpec {
       s"pair ($ia,$ib) at hamming $hm escaped the banding")
   }
 
+  test("mm_phash_clusters: a re-encode chain closes transitively into " +
+      "one cluster; unrelated payloads stay out") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog, twice over"
+    // 1~2 exact, 2~3 within tau via the sampled-offset tweak — so
+    // {1,2,3} must land in ONE min-id-labeled cluster even if 1~3
+    // were to sit above tau; 4 pairs with nothing
+    val docs = Seq(
+      (1L, base), (2L, base),
+      (3L, base.updated(6, 'X')),
+      (4L, "completely unrelated payload with different bytes here!!")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val out = Multimodal.phashClusters(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size")))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L),
+      s"only paired payloads cluster, got ${out.keySet}")
+    assert(out.values.toSet == Set((1L, 3L)),
+      "one cluster, canonical min-id label 1, size 3")
+    // cluster membership conserves the pair frame's node set on sf
+    val pairNodes = Multimodal.mmPhashPairs(spark, sfDir).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val clNodes = Multimodal.mmPhashClusters(spark, sfDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(clNodes == pairNodes)
+  }
+
   test("mm_shard_pack: manifest equals a sequential local replay of " +
       "the greedy byte walk, bytes conserve, budget holds") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
