@@ -707,7 +707,21 @@ object Analytic {
     * the floor spelling (not truncation) is what keeps Spark and the
     * oracle's `//` on identical integers at every step.
     */
-  def tsHolt(spark: SparkSession, dir: String): DataFrame = {
+  def tsHolt(spark: SparkSession, dir: String): DataFrame =
+    holtCents(spark, dir)
+      .select(col("event_type"), col("day"),
+        (col("rev_cents") / 100.0).as("rev"),
+        (col("level_cents") / 100.0).as("level"),
+        (col("trend_cents") / 100.0).as("trend"),
+        ((col("level_cents") + col("trend_cents")) / 100.0)
+          .as("forecast_next"))
+      .orderBy(col("event_type"), col("day"))
+
+  /** The integer-cents Holt state frame behind `ts_holt` and
+    * `ts_backtest` (one row per type-day with level/trend after
+    * folding that day).
+    */
+  private def holtCents(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables(spark, dir, "events")
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(round(sum(col("value")) * 100, 0).cast("long").as("cents"))
@@ -731,11 +745,39 @@ object Analytic {
            |      - pmod(3 * (($lNew) - acc.l) + 7 * acc.t, 10))
            |      div 10))""".stripMargin))
       .select(col("event_type"), col("s.day").as("day"),
-        (col("s.cents") / 100.0).as("rev"),
-        (col("st.l") / 100.0).as("level"),
-        (col("st.t") / 100.0).as("trend"),
-        ((col("st.l") + col("st.t")) / 100.0).as("forecast_next"))
-      .orderBy(col("event_type"), col("day"))
+        col("s.cents").as("rev_cents"),
+        col("st.l").as("level_cents"), col("st.t").as("trend_cents"))
+  }
+
+  /** B92 `ts_backtest` — walk-forward one-step forecast evaluation,
+    * the eval-as-data row for the forecasting stack (C37/D10/E22's
+    * pattern applied to `ts_holt`: a forecaster ships only if it
+    * beats the PERSISTENCE baseline — "tomorrow equals today" — on a
+    * backtest, and this is the per-series table that decision reads):
+    * each day's Holt forecast (level + trend after folding the day)
+    * is scored against the NEXT day's actual, alongside the naive
+    * forecast; per type the report carries eval count, both MAEs in
+    * exact floor-division cents (non-negative sums, so floor ≡
+    * truncate cross-engine), the signed total error as a plain
+    * integer sum (no division — engines disagree on negative floor),
+    * and the holt-beats-naive flag. One O(types × days) frame end to
+    * end; the lead window and rollup ride the collapsed frame.
+    */
+  def tsBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    holtCents(spark, dir)
+      .withColumn("fc", col("level_cents") + col("trend_cents"))
+      .withColumn("next_rev", lead(col("rev_cents"), 1).over(w))
+      .filter(col("next_rev").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_evals"),
+        expr("sum(abs(next_rev - fc)) div count(1)").as("mae_holt_cents"),
+        expr("sum(abs(next_rev - rev_cents)) div count(1)")
+          .as("mae_naive_cents"),
+        sum(col("next_rev") - col("fc")).as("err_total_cents"))
+      .withColumn("holt_wins",
+        (col("mae_holt_cents") <= col("mae_naive_cents")).cast("int"))
+      .orderBy(col("event_type"))
   }
 
   /** `ts_changepoint` — offline CUSUM changepoint detection over each
@@ -1011,6 +1053,7 @@ object Analytic {
     "events_cooccur" -> (eventsCooccur _),
     "ts_ewma" -> (tsEwma _),
     "ts_holt" -> (tsHolt _),
+    "ts_backtest" -> (tsBacktest _),
     "ts_changepoint" -> (tsChangepoint _),
     "ts_autocorr" -> (tsAutocorr _),
     "ts_gapfill" -> (tsGapfill _),
@@ -1197,6 +1240,27 @@ object Analytic {
     // itself stays ≥ 0 (positive-revenue level, |trend| < 5e9), so the
     // unpack's plain // and % are exact.
     "ts_holt" -> tsHoltOracle,
+    // ts_backtest: the Holt replay as a derived table, integer cents
+    // reconstructed, lead window + rollup; signed total error stays a
+    // plain sum (negative floor division differs across engines)
+    "ts_backtest" ->
+      s"""WITH h AS (SELECT event_type, day,
+         |    CAST(round(rev * 100) AS BIGINT) AS rev_cents,
+         |    CAST(round(forecast_next * 100) AS BIGINT) AS fc
+         |  FROM (${tsHoltOracle})),
+         |l AS (SELECT *, lead(rev_cents) OVER (
+         |    PARTITION BY event_type ORDER BY day) AS next_rev FROM h),
+         |f AS (SELECT * FROM l WHERE next_rev IS NOT NULL)
+         |SELECT event_type, count(*) AS n_evals,
+         |  CAST(sum(abs(next_rev - fc)) // count(*) AS BIGINT)
+         |    AS mae_holt_cents,
+         |  CAST(sum(abs(next_rev - rev_cents)) // count(*) AS BIGINT)
+         |    AS mae_naive_cents,
+         |  CAST(sum(next_rev - fc) AS BIGINT) AS err_total_cents,
+         |  CAST(CAST(sum(abs(next_rev - fc)) // count(*) AS BIGINT)
+         |    <= CAST(sum(abs(next_rev - rev_cents)) // count(*) AS BIGINT)
+         |    AS INT) AS holt_wins
+         |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
     // ts_changepoint: integer scaled-CUSUM replay — window cumsum,
     // argmax on (|nS| desc, position asc), squared 3σ bar in HUGEINT
     "ts_changepoint" ->

@@ -498,4 +498,31 @@ class AnalyticSpec extends SparkSpec {
       }
     }
   }
+  test("ts_backtest: the per-type report equals a local walk-forward " +
+      "recomputation from ts_holt's own output") {
+    val holt = Analytic.tsHolt(spark, sfDir).collect()
+      .groupBy(_.getAs[String]("event_type"))
+    val got = Analytic.tsBacktest(spark, sfDir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(got.keySet == holt.keySet)
+    holt.foreach { case (tpe, series) =>
+      val byDay = series.sortBy(_.getAs[java.sql.Date]("day").toString)
+      val evals = byDay.sliding(2).collect { case Array(a, b) =>
+        val fc = math.round(a.getAs[Double]("forecast_next") * 100)
+        val naive = math.round(a.getAs[Double]("rev") * 100)
+        val next = math.round(b.getAs[Double]("rev") * 100)
+        (math.abs(next - fc), math.abs(next - naive), next - fc)
+      }.toSeq
+      val r = got(tpe)
+      assert(r.getAs[Long]("n_evals") == evals.length)
+      assert(r.getAs[Long]("mae_holt_cents") ==
+        evals.map(_._1).sum / evals.length)
+      assert(r.getAs[Long]("mae_naive_cents") ==
+        evals.map(_._2).sum / evals.length)
+      assert(r.getAs[Long]("err_total_cents") == evals.map(_._3).sum)
+      assert(r.getAs[Int]("holt_wins") ==
+        (if (evals.map(_._1).sum / evals.length <=
+          evals.map(_._2).sum / evals.length) 1 else 0))
+    }
+  }
 }
