@@ -1065,6 +1065,57 @@ object Ann {
       .orderBy(col("vec_id"))
   }
 
+  /** The τ grid for `dedup_semantic_sweep`, straddling the
+    * [[SemDedupTau]] operating point.
+    */
+  val SemSweepTaus: Seq[Double] = Seq(0.3, 0.4, 0.5, 0.6)
+
+  /** D18 `dedup_semantic_sweep` — the SemDeDup threshold DIAL (D17's
+    * tuning-sweep pattern applied to D9: τ is the one knob a semantic
+    * dedup turns, trading kept-data volume against redundancy, and
+    * the curator picks it off exactly this table — the SemDeDup paper
+    * itself reports this curve before choosing an operating point):
+    * dup volume and keep rate at each τ in [[SemSweepTaus]], computed
+    * from ONE within-cluster scoring pass — the per-vector sufficient
+    * statistic is the max 6-dp cosine against any lower-id
+    * cluster-mate (D9's dup rule parameterized), so the τ grid is a
+    * 4-row rollup over the O(vectors) max frame, never a re-score.
+    * Scale shape: D9's cell-bounded self-join once, one vector-keyed
+    * combine, the grid a broadcast spine; output O(|grid|) rows.
+    */
+  def dedupSemanticSweep(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val cents = refinedCentroids(spark, c)
+    val asg = assignCells(c, cents)
+      .withColumn("nrm", sqrt(dotF(col("embedding"), col("embedding"))))
+      .localCheckpoint()
+    val a = asg.select(col("cell_id"), col("vec_id").as("ia"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = asg.select(col("cell_id"), col("vec_id").as("ib"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val mx = a.join(b, Seq("cell_id"))
+      .filter(col("ia") < col("ib"))
+      .withColumn("cos",
+        when(col("na") * col("nb") === 0.0, 0.0)
+          .otherwise(dotF(col("ea"), col("eb")) / (col("na") * col("nb"))))
+      .groupBy(col("ib").as("vec_id"))
+      .agg(max(round(col("cos"), 6)).as("mx6"))
+    val spark2 = c.sparkSession
+    import spark2.implicits._
+    val taus = SemSweepTaus.toDF("tau")
+    val counts = mx.crossJoin(broadcast(taus))
+      .filter(col("mx6") >= col("tau"))
+      .groupBy(col("tau")).agg(count(lit(1)).as("n_dups"))
+    taus.join(counts, Seq("tau"), "left")
+      .na.fill(0L, Seq("n_dups"))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("n_vectors"))))
+      .withColumn("n_kept", col("n_vectors") - col("n_dups"))
+      .withColumn("dup_bp", expr("n_dups * 10000 div n_vectors"))
+      .select(col("tau"), col("n_vectors"), col("n_dups"),
+        col("n_kept"), col("dup_bp"))
+      .orderBy(col("tau"))
+  }
+
   /** E18 `emb_hard_negatives` — hard-negative mining for contrastive /
     * retrieval training: for each anchor, the corpus vectors MOST
     * similar to it that carry a DIFFERENT label — the negatives that
@@ -1149,6 +1200,7 @@ object Ann {
     "emb_cluster_sample" -> (embClusterSample _),
     "ann_mmr" -> (annMmr _),
     "dedup_semantic" -> (dedupSemantic _),
+    "dedup_semantic_sweep" -> (dedupSemanticSweep _),
     "emb_hard_negatives" -> (embHardNegatives _),
     "ann_ivfpq" -> (annIvfPq _),
     "ann_pq" -> (annPq _),
@@ -1403,6 +1455,28 @@ object Ann {
          |    CAST(a.embedding AS DOUBLE[])))), 4) AS avg_norm
          |FROM asg1 a JOIN cents c USING (cell_id)
          |GROUP BY a.cell_id ORDER BY cluster_id""".stripMargin,
+    // dedup_semantic_sweep: the same within-cluster scoring pass, the
+    // per-vector max-cosine sufficient statistic, a τ-grid rollup
+    "dedup_semantic_sweep" ->
+      s"""$ivfOracleCommon,
+         |prs AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |      CAST(b.embedding AS DOUBLE[])), 6) AS c6
+         |  FROM asg1 a JOIN asg1 b
+         |    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id),
+         |mx AS (SELECT ib, max(c6) AS mx6 FROM prs GROUP BY ib),
+         |taus AS (SELECT unnest([${SemSweepTaus.mkString(", ")}]) AS tau),
+         |cnt AS (SELECT t.tau, count(*) AS n_dups
+         |  FROM taus t JOIN mx ON mx.mx6 >= t.tau GROUP BY t.tau),
+         |tot AS (SELECT count(*) AS n_vectors FROM asg1)
+         |SELECT t.tau, tot.n_vectors,
+         |  CAST(coalesce(cnt.n_dups, 0) AS BIGINT) AS n_dups,
+         |  CAST(tot.n_vectors - coalesce(cnt.n_dups, 0) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(coalesce(cnt.n_dups, 0) * 10000 // tot.n_vectors
+         |    AS BIGINT) AS dup_bp
+         |FROM taus t LEFT JOIN cnt USING (tau) CROSS JOIN tot
+         |ORDER BY t.tau""".stripMargin,
     // dedup_semantic: E10's assignment replay, then the SemDeDup
     // upper-triangular within-cluster scan — dup iff a lower-id
     // cluster-mate is ≥ τ on the 6-dp-rounded cosine

@@ -417,4 +417,26 @@ class AnnSpec extends SparkSpec {
     val again = Ann.annMmr(spark, sfDir).collect()
     assert(mmr.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("dedup_semantic_sweep: dup volume is monotone non-increasing " +
+      "in tau, conserves totals, and the operating-point row equals " +
+      "dedup_semantic's dup count") {
+    val rows = Ann.dedupSemanticSweep(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Double]("tau")).toSeq == Ann.SemSweepTaus)
+    val n = Ann.corpus(spark, sfDir).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vectors") == n)
+      assert(r.getAs[Long]("n_kept") ==
+        n - r.getAs[Long]("n_dups"))
+      assert(r.getAs[Long]("dup_bp") ==
+        r.getAs[Long]("n_dups") * 10000 / n)
+    }
+    val dups = rows.map(_.getAs[Long]("n_dups")).toSeq
+    assert(dups == dups.sorted.reverse, s"raising tau cannot add dups: $dups")
+    val atOp = rows.find(_.getAs[Double]("tau") == Ann.SemDedupTau).get
+    val d9 = Ann.dedupSemantic(spark, sfDir).collect()
+      .count(_.getAs[Int]("is_dup") == 1).toLong
+    assert(atOp.getAs[Long]("n_dups") == d9,
+      "the tau=operating-point row must reproduce dedup_semantic")
+  }
 }
