@@ -606,6 +606,65 @@ object GraphMining {
   def graphBfs(spark: SparkSession, dir: String): DataFrame =
     bfsLayers(copurchaseEdges(Tables(spark, dir, "lineitem")))
 
+  /** B93 `graph_closeness` — bounded-horizon closeness centrality for
+    * the [[BfsSeedK]] highest-degree hubs (B90 answers "how far is
+    * everything from the hub SET"; centrality ranks the hubs
+    * themselves — the marketing/placement question "which product
+    * actually sits closest to the rest of the catalog", where degree
+    * alone misleads: a high-degree node on the periphery of a dense
+    * region reaches less than a mid-degree bridge). Per hub: its
+    * degree, nodes reached within [[BfsRounds]] hops, total hop
+    * distance, and closeness = reached/Σdist in exact floor-division
+    * milli units — the bounded-horizon variant (k-hop closeness) that
+    * stays wall-clock-bounded and oracle-unrollable at 100 TB, where
+    * true closeness needs full-diameter BFS.
+    *
+    * Scale shape: B90's per-round join discipline with the frontier
+    * keyed (seed, node) — K seeds multiply the O(nodes) frontier
+    * frames by a CONSTANT, never the edge list; per-round anti-join
+    * against visited, lineage truncated per round; the rollup is
+    * O(K) rows.
+    */
+  def graphCloseness(spark: SparkSession, dir: String): DataFrame =
+    hubCloseness(copurchaseEdges(Tables(spark, dir, "lineitem")))
+
+  /** [[graphCloseness]]'s kernel on any (u, v) edge frame. */
+  private[operators] def hubCloseness(edges0: DataFrame): DataFrame = {
+    val edges = edges0.localCheckpoint()
+    val sym = edges.select(col("u").as("node"), col("v").as("nbr"))
+      .union(edges.select(col("v").as("node"), col("u").as("nbr")))
+      .localCheckpoint()
+    val deg = sym.groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val seeds = deg.orderBy(col("d").desc, col("node"))
+      .limit(BfsSeedK)
+      .select(col("node").as("seed"), col("d").as("degree"))
+      .localCheckpoint()
+    var visited = seeds
+      .select(col("seed"), col("seed").as("node"), lit(0).as("dist"))
+      .localCheckpoint()
+    var frontier = visited.select(col("seed"), col("node"))
+    for (k <- 1 to BfsRounds) {
+      frontier = frontier
+        .join(sym, Seq("node"))
+        .select(col("seed"), col("nbr").as("node")).distinct()
+        .join(visited.select(col("seed"), col("node")),
+          Seq("seed", "node"), "left_anti")
+        .localCheckpoint()
+      visited = visited
+        .union(frontier.withColumn("dist", lit(k)))
+        .localCheckpoint()
+    }
+    visited.groupBy(col("seed"))
+      .agg((count(lit(1)) - 1).as("n_reached"),
+        sum(col("dist")).cast("long").as("sum_dist"))
+      .join(seeds, Seq("seed"))
+      .withColumn("closeness_milli",
+        expr("n_reached * 1000 div greatest(sum_dist, 1)"))
+      .select(col("seed").as("p_partkey"), col("degree"),
+        col("n_reached"), col("sum_dist"), col("closeness_milli"))
+      .orderBy(col("p_partkey"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -616,6 +675,7 @@ object GraphMining {
     "orders_basket_rules" -> (ordersBasketRules _),
     "graph_components" -> (graphComponents _),
     "graph_bfs" -> (graphBfs _),
+    "graph_closeness" -> (graphCloseness _),
     "skyline_3d" -> (skyline3d _),
     "graph_jaccard_links" -> (graphJaccardLinks _),
     "graph_kcore" -> (graphKcore _)
@@ -654,7 +714,43 @@ object GraphMining {
        |v$k AS (SELECT * FROM v${k - 1}
        |  UNION ALL SELECT node, $k FROM f$k)""".stripMargin
 
+  /** One unrolled PER-SEED BFS round for the closeness oracle: the
+    * frontier/visited frames carry (seed, node) so the K hub
+    * traversals stay independent.
+    */
+  private def closenessRoundOracle(k: Int): String =
+    s"""cf$k AS (SELECT DISTINCT f.seed, s.nbr AS node
+       |  FROM cf${k - 1} f JOIN sym s ON s.node = f.node
+       |  LEFT JOIN cv${k - 1} v ON v.seed = f.seed AND v.node = s.nbr
+       |  WHERE v.node IS NULL),
+       |cv$k AS (SELECT * FROM cv${k - 1}
+       |  UNION ALL SELECT seed, node, $k FROM cf$k)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // graph_closeness: same edge/degree/seed prefix as graph_bfs,
+    // per-seed unrolled rounds, O(K) closeness rollup
+    "graph_closeness" ->
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |    FROM lineitem),
+         |e AS (SELECT a.p AS u, b.p AS v
+         |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+         |  GROUP BY a.p, b.p HAVING count(*) >= $EdgeMinSupport),
+         |sym AS (SELECT u AS node, v AS nbr FROM e
+         |  UNION ALL SELECT v, u FROM e),
+         |deg AS (SELECT node, count(*) AS d FROM sym GROUP BY 1),
+         |seeds AS (SELECT node, d FROM (SELECT node, d,
+         |    row_number() OVER (ORDER BY d DESC, node) AS rn FROM deg)
+         |  WHERE rn <= $BfsSeedK),
+         |cv0 AS (SELECT node AS seed, node, 0 AS dist FROM seeds),
+         |cf0 AS (SELECT node AS seed, node FROM seeds),
+         |${(1 to BfsRounds).map(closenessRoundOracle).mkString(",\n")}
+         |SELECT v.seed AS p_partkey, s.d AS degree,
+         |  count(*) - 1 AS n_reached,
+         |  CAST(sum(dist) AS BIGINT) AS sum_dist,
+         |  (count(*) - 1) * 1000
+         |    // greatest(CAST(sum(dist) AS BIGINT), 1) AS closeness_milli
+         |FROM cv$BfsRounds v JOIN seeds s ON s.node = v.seed
+         |GROUP BY v.seed, s.d ORDER BY p_partkey""".stripMargin,
     "graph_bfs" ->
       s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
          |    FROM lineitem),

@@ -393,6 +393,29 @@ class GraphMiningSpec extends SparkSpec {
       2L -> 1, 3L -> 1, 6L -> 1, 7L -> 2, 8L -> 3, 9L -> 4))
   }
 
+  test("graph_closeness: per-hub reach, hop totals and milli " +
+      "closeness are hand-exact; each seed's traversal is independent") {
+    // star at 1 (deg 4), bridge 2 (deg 3: 1,6,7), tail 6-8 (deg 2):
+    // seeds = {1, 2, 6}; all 7 other nodes reachable within 4 hops
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L),
+      (2L, 6L), (2L, 7L), (6L, 8L))
+    val out = GraphMining.hubCloseness(edgesDf(g)).collect()
+      .map(r => r.getAs[Long]("p_partkey") -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 6L))
+    // from 1: dists {2,3,4,5}=1, {6,7}=2, {8}=3 → n=7, sum=11
+    assert(out(1L).getAs[Long]("degree") == 4)
+    assert(out(1L).getAs[Long]("n_reached") == 7)
+    assert(out(1L).getAs[Long]("sum_dist") == 11)
+    assert(out(1L).getAs[Long]("closeness_milli") == 7000 / 11)
+    // from 2: {1,6,7}=1, {3,4,5,8}=2 → n=7, sum=11
+    assert(out(2L).getAs[Long]("n_reached") == 7)
+    assert(out(2L).getAs[Long]("sum_dist") == 11)
+    // from 6: {2,8}=1, {1,7}=2, {3,4,5}=3 → n=7, sum=15
+    assert(out(6L).getAs[Long]("degree") == 2)
+    assert(out(6L).getAs[Long]("sum_dist") == 15)
+    assert(out(6L).getAs[Long]("closeness_milli") == 7000 / 15)
+  }
+
   test("bfsLayers: every node gets exactly one distance (a node " +
       "reachable from two seeds reports the minimum once)") {
     // 3 sits one hop from both seed candidates 1 and 2
