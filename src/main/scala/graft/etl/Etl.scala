@@ -530,6 +530,65 @@ object Etl {
         expr("case when del_rows > 0 then part_rows * 10000 div del_rows end"))
       .orderBy(col("day"))
 
+  /** Candidate TTL windows for `etl_retention_plan`, in days. */
+  val RetentionDays: Seq[Int] = Seq(7, 30, 60, 90)
+
+  /** A48 `etl_retention_plan` — age-based TTL policy planning, the
+    * retention companion to A41 (erasure deletes PEOPLE; retention
+    * deletes AGE — the "keep 30/60/90 days" decision every
+    * data-retention policy codifies, and the one a compliance review
+    * asks to see quantified before signing off): for each candidate
+    * window in [[RetentionDays]], the rows a cutoff at `max(ts) −
+    * ttl` would delete, the rows kept, the exact basis-point delete
+    * share, and the distinct users who lose at least one event (the
+    * user-impact axis row counts hide — a 90-day TTL deleting 5% of
+    * rows but touching 80% of users is a different conversation).
+    * "Now" is the span maximum (one broadcast min/max-style row, the
+    * A32 trick) so the report is deterministic on a fixed table.
+    * Scale shape: ONE pass computes event ages; two map-side-combined
+    * collapses — O(days) per-age row counts and O(users) oldest-event
+    * ages — then the 4-row grid joins the day frame (tiny non-equi)
+    * and sweeps the user frame once (broadcast grid, groupBy combine).
+    * No per-TTL rescan of the fact table.
+    */
+  def etlRetentionPlan(spark: SparkSession, dir: String): DataFrame =
+    retentionPlan(Tables(spark, dir, "events"))
+
+  /** [[etlRetentionPlan]]'s kernel on any events frame. */
+  private[etl] def retentionPlan(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val span = events.agg(max(unix_micros(col("ts"))).as("hi"))
+    val aged = events
+      .select(unix_micros(col("ts")).as("us"), col("user_id"))
+      .crossJoin(broadcast(span))
+      .withColumn("age_d", expr("(hi - us) div 86400000000"))
+    val days = aged.groupBy(col("age_d")).agg(count(lit(1)).as("n_rows"))
+    val umax = aged.groupBy(col("user_id"))
+      .agg(max(col("age_d")).as("max_age"))
+    val grid = RetentionDays.toDF("ttl_days")
+    val del = grid
+      .join(days, col("age_d") >= col("ttl_days"), "left")
+      .groupBy(col("ttl_days"))
+      .agg(coalesce(sum(col("n_rows")), lit(0L)).as("n_rows_deleted"))
+    val ua = umax.crossJoin(broadcast(grid))
+      .filter(col("max_age") >= col("ttl_days"))
+      .groupBy(col("ttl_days"))
+      .agg(count(lit(1)).as("n_users_affected"))
+    grid
+      .join(del, Seq("ttl_days"))
+      .join(ua, Seq("ttl_days"), "left")
+      .na.fill(0L, Seq("n_users_affected"))
+      .crossJoin(broadcast(
+        days.agg(sum(col("n_rows")).as("n_total"))))
+      .withColumn("n_rows_kept", col("n_total") - col("n_rows_deleted"))
+      .withColumn("deleted_bp",
+        expr("n_rows_deleted * 10000 div n_total"))
+      .select(col("ttl_days"), col("n_total"), col("n_rows_deleted"),
+        col("n_rows_kept"), col("deleted_bp"), col("n_users_affected"))
+      .orderBy(col("ttl_days"))
+  }
+
   // md5-u16 selection bound ≈ 12.5% of users — wide enough that the
   // cohort is non-empty even at the 15-user sf0.001 table
   val SubjectThresh = 8192L
@@ -575,6 +634,7 @@ object Etl {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_subject_export" -> (etlSubjectExport _),
     "etl_erasure_plan" -> (etlErasurePlan _),
+    "etl_retention_plan" -> (etlRetentionPlan _),
     "etl_drift_psi" -> (etlDriftPsi _),
     "etl_freshness" -> (etlFreshness _),
     "etl_profile" -> (etlProfile _),
@@ -631,6 +691,35 @@ object Etl {
          |    ORDER BY event_id)) AS events_fp
          |FROM sel GROUP BY user_id ORDER BY user_id""".stripMargin,
     // etl_erasure_plan: the deletion cohort replays via the strpos
+    // etl_retention_plan: same integer-µs age arithmetic, O(days)/
+    // O(users) collapses, 4-row TTL grid — floor div on non-negatives
+    "etl_retention_plan" ->
+      s"""WITH e AS (SELECT epoch_us(ts) AS us, user_id FROM events),
+         |span AS (SELECT max(us) AS hi FROM e),
+         |aged AS (SELECT (hi - us) // 86400000000 AS age_d, user_id
+         |  FROM e CROSS JOIN span),
+         |days AS (SELECT age_d, count(*) AS n_rows FROM aged
+         |  GROUP BY age_d),
+         |umax AS (SELECT user_id, max(age_d) AS max_age FROM aged
+         |  GROUP BY user_id),
+         |grid AS (SELECT CAST(unnest([${RetentionDays.mkString(", ")}])
+         |    AS INT) AS ttl_days),
+         |del AS (SELECT g.ttl_days,
+         |    CAST(coalesce(sum(d.n_rows), 0) AS BIGINT) AS n_rows_deleted
+         |  FROM grid g LEFT JOIN days d ON d.age_d >= g.ttl_days
+         |  GROUP BY g.ttl_days),
+         |ua AS (SELECT g.ttl_days,
+         |    count(u.user_id) AS n_users_affected
+         |  FROM grid g LEFT JOIN umax u ON u.max_age >= g.ttl_days
+         |  GROUP BY g.ttl_days),
+         |tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n_total FROM days)
+         |SELECT g.ttl_days, tot.n_total, del.n_rows_deleted,
+         |  tot.n_total - del.n_rows_deleted AS n_rows_kept,
+         |  del.n_rows_deleted * 10000 // tot.n_total AS deleted_bp,
+         |  CAST(ua.n_users_affected AS BIGINT) AS n_users_affected
+         |FROM grid g JOIN del USING (ttl_days) JOIN ua USING (ttl_days)
+         |  CROSS JOIN tot
+         |ORDER BY g.ttl_days""".stripMargin,
     // 4-hex-digit md5 decode; all counts and the amplification are
     // BIGINT floor arithmetic
     "etl_erasure_plan" ->
