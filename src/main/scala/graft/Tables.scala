@@ -9,6 +9,15 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * At cluster scale the same layout holds: one directory per scale
   * factor / dataset, one parquet dataset per table. Reads stay lazy so
   * Catalyst can push filters and prune columns into the scan.
+  *
+  * Testdata contract — non-zero embeddings: every `embeddings.embedding`
+  * vector has strictly positive L2 norm at all shipped scale factors.
+  * The Spark-side ANN/dedup kernels guard zero-norm vectors to cosine
+  * 0.0, but several DuckDB oracles use `list_cosine_similarity`, which
+  * yields NaN on a zero vector — the Spark ≡ oracle gate equivalence
+  * therefore rests on this invariant. `EmbeddingInvariantSpec` pins it
+  * against the sf0.001 snapshot so a testdata regeneration that breaks
+  * it fails loudly in `sbt test` rather than silently in the gate.
   */
 object Tables {
   val all: Seq[String] = Seq(

@@ -21,16 +21,26 @@ object Verify {
       .map(_.split(",").map(_.trim).toSet)
     val selected = only.fold(SparkEntry.queries)(s =>
       SparkEntry.queries.filter(kv => s(kv._1)))
+    var ok = 0
+    var failed = List.empty[String]
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        ok += 1
+      } catch { case e: Throwable =>
+        failed ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // drop any frames the query persist()ed so caches never
       // accumulate across the ~145-query dump
       finally spark.catalog.clearCache()
     }
+    // One greppable line the driver's log keeps even if the JSON
+    // artifact is later zeroed — distinguishes "code broke" from
+    // "driver infra dropped the artifact" (the r9 `{}` incident).
+    if (failed.isEmpty) println(s"VERIFY_OK n=$ok")
+    else println(s"VERIFY_FAIL ok=$ok failed=${failed.sorted.mkString(",")}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

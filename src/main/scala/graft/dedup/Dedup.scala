@@ -501,7 +501,7 @@ object Dedup {
         greatest(col("n_tokens") - (w - 1), lit(0L)))
       .join(perDoc, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_dup_windows", "dup_tokens"))
-      .withColumn("dup_pm", expr("dup_tokens * 1000 div n_tokens"))
+      .withColumn("dup_pm", expr("dup_tokens * 1000 div greatest(n_tokens, 1)"))
       .orderBy(col("doc_id"))
   }
 
@@ -649,7 +649,7 @@ object Dedup {
       .join(exact, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_hit_windows", "dup_tokens"))
       .na.fill(0, Seq("exact_dup"))
-      .withColumn("dup_pm", expr("dup_tokens * 1000 div n_tokens"))
+      .withColumn("dup_pm", expr("dup_tokens * 1000 div greatest(n_tokens, 1)"))
       .orderBy(col("doc_id"))
   }
 
@@ -830,7 +830,7 @@ object Dedup {
          |SELECT b.doc_id, b.n_tokens, b.n_windows,
          |  coalesce(a.n_hit_windows, 0) AS n_hit_windows,
          |  CAST(coalesce(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
-         |  CAST(coalesce(a.dup_tokens, 0) * 1000 // b.n_tokens AS BIGINT)
+         |  CAST(coalesce(a.dup_tokens, 0) * 1000 // greatest(b.n_tokens, 1) AS BIGINT)
          |    AS dup_pm,
          |  CAST(e.doc_id IS NOT NULL AS INT) AS exact_dup
          |FROM base b LEFT JOIN agg a USING (doc_id)
@@ -887,7 +887,7 @@ object Dedup {
         |SELECT b.doc_id, b.n_tokens, b.n_windows,
         |  coalesce(a.n_dup_windows, 0) AS n_dup_windows,
         |  CAST(coalesce(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
-        |  CAST(coalesce(a.dup_tokens, 0) * 1000 // b.n_tokens AS BIGINT)
+        |  CAST(coalesce(a.dup_tokens, 0) * 1000 // greatest(b.n_tokens, 1) AS BIGINT)
         |    AS dup_pm
         |FROM base b LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,

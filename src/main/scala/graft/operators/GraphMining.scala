@@ -665,9 +665,120 @@ object GraphMining {
       .orderBy(col("p_partkey"))
   }
 
+  /** Fixed-point scale for [[graphBetweenness]]'s dependency values:
+    * one unit of Brandes δ = [[BcScale]] millis.
+    */
+  val BcScale = 1000L
+
+  /** B94 `graph_betweenness` — sampled-source betweenness centrality
+    * (Brandes 2001) over the part co-purchase graph: B93 ranks hubs by
+    * how CLOSE they sit to the catalog; betweenness ranks every node
+    * by how much shortest-path traffic FLOWS THROUGH it — the broker/
+    * bottleneck question ("which product bridges otherwise-separate
+    * purchase communities"), where both degree and closeness mislead
+    * (a low-degree bridge between two dense regions carries more
+    * traffic than any hub inside one). Sources are sampled as the
+    * [[BfsSeedK]] highest-degree hubs (the standard sampled-Brandes
+    * estimator with a DETERMINISTIC sample — same engine-exact
+    * (degree DESC, node) total order as B90/B93), horizon-bounded at
+    * [[BfsRounds]] hops so both directions unroll for the oracle.
+    *
+    * Two passes per Brandes: FORWARD per-seed BFS carrying σ (the
+    * shortest-path count: σ(w) = Σ σ(v) over dist-(k−1) predecessors,
+    * one map-side-combined aggregation per round); BACKWARD dependency
+    * accumulation δ(v) = Σ_w σ(v)·(1+δ(w))/σ(w) over DAG successors w,
+    * evaluated in the house fixed-point convention — each term is an
+    * exact non-negative BIGINT floor division at [[BcScale]] millis,
+    * so per-round sums are INTEGER sums, order-independent, and the
+    * two engines agree bit-for-bit (a float δ would diverge in the
+    * 9th decimal on summation order alone). Per node: how many sampled
+    * traversals reached it and its accumulated milli-dependency
+    * (Brandes excludes the source's own row).
+    *
+    * Scale shape: B93's per-round join discipline both directions —
+    * frontier/level frames are O(K · nodes) with K a small constant,
+    * each round ONE hash equi-join against the symmetrized edge list
+    * (+ anti-join forward / level-filtered join backward), per-round
+    * localCheckpoint truncates lineage (D6's rule); never a driver
+    * queue, never a cartesian. σ/δ stay 8-byte longs on the wire.
+    * Oracle: unrolled per-round CTEs BOTH directions on the shared
+    * edge/degree/seed prefix. Spec hand-computes all three seeds'
+    * dependency trees on the B93 planted star+bridge+tail graph.
+    * Reference analogy: aiesec.py:142-144's delta report ranks rows
+    * by change; this ranks nodes by brokered flow.
+    */
+  def graphBetweenness(spark: SparkSession, dir: String): DataFrame =
+    hubBetweenness(copurchaseEdges(Tables(spark, dir, "lineitem")))
+
+  /** [[graphBetweenness]]'s kernel on any (u, v) edge frame. */
+  private[operators] def hubBetweenness(edges0: DataFrame): DataFrame = {
+    val edges = edges0.localCheckpoint()
+    val sym = edges.select(col("u").as("node"), col("v").as("nbr"))
+      .union(edges.select(col("v").as("node"), col("u").as("nbr")))
+      .localCheckpoint()
+    val deg = sym.groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val seeds = deg.orderBy(col("d").desc, col("node"))
+      .limit(BfsSeedK)
+      .select(col("node").as("seed"))
+      .localCheckpoint()
+    // forward: per-seed BFS levels carrying the shortest-path count σ
+    var visited = seeds
+      .select(col("seed"), col("seed").as("node"),
+        lit(0).as("dist"), lit(1L).as("sigma"))
+      .localCheckpoint()
+    var frontier = visited.select(col("seed"), col("node"), col("sigma"))
+    for (k <- 1 to BfsRounds) {
+      frontier = frontier
+        .join(sym, Seq("node"))
+        .groupBy(col("seed"), col("nbr"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .select(col("seed"), col("nbr").as("node"), col("sigma"))
+        .join(visited.select(col("seed"), col("node")),
+          Seq("seed", "node"), "left_anti")
+        .localCheckpoint()
+      visited = visited
+        .union(frontier.withColumn("dist", lit(k))
+          .select(col("seed"), col("node"), col("dist"), col("sigma")))
+        .localCheckpoint()
+    }
+    // backward: dependency accumulation level by level, exact
+    // floor-division milli terms summed as integers
+    var delta = visited.filter(col("dist") === BfsRounds)
+      .select(col("seed"), col("node"), col("sigma"), lit(0L).as("delta"))
+      .localCheckpoint()
+    var acc = delta
+    for (k <- (BfsRounds - 1) to 0 by -1) {
+      val vl = visited.filter(col("dist") === k)
+        .select(col("seed"), col("node"), col("sigma"))
+      val wl = delta.select(col("seed"), col("node").as("wnode"),
+        col("sigma").as("wsigma"), col("delta").as("wdelta"))
+      val terms = vl
+        .join(sym, Seq("node"))
+        .withColumnRenamed("nbr", "wnode")
+        .join(wl, Seq("seed", "wnode"))
+        .withColumn("term",
+          expr(s"(sigma * ($BcScale + wdelta)) div wsigma"))
+        .groupBy(col("seed"), col("node"))
+        .agg(sum(col("term")).as("delta"))
+      delta = vl.join(terms, Seq("seed", "node"), "left")
+        .na.fill(0L, Seq("delta"))
+        .select(col("seed"), col("node"), col("sigma"), col("delta"))
+        .localCheckpoint()
+      acc = acc.union(delta).localCheckpoint()
+    }
+    acc.filter(col("node") =!= col("seed"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_sources"),
+        sum(col("delta")).cast("long").as("bc_milli"))
+      .select(col("node").as("p_partkey"), col("n_sources"),
+        col("bc_milli"))
+      .orderBy(col("p_partkey"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_betweenness" -> (graphBetweenness _),
     "graph_lpa_communities" -> (graphLpaCommunities _),
     "graph_triangles" -> (graphTriangles _),
     "skyline_pareto" -> (skylinePareto _),
@@ -726,7 +837,72 @@ object GraphMining {
        |cv$k AS (SELECT * FROM cv${k - 1}
        |  UNION ALL SELECT seed, node, $k FROM cf$k)""".stripMargin
 
+  /** One unrolled FORWARD Brandes round for the betweenness oracle:
+    * σ of a new dist-k node = sum of its dist-(k−1) predecessors' σ;
+    * the anti-join spelling matches the Spark kernel (group neighbor
+    * sums first, drop already-visited).
+    */
+  private def bcForwardOracle(k: Int): String =
+    s"""sf$k AS (SELECT seed, node, sigma FROM (
+       |    SELECT f.seed, s.nbr AS node,
+       |      CAST(sum(f.sigma) AS BIGINT) AS sigma
+       |    FROM sf${k - 1} f JOIN sym s ON s.node = f.node
+       |    GROUP BY f.seed, s.nbr) g
+       |  WHERE NOT EXISTS (SELECT 1 FROM sv${k - 1} v
+       |    WHERE v.seed = g.seed AND v.node = g.node)),
+       |sv$k AS (SELECT * FROM sv${k - 1}
+       |  UNION ALL SELECT seed, node, $k, sigma FROM sf$k)""".stripMargin
+
+  /** One unrolled BACKWARD Brandes round: dist-k nodes accumulate
+    * exact floor-division milli terms from their dist-(k+1) DAG
+    * successors (integer sums — order-independent cross-engine).
+    */
+  private def bcBackwardOracle(k: Int): String =
+    s"""bt$k AS (SELECT v.seed, v.node,
+       |    CAST(sum((v.sigma * ($BcScale + w.delta)) // w.sigma)
+       |      AS BIGINT) AS delta
+       |  FROM (SELECT * FROM sv$BfsRounds WHERE dist = $k) v
+       |  JOIN sym s ON s.node = v.node
+       |  JOIN bd${k + 1} w ON w.seed = v.seed AND w.node = s.nbr
+       |  GROUP BY v.seed, v.node),
+       |bd$k AS (SELECT v.seed, v.node, v.sigma,
+       |    coalesce(t.delta, 0) AS delta
+       |  FROM (SELECT * FROM sv$BfsRounds WHERE dist = $k) v
+       |  LEFT JOIN bt$k t ON t.seed = v.seed AND t.node = v.node)"""
+      .stripMargin
+
   val oracle: Map[String, String] = Map(
+    // graph_betweenness: shared edge/degree/seed prefix, unrolled
+    // per-round CTEs BOTH directions (forward σ, backward δ), O(nodes)
+    // rollup excluding each source's own row
+    "graph_betweenness" ->
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |    FROM lineitem),
+         |e AS (SELECT a.p AS u, b.p AS v
+         |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+         |  GROUP BY a.p, b.p HAVING count(*) >= $EdgeMinSupport),
+         |sym AS (SELECT u AS node, v AS nbr FROM e
+         |  UNION ALL SELECT v, u FROM e),
+         |deg AS (SELECT node, count(*) AS d FROM sym GROUP BY 1),
+         |seeds AS (SELECT node FROM (SELECT node,
+         |    row_number() OVER (ORDER BY d DESC, node) AS rn FROM deg)
+         |  WHERE rn <= $BfsSeedK),
+         |sv0 AS (SELECT node AS seed, node, 0 AS dist,
+         |    CAST(1 AS BIGINT) AS sigma FROM seeds),
+         |sf0 AS (SELECT node AS seed, node,
+         |    CAST(1 AS BIGINT) AS sigma FROM seeds),
+         |${(1 to BfsRounds).map(bcForwardOracle).mkString(",\n")},
+         |bd$BfsRounds AS (SELECT seed, node, sigma,
+         |    CAST(0 AS BIGINT) AS delta
+         |  FROM sv$BfsRounds WHERE dist = $BfsRounds),
+         |${((BfsRounds - 1) to 0 by -1).map(bcBackwardOracle)
+            .mkString(",\n")},
+         |allb AS (${(0 to BfsRounds)
+            .map(k => s"SELECT * FROM bd$k").mkString(" UNION ALL ")})
+         |SELECT node AS p_partkey, count(*) AS n_sources,
+         |  CAST(sum(delta) AS BIGINT) AS bc_milli
+         |FROM allb WHERE node <> seed
+         |GROUP BY node ORDER BY p_partkey""".stripMargin,
     // graph_closeness: same edge/degree/seed prefix as graph_bfs,
     // per-seed unrolled rounds, O(K) closeness rollup
     "graph_closeness" ->

@@ -416,6 +416,59 @@ class GraphMiningSpec extends SparkSpec {
     assert(out(6L).getAs[Long]("closeness_milli") == 7000 / 15)
   }
 
+  test("graph_betweenness: hand-exact Brandes dependencies on the " +
+      "planted star+bridge+tail graph (all three seed traversals)") {
+    // same graph as the closeness spec: star at 1, bridge 2, tail 6-8;
+    // seeds = {1, 2, 6}. Hand-unrolled milli dependencies:
+    //  s=1: DAG 1→{2,3,4,5}, 2→{6,7}, 6→{8}; δ8=0, δ6=1000, δ7=0,
+    //       δ2=(1000+1000)+1000=3000, leaves 0
+    //  s=2: DAG 2→{1,6,7}, 1→{3,4,5}, 6→{8}; δ1=3000, δ6=1000
+    //  s=6: DAG 6→{2,8}, 2→{1,7}, 1→{3,4,5}; δ1=3000, δ2=(1000+3000)
+    //       +1000=5000
+    // totals (node≠seed rows): 1→6000, 2→8000, 6→2000, rest 0;
+    // node 2 is the biggest broker — the bridge, as betweenness should
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L),
+      (2L, 6L), (2L, 7L), (6L, 8L))
+    val out = GraphMining.hubBetweenness(edgesDf(g)).collect()
+      .map(r => r.getAs[Long]("p_partkey") ->
+        (r.getAs[Long]("n_sources"), r.getAs[Long]("bc_milli"))).toMap
+    assert(out(1L) == (2L, 6000L))
+    assert(out(2L) == (2L, 8000L))
+    assert(out(6L) == (2L, 2000L))
+    assert(out(3L) == (3L, 0L) && out(4L) == (3L, 0L) &&
+      out(5L) == (3L, 0L))
+    assert(out(7L) == (3L, 0L) && out(8L) == (3L, 0L))
+  }
+
+  test("graph_betweenness: σ multiplicity — parallel shortest paths " +
+      "split dependency by the σ ratio (floor-division millis)") {
+    // diamond 1-2-4, 1-3-4 plus tail 4-5, plus pendants 1-6, 1-7 to
+    // make 1 the clear top seed; seeds (deg desc, id) = {1, 4, 2}.
+    //  s=1: σ: 2,3,6,7=1; 4=2; 5=2. backward: δ4=σ4/σ5·(1000+δ5)
+    //    with δ5=0 → (2·1000)//2=1000; δ2=δ3=(1·(1000+1000))//2=1000;
+    //    δ6=δ7=δ5=0
+    //  s=4: DAG 4→{2,3,5}, {2,3}→1, 1→{6,7}; σ1=2, σ6=σ7=2.
+    //    δ1 = (2·(1000+0))//2 per pendant = 1000+1000 = 2000;
+    //    δ2=δ3=(1·(1000+2000))//2=1500; δ5=δ6=δ7=0
+    //  s=2: DAG 2→{1,4}, 1→{3,6,7}, 4→{3,5} — σ3=2 (via 1 AND 4);
+    //    δ1=(1·1000)//2+1000+1000=2500; δ4=(1·1000)//2+1000=1500;
+    //    δ3=δ5=δ6=δ7=0
+    // totals: 1→2000+2500=4500 (n=2), 2→1000(s=1)+1500(s=4)=2500
+    //   (n=2), 3→1000+1500+0=2500 (n=3, never a seed),
+    //   4→1000(s=1)+1500(s=2)=2500 (n=2), 5,6,7→0 (n=3)
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L),
+      (1L, 6L), (1L, 7L))
+    val out = GraphMining.hubBetweenness(edgesDf(g)).collect()
+      .map(r => r.getAs[Long]("p_partkey") ->
+        (r.getAs[Long]("n_sources"), r.getAs[Long]("bc_milli"))).toMap
+    assert(out(1L) == (2L, 4500L))
+    assert(out(2L) == (2L, 2500L))
+    assert(out(3L) == (3L, 2500L))
+    assert(out(4L) == (2L, 2500L))
+    assert(out(5L) == (3L, 0L))
+    assert(out(6L) == (3L, 0L) && out(7L) == (3L, 0L))
+  }
+
   test("bfsLayers: every node gets exactly one distance (a node " +
       "reachable from two seeds reports the minimum once)") {
     // 3 sits one hop from both seed candidates 1 and 2
