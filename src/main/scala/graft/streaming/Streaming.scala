@@ -186,7 +186,53 @@ object Streaming {
       .orderBy(col("doc_id"))
   }
 
+  /** G17 `stream_semantic_dedup` — batch equivalent of
+    * [[SemanticDedupStream]]'s embedding intake gate: every vector's
+    * single-table random-hyperplane bucket (E2's kernel at tables=1),
+    * then D9's SemDeDup dup rule against the first
+    * [[SemanticDedupStream.RepCap]] bucket arrivals — dup iff any
+    * lower-id rank-capped bucket-mate is ≥ τ on the 6-dp cosine, the
+    * witness naming the earliest qualifying mate. A vec_id-ordered
+    * replay of this corpus through the stream emits exactly these
+    * dup rows (SemanticDedupStreamSpec pins it). Scale shape: the
+    * pair join is bucket-equi with ONE side rank-capped, so each
+    * vector scores against ≤ cap mates — Σ bucket·cap rows, never
+    * bucket² — and the norm is hoisted to one projection per row.
+    */
+  def streamSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.{dotF, rhpSigs}
+    import SemanticDedupStream.{Bits, RepCap, Tau}
+    val c = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("bucket", element_at(rhpSigs(col("embedding"), Bits, 1), 1))
+      .withColumn("nrm", sqrt(dotF(col("embedding"), col("embedding"))))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("vec_id"))
+    val ranked = c.withColumn("rn", row_number().over(wr))
+    val reps = ranked.filter(col("rn") <= RepCap)
+      .select(col("bucket"), col("vec_id").as("ia"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+    val dups = ranked
+      .select(col("bucket"), col("vec_id").as("ib"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      .join(reps, Seq("bucket"))
+      .filter(col("ia") < col("ib"))
+      .withColumn("cos",
+        when(col("na") * col("nb") === 0.0, 0.0)
+          .otherwise(dotF(col("ea"), col("eb")) / (col("na") * col("nb"))))
+      .filter(round(col("cos"), 6) >= Tau)
+      .groupBy(col("ib").as("vec_id"))
+      .agg(min(col("ia")).as("kept"), max(round(col("cos"), 4)).as("mx"))
+    ranked.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("bucket"),
+        col("kept").isNotNull.cast("int").as("is_dup"),
+        coalesce(col("kept"), lit(-1L)).as("dup_of"),
+        coalesce(col("mx"), lit(0.0)).as("max_cos"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_semantic_dedup" -> (streamSemanticDedup _),
     "stream_substring_dedup" -> (streamSubstringDedup _),
     "stream_topk" -> (streamTopk _),
     "stream_window_counts" -> (windowCounts _),
@@ -195,7 +241,55 @@ object Streaming {
     "stream_join" -> (streamJoin _)
   )
 
+  /** The [[SemanticDedupStream]] hyperplane weights as SQL literal
+    * rows `(bit, DOUBLE[] weights)` — the E2 kernel's deterministic
+    * ±1 draws from mix64(table=0, bit, dim) inlined verbatim, so the
+    * oracle replays the EXACT signature (±1.0 products and in-order
+    * double accumulation are IEEE-identical on both engines). Pinned
+    * to the testdata's 64-dim embedding contract.
+    */
+  private def rhpWeightRows: String = {
+    val dim = 64
+    (0 until SemanticDedupStream.Bits).map { b =>
+      val ws = (0 until dim).map { d =>
+        if ((graft.functions.VecOps.mix64(
+          (b.toLong << 20) ^ d) & 1L) == 0L) "1.0" else "-1.0"
+      }.mkString("[", ", ", "]")
+      s"($b, $ws::DOUBLE[])"
+    }.mkString(",\n    ")
+  }
+
   val oracle: Map[String, String] = Map(
+    // G17 batch arm: inline hyperplane-weight replay of the E2
+    // signature (tables=1), rank-capped reps per bucket, D9's dup
+    // rule on 6-dp cosines
+    "stream_semantic_dedup" ->
+      s"""WITH wts(b, w) AS (VALUES
+         |    $rhpWeightRows),
+         |sigs AS (SELECT e.vec_id, CAST(sum(CASE
+         |      WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]),
+         |        t.w) > 0 THEN 1 << t.b ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM embeddings e CROSS JOIN wts t GROUP BY e.vec_id),
+         |g AS (SELECT s.vec_id, s.bucket, e.embedding,
+         |    row_number() OVER (PARTITION BY s.bucket
+         |      ORDER BY s.vec_id) AS rn
+         |  FROM sigs s JOIN embeddings e USING (vec_id)),
+         |prs AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |      CAST(b.embedding AS DOUBLE[])), 6) AS c6,
+         |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |      CAST(b.embedding AS DOUBLE[])), 4) AS c4
+         |  FROM g a JOIN g b ON a.bucket = b.bucket
+         |    AND a.vec_id < b.vec_id
+         |  WHERE a.rn <= ${SemanticDedupStream.RepCap}),
+         |dups AS (SELECT ib AS vec_id, min(ia) AS kept, max(c4) AS mx
+         |  FROM prs WHERE c6 >= ${SemanticDedupStream.Tau} GROUP BY ib)
+         |SELECT g.vec_id, g.bucket,
+         |  CAST(d.kept IS NOT NULL AS INT) AS is_dup,
+         |  coalesce(d.kept, -1) AS dup_of,
+         |  coalesce(d.mx, 0.0) AS max_cos
+         |FROM g LEFT JOIN dups d USING (vec_id)
+         |ORDER BY g.vec_id""".stripMargin,
     // G15 batch arm: literal-window-string groups (D12's collision
     // certification), keep-first = rank 1 per group in (doc_id, pos)
     // order, per-doc count of the non-first occurrences
