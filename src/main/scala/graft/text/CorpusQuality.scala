@@ -348,6 +348,16 @@ object CorpusQuality {
     */
   private[text] def bpeLearn(spark: SparkSession, words0: DataFrame)
       : (Seq[(Int, String, Long)], DataFrame) = {
+    val (merges, stages) = bpeLearnStages(spark, words0)
+    (merges, stages.last)
+  }
+
+  /** [[bpeLearn]] with every intermediate kept: `stages(k-1)` is the
+    * word frame after k merge rounds — the per-budget dictionaries
+    * C43's vocab sweep scores without re-running the loop.
+    */
+  private[text] def bpeLearnStages(spark: SparkSession, words0: DataFrame)
+      : (Seq[(Int, String, Long)], Seq[DataFrame]) = {
     import spark.implicits._
     var words = words0
     val pairsOf = expr(
@@ -357,6 +367,7 @@ object CorpusQuality {
         |      element_at(split(seq, ' '), i + 1)))
         |  ELSE array() END""".stripMargin)
     val merges = Seq.newBuilder[(Int, String, Long)]
+    val stages = Seq.newBuilder[DataFrame]
     for (k <- 1 to BpeIters) {
       val top = words
         .select(col("freq"), explode(pairsOf).as("pr"))
@@ -378,8 +389,9 @@ object CorpusQuality {
       words = words.withColumn("seq", expr(
         s"trim(replace(replace(concat(' ', replace(seq, ' ', '  '), ' '), " +
           s"' $pat ', ' $sym '), '  ', ' '))"))
+      stages += words
     }
-    (merges.result(), words)
+    (merges.result(), stages.result())
   }
 
   /** C38 `bpe_encode` — APPLY the learned merge table to the corpus:
@@ -467,6 +479,56 @@ object CorpusQuality {
       .withColumn("chars_per_sym_bp",
         expr("n_chars * 10000 div n_symbols"))
       .orderBy(col("lang"))
+  }
+
+  /** C43 `bpe_vocab_sweep` — the vocab-capacity CURVE: C40's
+    * per-language fertility at EVERY merge budget 1..[[BpeIters]]
+    * (D17/D18's tuning-sweep pattern applied to the tokenizer — vocab
+    * size is the one knob a tokenizer turns, trading merge-table
+    * capacity against sequence length, and this table is what that
+    * decision reads: where each language's fertility curve flattens
+    * is where additional vocab stops paying for that language).
+    *
+    * ONE scoring pass: the corpus collapses once to the O(langs ×
+    * vocab) per-(lang, word) count frame — word/char masses are
+    * BUDGET-INDEPENDENT, only the symbol count moves — and each
+    * budget point is then a broadcast join of that frame against the
+    * loop's stage-k dictionary (O(vocab) rows each) + one rollup; the
+    * corpus is never re-touched per point, exactly D18's
+    * sufficient-statistic discipline. Ratios in exact floor-division
+    * basis points (the C26 rule). Oracle reuses the unrolled
+    * `bpeRoundOracle` chain with one fertility rollup per stage.
+    */
+  def bpeVocabSweep(spark: SparkSession, dir: String): DataFrame =
+    bpeVocabSweepDocs(spark, Tables(spark, dir, "documents"))
+
+  /** [[bpeVocabSweep]]'s chain on any (doc_id, text, lang) frame. */
+  private[text] def bpeVocabSweepDocs(spark: SparkSession,
+      docs: DataFrame): DataFrame = {
+    val (_, stages) = bpeLearnStages(spark, bpeWordsOf(docs))
+    val lw = docs
+      .select(col("lang"), explode(toks).as("w"))
+      .groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).as("n_w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perBudget = stages.zipWithIndex.map { case (dict, i) =>
+      lw.join(broadcast(dict.select(col("w"), col("seq"))), Seq("w"))
+        .withColumn("nsym", size(split(col("seq"), " ")).cast("long"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_w")).as("n_words"),
+          sum(col("n_w") * char_length(col("w")).cast("long"))
+            .as("n_chars"),
+          sum(col("n_w") * col("nsym")).as("n_symbols"))
+        .withColumn("n_merges", lit(i + 1))
+    }
+    perBudget.reduce(_.unionByName(_))
+      .withColumn("fertility_bp", expr("n_symbols * 10000 div n_words"))
+      .withColumn("chars_per_sym_bp",
+        expr("n_chars * 10000 div n_symbols"))
+      .select(col("n_merges"), col("lang"), col("n_words"),
+        col("n_chars"), col("n_symbols"), col("fertility_bp"),
+        col("chars_per_sym_bp"))
+      .orderBy(col("n_merges"), col("lang"))
   }
 
   val GrowthBuckets = 10 // prefix checkpoints for the growth curve
@@ -777,6 +839,7 @@ object CorpusQuality {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vocab_growth" -> (vocabGrowth _),
     "tokenize_fertility" -> (tokenizeFertility _),
+    "bpe_vocab_sweep" -> (bpeVocabSweep _),
     "corpus_novelty" -> (corpusNovelty _),
     "corpus_curriculum" -> (corpusCurriculum _),
     "corpus_dsir_select" -> (corpusDsirSelect _),
@@ -1041,6 +1104,38 @@ object CorpusQuality {
          |WINDOW wc AS (ORDER BY checkpoint
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |ORDER BY checkpoint""".stripMargin,
+    // bpe_vocab_sweep: the same unrolled merge chain, one per-language
+    // fertility rollup per merge budget off the (lang, word) counts
+    "bpe_vocab_sweep" ->
+      s"""WITH words AS (SELECT w, count(*) AS freq FROM (
+         |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+         |    FROM documents)
+         |  GROUP BY w),
+         |w0 AS (SELECT w, freq,
+         |    array_to_string([w[i] for i in range(1, len(w) + 1)], ' ')
+         |      AS seq
+         |  FROM words),
+         |${bpeRoundOracle("w0", "t1", "w1")},
+         |${bpeRoundOracle("w1", "t2", "w2")},
+         |${bpeRoundOracle("w2", "t3", "w3")},
+         |lw AS (SELECT lang, w, count(*) AS n_w FROM (
+         |    SELECT lang,
+         |      unnest(string_split_regex(trim(text), '\\s+')) AS w
+         |    FROM documents)
+         |  GROUP BY lang, w),
+         |r AS (${(1 to BpeIters).map(k =>
+           s"""SELECT $k AS n_merges, l.lang,
+              |    CAST(sum(l.n_w) AS BIGINT) AS n_words,
+              |    CAST(sum(l.n_w * length(l.w)) AS BIGINT) AS n_chars,
+              |    CAST(sum(l.n_w * len(string_split(d.seq, ' ')))
+              |      AS BIGINT) AS n_symbols
+              |  FROM lw l JOIN w$k d ON l.w = d.w
+              |  GROUP BY l.lang""".stripMargin)
+           .mkString("\n  UNION ALL\n")})
+         |SELECT n_merges, lang, n_words, n_chars, n_symbols,
+         |  n_symbols * 10000 // n_words AS fertility_bp,
+         |  n_chars * 10000 // n_symbols AS chars_per_sym_bp
+         |FROM r ORDER BY n_merges, lang""".stripMargin,
     // tokenize_fertility: the same 3 unrolled merge rounds and
     // dictionary join as bpe_encode, rolled up per language in exact
     // floor-division basis points

@@ -199,6 +199,53 @@ class CorpusQualitySpec extends SparkSpec {
       r.getAs[Long]("n_symbols") < r.getAs[Long]("n_chars")))
   }
 
+  test("bpe_vocab_sweep: per-budget fertility is monotone non-" +
+      "increasing, budget-3 row equals tokenize_fertility, and a " +
+      "planted merge-hostile language's curve stays flat") {
+    import spark.implicits._
+    // lang 'aa' is merge-friendly (one repeated word — every merge
+    // lands in it); 'zz' shares NO pairs with the winners, so its
+    // fertility must not move across budgets
+    val docs = Seq(
+      (0L, "aaab aaab aaab aaab", "aa"),
+      (1L, "aaab aaab cab", "aa"),
+      (2L, "xy yx xy", "zz")
+    ).toDF("doc_id", "text", "lang")
+    val out = CorpusQuality.bpeVocabSweepDocs(spark, docs).collect()
+      .map(r => (r.getAs[Int]("n_merges"), r.getAs[String]("lang")) -> r)
+      .toMap
+    assert(out.size == CorpusQuality.BpeIters * 2)
+    // word/char masses are budget-independent
+    for (lang <- Seq("aa", "zz"); k <- 2 to CorpusQuality.BpeIters) {
+      assert(out((k, lang)).getAs[Long]("n_words") ==
+        out((1, lang)).getAs[Long]("n_words"))
+      assert(out((k, lang)).getAs[Long]("n_chars") ==
+        out((1, lang)).getAs[Long]("n_chars"))
+    }
+    // fertility never increases with budget; strictly drops for 'aa'
+    for (lang <- Seq("aa", "zz"); k <- 2 to CorpusQuality.BpeIters)
+      assert(out((k, lang)).getAs[Long]("fertility_bp") <=
+        out((k - 1, lang)).getAs[Long]("fertility_bp"))
+    assert(out((CorpusQuality.BpeIters, "aa")).getAs[Long]("fertility_bp")
+      < out((1, "aa")).getAs[Long]("fertility_bp"))
+    // merge-hostile 'zz': no merge ever touches it
+    for (k <- 1 to CorpusQuality.BpeIters)
+      assert(out((k, "zz")).getAs[Long]("n_symbols") ==
+        out((k, "zz")).getAs[Long]("n_chars"))
+    // the last sweep point IS tokenize_fertility's rollup
+    val fert = CorpusQuality.tokenizeFertilityDocs(spark, docs).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    for (lang <- Seq("aa", "zz")) {
+      val s = out((CorpusQuality.BpeIters, lang))
+      assert(s.getAs[Long]("n_symbols") ==
+        fert(lang).getAs[Long]("n_symbols"))
+      assert(s.getAs[Long]("fertility_bp") ==
+        fert(lang).getAs[Long]("fertility_bp"))
+      assert(s.getAs[Long]("chars_per_sym_bp") ==
+        fert(lang).getAs[Long]("chars_per_sym_bp"))
+    }
+  }
+
   test("text_bigram_lm: transitions = tokens−1, bits positive/bounded") {
     val lm = CorpusQuality.textBigramLm(spark, sfDir)
     val toks = graft.Tables(spark, sfDir, "documents")
