@@ -49,7 +49,7 @@ object Multimodal {
       math.max(1, math.round(h * scale).toInt))
   }
 
-  private val PngSig =
+  private[multimodal] val PngSig =
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
   /** Marker-walk bound for [[decodeHeader]]'s JPEG arm: a file whose
@@ -265,14 +265,20 @@ object Multimodal {
   /** F8 `mm_phash_pairs` — perceptual-hash near-dup PAIR mining over
     * binary payloads: the scored-pair tier above F4's coarse bucket
     * groups and the media analogue of D4's SimHash banding. Per
-    * payload, the stub pHash (partition-parallel map — a real codec
-    * slots into the same pass); then 4×16-bit LSH bands generate
-    * candidates keyed on (band, value) — the shuffle carries bounded
-    * band buckets, never all pairs — and the exact 64-bit Hamming
-    * verify (codegen xor + bit_count) keeps pairs ≤
-    * [[PhashMaxHamming]]. Pigeonhole guarantee: any pair closer than
-    * the band count (Hamming < 4) shares an untouched band and is
-    * ALWAYS found; the spec pins that plus planted exact duplicates.
+    * payload, [[PngCodec.phashOf]] (partition-parallel map): the REAL
+    * 32×32-luma DCT pHash when the bytes decode as a PNG, the
+    * byte-arithmetic stub otherwise — on the registered query's
+    * documents-derived payloads the PNG arm is unreachable (0x89 is
+    * no UTF-8 lead byte, decodeHeader's oracle-reachability note), so
+    * the DuckDB oracle replays the stub arm byte-for-byte unchanged
+    * while PngCodecSpec pins the real arm on handcrafted PNGs. Then
+    * 4×16-bit LSH bands generate candidates keyed on (band, value) —
+    * the shuffle carries bounded band buckets, never all pairs — and
+    * the exact 64-bit Hamming verify (codegen xor + bit_count) keeps
+    * pairs ≤ [[PhashMaxHamming]]. Pigeonhole guarantee: any pair
+    * closer than the band count (Hamming < 4) shares an untouched
+    * band and is ALWAYS found; the spec pins that plus planted exact
+    * duplicates.
     */
   def mmPhashPairs(spark: SparkSession, dir: String): DataFrame =
     phashPairs(Tables(spark, dir, "documents")
@@ -283,7 +289,7 @@ object Multimodal {
     import docs.sparkSession.implicits._
     val sig = docs.select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
-      .map { case (id, b) => MmHash(id, phashStub(b)) }
+      .map { case (id, b) => MmHash(id, PngCodec.phashOf(b)) }
       .toDF()
     val chunks = sig.select(col("doc_id"), col("ph"),
       posexplode(expr(
