@@ -145,7 +145,10 @@ object Bench {
     val qsShort = head.sortBy(_._1).map { case (k, v, _, _, _) =>
       s"\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val otherSec = rest.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qsShort,"n_queries":${results.size},"n_errors":$nErrors,"other_sec":${f3(otherSec)},"sf":"$sfDir"}""")
+    // "queries_note" names the truncation IN the artifact so a reader
+    // of BENCH_r{N}.json alone doesn't mistake the 24-entry map for
+    // the whole run (r9 verdict's detour)
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qsShort,"queries_note":"slowest 24 of ${results.size}; full map in BENCH_DETAIL.json","n_queries":${results.size},"n_errors":$nErrors,"other_sec":${f3(otherSec)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -33,6 +33,7 @@ object SparkEntry {
       ann.MatryoshkaEval.queries ++
       ann.EmbPca.queries ++
       ann.EmbDrift.queries ++
+      ann.IndexErasure.queries ++
       ann.Hybrid.queries ++
       multimodal.Multimodal.queries ++
       streaming.Streaming.queries ++
@@ -64,6 +65,7 @@ object SparkEntry {
       ann.MatryoshkaEval.oracle ++
       ann.EmbPca.oracle ++
       ann.EmbDrift.oracle ++
+      ann.IndexErasure.oracle ++
       ann.Hybrid.oracle ++
       multimodal.Multimodal.oracle ++
       streaming.Streaming.oracle ++
