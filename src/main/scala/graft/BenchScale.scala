@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** 10× scale probe (round 10; r9 verdict item 3): every 100× claim in
@@ -11,14 +11,34 @@ import org.apache.spark.sql.functions._
   * host carry ~2× co-tenant noise; the metrics don't).
   *
   * No sf1 testdata ships, so the probe derives one deterministically
-  * from sf0.1 ([[generate]]): [[Factor]] copies with key-shifted ids —
-  * documents and part VERBATIM (within-copy dup/block structure is
-  * replicated exactly, and every row additionally gains Factor−1
-  * cross-copy exact duplicates, so dup-group and block fanout run
-  * STRICTLY HARSHER than a true sf1 draw — a conservative stress for
-  * the dedup/blocking family), embeddings with one deterministic
-  * per-copy coordinate nudge (+k/100 at dim vec_id%64) so the ANN
-  * probes don't degenerate into pure exact-duplicate retrieval.
+  * from sf0.1 ([[generate]]), in TWO variants because replication
+  * changes different operators' regimes differently (the first probe
+  * run measured exactly this — see SURVEY §8m):
+  *
+  *  - VERBATIM ([[Factor]] key-shifted copies, text/name bytes
+  *    unchanged): per-row statistics are exactly sf0.1's, so
+  *    selectivity-dependent pipelines (corpus_pipeline's stopword
+  *    gate) scale purely in volume. But every row gains Factor−1
+  *    exact cross-copy duplicates — dup GROUPS grow ×Factor and
+  *    pair-mining families go quadratic in it, which models a
+  *    boilerplate-flooded crawl, not a grown one.
+  *  - ISO (each copy's tokens suffixed `_k`, part names too): copies
+  *    share NO tokens, so the 10× corpus is Factor independent
+  *    sf0.1-shaped corpora — dup/block density per volume is
+  *    preserved, the honest model of "10× more of the same data" for
+  *    the dedup/blocking family. (Token stats shift, so the stopword
+  *    gate would distort — hence two variants, each query probing on
+  *    the variant that preserves ITS regime.)
+  *
+  * Embeddings replicate with a deterministic per-copy coordinate
+  * nudge (+k/100 at dim vec_id%64) in both variants. For the ANN
+  * families the fixed [[graft.ann.Ann.TrainCap]] means a 10× corpus
+  * packs 10× occupancy into the SAME ~8 cells — within-cell work is
+  * quadratic in that regime, which is precisely why the production
+  * contract scales the cap with the corpus; run this main a second
+  * time with `-Dgraft.trainCap=2560 SPARK_GRAFT_ONLY=emb_knn_graph_ivf,
+  * ann_ivfpq_indexed SPARK_GRAFT_OUT=BENCH_SF1_CAP.json` to measure
+  * the cap-scaled arm (cells ∝ corpus, per-cell occupancy flat).
   *
   * What to read from BENCH_SF1.json: shuffle/input bytes and task
   * counts scaling ≈ linearly in Factor (super-linear growth names a
@@ -31,36 +51,63 @@ object BenchScale {
   val Factor = 10
   val Shift = 10000000L
 
-  /** The scale-critical families named by the r9 verdict. */
-  val Probe: Seq[String] = Seq(
-    "corpus_pipeline", "dedup_minhash_lsh", "dedup_substring",
-    "dedup_substring_pairs", "link_blocking", "emb_knn_graph_ivf",
-    "ann_ivfpq_indexed")
+  /** The scale-critical families named by the r9 verdict, each with
+    * the dataset variant that preserves its regime at 10×.
+    */
+  val Probe: Seq[(String, String)] = Seq(
+    "corpus_pipeline" -> "verbatim",
+    "dedup_minhash_lsh" -> "iso",
+    "dedup_substring" -> "iso",
+    "dedup_substring_pairs" -> "iso",
+    "link_blocking" -> "iso",
+    "emb_knn_graph_ivf" -> "verbatim",
+    "ann_ivfpq_indexed" -> "verbatim")
 
-  /** Derive the 10× dataset (idempotent via a marker file). */
+  private def replicate(df: DataFrame, key: String): DataFrame =
+    (0 until Factor).map(k =>
+      df.withColumn(key, col(key) + lit(k * Shift))
+        .withColumn("_copy", lit(k)))
+      .reduce(_.unionByName(_))
+
+  /** Derive both 10× variants (idempotent via a marker file). */
   def generate(spark: SparkSession, base: String, out: String): Unit = {
-    val marker = java.nio.file.Paths.get(out, "_GEN_OK")
+    val marker = java.nio.file.Paths.get(s"$out-verbatim", "_GEN_OK")
     if (java.nio.file.Files.exists(marker)) return
-    val docs = spark.read.parquet(s"$base/documents.parquet")
-    (0 until Factor).map(k =>
-      docs.withColumn("doc_id", col("doc_id") + lit(k * Shift)))
-      .reduce(_.unionByName(_))
-      .write.mode("overwrite").parquet(s"$out/documents.parquet")
-    val part = spark.read.parquet(s"$base/part.parquet")
-    (0 until Factor).map(k =>
-      part.withColumn("p_partkey", col("p_partkey") + lit(k * Shift)))
-      .reduce(_.unionByName(_))
-      .write.mode("overwrite").parquet(s"$out/part.parquet")
-    val emb = spark.read.parquet(s"$base/embeddings.parquet")
-    (0 until Factor).map { k =>
-      val shifted = emb.withColumn("vec_id", col("vec_id") + lit(k * Shift))
-      if (k == 0) shifted
-      else shifted.withColumn("embedding", expr(
-        s"""transform(embedding, (x, i) ->
-           |  x + IF(i = int(vec_id % 64),
-           |    cast(${k}d / 100 as float), 0f))""".stripMargin))
-    }.reduce(_.unionByName(_))
-      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    val docs = replicate(
+      spark.read.parquet(s"$base/documents.parquet"), "doc_id")
+    docs.drop("_copy")
+      .write.mode("overwrite").parquet(s"$out-verbatim/documents.parquet")
+    // iso: suffix every token with the copy tag — copies share no
+    // vocabulary, so dup/block structure is Factor independent copies
+    // of sf0.1's, not Factor-fold groups
+    val isoDocs = docs.withColumn("text",
+      when(col("_copy") === 0, col("text"))
+        .otherwise(expr(
+          """array_join(transform(split(text, ' '),
+            |  t -> concat(t, '_', cast(_copy as string))), ' ')""".stripMargin)))
+      .drop("_copy")
+    isoDocs.write.mode("overwrite").parquet(s"$out-iso/documents.parquet")
+    val part = replicate(
+      spark.read.parquet(s"$base/part.parquet"), "p_partkey")
+    part.drop("_copy")
+      .write.mode("overwrite").parquet(s"$out-verbatim/part.parquet")
+    part.withColumn("p_name",
+      when(col("_copy") === 0, col("p_name"))
+        .otherwise(expr(
+          """array_join(transform(split(p_name, ' '),
+            |  t -> concat(t, '_', cast(_copy as string))), ' ')""".stripMargin)))
+      .drop("_copy")
+      .write.mode("overwrite").parquet(s"$out-iso/part.parquet")
+    val emb = replicate(
+      spark.read.parquet(s"$base/embeddings.parquet"), "vec_id")
+      .withColumn("embedding", expr(
+        """transform(embedding, (x, i) ->
+          |  x + IF(_copy > 0 AND i = int(vec_id % 64),
+          |    cast(_copy as float) / 100f, 0f))""".stripMargin))
+      .drop("_copy")
+      .localCheckpoint()
+    emb.write.mode("overwrite").parquet(s"$out-verbatim/embeddings.parquet")
+    emb.write.mode("overwrite").parquet(s"$out-iso/embeddings.parquet")
     java.nio.file.Files.createFile(marker)
   }
 
@@ -68,7 +115,10 @@ object BenchScale {
     val base =
       sys.env.getOrElse("SPARK_GRAFT_BASE_DIR", "/root/testdata/sf0.1")
     val out = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_OUT", "BENCH_SF1.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -90,23 +140,26 @@ object BenchScale {
           metrics.drainStages(spark.sparkContext))
       } finally spark.catalog.clearCache()
     }
-    once(Probe.head, base) // JVM/codegen warmup, not billed
+    val selected = Probe.filter(p => only.forall(_.contains(p._1)))
+    once(selected.head._1, base) // JVM/codegen warmup, not billed
     def f3(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
-    val rows = Probe.map { name =>
+    val rows = selected.map { case (name, variant) =>
       val (bSec, bSnap, _) = once(name, base)
-      val (sSec, sSnap, sStages) = once(name, out)
-      System.err.println(s"[scale] $name base=${f3(bSec)}s sf1=${f3(sSec)}s")
-      s"""\"$name\":{"base_sec":${f3(bSec)},"sf1_sec":${f3(sSec)},""" +
-        s""""base_metrics":${bSnap.json},"sf1_metrics":${sSnap.json},""" +
+      val (sSec, sSnap, sStages) = once(name, s"$out-$variant")
+      System.err.println(
+        s"[scale] $name($variant) base=${f3(bSec)}s sf1=${f3(sSec)}s")
+      s"""\"$name\":{"variant":"$variant","base_sec":${f3(bSec)},""" +
+        s""""sf1_sec":${f3(sSec)},"base_metrics":${bSnap.json},""" +
+        s""""sf1_metrics":${sSnap.json},""" +
         s""""sf1_stages":${sStages.map(_.json).mkString("[", ",", "]")}}"""
     }
     val json =
       s"""{"metric":"sf1_probe","factor":$Factor,"cpus":$cpus,""" +
-        s""""base":"$base","sf1_dir":"$out","queries":${
-          rows.mkString("{", ",", "}")}}"""
+        s""""train_cap":${graft.ann.Ann.TrainCap},"base":"$base",""" +
+        s""""sf1_dir":"$out","queries":${rows.mkString("{", ",", "}")}}"""
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_SF1.json"), json + "\n")
+      java.nio.file.Paths.get(outFile), json + "\n")
     catch { case _: Throwable => () }
     println(json)
     spark.stop()

@@ -117,7 +117,14 @@ object Ann {
     * is DuckDB-verified) at every test SF; on a real corpus this knob
     * sits around 10⁵ — the mechanics are identical.
     */
-  val TrainCap = 256L
+  /** Overridable via `-Dgraft.trainCap=N` for scale probes ONLY (the
+    * BENCH_SF1 cap-scaling arm demonstrates cells ∝ corpus keeping
+    * per-cell occupancy flat); the driver/gate never sets it, so every
+    * oracled run uses the 256 default — the oracle strings interpolate
+    * whatever this resolves to at class init, so a mismatched override
+    * would fail the gate loudly, not silently.
+    */
+  val TrainCap: Long = java.lang.Long.getLong("graft.trainCap", 256L)
 
   /** Deterministic 16-bit uniform draw per vector — first 4 hex digits
     * of md5(vec_id), the same no-RNG-state sampling contract as the
