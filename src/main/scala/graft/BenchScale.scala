@@ -102,8 +102,8 @@ object BenchScale {
       spark.read.parquet(s"$base/embeddings.parquet"), "vec_id")
       .withColumn("embedding", expr(
         """transform(embedding, (x, i) ->
-          |  x + IF(_copy > 0 AND i = int(vec_id % 64),
-          |    cast(_copy as float) / 100f, 0f))""".stripMargin))
+          |  cast(x + IF(_copy > 0 AND i = int(vec_id % 64),
+          |    cast(_copy as double) / 100, 0d) as float))""".stripMargin))
       .drop("_copy")
       .localCheckpoint()
     emb.write.mode("overwrite").parquet(s"$out-verbatim/embeddings.parquet")
@@ -117,11 +117,16 @@ object BenchScale {
     val out = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_OUT", "BENCH_SF1.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // a real cluster scales shuffle partitions with the data, keeping
+    // PER-TASK state flat; this knob lets the probe separate "plan
+    // scales superlinearly" from "per-task state grew because the
+    // partition count stayed fixed while the data 10×'d"
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
