@@ -71,6 +71,40 @@ class IndexErasureSpec extends SparkSpec {
       "no erased vector may surface in results")
   }
 
+  test("full index lifecycle: build -> append -> erase a cohort " +
+      "spanning base AND appended files -> compact; the erased set " +
+      "stays erased and retrieval equals the survivor rebuild") {
+    import spark.implicits._
+    val rootA = scratch("life"); val rootB = scratch("life-ref")
+    val all = graft.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // build on one slice, append the rest (E30's daily-append shape)
+    val base = all.filter(col("vec_id") % 3 =!= 0)
+    val delta = all.filter(col("vec_id") % 3 === 0)
+    IvfIndex.writeIndex(spark, base,
+      Ann.refinedCentroids(spark, all), rootA)
+    IvfIndex.appendToIndex(spark, rootA, delta)
+    // cohort spans both the base files and the append files
+    val victims = IndexErasure.victimsOf(all).localCheckpoint()
+    val vict = victims.collect().map(_.getLong(0)).toSet
+    assert(vict.exists(_ % 3 == 0) && vict.exists(_ % 3 != 0),
+      "cohort must span base and appended vectors for this to bite")
+    IndexErasure.eraseFromIndex(spark, rootA, victims)
+    IvfIndex.maintain(spark, rootA) // compaction must not resurrect
+    val left = spark.read.parquet(IvfIndex.vectorsDir(rootA))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(left.intersect(vict).isEmpty,
+      "compaction after erasure must not resurrect victims")
+    assert(left.size.toLong == all.count() - vict.size)
+    // retrieval still equals a survivor rebuild under the SAME sidecar
+    val cents = spark.read.parquet(IvfIndex.centroidsDir(rootA))
+    IvfIndex.writeIndex(spark,
+      all.join(victims, Seq("vec_id"), "left_anti"), cents, rootB)
+    val q = Ann.queriesDf(spark, sfDir)
+    assert(IvfIndex.query(spark, rootA, q).collect().toSeq ==
+      IvfIndex.query(spark, rootB, q).collect().toSeq)
+  }
+
   test("untouched inverted lists keep their exact bytes; a fully-" +
       "erased cell's directory is dropped") {
     import spark.implicits._

@@ -150,6 +150,17 @@ class PngCodecSpec extends SparkSpec {
     assert(ham(hb, PngCodec.phashOf(other)) > Multimodal.PhashMaxHamming)
   }
 
+  test("decodeLuma dimensions agree with decodeHeader's IHDR parse " +
+      "on every handcrafted PNG (the two tiers never disagree)") {
+    for ((w, h) <- Seq((48, 40), (16, 16), (33, 7), (1, 1))) {
+      val png = encodePng(w, h, scene, y => y % 5)
+      val hdr = Multimodal.decodeHeader(png)
+      val px = PngCodec.decodeLuma(png)
+      assert(hdr.contains(("png", w, h)))
+      assert(px.exists(l => l.width == w && l.height == h))
+    }
+  }
+
   test("phashPairs end-to-end: PNG re-encodes pair up through the " +
       "banded candidate join at hamming 0") {
     import spark.implicits._
