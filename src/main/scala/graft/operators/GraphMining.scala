@@ -843,14 +843,14 @@ object GraphMining {
     * sums first, drop already-visited).
     */
   private def bcForwardOracle(k: Int): String =
-    s"""sf$k AS (SELECT seed, node, sigma FROM (
+    s"""sf$k AS MATERIALIZED (SELECT seed, node, sigma FROM (
        |    SELECT f.seed, s.nbr AS node,
        |      CAST(sum(f.sigma) AS BIGINT) AS sigma
        |    FROM sf${k - 1} f JOIN sym s ON s.node = f.node
        |    GROUP BY f.seed, s.nbr) g
        |  WHERE NOT EXISTS (SELECT 1 FROM sv${k - 1} v
        |    WHERE v.seed = g.seed AND v.node = g.node)),
-       |sv$k AS (SELECT * FROM sv${k - 1}
+       |sv$k AS MATERIALIZED (SELECT * FROM sv${k - 1}
        |  UNION ALL SELECT seed, node, $k, sigma FROM sf$k)""".stripMargin
 
   /** One unrolled BACKWARD Brandes round: dist-k nodes accumulate
@@ -858,14 +858,14 @@ object GraphMining {
     * successors (integer sums — order-independent cross-engine).
     */
   private def bcBackwardOracle(k: Int): String =
-    s"""bt$k AS (SELECT v.seed, v.node,
+    s"""bt$k AS MATERIALIZED (SELECT v.seed, v.node,
        |    CAST(sum((v.sigma * ($BcScale + w.delta)) // w.sigma)
        |      AS BIGINT) AS delta
        |  FROM (SELECT * FROM sv$BfsRounds WHERE dist = $k) v
        |  JOIN sym s ON s.node = v.node
        |  JOIN bd${k + 1} w ON w.seed = v.seed AND w.node = s.nbr
        |  GROUP BY v.seed, v.node),
-       |bd$k AS (SELECT v.seed, v.node, v.sigma,
+       |bd$k AS MATERIALIZED (SELECT v.seed, v.node, v.sigma,
        |    coalesce(t.delta, 0) AS delta
        |  FROM (SELECT * FROM sv$BfsRounds WHERE dist = $k) v
        |  LEFT JOIN bt$k t ON t.seed = v.seed AND t.node = v.node)"""
@@ -875,13 +875,18 @@ object GraphMining {
     // graph_betweenness: shared edge/degree/seed prefix, unrolled
     // per-round CTEs BOTH directions (forward σ, backward δ), O(nodes)
     // rollup excluding each source's own row
+    // MATERIALIZED hints throughout: DuckDB inlines single-branch
+    // CTEs per reference, and this oracle references the edge build /
+    // visited frame ~12 times — inlined, the 12M-row co-purchase pair
+    // join re-evaluates each time and spilled >80 GB of temp at sf0.1
+    // before the hints pinned every frame to one evaluation
     "graph_betweenness" ->
       s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
          |    FROM lineitem),
-         |e AS (SELECT a.p AS u, b.p AS v
+         |e AS MATERIALIZED (SELECT a.p AS u, b.p AS v
          |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
          |  GROUP BY a.p, b.p HAVING count(*) >= $EdgeMinSupport),
-         |sym AS (SELECT u AS node, v AS nbr FROM e
+         |sym AS MATERIALIZED (SELECT u AS node, v AS nbr FROM e
          |  UNION ALL SELECT v, u FROM e),
          |deg AS (SELECT node, count(*) AS d FROM sym GROUP BY 1),
          |seeds AS (SELECT node FROM (SELECT node,
@@ -892,7 +897,7 @@ object GraphMining {
          |sf0 AS (SELECT node AS seed, node,
          |    CAST(1 AS BIGINT) AS sigma FROM seeds),
          |${(1 to BfsRounds).map(bcForwardOracle).mkString(",\n")},
-         |bd$BfsRounds AS (SELECT seed, node, sigma,
+         |bd$BfsRounds AS MATERIALIZED (SELECT seed, node, sigma,
          |    CAST(0 AS BIGINT) AS delta
          |  FROM sv$BfsRounds WHERE dist = $BfsRounds),
          |${((BfsRounds - 1) to 0 by -1).map(bcBackwardOracle)

@@ -757,7 +757,11 @@ object CorpusQuality {
       .groupBy(col("doc_id"))
       .agg(first(col("lang")).as("lang"),
         count(lit(1)).as("n_tokens"),
-        round(sum(col("llr")), 4).as("dsir_logw"))
+        // + 0.0 canonicalizes IEEE signed zero: a float llr sum within
+        // 1e-4 of zero can round to -0.0 on one engine and +0.0 on the
+        // other (summation order flips the sign bit of a ~1e-9 value),
+        // and the gate's repr-compare distinguishes them (r10, sf0.1)
+        (round(sum(col("llr")), 4) + lit(0.0)).as("dsir_logw"))
       .orderBy(col("doc_id"))
   }
 
@@ -899,7 +903,7 @@ object CorpusQuality {
        |  FROM s CROSS JOIN tot),
        |w AS (SELECT b.doc_id, any_value(b.lang) AS lang,
        |    CAST(count(*) AS BIGINT) AS n_tokens,
-       |    round(sum(r.llr), 4) AS dsir_logw
+       |    round(sum(r.llr), 4) + 0.0 AS dsir_logw
        |  FROM b JOIN r USING (bkt)
        |  GROUP BY b.doc_id)""".stripMargin
 

@@ -68,7 +68,11 @@ for name in sorted(oracle):
                     if math.isnan(v):
                         out.append("NaN")
                     else:
-                        out.append(repr(round(v, 9)))
+                        # + 0.0 canonicalizes IEEE signed zero: engines
+                        # legitimately disagree on the sign bit of a
+                        # rounded ~0 float (summation order), and repr
+                        # would turn that into a spurious value diff
+                        out.append(repr(round(v, 9) + 0.0))
                 else:
                     out.append(str(v))
             rows.append(tuple(out))
