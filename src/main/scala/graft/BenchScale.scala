@@ -31,14 +31,16 @@ import org.apache.spark.sql.functions._
   *    the variant that preserves ITS regime.)
   *
   * Embeddings replicate with a deterministic per-copy coordinate
-  * nudge (+k/100 at dim vec_id%64) in both variants. For the ANN
-  * families the fixed [[graft.ann.Ann.TrainCap]] means a 10× corpus
-  * packs 10× occupancy into the SAME ~8 cells — within-cell work is
-  * quadratic in that regime, which is precisely why the production
-  * contract scales the cap with the corpus; run this main a second
-  * time with `-Dgraft.trainCap=2560 SPARK_GRAFT_ONLY=emb_knn_graph_ivf,
-  * ann_ivfpq_indexed SPARK_GRAFT_OUT=BENCH_SF1_CAP.json` to measure
-  * the cap-scaled arm (cells ∝ corpus, per-cell occupancy flat).
+  * nudge (+k/100 at dim vec_id%64) in both variants. The ANN training
+  * cap SELF-SCALES since round 11 ([[graft.ann.Ann.trainCapFor]],
+  * clamp(8·⌈√n⌉, 256, 2²⁰)) — the round-10 run of this probe measured
+  * exactly why: under the then-fixed cap=256 a 10× corpus packed 10×
+  * occupancy into the SAME ~8 cells (within-cell work quadratic in
+  * occupancy, emb_knn_graph_ivf 135.4 s), and the manual
+  * `-Dgraft.trainCap=2560` rerun (BENCH_SF1_CAP.json) dropped it to
+  * 12.0 s. The derivation bakes that measurement in; the system
+  * property remains ONLY as a probe-time pin for A/B runs like that
+  * one.
   *
   * What to read from BENCH_SF1.json: shuffle/input bytes and task
   * counts scaling ≈ linearly in Factor (super-linear growth names a
@@ -80,10 +82,15 @@ object BenchScale {
     // iso: suffix every token with the copy tag — copies share no
     // vocabulary, so dup/block structure is Factor independent copies
     // of sf0.1's, not Factor-fold groups
+    // tokenize with the framework's \s+ rule (TextOps.tokens): a plain
+    // ' ' split would turn runs of whitespace into empty tokens that
+    // become bare `_k` tokens after suffixing, distorting the iso
+    // variant's token statistics vs "Factor independent sf0.1 corpora"
     val isoDocs = docs.withColumn("text",
       when(col("_copy") === 0, col("text"))
         .otherwise(expr(
-          """array_join(transform(split(text, ' '),
+          """array_join(transform(
+            |  filter(split(text, '\\s+'), t -> t != ''),
             |  t -> concat(t, '_', cast(_copy as string))), ' ')""".stripMargin)))
       .drop("_copy")
     isoDocs.write.mode("overwrite").parquet(s"$out-iso/documents.parquet")
@@ -94,7 +101,8 @@ object BenchScale {
     part.withColumn("p_name",
       when(col("_copy") === 0, col("p_name"))
         .otherwise(expr(
-          """array_join(transform(split(p_name, ' '),
+          """array_join(transform(
+            |  filter(split(p_name, '\\s+'), t -> t != ''),
             |  t -> concat(t, '_', cast(_copy as string))), ' ')""".stripMargin)))
       .drop("_copy")
       .write.mode("overwrite").parquet(s"$out-iso/part.parquet")
@@ -131,6 +139,9 @@ object BenchScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val selected = Probe.filter(p => only.forall(_.contains(p._1)))
+    require(selected.nonEmpty, s"SPARK_GRAFT_ONLY matched no probe " +
+      s"queries; known: ${Probe.map(_._1).mkString(",")}")
     generate(spark, base, out)
     val metrics = BenchMetrics.install(spark.sparkContext)
     def once(name: String, dir: String)
@@ -145,7 +156,6 @@ object BenchScale {
           metrics.drainStages(spark.sparkContext))
       } finally spark.catalog.clearCache()
     }
-    val selected = Probe.filter(p => only.forall(_.contains(p._1)))
     once(selected.head._1, base) // JVM/codegen warmup, not billed
     def f3(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
@@ -161,7 +171,8 @@ object BenchScale {
     }
     val json =
       s"""{"metric":"sf1_probe","factor":$Factor,"cpus":$cpus,""" +
-        s""""train_cap":${graft.ann.Ann.TrainCap},"base":"$base",""" +
+        s""""train_cap_override":${graft.ann.Ann.TrainCapOverride
+          .map(_.toString).getOrElse("null")},"base":"$base",""" +
         s""""sf1_dir":"$out","queries":${rows.mkString("{", ",", "}")}}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outFile), json + "\n")

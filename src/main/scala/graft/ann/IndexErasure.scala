@@ -90,8 +90,11 @@ object IndexErasure {
       }
       // dynamic overwrite can't replace a partition with NOTHING:
       // fully-erased cells drop their inverted list explicitly
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
+      // resolve the filesystem FROM the index root (not the default
+      // fs): with a local default and an s3a/hdfs root, a default-fs
+      // delete would silently no-op and leave erased vectors readable
+      val fs = new org.apache.hadoop.fs.Path(IvfIndex.vectorsDir(root))
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
       touched.collect { case (cell, 0L) => cell }.foreach { cell =>
         fs.delete(new org.apache.hadoop.fs.Path(
           s"${IvfIndex.vectorsDir(root)}/cell_id=$cell"), true)

@@ -159,8 +159,12 @@ object PngCodec {
   /** The published pHash construction over decoded luma: box-average
     * to 32×32, 2-D DCT-II, keep the low-frequency 8×8 block, bit u·8+v
     * set iff its coefficient exceeds the median of the 63 non-DC
-    * coefficients (DC bit stays 0, so the code is non-negative like
-    * the stub's 63-bit pack).
+    * coefficients. Bits 0 (DC) AND 63 (the highest-frequency corner,
+    * the least perceptually informative of the 64) are held at 0, so
+    * the code is a genuine non-negative 62-entropy-bit Long — the same
+    * signed-arithmetic-safe contract as the stub's 63-bit pack, which
+    * keeps an exact integer replay (banding, modular bucketing) open
+    * to any engine without unsigned types.
     */
   def phash(l: Luma): Long = {
     val N = 32
@@ -225,7 +229,7 @@ object PngCodec {
     val med = ac(31) // 63 non-DC coefficients, exact midpoint
     var hsh = 0L
     var b = 1
-    while (b < K * K) {
+    while (b < K * K - 1) { // bit 63 stays 0: keeps the Long sign bit clear
       if (coef(b) > med) hsh |= 1L << b
       b += 1
     }
