@@ -113,18 +113,59 @@ object Ann {
     * refinement aggregates, and the driver-collected centroid set are
     * all ≤ cap-sized regardless of corpus size — without it the E3
     * coarse quantizer's n/31 centroid set grows with the corpus and
-    * stops being broadcastable. 256 here so the sample path bites (and
-    * is DuckDB-verified) at every test SF; on a real corpus this knob
-    * sits around 10⁵ — the mechanics are identical.
+    * stops being broadcastable.
+    *
+    * SELF-SCALING (round 11; the r10 10× probe proved cap ∝ corpus is
+    * load-bearing — emb_knn_graph_ivf 135.4 → 12.0 s at 10× once the
+    * cap scaled, because a fixed cap packs a growing corpus into the
+    * SAME cell count and within-cell work is quadratic in occupancy):
+    * cap(n) = clamp(8·√n, [[TrainCapFloor]], [[TrainCapCeil]]) — the
+    * classic IVF √n rule expressed through [[IvfSeedMod]]: cells ≈
+    * cap/31 ≈ 0.26·√n, so per-cell occupancy AND the probe fraction
+    * both follow the standard √n envelope instead of one of them
+    * silently going linear. The floor keeps every test SF in the
+    * gate-verified regime it has been in since round 7 (n = 500 →
+    * 256); the ceiling (2²⁰) bounds the driver-collected sample at
+    * ~270 MB of 64-float vectors and only binds past ~1.7·10¹⁰
+    * vectors. At a real 10⁹-vector corpus this derives ≈ 2.5·10⁵ —
+    * the "~10⁵" the doc used to tell the operator to set by hand, now
+    * computed from the one count the training path already takes.
+    *
+    * The sampling rate is [[ThreshFn]] (the clamp in RATE form, every
+    * branch strictly decreasing in n — see its scaladoc for why that
+    * monotonicity is load-bearing) and is replayed inside the DuckDB
+    * oracles as the same least/greatest/sqrt chain over count(*)
+    * ([[threshSql]]) — bit-equal cross-engine at any n.
     */
-  /** Overridable via `-Dgraft.trainCap=N` for scale probes ONLY (the
-    * BENCH_SF1 cap-scaling arm demonstrates cells ∝ corpus keeping
-    * per-cell occupancy flat); the driver/gate never sets it, so every
-    * oracled run uses the 256 default — the oracle strings interpolate
+  val TrainCapFloor = 256L
+  val TrainCapCeil: Long = 1L << 20
+
+  /** The pure derivation — exposed for the spec that pins it. NOTE:
+    * this integer cap is the REPORTING/bounding form (sidecar-size
+    * bounds in the specs, sizing discussion in the docs); the sampling
+    * rate itself is [[ThreshFn]]'s un-ceiled rate form, whose every
+    * branch is strictly decreasing in n — a ⌈·⌉ inside the rate would
+    * make it locally INCREASE right past each perfect square,
+    * breaking the monotonicity the one-pass prune's exactness proof
+    * rides on (the round-11 derived-cap spec caught exactly that).
+    */
+  def derivedTrainCap(n: Long): Long =
+    math.max(TrainCapFloor, math.min(TrainCapCeil,
+      math.ceil(8.0 * math.sqrt(math.max(n, 1L).toDouble)).toLong))
+
+  /** `-Dgraft.trainCap=N` pins a FIXED cap for scale probes ONLY (the
+    * BENCH_SF1_CAP arm measured the cap-∝-corpus effect before the
+    * derivation shipped); the driver/gate never sets it, so every
+    * oracled run uses the derived cap — the oracle strings interpolate
     * whatever this resolves to at class init, so a mismatched override
     * would fail the gate loudly, not silently.
     */
-  val TrainCap: Long = java.lang.Long.getLong("graft.trainCap", 256L)
+  private[graft] val TrainCapOverride: Option[Long] =
+    Option(java.lang.Long.getLong("graft.trainCap")).map(_.longValue)
+
+  /** The cap in force for a corpus of n vectors. */
+  def trainCapFor(n: Long): Long =
+    TrainCapOverride.getOrElse(derivedTrainCap(n))
 
   /** Deterministic 16-bit uniform draw per vector — first 4 hex digits
     * of md5(vec_id), the same no-RNG-state sampling contract as the
@@ -135,15 +176,44 @@ object Ann {
     conv(substring(md5(col("vec_id").cast("string").cast("binary")), 1, 4),
       16, 10).cast("long")
 
-  /** Keep-threshold targeting ≈[[TrainCap]] sampled vectors: one
-    * column-pruned count (metadata-only on parquet) fixes the rate;
-    * kept iff draw < ⌊min(1, cap/n)·65536⌋. Callers compute this on the
+  /** Keep-threshold targeting ≈cap(n) sampled vectors: kept iff
+    * draw < ⌊rate(n)·65536⌋ with the rate written DIRECTLY in its
+    * clamp form, rate(n) = min(1, max(floor/n, min(ceil/n, 8/√n))) —
+    * every branch (const/n and 8/√n) strictly decreases in n, and
+    * min/max/⌊·⌋ of non-increasing functions is non-increasing, so
+    * the threshold is GENUINELY monotone at every n including the
+    * clamp transitions. [[trainSample]]'s one-pass prune discards a
+    * row only when the running count's (higher) threshold already
+    * rejects it, and monotonicity is what makes that final-answer
+    * exact. Every operation (IEEE double divide, sqrt, multiply,
+    * floor) is correctly rounded and engine-deterministic, so the
+    * DuckDB replay ([[threshSqlOver]]) is bit-equal.
+    *
+    * A function VALUE over captured primitives: closures shipping it
+    * to executors never drag the enclosing module into the
+    * serialization graph.
+    */
+  private[ann] val ThreshFn: Long => Long = {
+    val ovr = TrainCapOverride
+    val fl = TrainCapFloor.toDouble
+    val ce = TrainCapCeil.toDouble
+    n0 => {
+      val m = math.max(n0, 1L).toDouble
+      val rate = ovr match {
+        case Some(v) => math.min(1.0, v.toDouble / m)
+        case None => math.min(1.0,
+          math.max(fl / m, math.min(ce / m, 8.0 / math.sqrt(m))))
+      }
+      math.floor(rate * 65536).toLong
+    }
+  }
+
+  private[ann] def threshFor(n: Long): Long = ThreshFn(n)
+
+  /** [[threshFor]] of a frame's count — callers compute this on the
     * UN-repartitioned corpus so the count never executes a shuffle.
     */
-  private[ann] def sampleThresh(c: DataFrame): Long = {
-    val n = math.max(c.count(), 1L)
-    math.floor(math.min(1.0, TrainCap.toDouble / n) * 65536).toLong
-  }
+  private[ann] def sampleThresh(c: DataFrame): Long = threshFor(c.count())
 
   val IvfSeedMod = 31 // seeds = sampled ids % 31; ≈ min(n, cap)/31 cells
   val IvfProbes = 4      // floor: always probe this many nearest cells
@@ -152,7 +222,7 @@ object Ann {
 
   /** E3 `ann_ivf` — IVF (inverted-file) ANN with a k-means-lite coarse
     * quantizer: deterministic seed centroids and one Lloyd
-    * mean-refinement over the bounded [[TrainCap]] training sample →
+    * mean-refinement over the bounded [[trainCapFor]] training sample →
     * full-corpus cell assignment; queries multi-probe their nearest
     * cells. Centroids are bounded (≤ cap/31 × dim) and broadcast at any
     * corpus size; the full corpus is scanned once for assignment, the
@@ -199,55 +269,81 @@ object Ann {
           struct(round(col("c_cos"), 6).as("c"), (-col("cell_id")).as("t")))
           .as("cell_id"))
 
-  /** Bottom-k guard width for the one-pass sample: the kept set is
-    * Binomial(n, ≈cap/n) with mean [[TrainCap]], so 8× the cap is an
-    * e^-1000-tail bound — but correctness never rides on it (see the
-    * fallback in [[trainSample]]).
+  /** Hard retained-set bound for the one-pass sample: the adaptive
+    * prune keeps ≈ min(count-so-far, cap(count-so-far)) ≤ [[
+    * TrainCapCeil]] rows per accumulator, so 2× the ceiling is an
+    * astronomically-tailed Binomial bound — but correctness never
+    * rides on it (see the fallback in [[trainSample]]).
     */
-  private[ann] val TrainSafeK: Int = (8 * TrainCap).toInt
+  private[ann] val TrainSafeMax: Int = 1 << 21
 
-  /** Collect the ≤[[TrainCap]] training sample in ONE corpus scan and
+  /** Collect the ≤ cap(n) training sample in ONE corpus scan and
     * rebuild it as a driver-local frame. The threshold rule needs n
-    * (rate ≈ cap/n) and the sample needs the threshold — naively two
-    * jobs (a count, then a filter-collect), each its own corpus-wide
-    * stage (the r7 `ann_ivf` hotspot). One treeAggregate pass computes
-    * BOTH: every partition keeps its row count plus a bounded heap of
-    * the [[TrainSafeK]] lexicographically-smallest (draw, vec_id)
-    * rows; the driver computes the threshold from the exact count and
-    * applies it to the merged heap. The kept set equals the two-job
-    * filter EXACTLY whenever it has < [[TrainSafeK]] rows: the heap
-    * then contains an un-kept row, so its max (draw, vec_id) ≥ thresh,
-    * and every row outside the heap has a draw at least that large —
-    * none of them could have passed the filter. On heap overflow (the
-    * e^-1000 tail) the code falls back to the exact two-job path
-    * rather than accept a possibly-truncated sample. Per-executor
-    * state is ≤ SafeK rows and the merge tree keeps the driver at
-    * O(SafeK) too, so at 100 TB the corpus is read ONCE for training,
-    * full stop; the sample itself is driver-sized BY CONSTRUCTION
-    * (≤ cap rows × dim floats ≈ tens of KB), so every later training
+    * (cap(n) derives from it, rate ≈ cap(n)/n) and the sample needs
+    * the threshold — naively two jobs (a count, then a filter-collect),
+    * each its own corpus-wide stage (the r7 `ann_ivf` hotspot). One
+    * treeAggregate pass computes BOTH: every accumulator keeps its row
+    * count plus the rows whose draw passes [[threshFor]](count so
+    * far), pruning as the count grows. The prune is SAFE because
+    * threshFor is non-increasing in n: a partial count ≤ the final n
+    * yields a threshold ≥ the final one, so nothing the final rule
+    * keeps is ever discarded — the kept set equals the two-job filter
+    * EXACTLY, with no probabilistic caveat. Retained size tracks
+    * min(count, cap(count)) ≤ [[TrainCapCeil]]; if a pathological draw
+    * distribution ever pushed an accumulator past [[TrainSafeMax]]
+    * (unreachable for the md5-uniform draw), the code falls back to
+    * the exact two-job path rather than accept a truncated sample.
+    * Per-executor state is ≤ SafeMax rows and the merge tree keeps the
+    * driver bounded too, so at 100 TB the corpus is read ONCE for
+    * training, full stop; the sample itself is driver-sized BY
+    * CONSTRUCTION (≤ cap(n) rows × dim floats, ≤ ~270 MB at the
+    * ceiling and tens of KB at test SF), so every later training
     * touch — seeds plus each Lloyd round — is a LocalTableScan.
     */
   private[ann] def trainSample(spark: SparkSession, c: DataFrame): DataFrame = {
     import spark.implicits._
-    val safeK = TrainSafeK
+    val safeMax = TrainSafeMax
+    // LOCAL copy of the threshold closure: everything the seqOp/combOp
+    // lambdas touch must be a local val, or the closure captures the
+    // (non-serializable) enclosing module
+    val thOf = ThreshFn
     type Row3 = (Long, Long, Array[Float]) // (draw, vec_id, embedding)
+    // max-heap on (draw, vec_id): the prune pops the LARGEST draws,
+    // which a shrinking threshold disqualifies first
     val ord = Ordering.by[Row3, (Long, Long)](t => (t._1, t._2))
-    def push(pq: scala.collection.mutable.PriorityQueue[Row3],
-        r: Row3): Unit =
-      if (pq.size < safeK) pq.enqueue(r)
-      else if (ord.lt(r, pq.head)) { pq.dequeue(); pq.enqueue(r) }
-    type Acc = (Long, scala.collection.mutable.PriorityQueue[Row3])
-    val (n, pq) = c
+    final class Acc(var n: Long, var pruneAt: Int, var overflow: Boolean,
+        val pq: scala.collection.mutable.PriorityQueue[Row3])
+        extends Serializable
+    def prune(a: Acc): Acc = {
+      val th = thOf(a.n)
+      while (a.pq.nonEmpty && a.pq.head._1 >= th) a.pq.dequeue()
+      // genuinely bound memory: truncate AND flag, so the driver
+      // discards this (now inexact) pass for the two-job fallback
+      while (a.pq.size > safeMax) { a.pq.dequeue(); a.overflow = true }
+      a.pruneAt = math.max(4096, a.pq.size * 2)
+      a
+    }
+    val acc = c
       .select(sampleDraw.as("draw"), col("vec_id"), col("embedding"))
       .as[(Long, Long, Array[Float])].rdd
-      .treeAggregate[Acc](
-        (0L, scala.collection.mutable.PriorityQueue.empty[Row3](ord)))(
-        (acc: Acc, r: Row3) => { push(acc._2, r); (acc._1 + 1, acc._2) },
-        (a: Acc, b: Acc) => { b._2.foreach(push(a._2, _)); (a._1 + b._1, a._2) })
-    val thresh = math.floor(
-      math.min(1.0, TrainCap.toDouble / math.max(n, 1L)) * 65536).toLong
-    val kept = pq.toSeq.filter(_._1 < thresh)
-    if (kept.sizeIs >= safeK) trainSampleTwoJob(spark, c, thresh)
+      .treeAggregate[Acc](new Acc(0L, 4096, false,
+        scala.collection.mutable.PriorityQueue.empty[Row3](ord)))(
+        (a: Acc, r: Row3) => {
+          a.n += 1
+          // cheap pre-gate at the running count's (over-)threshold;
+          // the periodic prune below re-tightens retained rows
+          if (r._1 < thOf(a.n)) a.pq.enqueue(r)
+          if (a.pq.size >= a.pruneAt) prune(a) else a
+        },
+        (a: Acc, b: Acc) => {
+          a.n += b.n
+          b.pq.foreach(a.pq.enqueue(_))
+          a.overflow ||= b.overflow
+          prune(a)
+        })
+    val thresh = threshFor(acc.n)
+    val kept = acc.pq.toSeq.filter(_._1 < thresh)
+    if (acc.overflow) trainSampleTwoJob(spark, c, thresh)
     else kept.map(t => (t._2, t._3)).sortBy(_._1)
       .toDF("vec_id", "embedding")
   }
@@ -265,7 +361,7 @@ object Ann {
     rows.toDF("vec_id", "embedding")
   }
 
-  /** Coarse-quantizer training on the bounded [[TrainCap]] sample:
+  /** Coarse-quantizer training on the bounded [[trainCapFor]] sample:
     * deterministic seeds (sampled ids % [[IvfSeedMod]]) + one Lloyd
     * mean-refinement over the SAMPLED vectors via the vector_avg custom
     * aggregate (single groupBy, mergeable partials — no posexplode into
@@ -540,7 +636,7 @@ object Ann {
         min_by(col("code"),
           struct(round(col("d2"), 6).as("d"), col("code").as("t"))).as("code"))
 
-  /** Per-subspace k-means-lite codebook on the bounded [[TrainCap]]
+  /** Per-subspace k-means-lite codebook on the bounded [[trainCapFor]]
     * sample: deterministic seeds (the first [[PqK]] SAMPLED vectors by
     * vec_id, split into subvectors) + [[PqIters]] Lloyd rounds via the
     * vector_avg mergeable aggregate. The codebook is m × k × (dim/m)
@@ -1072,6 +1168,38 @@ object Ann {
       .orderBy(col("vec_id"))
   }
 
+  /** D5 `dedup_embedding`'s above-bound arm (round 11, verdict #3):
+    * cosine ≥ τ PAIRS restricted to coarse-quantizer cells — D9's
+    * exact plan shape (bounded-sample training, one corpus pass
+    * assigning cells, the self-join shuffling BOTH sides on cell_id
+    * only, nothing corpus-sized broadcast or crossed) emitting the
+    * exact arm's (ia, ib, cos) output contract instead of the dup
+    * rollup. A recall-bounded subset of the all-pairs scan (pairs
+    * split across cells are not scored — the documented SemDeDup
+    * tradeoff); per-cell work is quadratic in occupancy, which the
+    * self-scaling [[trainCapFor]] keeps on the √n envelope.
+    */
+  private[graft] def cellCosPairs(spark: SparkSession, c0: DataFrame,
+      tau: Double): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val c = c0.select(col("vec_id"), col("embedding"))
+    val cents = refinedCentroids(spark, c)
+    val asg = assignCells(c, cents)
+      .withColumn("nrm", sqrt(dotF(col("embedding"), col("embedding"))))
+      .persist(MEMORY_AND_DISK)
+    val a = asg.select(col("cell_id"), col("vec_id").as("ia"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = asg.select(col("cell_id"), col("vec_id").as("ib"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("cell_id"))
+      .filter(col("ia") < col("ib"))
+      .withColumn("cos",
+        when(col("na") * col("nb") === 0.0, 0.0)
+          .otherwise(dotF(col("ea"), col("eb")) / (col("na") * col("nb"))))
+      .filter(round(col("cos"), 6) >= tau)
+      .select(col("ia"), col("ib"), round(col("cos"), 4).as("cos"))
+  }
+
   /** The τ grid for `dedup_semantic_sweep`, straddling the
     * [[SemDedupTau]] operating point.
     */
@@ -1236,10 +1364,29 @@ object Ann {
     * an ordered list_reduce so even its double sums are bit-equal.
     */
 
+  /** [[ThreshFn]]'s keep-threshold in DuckDB SQL, evaluated in the
+    * same aggregate context as the count it derives from — the exact
+    * least/greatest/sqrt/floor chain (each double divide, sqrt,
+    * multiply, and floor is correctly rounded per IEEE 754 in both
+    * engines, so the replay is bit-equal at any n). A probe-time
+    * `-Dgraft.trainCap` override interpolates as the fixed-cap rate
+    * instead, keeping Spark and oracle in lockstep there too.
+    */
+  private[ann] val threshSql: String = {
+    val rate = TrainCapOverride match {
+      case Some(v) => s"least(1.0, $v * 1.0 / count(*))"
+      case None =>
+        s"least(1.0, greatest($TrainCapFloor * 1.0 / count(*), " +
+          s"least($TrainCapCeil * 1.0 / count(*), " +
+          "8.0 / sqrt(count(*)))))"
+    }
+    s"CAST(floor($rate * 65536) AS BIGINT)"
+  }
+
   /** The training-sample replay (see [[sampleThresh]]/[[sampleDraw]]):
     * the 4-hex-digit md5 uniform draw decodes via strpos (md5 is
     * lowercase hex in both engines — same kernel as the corpus_sample
-    * oracle) against ⌊min(1, cap/n)·65536⌋.
+    * oracle) against [[threshSql]]'s in-query derived threshold.
     */
   private[ann] def smpCteOver(src: String): String =
     s"""smp AS (SELECT * FROM $src
@@ -1251,8 +1398,7 @@ object Ann {
        |        substr(md5(CAST(vec_id AS VARCHAR)),3,1)) - 1) * 16
        |      + (strpos('0123456789abcdef',
        |        substr(md5(CAST(vec_id AS VARCHAR)),4,1)) - 1) AS BIGINT)
-       |    < (SELECT CAST(floor(least(1.0, $TrainCap * 1.0 / count(*))
-       |        * 65536) AS BIGINT) FROM $src))""".stripMargin
+       |    < (SELECT $threshSql FROM $src))""".stripMargin
 
   private[ann] val smpCte: String = smpCteOver("embeddings")
 
@@ -1284,7 +1430,7 @@ object Ann {
     * min-cell tiebreak) → one Lloyd refinement over the sample →
     * re-assign the FULL corpus → margin-expanded multi-probe (floor 4 /
     * ceiling 8 / 0.05). Mirrors [[refinedCentroids]]/[[assignCells]]/
-    * [[probeCells]] including the [[TrainCap]] sample bound.
+    * [[probeCells]] including the [[trainCapFor]] sample bound.
     */
   /** The E3 training/assignment/probe chain with the source table
     * parameterized — `ann_ivfopq` replays it over the rotated

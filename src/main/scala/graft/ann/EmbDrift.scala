@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   * Mechanics: the reference slice (`vec_id % DriftMod != 0`, the
   * house stand-in for "yesterday's store" — production swaps one
   * filter for a snapshot read) trains the E10/E3 coarse quantizer
-  * (bounded TrainCap sample, one Lloyd round); BOTH slices assign to
+  * (bounded trainCapFor sample, one Lloyd round); BOTH slices assign to
   * those frozen centroids; per cell the report carries slice counts,
   * exact basis-point shares, and the cell's PSI contribution over
   * Laplace-smoothed shares ((n+1)/(N+k) — integer-count rationals, so

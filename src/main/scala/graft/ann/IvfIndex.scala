@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   * the whole corpus per query batch.
   *
   * The probe set is O(queries × [[Ann.IvfMaxProbes]]) cell ids,
-  * distinct-bounded by the total cell count (≤ [[Ann.TrainCap]] /
+  * distinct-bounded by the total cell count (≤ [[Ann.trainCapFor]](n) /
   * [[Ann.IvfSeedMod]]) — always driver-sized, so collecting it into
   * the IN-list never scales with the corpus.
   *

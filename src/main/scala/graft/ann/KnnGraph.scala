@@ -91,8 +91,29 @@ object KnnGraph {
     mutualEdges(topkOf(scored))
   }
 
+  /** Corpus-size bound for the exact all-pairs arm (round 11, verdict
+    * #3): at or below it the O(n²) scoring is cheaper than training a
+    * quantizer and provably exact — the oracle anchor regime every
+    * test SF sits in (≤ 64k vectors ⇒ ≤ ~4·10⁹ dot products, spread
+    * over all cores); above it the same keys transparently run the
+    * cell-restricted IVF arm (same output contract, recall-bounded),
+    * the way `Dedup.connectedComponents` already sizes its
+    * driver-vs-distributed arms at runtime. One column-pruned count
+    * decides — no knob for a 100× deployment to mis-set.
+    */
+  val KnnExactMaxVectors = 65536L
+
+  /** [[embKnnGraph]]'s size-gated kernel: exact all-pairs at or below
+    * `exactMax` vectors, [[mutualKnnIvf]] above (parameterized so the
+    * spec can force the above-bound arm on a small corpus).
+    */
+  private[ann] def mutualKnnGated(spark: SparkSession, c0: DataFrame,
+      exactMax: Long = KnnExactMaxVectors): DataFrame =
+    if (c0.select(col("vec_id")).count() <= exactMax) mutualKnn(c0)
+    else mutualKnnIvf(spark, c0)
+
   def embKnnGraph(spark: SparkSession, dir: String): DataFrame =
-    mutualKnn(Tables(spark, dir, "embeddings"))
+    mutualKnnGated(spark, Tables(spark, dir, "embeddings"))
       .orderBy(col("u"), col("v"))
 
   /** IVF arm: candidates = probed-cell × home-cell pairs. Training is
@@ -140,7 +161,7 @@ object KnnGraph {
       .select(col("cell_id"), col("u"), col("u_emb"))
     // Self-tuning block fan-out for the scoring join: its parallelism
     // is bounded by the distinct-cell count, which at test SF (tiny
-    // TrainCap → ~8 cells) is below the core count — and the shuffle
+    // derived cap → ~8 cells) is below the core count — and the shuffle
     // is byte-light but CPU-heavy, so AQE's size-based coalescing
     // makes it worse, not better. Sub-split each cell into
     // B = ⌈cores / cells⌉ blocks: the corpus side keys each row by

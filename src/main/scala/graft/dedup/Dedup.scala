@@ -226,17 +226,44 @@ object Dedup {
 
   val EmbDupTau = 0.4
 
-  /** D5 `dedup_embedding` — exact embedding near-dup pairs
-    * (cosine ≥ τ) via block self-join. Exact-by-construction and the
-    * oracle anchor; quadratic in corpus size, so at 100 TB use
-    * [[dedupEmbeddingLsh]] and keep this for bounded slices / audits.
+  /** Corpus-size bound for D5's exact all-pairs arm (round 11,
+    * verdict #3): at or below it the quadratic scan is affordable and
+    * provably exact — the oracle anchor regime every test SF sits in;
+    * above it [[dedupEmbedding]] transparently switches to the
+    * cell-restricted scan ([[graft.ann.Ann.cellCosPairs]], D9's plan
+    * shape) with the same (ia, ib, cos) contract — the runtime
+    * size-gate [[connectedComponents]] already set the pattern for,
+    * so no 100× deployment can leave the quadratic arm on by mistake.
     */
-  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+  val EmbExactMaxVectors = 65536L
+
+  /** D5 `dedup_embedding` — embedding near-dup pairs (cosine ≥ τ),
+    * SIZE-GATED: the exact block self-join at or below
+    * [[EmbExactMaxVectors]] vectors (exact-by-construction, the
+    * oracle anchor), the coarse-cell-restricted scan above it
+    * (recall-bounded, shuffles on cell_id only). [[dedupEmbeddingLsh]]
+    * remains the high-τ scale path when LSH recall suffices.
+    */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    dedupEmbeddingGated(spark, Tables(spark, dir, "embeddings"))
+
+  /** [[dedupEmbedding]]'s gated kernel, bound parameterized so the
+    * spec can force the above-bound arm on a small corpus.
+    */
+  private[graft] def dedupEmbeddingGated(spark: SparkSession,
+      em0: DataFrame, exactMax: Long = EmbExactMaxVectors): DataFrame =
+    if (em0.select(col("vec_id")).count() <= exactMax)
+      dedupEmbeddingExact(em0)
+    else graft.ann.Ann.cellCosPairs(spark, em0, EmbDupTau)
+      .orderBy(col("ia"), col("ib"))
+
+  /** The exact all-pairs arm on a `(vec_id, embedding)` frame. */
+  private[graft] def dedupEmbeddingExact(em0: DataFrame): DataFrame = {
     // Hoist each vector's norm to a once-per-ROW projection so the
     // O(n²) stage only does the dot product — 1/3 of cosine_sim's
     // per-pair work, bit-identical result (dot and norms accumulate in
     // the same order as the fused kernel, just factored).
-    val em = Tables(spark, dir, "embeddings")
+    val em = em0
       .select(col("vec_id"), col("embedding"),
         sqrt(dotF(col("embedding"), col("embedding"))).as("nrm"))
     // single-file scans arrive as one split; spread the stream side so

@@ -150,13 +150,14 @@ class AnnSpec extends SparkSpec {
     val tr = c.filter(Ann.sampleDraw < lit(th))
     val n = c.count()
     val kept = tr.count()
-    info(s"corpus $n, thresh $th, sampled $kept (cap ${Ann.TrainCap})")
+    val cap = Ann.trainCapFor(n)
+    info(s"corpus $n, thresh $th, sampled $kept (cap $cap)")
     // binomial around cap: the sample is BOUNDED — never a corpus-scale
     // fraction once n exceeds the cap — and never empty
     assert(kept > 0)
-    if (n > Ann.TrainCap) {
+    if (n > cap) {
       assert(th < 65536, "sampling must bite when the corpus exceeds the cap")
-      assert(kept <= Ann.TrainCap * 3 / 2, s"sample $kept far above cap")
+      assert(kept <= cap * 3 / 2, s"sample $kept far above cap")
     }
     // deterministic: the same filter re-evaluated selects the same ids
     val a = tr.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
@@ -169,6 +170,44 @@ class AnnSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     assert(Ann.sampleThresh(small) == 65536L)
     assert(small.filter(Ann.sampleDraw < lit(65536L)).count() == 50L)
+  }
+
+  test("derived training cap: clamp(⌈8√n⌉, 256, 2²⁰) at the edges, " +
+      "and thresh non-increasing at EVERY n (the one-pass prune's proof)") {
+    // floor regime: every shipped test SF stays where the gate has
+    // always verified it (n=500 → 256), and 8·32 = 256 makes n=1024
+    // the exact last floor point
+    assert(Ann.derivedTrainCap(1) == 256L)
+    assert(Ann.derivedTrainCap(500) == 256L)
+    assert(Ann.derivedTrainCap(1024) == 256L)
+    assert(Ann.derivedTrainCap(1025) == 257L) // ⌈8·√1025⌉
+    assert(Ann.derivedTrainCap(2000) == 358L) // sf0.1
+    assert(Ann.derivedTrainCap(20000) == 1132L) // the 10× probe corpus
+    assert(Ann.derivedTrainCap(1000000000L) == 252983L) // ≈ the 10⁵ design point
+    // ceiling binds past ~1.7·10¹⁰ vectors
+    assert(Ann.derivedTrainCap(20000000000L) == (1L << 20))
+    assert(Ann.derivedTrainCap(Long.MaxValue / 4) == (1L << 20))
+    // thresh monotone non-increasing in n — threshFor's prune-safety
+    // rides on it. EXHAUSTIVE over the floor-to-√n transition (a ⌈·⌉
+    // inside the rate broke exactly this, right past perfect squares)
+    // plus a sparse tail across both clamp boundaries
+    var prev = Ann.threshFor(1)
+    (2L to 70000L).foreach { n =>
+      val t = Ann.threshFor(n)
+      assert(t <= prev, s"thresh increased at n=$n: $prev -> $t")
+      prev = t
+    }
+    val tail = Seq(70000L, 1000000L, 123456789L, 17179869183L,
+      17179869184L, 17179869185L, 1L << 40, Long.MaxValue / 4)
+    tail.sliding(2).foreach { case Seq(a, b) =>
+      assert(Ann.threshFor(a) >= Ann.threshFor(b),
+        s"thresh not non-increasing between $a and $b")
+      assert(Ann.derivedTrainCap(a) <= Ann.derivedTrainCap(b),
+        s"cap not monotone between $a and $b")
+    }
+    // no override in the test JVM: derived IS the cap in force
+    assert(Ann.TrainCapOverride.isEmpty &&
+      Ann.trainCapFor(2000) == Ann.derivedTrainCap(2000))
   }
 
   test("ivf multi-probe stays within [IvfProbes, IvfMaxProbes] per query") {

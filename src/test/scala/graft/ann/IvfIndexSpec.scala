@@ -21,10 +21,10 @@ class IvfIndexSpec extends SparkSpec {
     val nCents = spark.read.parquet(IvfIndex.centroidsDir(root)).count()
     assert(nCents == cells.size.toLong,
       s"sidecar has $nCents centroids for ${cells.size} list directories")
-    // bounded by construction: never more lists than cap/seed-mod cells
-    assert(nCents <= Ann.TrainCap / Ann.IvfSeedMod + 1)
-    // the index stores every corpus vector exactly once
     val n = graft.Tables(spark, sfDir, "embeddings").count()
+    // bounded by construction: never more lists than cap/seed-mod cells
+    assert(nCents <= Ann.trainCapFor(n) / Ann.IvfSeedMod + 1)
+    // the index stores every corpus vector exactly once
     assert(spark.read.parquet(IvfIndex.vectorsDir(root)).count() == n)
   }
 

@@ -119,4 +119,19 @@ class KnnGraphSpec extends SparkSpec {
     }
     assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
   }
+
+  test("emb_knn_graph size gate: the key runs the exact arm at test " +
+      "SF; exactMax=0 forces the IVF arm, byte-equal to mutualKnnIvf") {
+    def edges(d: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      d.collect().map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"))).toSet
+    val df = graft.Tables(spark, sfDir, "embeddings")
+    val exact = edges(KnnGraph.mutualKnn(df))
+    val gatedDefault = edges(KnnGraph.mutualKnnGated(spark, df))
+    assert(exact.nonEmpty && gatedDefault == exact,
+      "below the bound the gated key must BE the exact arm")
+    val forced = edges(KnnGraph.mutualKnnGated(spark, df, exactMax = 0L))
+    val ivf = edges(KnnGraph.mutualKnnIvf(spark, df))
+    assert(forced.nonEmpty && forced == ivf,
+      "above the bound the gated key must BE the IVF arm")
+  }
 }

@@ -23,7 +23,7 @@ class PqIndexSpec extends SparkSpec {
     assert(idx.filter(size(col("codes")) =!= Ann.PqM).count() == 0)
     // both sidecars driver-sized
     assert(spark.read.parquet(PqIndex.centroidsDir(root)).count()
-      <= Ann.TrainCap / Ann.IvfSeedMod + 1)
+      <= Ann.trainCapFor(n) / Ann.IvfSeedMod + 1)
     assert(spark.read.parquet(PqIndex.codebookDir(root)).count()
       <= Ann.PqM.toLong * Ann.PqK)
   }

@@ -348,4 +348,43 @@ class DedupSpec extends SparkSpec {
     assert(out(2L).getAs[Long]("n_dup_windows") == 0)
     assert(out(2L).getAs[Long]("dup_tokens") == 0)
   }
+
+  test("dedup_embedding size gate: the key runs the exact arm at test " +
+      "SF; the forced above-bound arm is a same-τ cell-restricted " +
+      "subset with no corpus-sized nested-loop broadcast") {
+    val em = graft.Tables(spark, sfDir, "embeddings")
+    val exact = pairs(Dedup.dedupEmbeddingExact(em))
+    val viaKey = pairs(Dedup.dedupEmbedding(spark, sfDir))
+    assert(exact.nonEmpty && viaKey == exact,
+      "below the bound the gated key must BE the exact arm")
+    // exactMax = 0 forces the above-bound (cell-restricted) arm on the
+    // same corpus: same τ rule, so every emitted pair is an exact pair
+    // (precision 1); recall is bounded by cell splits — nonempty here
+    // because the operating τ flags same-cell mates at this SF
+    val forced = pairs(Dedup.dedupEmbeddingGated(spark, em, exactMax = 0L))
+    assert((forced -- exact).isEmpty,
+      s"above-bound arm emitted non-pairs: ${(forced -- exact).take(5)}")
+    assert(forced.nonEmpty)
+    // the above-bound plan never nested-loop-broadcasts anything
+    // corpus-derived: the only BNLJ build sides are the driver-local
+    // trained centroid frames (the KnnGraphSpec E27b assertion, applied
+    // to D5's scale arm)
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution.LocalTableScanExec
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val plan = graft.ann.Ann.cellCosPairs(spark, em, Dedup.EmbDupTau)
+      .queryExecution.sparkPlan
+    plan.collect { case j: BroadcastNestedLoopJoinExec => j }.foreach { j =>
+      val build = j.buildSide match {
+        case BuildLeft => j.left
+        case BuildRight => j.right
+      }
+      val leaves = build.collectLeaves()
+      assert(leaves.nonEmpty &&
+        leaves.forall(_.isInstanceOf[LocalTableScanExec]),
+        s"corpus-sized broadcast side in BNLJ:\n$build")
+    }
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
+  }
 }
