@@ -710,8 +710,11 @@ object GraphMining {
   def graphBetweenness(spark: SparkSession, dir: String): DataFrame =
     hubBetweenness(copurchaseEdges(Tables(spark, dir, "lineitem")))
 
-  /** [[graphBetweenness]]'s kernel on any (u, v) edge frame. */
-  private[operators] def hubBetweenness(edges0: DataFrame): DataFrame = {
+  /** Shared B94/B95 prefix on any (u, v) edge frame: symmetrized
+    * adjacency (checkpointed — read every round in both directions)
+    * and the deterministic (degree DESC, node) hub seed set.
+    */
+  private def hubSeedPrefix(edges0: DataFrame): (DataFrame, DataFrame) = {
     val edges = edges0.localCheckpoint()
     val sym = edges.select(col("u").as("node"), col("v").as("nbr"))
       .union(edges.select(col("v").as("node"), col("u").as("nbr")))
@@ -721,7 +724,18 @@ object GraphMining {
       .limit(BfsSeedK)
       .select(col("node").as("seed"))
       .localCheckpoint()
-    // forward: per-seed BFS levels carrying the shortest-path count σ
+    (sym, seeds)
+  }
+
+  /** Shared Brandes FORWARD pass (B94 betweenness and B95 stress are
+    * the same traversal — only the backward dependency TERM differs):
+    * per-seed BFS levels carrying the shortest-path count σ, σ(w) =
+    * Σ σ(v) over dist-(k−1) predecessors, one map-side-combined
+    * aggregation + anti-join per round, per-round localCheckpoint
+    * truncating lineage. Returns the visited frame
+    * (seed, node, dist, sigma).
+    */
+  private def brandesForward(sym: DataFrame, seeds: DataFrame): DataFrame = {
     var visited = seeds
       .select(col("seed"), col("seed").as("node"),
         lit(0).as("dist"), lit(1L).as("sigma"))
@@ -741,6 +755,13 @@ object GraphMining {
           .select(col("seed"), col("node"), col("dist"), col("sigma")))
         .localCheckpoint()
     }
+    visited
+  }
+
+  /** [[graphBetweenness]]'s kernel on any (u, v) edge frame. */
+  private[operators] def hubBetweenness(edges0: DataFrame): DataFrame = {
+    val (sym, seeds) = hubSeedPrefix(edges0)
+    val visited = brandesForward(sym, seeds)
     // backward: dependency accumulation level by level, exact
     // floor-division milli terms summed as integers
     var delta = visited.filter(col("dist") === BfsRounds)
@@ -775,9 +796,74 @@ object GraphMining {
       .orderBy(col("p_partkey"))
   }
 
+  /** B95 `graph_stress` — sampled-source STRESS centrality (Shimbel
+    * 1953 via the Brandes-variant recursion, Brandes 2008 §3.2) over
+    * the part co-purchase graph: B94 weighs brokered traffic by the
+    * FRACTION of shortest paths through a node (δ = Σ σ_sv·σ_vt/σ_st);
+    * stress counts the absolute NUMBER of shortest paths through it
+    * (Σ_t σ_sv·σ_vt) — the raw-load sibling ("how many distinct
+    * shortest routes does this product sit on"), which unlike
+    * betweenness needs NO fixed-point scale: path counts are integer
+    * products. The recursion δ(v) = σ_sv · Σ_{w∈succ(v)}
+    * (1 + δ(w)/σ_sw) stays integer-exact because δ(w) is a multiple
+    * of σ_sw by construction (δ(w) = σ_sw · Σ_t σ_wt), so the div is
+    * exact — the same engine-bit-equality argument as B94's millis,
+    * with zero rounding anywhere. Same deterministic hub seed sample,
+    * same [[BfsRounds]] horizon, forward machinery shared verbatim
+    * ([[brandesForward]]).
+    *
+    * Scale shape: identical to B94 — per-round hash equi-joins
+    * against the checkpointed adjacency both directions, O(K·nodes)
+    * level frames, lineage truncated per round; σ/δ stay 8-byte longs
+    * on the wire. Oracle: the shared forward CTE chain + the stress
+    * backward term. Spec hand-computes both planted graphs (star+
+    * bridge+tail, σ-multiplicity diamond) against the recursion.
+    */
+  def graphStress(spark: SparkSession, dir: String): DataFrame =
+    hubStress(copurchaseEdges(Tables(spark, dir, "lineitem")))
+
+  /** [[graphStress]]'s kernel on any (u, v) edge frame. */
+  private[operators] def hubStress(edges0: DataFrame): DataFrame = {
+    val (sym, seeds) = hubSeedPrefix(edges0)
+    val visited = brandesForward(sym, seeds)
+    // backward: exact integer path-count accumulation level by level
+    var delta = visited.filter(col("dist") === BfsRounds)
+      .select(col("seed"), col("node"), col("sigma"), lit(0L).as("delta"))
+      .localCheckpoint()
+    var acc = delta
+    for (k <- (BfsRounds - 1) to 0 by -1) {
+      val vl = visited.filter(col("dist") === k)
+        .select(col("seed"), col("node"), col("sigma"))
+      val wl = delta.select(col("seed"), col("node").as("wnode"),
+        col("sigma").as("wsigma"), col("delta").as("wdelta"))
+      val terms = vl
+        .join(sym, Seq("node"))
+        .withColumnRenamed("nbr", "wnode")
+        .join(wl, Seq("seed", "wnode"))
+        // exact: wdelta ≡ 0 (mod wsigma) by the recursion's invariant
+        .withColumn("term",
+          expr("sigma * (1 + wdelta div wsigma)"))
+        .groupBy(col("seed"), col("node"))
+        .agg(sum(col("term")).as("delta"))
+      delta = vl.join(terms, Seq("seed", "node"), "left")
+        .na.fill(0L, Seq("delta"))
+        .select(col("seed"), col("node"), col("sigma"), col("delta"))
+        .localCheckpoint()
+      acc = acc.union(delta).localCheckpoint()
+    }
+    acc.filter(col("node") =!= col("seed"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_sources"),
+        sum(col("delta")).cast("long").as("stress_paths"))
+      .select(col("node").as("p_partkey"), col("n_sources"),
+        col("stress_paths"))
+      .orderBy(col("p_partkey"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_stress" -> (graphStress _),
     "graph_betweenness" -> (graphBetweenness _),
     "graph_lpa_communities" -> (graphLpaCommunities _),
     "graph_triangles" -> (graphTriangles _),
@@ -871,6 +957,25 @@ object GraphMining {
        |  LEFT JOIN bt$k t ON t.seed = v.seed AND t.node = v.node)"""
       .stripMargin
 
+  /** One unrolled BACKWARD stress round: B94's shape with the
+    * integer-exact path-count term σ·(1 + δ(w)//σ_w) — the // is
+    * exact because δ(w) is a multiple of σ_w by the recursion's
+    * invariant (see [[hubStress]]).
+    */
+  private def stBackwardOracle(k: Int): String =
+    s"""bt$k AS MATERIALIZED (SELECT v.seed, v.node,
+       |    CAST(sum(v.sigma * (1 + w.delta // w.sigma))
+       |      AS BIGINT) AS delta
+       |  FROM (SELECT * FROM sv$BfsRounds WHERE dist = $k) v
+       |  JOIN sym s ON s.node = v.node
+       |  JOIN bd${k + 1} w ON w.seed = v.seed AND w.node = s.nbr
+       |  GROUP BY v.seed, v.node),
+       |bd$k AS MATERIALIZED (SELECT v.seed, v.node, v.sigma,
+       |    coalesce(t.delta, 0) AS delta
+       |  FROM (SELECT * FROM sv$BfsRounds WHERE dist = $k) v
+       |  LEFT JOIN bt$k t ON t.seed = v.seed AND t.node = v.node)"""
+      .stripMargin
+
   val oracle: Map[String, String] = Map(
     // graph_betweenness: shared edge/degree/seed prefix, unrolled
     // per-round CTEs BOTH directions (forward σ, backward δ), O(nodes)
@@ -906,6 +1011,37 @@ object GraphMining {
             .map(k => s"SELECT * FROM bd$k").mkString(" UNION ALL ")})
          |SELECT node AS p_partkey, count(*) AS n_sources,
          |  CAST(sum(delta) AS BIGINT) AS bc_milli
+         |FROM allb WHERE node <> seed
+         |GROUP BY node ORDER BY p_partkey""".stripMargin,
+    // graph_stress: B94's unrolled chain with the integer path-count
+    // backward term and no fixed-point scale (same MATERIALIZED
+    // discipline — the sf0.1 CTE-inlining blowup applies identically)
+    "graph_stress" ->
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |    FROM lineitem),
+         |e AS MATERIALIZED (SELECT a.p AS u, b.p AS v
+         |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+         |  GROUP BY a.p, b.p HAVING count(*) >= $EdgeMinSupport),
+         |sym AS MATERIALIZED (SELECT u AS node, v AS nbr FROM e
+         |  UNION ALL SELECT v, u FROM e),
+         |deg AS (SELECT node, count(*) AS d FROM sym GROUP BY 1),
+         |seeds AS (SELECT node FROM (SELECT node,
+         |    row_number() OVER (ORDER BY d DESC, node) AS rn FROM deg)
+         |  WHERE rn <= $BfsSeedK),
+         |sv0 AS (SELECT node AS seed, node, 0 AS dist,
+         |    CAST(1 AS BIGINT) AS sigma FROM seeds),
+         |sf0 AS (SELECT node AS seed, node,
+         |    CAST(1 AS BIGINT) AS sigma FROM seeds),
+         |${(1 to BfsRounds).map(bcForwardOracle).mkString(",\n")},
+         |bd$BfsRounds AS MATERIALIZED (SELECT seed, node, sigma,
+         |    CAST(0 AS BIGINT) AS delta
+         |  FROM sv$BfsRounds WHERE dist = $BfsRounds),
+         |${((BfsRounds - 1) to 0 by -1).map(stBackwardOracle)
+            .mkString(",\n")},
+         |allb AS (${(0 to BfsRounds)
+            .map(k => s"SELECT * FROM bd$k").mkString(" UNION ALL ")})
+         |SELECT node AS p_partkey, count(*) AS n_sources,
+         |  CAST(sum(delta) AS BIGINT) AS stress_paths
          |FROM allb WHERE node <> seed
          |GROUP BY node ORDER BY p_partkey""".stripMargin,
     // graph_closeness: same edge/degree/seed prefix as graph_bfs,

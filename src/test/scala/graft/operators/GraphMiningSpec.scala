@@ -469,6 +469,49 @@ class GraphMiningSpec extends SparkSpec {
     assert(out(6L) == (3L, 0L) && out(7L) == (3L, 0L))
   }
 
+  test("graph_stress: hand-exact integer path counts on the planted " +
+      "star+bridge+tail graph (all σ = 1 ⇒ stress ≡ betweenness/1000)") {
+    // same graph/seeds as the betweenness spec; with every σ = 1 the
+    // stress recursion counts plain reachable-target tallies:
+    //  s=1: δ6=1 (path to 8), δ2=(1+1)+(1+0)=3 (paths to 6,7,8)
+    //  s=2: δ1=3 (paths to 3,4,5), δ6=1
+    //  s=6: δ1=3, δ2=(1+3)+(1+0)=5
+    // totals: 1→6, 2→8, 6→2, rest 0
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L),
+      (2L, 6L), (2L, 7L), (6L, 8L))
+    val out = GraphMining.hubStress(edgesDf(g)).collect()
+      .map(r => r.getAs[Long]("p_partkey") ->
+        (r.getAs[Long]("n_sources"), r.getAs[Long]("stress_paths"))).toMap
+    assert(out(1L) == (2L, 6L))
+    assert(out(2L) == (2L, 8L))
+    assert(out(6L) == (2L, 2L))
+    assert(out(3L) == (3L, 0L) && out(4L) == (3L, 0L) &&
+      out(5L) == (3L, 0L))
+    assert(out(7L) == (3L, 0L) && out(8L) == (3L, 0L))
+  }
+
+  test("graph_stress: σ multiplicity — parallel shortest paths COUNT " +
+      "(σ products), where betweenness only splits fractions") {
+    // the betweenness diamond: 1-2-4, 1-3-4, tail 4-5, pendants 1-6,7;
+    // seeds = {1, 4, 2}. Hand recursion δ(v) = σ_v·Σ(1 + δ(w)/σ_w):
+    //  s=1: σ4=2,σ5=2; δ4=2·(1+0)=2 (σ15(4)=σ14·σ45=2), δ2=δ3=1·(1+2/2)=2
+    //  s=4: σ1=2,σ6=σ7=2; δ1=2·[(1+0)+(1+0)]=4, δ2=δ3=1·(1+4/2)=3
+    //  s=2: σ3=2 (via 1 AND 4); δ1=(1+0/2)+(1+0)+(1+0)=3, δ4=(1+0/2)+(1+0)=2
+    // totals: 1→4+3=7 (n=2), 2→2+3=5 (n=2), 3→2+3+0=5 (n=3),
+    //   4→2+2=4 (n=2), 5,6,7→0 (n=3)
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L),
+      (1L, 6L), (1L, 7L))
+    val out = GraphMining.hubStress(edgesDf(g)).collect()
+      .map(r => r.getAs[Long]("p_partkey") ->
+        (r.getAs[Long]("n_sources"), r.getAs[Long]("stress_paths"))).toMap
+    assert(out(1L) == (2L, 7L))
+    assert(out(2L) == (2L, 5L))
+    assert(out(3L) == (3L, 5L))
+    assert(out(4L) == (2L, 4L))
+    assert(out(5L) == (3L, 0L))
+    assert(out(6L) == (3L, 0L) && out(7L) == (3L, 0L))
+  }
+
   test("bfsLayers: every node gets exactly one distance (a node " +
       "reachable from two seeds reports the minimum once)") {
     // 3 sits one hop from both seed candidates 1 and 2
