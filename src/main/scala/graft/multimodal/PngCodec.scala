@@ -236,9 +236,13 @@ object PngCodec {
     hsh
   }
 
-  /** The F8 hash with the real tier in front: DCT pHash for decodable
-    * PNGs, the byte-arithmetic stub for everything else.
+  /** The F8 hash with the real tiers in front: DCT pHash for
+    * decodable PNGs and baseline JPEGs ([[JpegCodec]] — same luma
+    * contract, same pHash pipeline, so a PNG and a JPEG encoding of
+    * the same pixels band together), the byte-arithmetic stub for
+    * everything else.
     */
   def phashOf(bytes: Array[Byte]): Long =
-    decodeLuma(bytes).map(phash).getOrElse(Multimodal.phashStub(bytes))
+    decodeLuma(bytes).orElse(JpegCodec.decodeLuma(bytes))
+      .map(phash).getOrElse(Multimodal.phashStub(bytes))
 }
