@@ -386,7 +386,80 @@ object EventOps {
       .orderBy(col("touch_type"))
   }
 
+  /** B96 `events_sequence_match` horizon: the whole match must fit in
+    * 72 h. µs so every comparison is BIGINT (the B75/B82 rule).
+    */
+  val SeqMatchWindowUs = 72L * 3600L * 1000000L
+
+  /** B96 `events_sequence_match` — ordered-pattern detection over each
+    * user's event sequence: the CEP / SQL-MATCH_RECOGNIZE primitive
+    * (Flink CEP, Trino/Oracle MATCH_RECOGNIZE) that B28's funnel does
+    * NOT express — the funnel counts stage reachability once per user,
+    * this finds actual pattern INSTANCES: view → click → purchase
+    * where the whole span fits in [[SeqMatchWindowUs]] and no `error`
+    * event falls inside it, under skip-till-next-match semantics (each
+    * purchase matches against the LATEST click that itself had a prior
+    * view, anchored at the latest view before THAT click — the greedy
+    * rightmost-predecessor chain every CEP runtime uses for this
+    * quantifier-free pattern class).
+    *
+    * The sequential-looking semantics collapse to ONE window pass (no
+    * per-user loop, no self-join): running IGNORE-NULLS `last` of the
+    * view ts gives each click its anchor view; a second running `last`
+    * over click rows carries the (anchor view, click) pair to each
+    * purchase; a running `last` of error ts turns "no error inside the
+    * span" into one comparison (last error < anchor view ⇔ the span is
+    * error-free, since the span ends at the current row). Purchases
+    * then filter on the three conditions and per-user rank/count
+    * windows keep the FIRST instance + the instance count. Scale: one
+    * user_id shuffle reused by every window; output O(users).
+    * Cross-engine: µs-integer span arithmetic; the emitted span_sec is
+    * floor of a <2^53 exact quotient (§5's floor-of-double rule); ties
+    * are impossible in the (ts, event_id) order since event_id is
+    * unique.
+    */
+  def eventsSequenceMatch(spark: SparkSession, dir: String): DataFrame =
+    sequenceMatch(Tables(spark, dir, "events"))
+
+  /** [[eventsSequenceMatch]]'s kernel on any events-shaped frame. */
+  private[operators] def sequenceMatch(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isClickWithView =
+      col("event_type") === "click" && col("lv").isNotNull
+    val staged = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("lv",
+        last(when(col("event_type") === "view", col("ts")),
+          ignoreNulls = true).over(w))
+      .withColumn("pv",
+        last(when(isClickWithView, col("lv")), ignoreNulls = true).over(w))
+      .withColumn("pc",
+        last(when(isClickWithView, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("le",
+        last(when(col("event_type") === "error", col("ts")),
+          ignoreNulls = true).over(w))
+    val matches = staged.filter(
+      col("event_type") === "purchase" && col("pc").isNotNull &&
+        unix_micros(col("ts")) - unix_micros(col("pv")) <= SeqMatchWindowUs &&
+        (col("le").isNull || col("le") < col("pv")))
+    val wu = Window.partitionBy(col("user_id"))
+    matches
+      .withColumn("rn",
+        row_number().over(wu.orderBy(col("ts"), col("event_id"))))
+      .withColumn("n_matches", count(lit(1)).over(wu))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("pv").as("view_ts"),
+        col("pc").as("click_ts"), col("ts").as("purchase_ts"),
+        floor((unix_micros(col("ts")) - unix_micros(col("pv"))) / lit(1e6))
+          .cast("long").as("span_sec"),
+        col("n_matches"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_sequence_match" -> (eventsSequenceMatch _),
     "events_attribution_decay" -> (eventsAttributionDecay _),
     "events_attribution" -> (eventsAttribution _),
     "skew_audit" -> (skewAudit _),
@@ -403,6 +476,42 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // events_sequence_match: DuckDB's IGNORE-NULLS last_value replays
+    // the three running carries in two window layers (lv/le, then the
+    // click-pair carry that reads lv); WHERE runs before the SELECT-
+    // list windows, so rn/n_matches rank the MATCHES, exactly as the
+    // Spark side filters before its rank windows
+    "events_sequence_match" ->
+      s"""WITH o1 AS (SELECT user_id, ts, event_id, event_type,
+         |    last_value(CASE WHEN event_type = 'view' THEN ts END
+         |      IGNORE NULLS) OVER w AS lv,
+         |    last_value(CASE WHEN event_type = 'error' THEN ts END
+         |      IGNORE NULLS) OVER w AS le
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS UNBOUNDED PRECEDING)),
+         |o2 AS (SELECT *,
+         |    last_value(CASE WHEN event_type = 'click' AND lv IS NOT
+         |      NULL THEN lv END IGNORE NULLS) OVER w2 AS pv,
+         |    last_value(CASE WHEN event_type = 'click' AND lv IS NOT
+         |      NULL THEN ts END IGNORE NULLS) OVER w2 AS pc
+         |  FROM o1
+         |  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS UNBOUNDED PRECEDING)),
+         |m AS (SELECT user_id, pv, pc, ts,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS rn,
+         |    count(*) OVER (PARTITION BY user_id) AS n_matches
+         |  FROM o2
+         |  WHERE event_type = 'purchase' AND pc IS NOT NULL
+         |    AND epoch_us(ts) - epoch_us(pv) <= $SeqMatchWindowUs
+         |    AND (le IS NULL OR le < pv))
+         |SELECT user_id, pv AS view_ts, pc AS click_ts,
+         |  ts AS purchase_ts,
+         |  CAST(floor((epoch_us(ts) - epoch_us(pv)) / 1e6) AS BIGINT)
+         |    AS span_sec,
+         |  CAST(n_matches AS BIGINT) AS n_matches
+         |FROM m WHERE rn = 1 ORDER BY user_id""".stripMargin,
     // events_attribution_decay: the window-collected in-horizon touch
     // set replays as a bounded inequality join; dyadic weights via
     // integer shift make the weight sum order-free exact
