@@ -423,6 +423,23 @@ object EventOps {
 
   /** [[eventsSequenceMatch]]'s kernel on any events-shaped frame. */
   private[operators] def sequenceMatch(events: DataFrame): DataFrame = {
+    val wu = Window.partitionBy(col("user_id"))
+    sequenceMatchInstances(events)
+      .withColumn("rn",
+        row_number().over(wu.orderBy(col("purchase_ts"), col("event_id"))))
+      .withColumn("n_matches", count(lit(1)).over(wu))
+      .filter(col("rn") === 1)
+      .drop("rn", "event_id")
+      .orderBy(col("user_id"))
+  }
+
+  /** EVERY pattern instance (the pre-rank frame [[sequenceMatch]]
+    * summarizes): one row per matching purchase with its anchor pair.
+    * This is also the batch arm of the G18 streaming detector — an
+    * instance is emitted the moment its purchase arrives, so the
+    * append-mode stream and this frame agree row for row.
+    */
+  private[graft] def sequenceMatchInstances(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -440,22 +457,14 @@ object EventOps {
       .withColumn("le",
         last(when(col("event_type") === "error", col("ts")),
           ignoreNulls = true).over(w))
-    val matches = staged.filter(
+    staged.filter(
       col("event_type") === "purchase" && col("pc").isNotNull &&
         unix_micros(col("ts")) - unix_micros(col("pv")) <= SeqMatchWindowUs &&
         (col("le").isNull || col("le") < col("pv")))
-    val wu = Window.partitionBy(col("user_id"))
-    matches
-      .withColumn("rn",
-        row_number().over(wu.orderBy(col("ts"), col("event_id"))))
-      .withColumn("n_matches", count(lit(1)).over(wu))
-      .filter(col("rn") === 1)
-      .select(col("user_id"), col("pv").as("view_ts"),
+      .select(col("user_id"), col("event_id"), col("pv").as("view_ts"),
         col("pc").as("click_ts"), col("ts").as("purchase_ts"),
         floor((unix_micros(col("ts")) - unix_micros(col("pv"))) / lit(1e6))
-          .cast("long").as("span_sec"),
-        col("n_matches"))
-      .orderBy(col("user_id"))
+          .cast("long").as("span_sec"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -231,7 +231,26 @@ object Streaming {
       .orderBy(col("vec_id"))
   }
 
+  /** G18 `stream_sequence_match` — batch equivalent of
+    * [[SequenceMatchStream]]'s CEP detector: EVERY B96 pattern
+    * instance (not just the per-user first — an intake gate acts per
+    * occurrence), one row per matching purchase with its anchor
+    * (view, click) pair and integer span. The instance frame is
+    * B96's own pre-rank kernel
+    * ([[graft.operators.EventOps.sequenceMatchInstances]]), so the
+    * three arms — B96's summary, this batch frame, and the live
+    * stream — share one definition; a (ts, event_id)-ordered replay
+    * of this corpus through the stream emits exactly these rows
+    * (SequenceMatchStreamSpec pins it under 1- and 3-batch splits).
+    */
+  def streamSequenceMatch(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EventOps
+      .sequenceMatchInstances(Tables(spark, dir, "events"))
+      .drop("event_id")
+      .orderBy(col("user_id"), col("purchase_ts"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_sequence_match" -> (streamSequenceMatch _),
     "stream_semantic_dedup" -> (streamSemanticDedup _),
     "stream_substring_dedup" -> (streamSubstringDedup _),
     "stream_topk" -> (streamTopk _),
@@ -260,6 +279,35 @@ object Streaming {
   }
 
   val oracle: Map[String, String] = Map(
+    // G18 batch arm: B96's carry windows WITHOUT the final per-user
+    // rank — every instance row survives
+    "stream_sequence_match" ->
+      s"""WITH o1 AS (SELECT user_id, ts, event_id, event_type,
+         |    last_value(CASE WHEN event_type = 'view' THEN ts END
+         |      IGNORE NULLS) OVER w AS lv,
+         |    last_value(CASE WHEN event_type = 'error' THEN ts END
+         |      IGNORE NULLS) OVER w AS le
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS UNBOUNDED PRECEDING)),
+         |o2 AS (SELECT *,
+         |    last_value(CASE WHEN event_type = 'click' AND lv IS NOT
+         |      NULL THEN lv END IGNORE NULLS) OVER w2 AS pv,
+         |    last_value(CASE WHEN event_type = 'click' AND lv IS NOT
+         |      NULL THEN ts END IGNORE NULLS) OVER w2 AS pc
+         |  FROM o1
+         |  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS UNBOUNDED PRECEDING))
+         |SELECT user_id, pv AS view_ts, pc AS click_ts,
+         |  ts AS purchase_ts,
+         |  CAST(floor((epoch_us(ts) - epoch_us(pv)) / 1e6) AS BIGINT)
+         |    AS span_sec
+         |FROM o2
+         |WHERE event_type = 'purchase' AND pc IS NOT NULL
+         |  AND epoch_us(ts) - epoch_us(pv) <=
+         |    ${graft.operators.EventOps.SeqMatchWindowUs}
+         |  AND (le IS NULL OR le < pv)
+         |ORDER BY user_id, purchase_ts""".stripMargin,
     // G17 batch arm: inline hyperplane-weight replay of the E2
     // signature (tables=1), rank-capped reps per bucket, D9's dup
     // rule on 6-dp cosines
