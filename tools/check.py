@@ -11,7 +11,7 @@ With jsonOut set, also writes a machine-readable result
 CORRECTNESS artifact (the r9 incident) is distinguishable from a
 real regression without a judge re-running the whole gate.
 """
-import sys, json, glob, math
+import sys, json, glob, math, os
 import duckdb
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -23,8 +23,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 con = duckdb.connect()
 for t in TABLES:
+    # driver testdata ships single-file tables; the sf1 probe dirs are
+    # Spark-written directories — bind whichever shape is present
+    path = f"{sfdir}/{t}.parquet"
+    if os.path.isdir(path):
+        path += "/*.parquet"
     con.execute(
-        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails = []
