@@ -83,7 +83,17 @@ object BenchScale {
     "dedup_semantic" -> "verbatim",
     "dedup_semantic_sweep" -> "verbatim",
     "corpus_dsir_select" -> "verbatim",
-    "stream_substring_dedup" -> "iso")
+    "stream_substring_dedup" -> "iso",
+    // round 11: the event-window family had no probe entry at all —
+    // events replicate as user-disjoint copies (user_id and event_id
+    // key-shifted, identical in both variants since no probed text/
+    // part key interacts), i.e. 10× more users with sf0.1's per-user
+    // behavior — exactly how an event log grows. One representative
+    // per plan shape: the union-sort-window as-of join, the gap
+    // sessionizer, and the B96 CEP window pass.
+    "asof_join" -> "verbatim",
+    "sessionize" -> "verbatim",
+    "events_sequence_match" -> "verbatim")
 
   private def replicate(df: DataFrame, key: String): DataFrame =
     (0 until Factor).map(k =>
@@ -150,10 +160,20 @@ object BenchScale {
     li.withColumn("l_partkey", col("l_partkey") + col("_copy") * Shift)
       .drop("_copy")
       .write.mode("overwrite").parquet(s"$out-iso/lineitem.parquet")
+    // events replicate as user-disjoint copies (both keys shifted so
+    // no copy shares users or event ids) — the honest growth model
+    // for an event log: 10× the users, per-user behavior unchanged
+    val evr = replicate(
+      spark.read.parquet(s"$base/events.parquet"), "event_id")
+      .withColumn("user_id", col("user_id") + col("_copy") * Shift)
+      .drop("_copy")
+      .localCheckpoint()
+    evr.write.mode("overwrite").parquet(s"$out-verbatim/events.parquet")
+    evr.write.mode("overwrite").parquet(s"$out-iso/events.parquet")
     // pass the remaining tables through UNreplicated so every probed
     // key's DuckDB oracle can run against the sf1 dirs (CHECK_SF1:
     // the oracle views bind all ten tables)
-    Seq("region", "nation", "customer", "supplier", "orders", "events")
+    Seq("region", "nation", "customer", "supplier", "orders")
       .foreach { t =>
         val df = spark.read.parquet(s"$base/$t.parquet")
         df.write.mode("overwrite").parquet(s"$out-verbatim/$t.parquet")
