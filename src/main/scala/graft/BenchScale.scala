@@ -50,7 +50,12 @@ import org.apache.spark.sql.functions._
   */
 object BenchScale {
 
-  val Factor = 10
+  /** Replication factor: 10 by default (one decade up from sf0.1).
+    * SPARK_GRAFT_FACTOR overrides for the two-decade probe (§9d) —
+    * every sf0.1 key is < 150 000, so k·Shift shifts stay
+    * collision-free far past factor 100.
+    */
+  val Factor: Int = sys.env.getOrElse("SPARK_GRAFT_FACTOR", "10").toInt
   val Shift = 10000000L
 
   /** The scale-critical families named by the r9 verdict (first
