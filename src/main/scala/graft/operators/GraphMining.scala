@@ -34,7 +34,14 @@ object GraphMining {
     * (B64's basket guard), and the support count collapses map-side
     * before the (u, v) exchange.
     */
-  private[operators] def copurchaseEdges(lineitem: DataFrame): DataFrame = {
+  private[operators] def copurchaseEdges(lineitem: DataFrame): DataFrame =
+    copurchaseWeightedEdges(lineitem).select(col("u"), col("v"))
+
+  /** The same build keeping the co-occurrence count as the edge
+    * weight (B97's MST input; every other graph operator drops it).
+    */
+  private[operators] def copurchaseWeightedEdges(
+      lineitem: DataFrame): DataFrame = {
     val op = lineitem
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
@@ -43,7 +50,6 @@ object GraphMining {
       .groupBy(col("a.p").as("u"), col("b.p").as("v"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= EdgeMinSupport)
-      .select(col("u"), col("v"))
   }
 
   /** Per-node triangle counts over an undirected edge set (columns
@@ -860,9 +866,96 @@ object GraphMining {
       .orderBy(col("p_partkey"))
   }
 
+  // ---------------------------------------------------------------- B97
+
+  /** Bounded Borůvka rounds (components at least halve per round, so
+    * 3 rounds resolve every component of ≤ 8 original nodes exactly
+    * and leave larger ones as partial forests — the bounded-horizon
+    * contract B85/B90/B93/B94 use, which is also what makes every
+    * round ORACLE-unrollable; at 100 TB the same kernel loops to
+    * convergence, ⌈log₂ n⌉ rounds total).
+    */
+  val MstRounds = 3
+
+  /** B97 `graph_mst` — maximum-affinity spanning forest by bounded
+    * Borůvka rounds (Borůvka 1926; the contraction algorithm every
+    * distributed MST implementation uses because, unlike Prim or
+    * Kruskal, it has no sequential frontier or global sort: each
+    * round EVERY component independently picks its best incident
+    * edge, picked edges merge components, repeat). Over the weighted
+    * co-purchase graph it yields the product-affinity BACKBONE — the
+    * spanning structure a category tree or related-items navigation
+    * reads off, keeping each cluster's strongest links where the
+    * full graph drowns them in redundant edges.
+    *
+    * Determinism (both engines, bit-for-bit): "best" is a TOTAL
+    * order — support DESC, then (u, v) ASC — so each component's pick
+    * is unique; merged components relabel to the MIN old label (the
+    * D6/B80 convention, via the SAME `Dedup.connectedComponents`
+    * kernel on the O(#components) picked-edge graph, reused not
+    * re-implemented). An edge picked by both endpoints dedups once
+    * into the forest with the round it joined.
+    *
+    * Scale shape: per round ONE (edges ⋈ labels) hash join per
+    * endpoint + one per-component rank window on the O(cross-edges)
+    * candidate frame + a CC on ≤ #components picked edges (the small
+    * frame); labels O(nodes), per-round localCheckpoint truncates
+    * lineage (D6's rule). No global sort anywhere — that is the
+    * point of Borůvka at scale.
+    */
+  def graphMst(spark: SparkSession, dir: String): DataFrame =
+    boruvkaForest(copurchaseWeightedEdges(Tables(spark, dir, "lineitem")))
+
+  /** [[graphMst]]'s kernel on any (u, v, support) weighted frame. */
+  private[operators] def boruvkaForest(wedges0: DataFrame): DataFrame = {
+    val wedges = wedges0.localCheckpoint()
+    var labels = wedges.select(col("u").as("node"))
+      .union(wedges.select(col("v").as("node"))).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var forest: Option[DataFrame] = None
+    for (k <- 1 to MstRounds) {
+      val lu = labels.select(col("node").as("u"), col("label").as("cu"))
+      val lv = labels.select(col("node").as("v"), col("label").as("cv"))
+      val cross = wedges.join(lu, Seq("u")).join(lv, Seq("v"))
+        .filter(col("cu") =!= col("cv"))
+        .localCheckpoint()
+      // each component's best incident cross edge under the total
+      // order (support DESC, u, v) — unique, hence engine-exact
+      val cand = cross.select(col("cu").as("c"), col("u"), col("v"),
+          col("support"), col("cu"), col("cv"))
+        .union(cross.select(col("cv").as("c"), col("u"), col("v"),
+          col("support"), col("cu"), col("cv")))
+      val wr = Window.partitionBy(col("c"))
+        .orderBy(col("support").desc, col("u"), col("v"))
+      val sel = cand.withColumn("rn", row_number().over(wr))
+        .filter(col("rn") === 1)
+        .localCheckpoint()
+      val picked = sel.select(col("u"), col("v"), col("support")).distinct()
+        .withColumn("round_added", lit(k))
+      forest = Some(forest.fold(picked)(_.unionByName(picked))
+        .localCheckpoint())
+      // contract: min-label CC over the picked component-pair graph
+      // (O(#components) edges — the bounded frame the hybrid kernel
+      // was built for)
+      val remap = graft.dedup.Dedup.connectedComponents(
+          sel.select(col("cu").as("u"), col("cv").as("v")).distinct())
+        .select(col("node").as("old_label"), col("label").as("new_label"))
+      labels = labels
+        .join(remap, labels("label") === col("old_label"), "left")
+        .select(col("node"),
+          coalesce(col("new_label"), col("label")).as("label"))
+        .localCheckpoint()
+    }
+    forest.get
+      .select(col("u"), col("v"), col("support"), col("round_added"))
+      .orderBy(col("u"), col("v"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_mst" -> (graphMst _),
     "graph_stress" -> (graphStress _),
     "graph_betweenness" -> (graphBetweenness _),
     "graph_lpa_communities" -> (graphLpaCommunities _),
@@ -976,7 +1069,59 @@ object GraphMining {
        |  LEFT JOIN bt$k t ON t.seed = v.seed AND t.node = v.node)"""
       .stripMargin
 
+  /** One unrolled Borůvka round for the B97 oracle: cross edges under
+    * lab(k−1), the per-component rank pick, and contraction as the
+    * D6/B80 min-label closure over the picked component-pair graph
+    * (a recursive CTE per round — legal under one WITH RECURSIVE; the
+    * closure runs on ≤ #components rows, never the edge list).
+    */
+  private def mstRoundOracle(k: Int): String =
+    s"""cx$k AS MATERIALIZED (SELECT we.u, we.v, we.support,
+       |    a.lbl AS cu, b.lbl AS cv
+       |  FROM we JOIN lab${k - 1} a ON a.node = we.u
+       |  JOIN lab${k - 1} b ON b.node = we.v
+       |  WHERE a.lbl != b.lbl),
+       |sel$k AS MATERIALIZED (SELECT u, v, support, cu, cv FROM (
+       |    SELECT t.*, row_number() OVER (PARTITION BY t.c
+       |      ORDER BY t.support DESC, t.u, t.v) AS rn
+       |    FROM (SELECT cu AS c, u, v, support, cu, cv FROM cx$k
+       |      UNION ALL
+       |      SELECT cv AS c, u, v, support, cu, cv FROM cx$k) t)
+       |  WHERE rn = 1),
+       |sym$k AS (SELECT cu AS u, cv AS v FROM sel$k
+       |  UNION SELECT cv, cu FROM sel$k),
+       |reach$k(u, r) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM sym$k)
+       |  UNION
+       |  SELECT s.u, reach$k.r FROM sym$k s
+       |    JOIN reach$k ON reach$k.u = s.v),
+       |rm$k AS MATERIALIZED (SELECT u AS old, min(r) AS newl
+       |  FROM reach$k GROUP BY u),
+       |lab$k AS MATERIALIZED (SELECT l.node,
+       |    coalesce(rm.newl, l.lbl) AS lbl
+       |  FROM lab${k - 1} l LEFT JOIN rm$k rm ON rm.old = l.lbl)"""
+      .stripMargin
+
   val oracle: Map[String, String] = Map(
+    // graph_mst: weighted edge build, MstRounds unrolled Borůvka
+    // rounds (pick by the strict total order, contract by min-label
+    // closure), forest = every round's deduped picks
+    "graph_mst" ->
+      s"""WITH RECURSIVE
+         |op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |    FROM lineitem),
+         |we AS MATERIALIZED (SELECT a.p AS u, b.p AS v,
+         |    count(*) AS support
+         |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+         |  GROUP BY a.p, b.p HAVING count(*) >= $EdgeMinSupport),
+         |lab0 AS MATERIALIZED (SELECT node, node AS lbl FROM (
+         |  SELECT u AS node FROM we UNION SELECT v FROM we)),
+         |${(1 to MstRounds).map(mstRoundOracle).mkString(",\n")}
+         |SELECT u, v, CAST(support AS BIGINT) AS support, round_added
+         |FROM (${(1 to MstRounds).map(k =>
+            s"SELECT DISTINCT u, v, support, $k AS round_added FROM sel$k")
+            .mkString("\n  UNION ALL\n")})
+         |ORDER BY u, v""".stripMargin,
     // graph_betweenness: shared edge/degree/seed prefix, unrolled
     // per-round CTEs BOTH directions (forward σ, backward δ), O(nodes)
     // rollup excluding each source's own row

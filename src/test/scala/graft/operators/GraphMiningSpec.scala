@@ -524,6 +524,73 @@ class GraphMiningSpec extends SparkSpec {
       Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 1, 5L -> 1))
   }
 
+  private def wedgesDf(triples: Seq[(Long, Long, Long)]): DataFrame = {
+    import spark.implicits._
+    triples.toDF("u", "v", "support")
+  }
+
+  private def forestSet(df: DataFrame): Set[(Long, Long, Long, Int)] =
+    df.collect().map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"),
+      r.getAs[Long]("support"), r.getAs[Int]("round_added"))).toSet
+
+  test("boruvkaForest: two strong triangles and a weak bridge — round " +
+      "1 picks each cluster's strong edges, round 2 the bridge, and " +
+      "the weak in-cluster edges never enter") {
+    val g = Seq((1L, 2L, 10L), (2L, 3L, 9L), (1L, 3L, 1L),
+      (4L, 5L, 10L), (5L, 6L, 9L), (4L, 6L, 1L), (3L, 4L, 2L))
+    assert(forestSet(GraphMining.boruvkaForest(wedgesDf(g))) == Set(
+      (1L, 2L, 10L, 1), (2L, 3L, 9L, 1),
+      (4L, 5L, 10L, 1), (5L, 6L, 9L, 1),
+      (3L, 4L, 2L, 2)))
+  }
+
+  test("boruvkaForest: equal supports resolve by the (u, v) total " +
+      "order — the forest is still deterministic and acyclic") {
+    val g = Seq((1L, 2L, 5L), (1L, 3L, 5L), (2L, 3L, 5L))
+    assert(forestSet(GraphMining.boruvkaForest(wedgesDf(g))) == Set(
+      (1L, 2L, 5L, 1), (1L, 3L, 5L, 1)))
+  }
+
+  test("boruvkaForest: the distributed rounds agree with a local " +
+      "sequential Boruvka replay over the sf co-purchase graph, and " +
+      "the forest is acyclic") {
+    val wedges = GraphMining
+      .copurchaseWeightedEdges(graft.Tables(spark, sfDir, "lineitem"))
+      .collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"),
+        r.getAs[Long]("support")))
+      .toSeq
+    assert(wedges.nonEmpty)
+    // local replay: same total order, same min-label contraction
+    var lbl = wedges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(n => n -> n).toMap
+    val expected = scala.collection.mutable.Set.empty[(Long, Long, Long, Int)]
+    for (k <- 1 to GraphMining.MstRounds) {
+      val cross = wedges.filter(e => lbl(e._1) != lbl(e._2))
+      val picks = cross.flatMap(e => Seq(lbl(e._1) -> e, lbl(e._2) -> e))
+        .groupBy(_._1).values
+        .map(_.map(_._2).minBy(e => (-e._3, e._1, e._2))).toSet
+      picks.foreach(e => expected += ((e._1, e._2, e._3, k)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+      }
+      picks.foreach { e =>
+        val (a, b) = (find(lbl(e._1)), find(lbl(e._2)))
+        if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+      }
+      lbl = lbl.map { case (n, l) => n -> find(l) }
+    }
+    val got = forestSet(GraphMining.graphMst(spark, sfDir))
+    assert(got == expected.toSet,
+      s"forest mismatch: ${got.size} vs replay ${expected.size}")
+    // acyclic: edges never reach node count within any merged group
+    val nNodes = lbl.size
+    val nComponents = lbl.values.toSet.size
+    assert(got.size <= nNodes - nComponents,
+      s"cycle: ${got.size} edges, $nNodes nodes, $nComponents components")
+  }
+
   test("queries are deterministic across runs") {
     for ((name, q) <- GraphMining.queries) {
       val a = q(spark, sfDir).collect().map(_.toString).toSeq
