@@ -1,7 +1,7 @@
 package graft.multimodal
 
-/** Real baseline-JPEG luma decode — the second pixel tier under the
-  * F8 perceptual hash (round 11, verdict #6): real corpora are mostly
+/** Real JPEG luma decode — the second pixel tier under the F8
+  * perceptual hash (round 11, verdict #6): real corpora are mostly
   * JPEG, and [[PngCodec.phash]]'s pipeline needs only a luma source,
   * so this decoder feeds it the Y plane straight out of the entropy
   * stream (no chroma upsampling, no color conversion — BT.601 luma IS
@@ -12,14 +12,19 @@ package graft.multimodal
   * (0xFF00) and restart-marker handling, dequantize → de-zigzag →
   * separable 2-D IDCT per 8×8 block.
   *
-  * Coverage: baseline and extended-sequential Huffman scans (SOF0/
-  * SOF1), 8-bit samples, 1–3 components with the luma component at
-  * full resolution (h = hmax, v = vmax — true of every libjpeg/
-  * ImageIO encoding; chroma blocks are Huffman-decoded to keep stream
-  * position and then discarded). Progressive (SOF2), arithmetic
-  * coding, 12-bit, hierarchical, and >3-component (CMYK) files return
-  * None and the caller falls back to the byte-arithmetic stub — the
-  * same graceful-fallback contract as [[PngCodec.decodeLuma]].
+  * Coverage: baseline and extended-sequential Huffman scans
+  * (SOF0/SOF1) AND progressive Huffman (SOF2, since late round 11 —
+  * spectral-selection + successive-approximation per T.81 annex G:
+  * DC first/refine passes, AC first passes with EOB runs, AC
+  * refinement with correction bits; luma coefficients accumulate
+  * across scans in one MCU-padded plane, chroma-only AC scans are
+  * skipped at the byte level, interleaved DC scans Huffman-decode
+  * chroma to keep stream position). 8-bit samples, 1–3 components
+  * with the luma component at full resolution (h = hmax, v = vmax —
+  * true of every libjpeg/ImageIO encoding). Arithmetic coding,
+  * 12-bit, hierarchical, and >3-component (CMYK) files return None
+  * and the caller falls back to the byte-arithmetic stub — the same
+  * graceful-fallback contract as [[PngCodec.decodeLuma]].
   *
   * Determinism: Huffman/dequant are exact integer work; the IDCT uses
   * a StrictMath.cos basis table, so decoded luma is bit-identical on
@@ -178,6 +183,22 @@ object JpegCodec {
   private def be16(b: Array[Byte], i: Int): Int =
     (u8(b, i) << 8) | u8(b, i + 1)
 
+  /** Skip an entropy-coded segment at the byte level (a scan whose
+    * component we don't need): returns the index of the first 0xFF of
+    * the next REAL marker (stuffed 0xFF00 and RSTn pass through).
+    */
+  private def skipScan(b: Array[Byte], start: Int): Int = {
+    var p = start
+    while (p + 1 < b.length) {
+      if (u8(b, p) == 0xff) {
+        val m = u8(b, p + 1)
+        if (m != 0x00 && !(m >= 0xd0 && m <= 0xd7)) return p
+        p += 2
+      } else p += 1
+    }
+    b.length
+  }
+
   private def decode0(b: Array[Byte]): Option[PngCodec.Luma] = {
     if (b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return None
     val qt = Array.ofDim[Int](4, 64) // natural order after de-zigzag
@@ -187,15 +208,27 @@ object JpegCodec {
     var w = 0
     var h = 0
     var ri = 0 // restart interval in MCUs
+    var progressive = false
+    var yCoef: Array[Int] = null // progressive: Y coefficient plane
+    var yBw = 0 // Y block grid, MCU-padded
+    var yBh = 0
+    var yDecoded = false
     var pos = 2
     var sosAt = -1
     while (sosAt < 0) {
-      if (pos + 3 >= b.length) return None
+      if (pos + 1 >= b.length) return None
       if (u8(b, pos) != 0xff) return None
       val m = u8(b, pos + 1)
-      if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) pos += 2
-      else if (m == 0xd9) return None // EOI before SOS
+      if (m == 0xff) pos += 1 // fill byte before a marker (T.81 B.1.1.2)
+      else if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) pos += 2
+      else if (m == 0xd9) { // EOI
+        // progressive: the accumulated plane is the result
+        if (!progressive || !yDecoded) return None
+        return Some(finishProgressive(
+          yCoef, yBw, yBh, w, h, qt(comps(0).tq)))
+      }
       else {
+        if (pos + 3 >= b.length) return None
         val len = be16(b, pos + 2)
         if (len < 2 || pos + 2 + len > b.length) return None
         val seg = pos + 4
@@ -228,8 +261,9 @@ object JpegCodec {
               if (tc == 0) dcT(th) = t else acT(th) = t
               p += 17 + n
             }
-          case 0xc0 | 0xc1 => // baseline / extended sequential
+          case 0xc0 | 0xc1 | 0xc2 => // sequential / progressive frame
             if (u8(b, seg) != 8) return None // 8-bit samples only
+            progressive = m == 0xc2
             h = be16(b, seg + 1)
             w = be16(b, seg + 3)
             val nc = u8(b, seg + 5)
@@ -241,26 +275,64 @@ object JpegCodec {
             }.toArray
             if (comps.exists(c => c.h < 1 || c.h > 4 || c.v < 1 ||
                 c.v > 4 || c.tq > 3)) return None
-          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+            if (progressive) {
+              val hMax = comps.map(_.h).max
+              val vMax = comps.map(_.v).max
+              val y = comps(0)
+              if (y.h != hMax || y.v != vMax) return None
+              yBw = ((w + 8 * hMax - 1) / (8 * hMax)) * y.h
+              yBh = ((h + 8 * vMax - 1) / (8 * vMax)) * y.v
+              if (yBw.toLong * yBh > (1 << 24)) return None // cap plane
+              yCoef = new Array[Int](yBw * yBh * 64)
+            }
+          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
               0xcd | 0xce | 0xcf =>
-            return None // progressive / arithmetic / hierarchical
+            return None // lossless / arithmetic / hierarchical
           case 0xdd => ri = be16(b, seg)
           case 0xda => // SOS
             if (comps == null) return None
             val ns = u8(b, seg)
-            if (ns != comps.length) return None
-            var i = 0
-            while (i < ns) {
+            if (ns < 1 || ns > comps.length) return None
+            val scanComps = (0 until ns).map { i =>
               val cs = u8(b, seg + 1 + 2 * i)
               val c = comps.find(_.id == cs).getOrElse(return None)
               c.td = u8(b, seg + 2 + 2 * i) >> 4
               c.ta = u8(b, seg + 2 + 2 * i) & 15
-              i += 1
+              c
+            }.toArray
+            if (!progressive) {
+              if (ns != comps.length) return None
+              sosAt = pos + 2 + len
+            } else {
+              val ss = u8(b, seg + 1 + 2 * ns)
+              val se = u8(b, seg + 2 + 2 * ns)
+              val ah = u8(b, seg + 3 + 2 * ns) >> 4
+              val al = u8(b, seg + 3 + 2 * ns) & 15
+              if (ss > 63 || se > 63 || se < ss || al > 13) return None
+              val dataAt = pos + 2 + len
+              val isDc = ss == 0
+              if (isDc && se != 0) return None // DC scans are 0..0
+              if (!isDc && ns != 1) return None // AC scans: one comp
+              if (!isDc && scanComps(0).id != comps(0).id) {
+                // chroma-only AC scan: skip at the byte level
+                pos = skipScan(b, dataAt)
+              } else {
+                val in = new BitReader(b, dataAt)
+                if (isDc)
+                  decodeProgDc(in, scanComps, comps, yCoef, yBw,
+                    w, h, ri, ah, al, dcT)
+                else
+                  decodeProgAc(in, comps(0), yCoef, yBw, w, h, ri,
+                    ss, se, ah, al, acT)
+                yDecoded = true
+                // the reader stops byte-aligned before (or just past,
+                // if it peeked) the next marker
+                pos = if (in.atMarker >= 0) in.pos - 2 else in.pos
+              }
             }
-            sosAt = pos + 2 + len
           case _ => () // APPn / COM / others: skip
         }
-        pos += 2 + len
+        if (m != 0xda || !progressive) pos += 2 + len
       }
     }
     val hMax = comps.map(_.h).max
@@ -345,6 +417,230 @@ object JpegCodec {
       my += 1
     }
     Some(PngCodec.Luma(w, h, px))
+  }
+
+  /** Progressive DC scan (T.81 G.1.2.1): first pass (Ah=0) decodes
+    * the usual DC differences shifted left by Al; refinement passes
+    * (Ah>0) read ONE correction bit per block. Interleaved when the
+    * scan lists several components (MCU order, chroma decoded to keep
+    * stream position, discarded); non-interleaved block raster when it
+    * lists one. Restart markers reset predictors on interval bounds.
+    */
+  private def decodeProgDc(in: BitReader, scanComps: Array[Comp],
+      comps: Array[Comp], yCoef: Array[Int], yBw: Int, w: Int, h: Int,
+      ri: Int, ah: Int, al: Int, dcT: Array[Huff]): Unit = {
+    scanComps.foreach(_.pred = 0)
+    if (ah == 0) scanComps.foreach { c =>
+      if (dcT(c.td) == null) throw new MatchError("missing DC table")
+    }
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    def one(c: Comp, isY: Boolean, bi: Int): Unit = {
+      if (ah == 0) {
+        val s = dcT(c.td).decode(in)
+        if (s > 15) throw new MatchError("DC magnitude over 15")
+        c.pred += extend(in.bits(s), s)
+        if (isY) yCoef(bi * 64) = c.pred << al
+      } else {
+        val bit = in.bit()
+        if (isY && bit == 1) yCoef(bi * 64) |= 1 << al
+      }
+    }
+    if (scanComps.length > 1) { // interleaved MCU order
+      val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+      val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+      var mcu = 0
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          if (ri > 0 && mcu > 0 && mcu % ri == 0) {
+            if (!in.restart()) throw new MatchError("missing RST")
+            scanComps.foreach(_.pred = 0)
+          }
+          var ci = 0
+          while (ci < scanComps.length) {
+            val c = scanComps(ci)
+            val isY = c.id == comps(0).id
+            var by = 0
+            while (by < c.v) {
+              var bx = 0
+              while (bx < c.h) {
+                one(c, isY,
+                  (my * c.v + by) * yBw + mx * c.h + bx)
+                bx += 1
+              }
+              by += 1
+            }
+            ci += 1
+          }
+          mcu += 1
+          mx += 1
+        }
+        my += 1
+      }
+    } else { // single component: its own block raster, no MCU padding
+      val c = scanComps(0)
+      val isY = c.id == comps(0).id
+      val cw = (w * c.h + 8 * hMax - 1) / (8 * hMax) // blocks wide
+      val ch = (h * c.v + 8 * vMax - 1) / (8 * vMax)
+      var blk = 0
+      var by = 0
+      while (by < ch) {
+        var bx = 0
+        while (bx < cw) {
+          if (ri > 0 && blk > 0 && blk % ri == 0) {
+            if (!in.restart()) throw new MatchError("missing RST")
+            c.pred = 0
+          }
+          one(c, isY, by * yBw + bx)
+          blk += 1
+          bx += 1
+        }
+        by += 1
+      }
+    }
+  }
+
+  /** Progressive AC scan for the LUMA component (T.81 G.1.2.2–3):
+    * first pass (Ah=0) is run-length RRRRSSSS with EOB-run codes and
+    * values shifted by Al; refinement (Ah>0) is libjpeg's
+    * decode_mcu_AC_refine shape — correction bits for already-nonzero
+    * coefficients, ±(1<<Al) insertions with a sign bit, EOB runs that
+    * still consume correction bits over the remaining band.
+    */
+  private def decodeProgAc(in: BitReader, y: Comp, yCoef: Array[Int],
+      yBw: Int, w: Int, h: Int, ri: Int, ss: Int, se: Int, ah: Int,
+      al: Int, acT: Array[Huff]): Unit = {
+    if (acT(y.ta) == null) throw new MatchError("missing AC table")
+    val huff = acT(y.ta)
+    val cw = (w + 7) / 8 // Y is full-res: its grid is ceil(w/8)
+    val ch = (h + 7) / 8
+    val p1 = 1 << al
+    val m1 = -1 << al
+    var eobrun = 0
+    var blk = 0
+    var by = 0
+    while (by < ch) {
+      var bx = 0
+      while (bx < cw) {
+        if (ri > 0 && blk > 0 && blk % ri == 0) {
+          if (!in.restart()) throw new MatchError("missing RST")
+          eobrun = 0
+        }
+        val base = (by * yBw + bx) * 64
+        if (ah == 0) { // first pass over this band
+          if (eobrun > 0) eobrun -= 1
+          else {
+            var k = ss
+            while (k <= se) {
+              val rs = huff.decode(in)
+              val r = rs >> 4
+              val s = rs & 15
+              if (s == 0) {
+                if (r == 15) k += 16 // ZRL
+                else {
+                  eobrun = (1 << r) - 1
+                  if (r > 0) eobrun += in.bits(r)
+                  k = se + 1
+                }
+              } else {
+                k += r
+                if (k > se) throw new MatchError("AC run past band")
+                yCoef(base + ZigZag(k)) = extend(in.bits(s), s) << al
+                k += 1
+              }
+            }
+          }
+        } else { // refinement pass (libjpeg decode_mcu_AC_refine)
+          var k = ss
+          if (eobrun == 0) {
+            var done = false
+            while (k <= se && !done) {
+              val rs = huff.decode(in)
+              var r = rs >> 4
+              val s = rs & 15
+              var ins = 0
+              if (s == 0) {
+                if (r != 15) {
+                  eobrun = 1 << r
+                  if (r > 0) eobrun += in.bits(r)
+                  done = true
+                }
+              } else {
+                if (s != 1) throw new MatchError("refine s != 1")
+                ins = if (in.bit() == 1) p1 else m1
+              }
+              if (!done) {
+                var placed = false
+                while (k <= se && !placed) {
+                  val idx = base + ZigZag(k)
+                  if (yCoef(idx) != 0) {
+                    if (in.bit() == 1 && (yCoef(idx) & p1) == 0)
+                      yCoef(idx) +=
+                        (if (yCoef(idx) >= 0) p1 else m1)
+                    k += 1
+                  } else {
+                    r -= 1
+                    if (r < 0) {
+                      if (ins != 0) yCoef(idx) = ins
+                      k += 1
+                      placed = true
+                    } else k += 1
+                  }
+                }
+              }
+            }
+          }
+          if (eobrun > 0) { // correction bits across the rest of band
+            while (k <= se) {
+              val idx = base + ZigZag(k)
+              if (yCoef(idx) != 0) {
+                if (in.bit() == 1 && (yCoef(idx) & p1) == 0)
+                  yCoef(idx) += (if (yCoef(idx) >= 0) p1 else m1)
+              }
+              k += 1
+            }
+            eobrun -= 1
+          }
+        }
+        blk += 1
+        bx += 1
+      }
+      by += 1
+    }
+  }
+
+  /** Dequantize + IDCT the accumulated progressive Y plane. */
+  private def finishProgressive(yCoef: Array[Int], yBw: Int, yBh: Int,
+      w: Int, h: Int, q: Array[Int]): PngCodec.Luma = {
+    val px = new Array[Int](w * h)
+    val dq = new Array[Int](64)
+    val blk = new Array[Int](64)
+    var by = 0
+    while (by < yBh) {
+      var bx = 0
+      while (bx < yBw) {
+        val base = (by * yBw + bx) * 64
+        var j = 0
+        while (j < 64) { dq(j) = yCoef(base + j) * q(j); j += 1 }
+        idct8(dq, blk)
+        val py0 = by * 8
+        val px0 = bx * 8
+        var yy = 0
+        while (yy < 8 && py0 + yy < h) {
+          var xx = 0
+          while (xx < 8 && px0 + xx < w) {
+            px((py0 + yy) * w + px0 + xx) = blk(yy * 8 + xx)
+            xx += 1
+          }
+          yy += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    PngCodec.Luma(w, h, px)
   }
 
   /** Separable 8×8 inverse DCT (T.81 A.3.3) + level shift + clamp:

@@ -145,14 +145,49 @@ class JpegCodecSpec extends SparkSpec {
     assert(viaCodec >= 0, "bit 63 held at 0: codes stay non-negative")
   }
 
-  test("fallback: progressive scans and non-JPEG bytes return None " +
-      "and phashOf degrades to the stub, never throws") {
+  test("progressive: SOF2 scans decode to the same luma as the JDK's " +
+      "decoder, grayscale and subsampled color, odd sizes included") {
+    for (gray <- Seq(true, false); (w, h) <- Seq((96, 64), (37, 23))) {
+      val bytes = encodeJpeg(gradientImage(w, h, gray), 0.9f,
+        progressive = true)
+      assert(bytes.sliding(2).exists(p =>
+        (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2),
+        "fixture must really be progressive (SOF2)")
+      val l = JpegCodec.decodeLuma(bytes)
+        .getOrElse(fail(s"gray=$gray ${w}x$h: progressive decode None"))
+      val (rw, rh, ref) = imageioLuma(bytes)
+      assert(l.width == rw && l.height == rh && (rw, rh) == (w, h))
+      val mean = l.px.indices.map(i =>
+        math.abs(l.px(i) - ref(i))).sum.toDouble / (w * h)
+      assert(mean <= (if (gray) 1.5 else 3.0),
+        s"gray=$gray ${w}x$h mean |luma diff| $mean")
+    }
+  }
+
+  test("progressive: a progressive and a baseline encoding of the " +
+      "same pixels hash together through the real tier") {
+    val img = gradientImage(128, 96)
+    val base = encodeJpeg(img, 0.9f)
+    val prog = encodeJpeg(img, 0.9f, progressive = true)
+    assert(!java.util.Arrays.equals(base, prog))
+    val d = ham(PngCodec.phashOf(base), PngCodec.phashOf(prog))
+    assert(d <= Multimodal.PhashMaxHamming, s"hamming $d")
+    // while the stub on the same two byte streams lands far apart
+    assert(ham(Multimodal.phashStub(base), Multimodal.phashStub(prog)) >
+      Multimodal.PhashMaxHamming)
+  }
+
+  test("fallback: arithmetic-coded frames, truncations, and non-JPEG " +
+      "bytes return None and phashOf degrades to the stub, never throws") {
+    // doctor a real progressive stream's SOF2 into SOF9 (arithmetic
+    // sequential): same header layout, out-of-scope coding -> None
     val prog = encodeJpeg(gradientImage(48, 32), 0.8f, progressive = true)
-    // progressive really was written (SOF2 somewhere in the stream)
-    assert(prog.sliding(2).exists(p =>
-      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2))
-    assert(JpegCodec.decodeLuma(prog).isEmpty)
-    assert(PngCodec.phashOf(prog) == Multimodal.phashStub(prog))
+    val arith = prog.clone()
+    val sof = arith.sliding(2).indexWhere(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2)
+    arith(sof + 1) = 0xc9.toByte
+    assert(JpegCodec.decodeLuma(arith).isEmpty)
+    assert(PngCodec.phashOf(arith) == Multimodal.phashStub(arith))
     // arbitrary byte soup: header-truncated fixtures fall back (a cut
     // AFTER the complete scan still decodes — only EOI is missing —
     // so deep cuts assert no-throw rather than None)
@@ -164,6 +199,8 @@ class JpegCodecSpec extends SparkSpec {
     }
     for (cut <- bytes.length / 2 until bytes.length by 37)
       PngCodec.phashOf(bytes.take(cut)) // never throws, any truncation
+    for (cut <- 1 until prog.length by 23)
+      PngCodec.phashOf(prog.take(cut)) // progressive truncations too
     assert(JpegCodec.decodeLuma("not a jpeg".getBytes("UTF-8")).isEmpty)
   }
 }
