@@ -1166,7 +1166,7 @@ object Analytic {
     // cross-engine double-sum order is absorbed by the 6-dp round, and
     // the damping constants are the same literals as the Spark side
     "graph_pagerank" ->
-      """WITH e0 AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+      """WITH e0 AS MATERIALIZED (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
         |    count(*) AS w
         |  FROM lineitem l
         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -1174,17 +1174,17 @@ object Analytic {
         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |  WHERE c.c_nationkey <> s.s_nationkey
         |  GROUP BY 1, 2),
-        |t AS (SELECT src, dst,
+        |t AS MATERIALIZED (SELECT src, dst,
         |    w * 1.0 / sum(w) OVER (PARTITION BY src) AS p
         |  FROM e0),
         |n AS (SELECT n_nationkey AS node, n_name FROM nation),
         |nn AS (SELECT count(*) * 1.0 AS cnt FROM n),
-        |p0 AS (SELECT node, 1.0 / cnt AS pr FROM n CROSS JOIN nn),
+        |p0 AS MATERIALIZED (SELECT node, 1.0 / cnt AS pr FROM n CROSS JOIN nn),
         |c1 AS (SELECT t.dst AS node, sum(p0.pr * t.p) AS c
         |  FROM p0 JOIN t ON p0.node = t.src GROUP BY t.dst),
         |d1 AS (SELECT coalesce(sum(pr), 0.0) AS dang FROM p0
         |  WHERE node NOT IN (SELECT DISTINCT src FROM t)),
-        |p1 AS (SELECT n.node,
+        |p1 AS MATERIALIZED (SELECT n.node,
         |    0.15 / cnt + 0.85 * (coalesce(c1.c, 0.0) + d1.dang / cnt) AS pr
         |  FROM n CROSS JOIN nn CROSS JOIN d1
         |  LEFT JOIN c1 ON c1.node = n.node),
@@ -1192,7 +1192,7 @@ object Analytic {
         |  FROM p1 JOIN t ON p1.node = t.src GROUP BY t.dst),
         |d2 AS (SELECT coalesce(sum(pr), 0.0) AS dang FROM p1
         |  WHERE node NOT IN (SELECT DISTINCT src FROM t)),
-        |p2 AS (SELECT n.node,
+        |p2 AS MATERIALIZED (SELECT n.node,
         |    0.15 / cnt + 0.85 * (coalesce(c2.c, 0.0) + d2.dang / cnt) AS pr
         |  FROM n CROSS JOIN nn CROSS JOIN d2
         |  LEFT JOIN c2 ON c2.node = n.node),

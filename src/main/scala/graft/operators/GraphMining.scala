@@ -975,11 +975,15 @@ object GraphMining {
     * `in`, keepers, surviving edges to `out`.
     */
   private def kcoreRoundOracle(in: String, out: String): String =
-    s"""d_$out AS (SELECT node, count(*) AS d FROM (
+    // MATERIALIZED on every stage: each round references its input
+    // THREE times, so inlined evaluation is 3^rounds re-runs of the
+    // 12M-row pair join — the r10 betweenness blowup class, which at
+    // sf0.1 surfaced as a DuckDB out-of-memory in round 11
+    s"""d_$out AS MATERIALIZED (SELECT node, count(*) AS d FROM (
        |    SELECT u AS node FROM $in UNION ALL SELECT v FROM $in)
        |  GROUP BY node),
-       |k_$out AS (SELECT node FROM d_$out WHERE d >= $KcoreK),
-       |$out AS (SELECT e.u, e.v FROM $in e
+       |k_$out AS MATERIALIZED (SELECT node FROM d_$out WHERE d >= $KcoreK),
+       |$out AS MATERIALIZED (SELECT e.u, e.v FROM $in e
        |  JOIN k_$out a ON a.node = e.u
        |  JOIN k_$out b ON b.node = e.v)""".stripMargin
 
@@ -987,9 +991,9 @@ object GraphMining {
     * (count DESC, label ASC) winner per node.
     */
   private def lpaRoundOracle(in: String, out: String): String =
-    s"""a_$out AS (SELECT s.node, l.label, count(*) AS cnt
+    s"""a_$out AS MATERIALIZED (SELECT s.node, l.label, count(*) AS cnt
        |  FROM sym s JOIN $in l ON l.node = s.nbr GROUP BY 1, 2),
-       |$out AS (SELECT node, label FROM (SELECT node, label,
+       |$out AS MATERIALIZED (SELECT node, label FROM (SELECT node, label,
        |    row_number() OVER (PARTITION BY node
        |      ORDER BY cnt DESC, label ASC) AS rn
        |  FROM a_$out) WHERE rn = 1)""".stripMargin
@@ -998,10 +1002,10 @@ object GraphMining {
     * neighbors of the previous frontier, visited set grows by it.
     */
   private def bfsRoundOracle(k: Int): String =
-    s"""f$k AS (SELECT DISTINCT s.nbr AS node
+    s"""f$k AS MATERIALIZED (SELECT DISTINCT s.nbr AS node
        |  FROM f${k - 1} f JOIN sym s USING (node)
        |  WHERE s.nbr NOT IN (SELECT node FROM v${k - 1})),
-       |v$k AS (SELECT * FROM v${k - 1}
+       |v$k AS MATERIALIZED (SELECT * FROM v${k - 1}
        |  UNION ALL SELECT node, $k FROM f$k)""".stripMargin
 
   /** One unrolled PER-SEED BFS round for the closeness oracle: the
@@ -1009,11 +1013,11 @@ object GraphMining {
     * traversals stay independent.
     */
   private def closenessRoundOracle(k: Int): String =
-    s"""cf$k AS (SELECT DISTINCT f.seed, s.nbr AS node
+    s"""cf$k AS MATERIALIZED (SELECT DISTINCT f.seed, s.nbr AS node
        |  FROM cf${k - 1} f JOIN sym s ON s.node = f.node
        |  LEFT JOIN cv${k - 1} v ON v.seed = f.seed AND v.node = s.nbr
        |  WHERE v.node IS NULL),
-       |cv$k AS (SELECT * FROM cv${k - 1}
+       |cv$k AS MATERIALIZED (SELECT * FROM cv${k - 1}
        |  UNION ALL SELECT seed, node, $k FROM cf$k)""".stripMargin
 
   /** One unrolled FORWARD Brandes round for the betweenness oracle:
@@ -1194,10 +1198,10 @@ object GraphMining {
     "graph_closeness" ->
       s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
          |    FROM lineitem),
-         |e AS (SELECT a.p AS u, b.p AS v
+         |e AS MATERIALIZED (SELECT a.p AS u, b.p AS v
          |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
          |  GROUP BY a.p, b.p HAVING count(*) >= $EdgeMinSupport),
-         |sym AS (SELECT u AS node, v AS nbr FROM e
+         |sym AS MATERIALIZED (SELECT u AS node, v AS nbr FROM e
          |  UNION ALL SELECT v, u FROM e),
          |deg AS (SELECT node, count(*) AS d FROM sym GROUP BY 1),
          |seeds AS (SELECT node, d FROM (SELECT node, d,
@@ -1216,10 +1220,10 @@ object GraphMining {
     "graph_bfs" ->
       s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
          |    FROM lineitem),
-         |e AS (SELECT a.p AS u, b.p AS v
+         |e AS MATERIALIZED (SELECT a.p AS u, b.p AS v
          |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
          |  GROUP BY a.p, b.p HAVING count(*) >= $EdgeMinSupport),
-         |sym AS (SELECT u AS node, v AS nbr FROM e
+         |sym AS MATERIALIZED (SELECT u AS node, v AS nbr FROM e
          |  UNION ALL SELECT v, u FROM e),
          |deg AS (SELECT node, count(*) AS d FROM sym GROUP BY 1),
          |seeds AS (SELECT node FROM (SELECT node,
@@ -1233,10 +1237,10 @@ object GraphMining {
     "graph_lpa_communities" ->
       s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
          |    FROM lineitem),
-         |e AS (SELECT a.p AS u, b.p AS v
+         |e AS MATERIALIZED (SELECT a.p AS u, b.p AS v
          |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
          |  GROUP BY a.p, b.p HAVING count(*) >= $EdgeMinSupport),
-         |sym AS (SELECT u AS node, v AS nbr FROM e
+         |sym AS MATERIALIZED (SELECT u AS node, v AS nbr FROM e
          |  UNION ALL SELECT v, u FROM e),
          |l0 AS (SELECT DISTINCT node, node AS label FROM sym),
          |${(1 to LpaRounds).map(k =>
@@ -1247,7 +1251,7 @@ object GraphMining {
     "graph_kcore" ->
       s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
          |    FROM lineitem),
-         |e0 AS (SELECT a.p AS u, b.p AS v
+         |e0 AS MATERIALIZED (SELECT a.p AS u, b.p AS v
          |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
          |  GROUP BY a.p, b.p HAVING count(*) >= $EdgeMinSupport),
          |${kcoreRoundOracle("e0", "e1")},
@@ -1259,10 +1263,10 @@ object GraphMining {
     "graph_jaccard_links" ->
       s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
          |    FROM lineitem),
-         |e AS (SELECT a.p AS u, b.p AS v
+         |e AS MATERIALIZED (SELECT a.p AS u, b.p AS v
          |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
          |  GROUP BY a.p, b.p HAVING count(*) >= $EdgeMinSupport),
-         |sym AS (SELECT u AS node, v AS nbr FROM e
+         |sym AS MATERIALIZED (SELECT u AS node, v AS nbr FROM e
          |  UNION ALL SELECT v, u FROM e),
          |deg AS (SELECT node, count(*) AS d FROM sym GROUP BY 1),
          |ctr AS (SELECT s.node, s.nbr FROM sym s
@@ -1285,7 +1289,7 @@ object GraphMining {
     "graph_triangles" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |    FROM lineitem),
-        |e AS (SELECT a.p AS u, b.p AS v
+        |e AS MATERIALIZED (SELECT a.p AS u, b.p AS v
         |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
         |  GROUP BY a.p, b.p HAVING count(*) >= 2),
         |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
@@ -1351,10 +1355,10 @@ object GraphMining {
       """WITH RECURSIVE
         |op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |    FROM lineitem),
-        |e AS (SELECT a.p AS u, b.p AS v
+        |e AS MATERIALIZED (SELECT a.p AS u, b.p AS v
         |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
         |  GROUP BY a.p, b.p HAVING count(*) >= 2),
-        |sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+        |sym AS MATERIALIZED (SELECT u, v FROM e UNION SELECT v, u FROM e),
         |reach(u, r) AS (
         |  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
         |  UNION
