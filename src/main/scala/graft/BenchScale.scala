@@ -98,7 +98,10 @@ object BenchScale {
     // sessionizer, and the B96 CEP window pass.
     "asof_join" -> "verbatim",
     "sessionize" -> "verbatim",
-    "events_sequence_match" -> "verbatim")
+    "events_sequence_match" -> "verbatim",
+    // late round 11: the new Borůvka forest rides the graph family's
+    // iso regime (10 disjoint sf0.1 graphs — honest growth)
+    "graph_mst" -> "iso")
 
   private def replicate(df: DataFrame, key: String): DataFrame =
     (0 until Factor).map(k =>
