@@ -645,6 +645,22 @@ object GraphMining {
       .limit(BfsSeedK)
       .select(col("node").as("seed"), col("d").as("degree"))
       .localCheckpoint()
+    val visited = seedVisited(sym, seeds)
+    visited.groupBy(col("seed"))
+      .agg((count(lit(1)) - 1).as("n_reached"),
+        sum(col("dist")).cast("long").as("sum_dist"))
+      .join(seeds, Seq("seed"))
+      .withColumn("closeness_milli",
+        expr("n_reached * 1000 div greatest(sum_dist, 1)"))
+      .select(col("seed").as("p_partkey"), col("degree"),
+        col("n_reached"), col("sum_dist"), col("closeness_milli"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** The shared per-seed bounded BFS (B93/B98): (seed, node, dist)
+    * for everything within [[BfsRounds]] hops of each hub seed.
+    */
+  private def seedVisited(sym: DataFrame, seeds: DataFrame): DataFrame = {
     var visited = seeds
       .select(col("seed"), col("seed").as("node"), lit(0).as("dist"))
       .localCheckpoint()
@@ -660,14 +676,46 @@ object GraphMining {
         .union(frontier.withColumn("dist", lit(k)))
         .localCheckpoint()
     }
-    visited.groupBy(col("seed"))
+    visited
+  }
+
+  /** B98 `graph_eccentricity` — bounded-horizon eccentricity of the
+    * hub seeds: B93 ranks hubs by their AVERAGE distance to the
+    * catalog (closeness = reached/Σdist); eccentricity reports their
+    * WORST case — the max hop distance reached within the horizon and
+    * how many nodes sit on that outermost ring — the radius/diameter
+    * audit ("how far does the catalog extend from its best-connected
+    * products", and whether the frontier is still wide at the horizon
+    * or collapsing, i.e. whether BfsRounds covered the component).
+    * Same machinery as B93 verbatim ([[seedVisited]]); two integer
+    * rollups on the O(K·nodes) visited frame; output O(K).
+    */
+  def graphEccentricity(spark: SparkSession, dir: String): DataFrame =
+    hubEccentricity(copurchaseEdges(Tables(spark, dir, "lineitem")))
+
+  /** [[graphEccentricity]]'s kernel on any (u, v) edge frame. */
+  private[operators] def hubEccentricity(edges0: DataFrame): DataFrame = {
+    val edges = edges0.localCheckpoint()
+    val sym = edges.select(col("u").as("node"), col("v").as("nbr"))
+      .union(edges.select(col("v").as("node"), col("u").as("nbr")))
+      .localCheckpoint()
+    val deg = sym.groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val seeds = deg.orderBy(col("d").desc, col("node"))
+      .limit(BfsSeedK)
+      .select(col("node").as("seed"), col("d").as("degree"))
+      .localCheckpoint()
+    val visited = seedVisited(sym, seeds).localCheckpoint()
+    val agg = visited.groupBy(col("seed"))
       .agg((count(lit(1)) - 1).as("n_reached"),
-        sum(col("dist")).cast("long").as("sum_dist"))
+        max(col("dist")).as("eccentricity"))
+    val ring = visited
+      .join(agg.select(col("seed"), col("eccentricity")), Seq("seed"))
+      .filter(col("dist") === col("eccentricity"))
+      .groupBy(col("seed")).agg(count(lit(1)).as("n_at_ecc"))
+    agg.join(ring, Seq("seed"))
       .join(seeds, Seq("seed"))
-      .withColumn("closeness_milli",
-        expr("n_reached * 1000 div greatest(sum_dist, 1)"))
       .select(col("seed").as("p_partkey"), col("degree"),
-        col("n_reached"), col("sum_dist"), col("closeness_milli"))
+        col("n_reached"), col("eccentricity"), col("n_at_ecc"))
       .orderBy(col("p_partkey"))
   }
 
@@ -955,6 +1003,7 @@ object GraphMining {
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_eccentricity" -> (graphEccentricity _),
     "graph_mst" -> (graphMst _),
     "graph_stress" -> (graphStress _),
     "graph_betweenness" -> (graphBetweenness _),
@@ -1217,6 +1266,36 @@ object GraphMining {
          |    // greatest(CAST(sum(dist) AS BIGINT), 1) AS closeness_milli
          |FROM cv$BfsRounds v JOIN seeds s ON s.node = v.seed
          |GROUP BY v.seed, s.d ORDER BY p_partkey""".stripMargin,
+    // graph_eccentricity: B93's exact per-seed BFS prefix, two
+    // integer rollups — max dist + the outermost-ring count
+    "graph_eccentricity" ->
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |    FROM lineitem),
+         |e AS MATERIALIZED (SELECT a.p AS u, b.p AS v
+         |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+         |  GROUP BY a.p, b.p HAVING count(*) >= $EdgeMinSupport),
+         |sym AS MATERIALIZED (SELECT u AS node, v AS nbr FROM e
+         |  UNION ALL SELECT v, u FROM e),
+         |deg AS (SELECT node, count(*) AS d FROM sym GROUP BY 1),
+         |seeds AS (SELECT node, d FROM (SELECT node, d,
+         |    row_number() OVER (ORDER BY d DESC, node) AS rn FROM deg)
+         |  WHERE rn <= $BfsSeedK),
+         |cv0 AS (SELECT node AS seed, node, 0 AS dist FROM seeds),
+         |cf0 AS (SELECT node AS seed, node FROM seeds),
+         |${(1 to BfsRounds).map(closenessRoundOracle).mkString(",\n")},
+         |agg AS MATERIALIZED (SELECT seed,
+         |    CAST(count(*) - 1 AS BIGINT) AS n_reached,
+         |    max(dist) AS eccentricity
+         |  FROM cv$BfsRounds GROUP BY seed),
+         |ring AS (SELECT v.seed, CAST(count(*) AS BIGINT) AS n_at_ecc
+         |  FROM cv$BfsRounds v
+         |  JOIN agg ON agg.seed = v.seed AND v.dist = agg.eccentricity
+         |  GROUP BY v.seed)
+         |SELECT a.seed AS p_partkey, s.d AS degree, a.n_reached,
+         |  a.eccentricity, r.n_at_ecc
+         |FROM agg a JOIN ring r ON r.seed = a.seed
+         |JOIN seeds s ON s.node = a.seed
+         |ORDER BY p_partkey""".stripMargin,
     "graph_bfs" ->
       s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
          |    FROM lineitem),

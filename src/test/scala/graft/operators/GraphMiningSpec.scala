@@ -416,6 +416,21 @@ class GraphMiningSpec extends SparkSpec {
     assert(out(6L).getAs[Long]("closeness_milli") == 7000 / 15)
   }
 
+  test("graph_eccentricity: max hop distance and outermost-ring size " +
+      "are hand-exact on the planted star+bridge+tail graph") {
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L),
+      (2L, 6L), (2L, 7L), (6L, 8L))
+    val out = GraphMining.hubEccentricity(edgesDf(g)).collect()
+      .map(r => r.getAs[Long]("p_partkey") ->
+        (r.getAs[Long]("n_reached"), r.getAs[Int]("eccentricity"),
+          r.getAs[Long]("n_at_ecc"))).toMap
+    // seed 1: rings {2,3,4,5} {6,7} {8} → ecc 3, ring 1
+    // seed 2: rings {1,6,7} {3,4,5,8} → ecc 2, ring 4
+    // seed 6: rings {2,8} {1,7} {3,4,5} → ecc 3, ring 3
+    assert(out == Map(
+      1L -> ((7L, 3, 1L)), 2L -> ((7L, 2, 4L)), 6L -> ((7L, 3, 3L))))
+  }
+
   test("graph_betweenness: hand-exact Brandes dependencies on the " +
       "planted star+bridge+tail graph (all three seed traversals)") {
     // same graph as the closeness spec: star at 1, bridge 2, tail 6-8;
