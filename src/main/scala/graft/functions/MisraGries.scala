@@ -59,24 +59,76 @@ case class MisraGries(
       input: InternalRow): mutable.HashMap[String, Long] = {
     val v = child.eval(input)
     if (v == null) return buf
-    val key = v.toString // own the bytes; UTF8String may alias a reused row
+    // own the bytes; UTF8String may alias a reused row
+    MisraGries.fold(buf, v.toString, capacity)
+    buf
+  }
+
+  override def merge(a: mutable.HashMap[String, Long],
+      b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] =
+    MisraGries.mergeInto(a, b, capacity)
+
+  override def eval(buf: mutable.HashMap[String, Long]): Any = {
+    val ks = new Array[Any](buf.size)
+    val vs = new Array[Any](buf.size)
+    var i = 0
+    buf.foreach { case (k, c) =>
+      ks(i) = UTF8String.fromString(k); vs(i) = c; i += 1
+    }
+    ArrayBasedMapData(ks, vs)
+  }
+
+  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] =
+    MisraGries.toBytes(buf)
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] =
+    MisraGries.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGries =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGries =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MisraGries =
+    copy(child = newChildren.head)
+}
+
+object MisraGries {
+  def misraGries(c: Column, capacity: Int): Column =
+    GraftShim.column(
+      MisraGries(GraftShim.expression(c), capacity).toAggregateExpression())
+
+  // The sketch kernel as statics shared by the batch aggregate above
+  // and the G19 streaming state machine (HeavyHittersStream) — one
+  // code path for the partial exchange and the state store, the
+  // H12/G14 pattern.
+
+  /** Fold ONE item into a ≤ capacity-counter MG buffer: increment if
+    * tracked, insert if there's room, else the classic decrement-all
+    * (O(k) here, amortized O(1) — every decrement cancels one prior
+    * increment).
+    */
+  def fold(buf: mutable.HashMap[String, Long], key: String,
+      capacity: Int): Unit =
     buf.get(key) match {
       case Some(c) => buf.update(key, c + 1)
       case None if buf.size < capacity => buf.update(key, 1L)
       case None =>
-        // classic MG decrement-all: O(k) here, amortized O(1) — every
-        // decrement cancels one prior increment
         val dead = mutable.ArrayBuffer.empty[String]
         buf.foreach { case (k, c) =>
           if (c == 1L) dead += k else buf.update(k, c - 1)
         }
         dead.foreach(buf.remove)
     }
-    buf
-  }
 
-  override def merge(a: mutable.HashMap[String, Long],
-      b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+  /** Merge `b` into `a` (Agarwal et al., "Mergeable Summaries"): sum
+    * counters, then subtract the (k+1)-th largest value from all and
+    * drop ≤ 0 — error bounds add, so the superset guarantee survives
+    * tree and final aggregation.
+    */
+  def mergeInto(a: mutable.HashMap[String, Long],
+      b: mutable.HashMap[String, Long],
+      capacity: Int): mutable.HashMap[String, Long] = {
     if (b.isEmpty) return a
     if (a.isEmpty) return b
     b.foreach { case (k, c) => a.update(k, a.getOrElse(k, 0L) + c) }
@@ -92,17 +144,7 @@ case class MisraGries(
     a
   }
 
-  override def eval(buf: mutable.HashMap[String, Long]): Any = {
-    val ks = new Array[Any](buf.size)
-    val vs = new Array[Any](buf.size)
-    var i = 0
-    buf.foreach { case (k, c) =>
-      ks(i) = UTF8String.fromString(k); vs(i) = c; i += 1
-    }
-    ArrayBasedMapData(ks, vs)
-  }
-
-  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
+  def toBytes(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
@@ -111,7 +153,7 @@ case class MisraGries(
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
+  def fromBytes(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
     val m = mutable.HashMap.empty[String, Long]
@@ -119,18 +161,4 @@ case class MisraGries(
     while (i < n) { m.update(in.readUTF(), in.readLong()); i += 1 }
     m
   }
-
-  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGries =
-    copy(mutableAggBufferOffset = newOffset)
-  override def withNewInputAggBufferOffset(newOffset: Int): MisraGries =
-    copy(inputAggBufferOffset = newOffset)
-  override protected def withNewChildrenInternal(
-      newChildren: IndexedSeq[Expression]): MisraGries =
-    copy(child = newChildren.head)
-}
-
-object MisraGries {
-  def misraGries(c: Column, capacity: Int): Column =
-    GraftShim.column(
-      MisraGries(GraftShim.expression(c), capacity).toAggregateExpression())
 }

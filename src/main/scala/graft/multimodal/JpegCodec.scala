@@ -111,28 +111,25 @@ object JpegCodec {
   }
 
   /** MSB-first bit reader over the entropy-coded segment: unstuffs
-    * 0xFF00, surfaces RSTn as marker events, stops at any other
-    * marker (EOI / next scan).
+    * 0xFF00 and aborts the decode (MatchError → None at the API
+    * boundary) if a bit fill ever reaches a real marker — a
+    * well-formed scan consumes exactly its encoded bits, so the
+    * reader only ever sees markers on a malformed/truncated stream.
     */
   private final class BitReader(b: Array[Byte], var pos: Int) {
     private var acc = 0
     private var nbits = 0
-    var atMarker = -1 // marker byte seen while filling (RSTn / EOI)
     def bit(): Int = {
       if (nbits == 0) {
-        if (atMarker >= 0 || pos >= b.length)
-          throw new MatchError("bit read past marker/end")
+        if (pos >= b.length)
+          throw new MatchError("bit read past end")
         var byte = b(pos) & 0xff
         pos += 1
         if (byte == 0xff) {
           if (pos >= b.length) throw new MatchError("truncated stream")
           val m = b(pos) & 0xff
           if (m == 0x00) pos += 1 // stuffed 0xFF data byte
-          else { // a real marker: record it, no data byte consumed
-            atMarker = m
-            pos += 1
-            throw new MatchError("marker inside bit fill")
-          }
+          else throw new MatchError("marker inside bit fill")
         }
         acc = byte
         nbits = 8
@@ -146,11 +143,12 @@ object JpegCodec {
       while (i < n) { v = (v << 1) | bit(); i += 1 }
       v
     }
-    /** Byte-align and consume an expected RSTn marker. */
+    /** Byte-align and consume an expected RSTn marker (a well-formed
+      * scan reaches each RSTn byte-aligned, never through a bit fill).
+      */
     def restart(): Boolean = {
       nbits = 0
-      if (atMarker >= 0xd0 && atMarker <= 0xd7) { atMarker = -1; true }
-      else if (pos + 1 < b.length && (b(pos) & 0xff) == 0xff &&
+      if (pos + 1 < b.length && (b(pos) & 0xff) == 0xff &&
           (b(pos + 1) & 0xff) >= 0xd0 && (b(pos + 1) & 0xff) <= 0xd7) {
         pos += 2
         true
@@ -172,12 +170,18 @@ object JpegCodec {
 
   /** Decode a baseline JPEG payload to 8-bit luma; None when the
     * bytes are not a JPEG this tier covers (the caller then uses the
-    * stub). Never throws on arbitrary bytes.
+    * stub). Never throws on arbitrary bytes. Allocation is bounded up
+    * front (the same 2^26-pixel budget as [[PngCodec.decodeLuma]],
+    * checked before any plane is sized), so a crafted header claiming
+    * huge dimensions is rejected rather than attempted — no
+    * OutOfMemoryError is ever provoked or caught here: catching OOME
+    * in an executor task can mask allocation failures raised in
+    * sibling threads and leave the JVM degraded.
     */
   def decodeLuma(bytes: Array[Byte]): Option[PngCodec.Luma] =
     try decode0(bytes) catch { case _: MatchError |
-      _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException |
-      _: OutOfMemoryError => None }
+      _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException =>
+      None }
 
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
   private def be16(b: Array[Byte], i: Int): Int =
@@ -268,6 +272,7 @@ object JpegCodec {
             w = be16(b, seg + 3)
             val nc = u8(b, seg + 5)
             if (w <= 0 || h <= 0 || nc < 1 || nc > 3) return None
+            if (w.toLong * h > (1L << 26)) return None // 64 MPix bound
             comps = (0 until nc).map { i =>
               val o = seg + 6 + 3 * i
               Comp(u8(b, o), u8(b, o + 1) >> 4, u8(b, o + 1) & 15,
@@ -282,7 +287,11 @@ object JpegCodec {
               if (y.h != hMax || y.v != vMax) return None
               yBw = ((w + 8 * hMax - 1) / (8 * hMax)) * y.h
               yBh = ((h + 8 * vMax - 1) / (8 * vMax)) * y.v
-              if (yBw.toLong * yBh > (1 << 24)) return None // cap plane
+              // The 64 MPix frame bound already holds, so the MCU-
+              // padded block grid is ≤ 2^20 + (w+h)/2 + 16 blocks
+              // (padding ≤ hMax/vMax−1 per axis); the explicit cap
+              // keeps yCoef ≤ ~272 MB even against a doctored header.
+              if (yBw.toLong * yBh > (1L << 20) + (1L << 16)) return None
               yCoef = new Array[Int](yBw * yBh * 64)
             }
           case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
@@ -325,9 +334,10 @@ object JpegCodec {
                   decodeProgAc(in, comps(0), yCoef, yBw, w, h, ri,
                     ss, se, ah, al, acT)
                 yDecoded = true
-                // the reader stops byte-aligned before (or just past,
-                // if it peeked) the next marker
-                pos = if (in.atMarker >= 0) in.pos - 2 else in.pos
+                // the reader never consumed a marker (bit() aborts the
+                // decode if a fill ever reaches one), so it stopped at
+                // or before the next marker's 0xFF
+                pos = in.pos
               }
             }
           case _ => () // APPn / COM / others: skip

@@ -1000,9 +1000,87 @@ object GraphMining {
       .orderBy(col("u"), col("v"))
   }
 
+  val WpRounds = BfsRounds // hop horizon for the weighted tier
+
+  /** B99 `graph_weighted_paths` — bounded-round single-source shortest
+    * paths from the [[BfsSeedK]] hub seeds over the WEIGHTED
+    * co-purchase graph: the distance tier the centrality family lacks
+    * (B90/B93/B98 count hops; the affinity question is "how CHEAPLY is
+    * the catalog reachable through strong links" — a 2-hop path
+    * through support-50 edges beats a 1-hop support-2 edge). Edge
+    * cost is the integer affinity distance `1 + 1000 div support`
+    * (strong ties ≈ cost 1, threshold-support ties cost 501), so
+    * every path cost is exact integer arithmetic on both engines —
+    * no fixed-point scale, no float drift.
+    *
+    * Algorithm: label-correcting relaxation (Bellman–Ford with an
+    * improved-only frontier — the discipline every distributed SSSP
+    * including Δ-stepping reduces to on a bulk-synchronous engine)
+    * bounded at [[WpRounds]] rounds: after round k, `best` holds the
+    * exact min cost over paths of ≤ k edges. Bounded rounds keep it
+    * wall-clock-predictable and oracle-unrollable at 100 TB, exactly
+    * the B90 horizon contract.
+    *
+    * Scale shape: per round one (frontier ⋈ edges) hash join + a
+    * map-side-combined min per (seed, node) + a min-merge into
+    * `best` — frontier rows are only last round's IMPROVEMENTS
+    * (monotone-decreasing costs drain it), frames are O(K · nodes),
+    * never the edge list; per-round localCheckpoint truncates lineage
+    * (the B90/D6 rule). Rollup is O(K) rows.
+    */
+  def graphWeightedPaths(spark: SparkSession, dir: String): DataFrame =
+    weightedPaths(copurchaseWeightedEdges(Tables(spark, dir, "lineitem")))
+
+  /** [[graphWeightedPaths]]'s kernel on any (u, v, support) frame. */
+  private[operators] def weightedPaths(wedges0: DataFrame): DataFrame = {
+    val wedges = wedges0.localCheckpoint()
+    val symw = wedges
+      .select(col("u").as("node"), col("v").as("nbr"), col("support"))
+      .union(wedges
+        .select(col("v").as("node"), col("u").as("nbr"), col("support")))
+      .select(col("node"), col("nbr"),
+        expr("1 + 1000 div support").as("w"))
+      .localCheckpoint()
+    val deg = symw.groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val seeds = deg.orderBy(col("d").desc, col("node")).limit(BfsSeedK)
+      .select(col("node").as("seed"), col("d").as("degree"))
+      .localCheckpoint()
+    var best = seeds
+      .select(col("seed"), col("seed").as("node"), lit(0L).as("cost"))
+      .localCheckpoint()
+    var frontier = best
+    for (_ <- 1 to WpRounds) {
+      val relaxed = frontier.join(symw, Seq("node"))
+        .select(col("seed"), col("nbr").as("node"),
+          (col("cost") + col("w")).as("cost"))
+        .groupBy(col("seed"), col("node")).agg(min(col("cost")).as("cost"))
+      val improved = relaxed
+        .join(best.select(col("seed"), col("node"), col("cost").as("old")),
+          Seq("seed", "node"), "left")
+        .filter(col("old").isNull || col("cost") < col("old"))
+        .select(col("seed"), col("node"), col("cost"))
+        .localCheckpoint()
+      best = best.unionByName(improved)
+        .groupBy(col("seed"), col("node")).agg(min(col("cost")).as("cost"))
+        .localCheckpoint()
+      frontier = improved
+    }
+    best.filter(col("node") =!= col("seed"))
+      .groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(col("cost")).cast("long").as("sum_cost"),
+        min(col("cost")).as("min_cost"),
+        max(col("cost")).as("max_cost"))
+      .join(seeds, Seq("seed"))
+      .select(col("seed").as("p_partkey"), col("degree"), col("n_reached"),
+        col("sum_cost"), col("min_cost"), col("max_cost"))
+      .orderBy(col("p_partkey"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_weighted_paths" -> (graphWeightedPaths _),
     "graph_eccentricity" -> (graphEccentricity _),
     "graph_mst" -> (graphMst _),
     "graph_stress" -> (graphStress _),
@@ -1155,7 +1233,48 @@ object GraphMining {
        |  FROM lab${k - 1} l LEFT JOIN rm$k rm ON rm.old = l.lbl)"""
       .stripMargin
 
+  /** One unrolled weighted-relaxation round for the
+    * graph_weighted_paths oracle: min over (carry everything known,
+    * relax every known node through every incident edge) — relaxing
+    * non-improved nodes re-derives the same costs, so this full-frame
+    * spelling equals the Spark kernel's improved-only frontier.
+    */
+  private def wpRoundOracle(k: Int): String =
+    s"""wd$k AS MATERIALIZED (SELECT seed, node, min(cost) AS cost FROM (
+       |    SELECT seed, node, cost FROM wd${k - 1}
+       |    UNION ALL
+       |    SELECT d.seed, s.nbr AS node, d.cost + s.w
+       |    FROM wd${k - 1} d JOIN symw s ON s.node = d.node)
+       |  GROUP BY seed, node)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // graph_weighted_paths: weighted edge build, integer affinity
+    // costs, WpRounds unrolled Bellman–Ford rounds (MATERIALIZED —
+    // the betweenness CTE-inlining discipline), O(K) rollup
+    "graph_weighted_paths" ->
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |    FROM lineitem),
+         |we AS MATERIALIZED (SELECT a.p AS u, b.p AS v,
+         |    count(*) AS support
+         |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+         |  GROUP BY a.p, b.p HAVING count(*) >= $EdgeMinSupport),
+         |symw AS MATERIALIZED (SELECT u AS node, v AS nbr,
+         |    1 + 1000 // support AS w FROM we
+         |  UNION ALL SELECT v, u, 1 + 1000 // support FROM we),
+         |deg AS (SELECT node, count(*) AS d FROM symw GROUP BY 1),
+         |seeds AS (SELECT node, d FROM (SELECT node, d,
+         |    row_number() OVER (ORDER BY d DESC, node) AS rn FROM deg)
+         |  WHERE rn <= $BfsSeedK),
+         |wd0 AS (SELECT node AS seed, node, CAST(0 AS BIGINT) AS cost
+         |  FROM seeds),
+         |${(1 to WpRounds).map(wpRoundOracle).mkString(",\n")}
+         |SELECT v.seed AS p_partkey, s.d AS degree,
+         |  count(*) AS n_reached,
+         |  CAST(sum(cost) AS BIGINT) AS sum_cost,
+         |  min(cost) AS min_cost, max(cost) AS max_cost
+         |FROM wd$WpRounds v JOIN seeds s ON s.node = v.seed
+         |WHERE v.node <> v.seed
+         |GROUP BY v.seed, s.d ORDER BY p_partkey""".stripMargin,
     // graph_mst: weighted edge build, MstRounds unrolled Borůvka
     // rounds (pick by the strict total order, contract by min-label
     // closure), forest = every round's deduped picks

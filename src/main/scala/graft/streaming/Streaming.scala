@@ -231,6 +231,44 @@ object Streaming {
       .orderBy(col("vec_id"))
   }
 
+  /** G19 `stream_heavy_hitters` — batch arm of [[HeavyHittersStream]]:
+    * per-source exact θ-heavy tokens (θ = 1/HeavyDenom) via C11's
+    * sketch-then-verify replayed PER GROUP — pass 1 collapses every
+    * map partition to one ≤ MgCapacity-counter Misra-Gries summary
+    * per source (mergeable partials → an O(sources × capacity) frame
+    * reaches the driver, never the vocabulary), pass 2 exact-counts
+    * only the sketches' candidates behind a broadcast membership
+    * filter. MG theory makes each source's candidate set a superset
+    * of its θ-heavy tokens, so the answer is EXACT while the
+    * full-vocabulary exchange never happens — the same bounded-state
+    * contract the stream maintains live in `GroupState`.
+    */
+  def streamHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps.{HeavyDenom, MgCapacity}
+    val tokens = Tables(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("source"),
+        explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
+    val sk = tokens.groupBy(col("source"))
+      .agg(graft.functions.MisraGries.misraGries(col("tok"), MgCapacity)
+        .as("sketch"),
+        count(lit(1)).as("total"))
+      .collect() // O(sources × capacity) — the bounded sketch frame
+    // union of the per-source candidate sets: still a superset per
+    // source (extra tokens are filtered by the exact threshold below)
+    val cands = sk.flatMap(_.getMap[String, Long](1).keys).distinct.toSeq
+    import spark.implicits._
+    val totals = sk.map(r => (r.getString(0), r.getLong(2))).toSeq
+      .toDF("source", "total")
+    tokens.filter(col("tok").isInCollection(cands))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .join(broadcast(totals), Seq("source"))
+      .filter(col("n_occurrences") * HeavyDenom >= col("total"))
+      .select(col("source"), col("tok"), col("n_occurrences"))
+      .orderBy(col("source"), col("tok"))
+  }
+
   /** G18 `stream_sequence_match` — batch equivalent of
     * [[SequenceMatchStream]]'s CEP detector: EVERY B96 pattern
     * instance (not just the per-user first — an intake gate acts per
@@ -246,10 +284,14 @@ object Streaming {
   def streamSequenceMatch(spark: SparkSession, dir: String): DataFrame =
     graft.operators.EventOps
       .sequenceMatchInstances(Tables(spark, dir, "events"))
+      // event_id makes the sort total: two purchases of one user can
+      // share purchase_ts (with distinct anchor pairs), and a tie
+      // left engine-ordered would flip the cross-engine gate compare
+      .orderBy(col("user_id"), col("purchase_ts"), col("event_id"))
       .drop("event_id")
-      .orderBy(col("user_id"), col("purchase_ts"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_heavy_hitters" -> (streamHeavyHitters _),
     "stream_sequence_match" -> (streamSequenceMatch _),
     "stream_semantic_dedup" -> (streamSemanticDedup _),
     "stream_substring_dedup" -> (streamSubstringDedup _),
@@ -279,6 +321,21 @@ object Streaming {
   }
 
   val oracle: Map[String, String] = Map(
+    // G19 batch arm: exact per-source θ-heavy tokens — the answer the
+    // sketch-then-verify pipeline computes without the full-vocabulary
+    // exchange
+    "stream_heavy_hitters" ->
+      s"""WITH t AS (SELECT source,
+         |    unnest(string_split_regex(trim(text), '\\s+')) AS tok
+         |  FROM documents),
+         |tot AS (SELECT source, count(*) AS total FROM t GROUP BY source),
+         |c AS (SELECT source, tok, count(*) AS n_occurrences
+         |  FROM t GROUP BY source, tok)
+         |SELECT c.source, c.tok, c.n_occurrences
+         |FROM c JOIN tot USING (source)
+         |WHERE c.n_occurrences * ${graft.text.TextOps.HeavyDenom}
+         |  >= tot.total
+         |ORDER BY c.source, c.tok""".stripMargin,
     // G18 batch arm: B96's carry windows WITHOUT the final per-user
     // rank — every instance row survives
     "stream_sequence_match" ->
@@ -307,7 +364,7 @@ object Streaming {
          |  AND epoch_us(ts) - epoch_us(pv) <=
          |    ${graft.operators.EventOps.SeqMatchWindowUs}
          |  AND (le IS NULL OR le < pv)
-         |ORDER BY user_id, purchase_ts""".stripMargin,
+         |ORDER BY user_id, purchase_ts, event_id""".stripMargin,
     // G17 batch arm: inline hyperplane-weight replay of the E2
     // signature (tables=1), rank-capped reps per bucket, D9's dup
     // rule on 6-dp cosines

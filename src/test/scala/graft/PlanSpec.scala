@@ -668,4 +668,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       "mutuality must stay an equi join")
   }
+
+  test("dedup_minhash_lsh: the band join's broadcast→shuffle " +
+      "transition (the factor-100 probe's plan change) stays a keyed " +
+      "equi join with identical results — never cartesian") {
+    // sf-corpus plan: the band frame is small, so broadcasting one
+    // self-join side is the RIGHT plan here — pin its shape
+    val base = plan("dedup_minhash_lsh")
+    assert(!base.contains("CartesianProduct") &&
+      !base.contains("BroadcastNestedLoopJoin"),
+      "band candidates must join on (band, bucket) equi keys")
+    val baseRows = SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir)
+      .collect().map(_.toString).toSet
+    // above the bound: at 100 TB the band frame's size estimate
+    // exceeds ANY broadcast threshold, so the planner loses the
+    // broadcast option entirely — threshold -1 reproduces exactly
+    // that planner state on the sf corpus
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir)
+      val p = df.queryExecution.explainString(FormattedMode)
+      assert(!p.contains("BroadcastHashJoin"),
+        "above-bound plan must not plan any broadcast hash join")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "the band join must become a shuffle equi join above the bound")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        "losing broadcast must never degrade to an unkeyed pair join")
+      // and the transition is results-invariant: the shuffle plan
+      // emits exactly the broadcast plan's verified pairs
+      assert(df.collect().map(_.toString).toSet == baseRows,
+        "broadcast and shuffle band plans must agree row-for-row")
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
 }

@@ -10,6 +10,43 @@ class DedupSpec extends SparkSpec {
     df.select(col("ia").cast("long"), col("ib").cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("decontaminate_fuzzy catches a planted paraphrase that the " +
+      "production 13-gram exact gate provably misses") {
+    import spark.implicits._
+    import graft.text.TextOps
+    // bench doc 20: 130 distinct tokens; corpus doc 21: the same with
+    // every 13th token substituted (10 edits) — intact runs are 12
+    // tokens, so NO 13-gram survives (the prod-scale exact gate is
+    // blind), while 3-gram-shingle Jaccard stays 100/156 ≈ 0.64 ≥ τ.
+    val base = (0 until 130).map(i => s"t$i")
+    val para = base.zipWithIndex.map { case (t, i) =>
+      if (i % 13 == 12) s"e$i" else t }
+    def grams(ts: Seq[String], n: Int): Set[String] =
+      ts.sliding(n).map(_.mkString(" ")).toSet
+    assert(grams(base, 13).intersect(grams(para, 13)).isEmpty,
+      "planted paraphrase must defeat the 13-gram exact gate")
+    val shared = grams(base, 3).intersect(grams(para, 3)).size
+    val expJ = shared.toDouble /
+      (grams(base, 3).size + grams(para, 3).size - shared)
+    assert(expJ >= Dedup.FuzzyContamTau, s"planted jaccard $expJ")
+    val docs = Seq(
+      (20L, base.mkString(" ")), // bench (id % 20 == 0)
+      (40L, (0 until 60).map(i => s"clean$i").mkString(" ")), // bench
+      (21L, para.mkString(" ")), // the paraphrase, in the corpus
+      (22L, (0 until 60).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("shingles", TextOps.wordShingles(col("toks")))
+    val out = Dedup.decontaminateFuzzyDocs(docs).collect()
+      .map(r => r.getAs[Long]("bench_id") ->
+        ((r.getAs[Long]("n_contam_docs"), r.getAs[Double]("max_jaccard"))))
+      .toMap
+    assert(out.keySet == Set(20L, 40L)) // one row per bench doc
+    assert(out(20L)._1 == 1L, s"paraphrase not flagged: ${out(20L)}")
+    assert(math.abs(out(20L)._2 - math.rint(expJ * 10000) / 10000) < 1e-9)
+    assert(out(40L) == ((0L, 0.0)), "clean bench doc wrongly flagged")
+  }
+
   test("minhash LSH finds every exact-jaccard pair (recall = 1 on testdata)") {
     val exact = pairs(Dedup.dedupNgramJaccard(spark, sfDir))
     val lsh = pairs(Dedup.dedupMinhashLsh(spark, sfDir))

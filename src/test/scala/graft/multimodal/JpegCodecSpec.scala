@@ -177,6 +177,51 @@ class JpegCodecSpec extends SparkSpec {
       Multimodal.PhashMaxHamming)
   }
 
+  test("dimensions: decodeHeader and decodeLuma agree on progressive " +
+      "(SOF2) fixtures too, including non-multiple-of-MCU sizes") {
+    for ((w, h) <- Seq((8, 8), (17, 9), (37, 23), (64, 48), (100, 1),
+        (1, 100)); gray <- Seq(true, false)) {
+      val bytes = encodeJpeg(gradientImage(w, h, gray), 0.8f,
+        progressive = true)
+      val hdr = Multimodal.decodeHeader(bytes)
+      assert(hdr.exists(_._1 == "jpeg"), s"${w}x$h SOF2 header parse")
+      assert(hdr.get._2 == w && hdr.get._3 == h)
+      val l = JpegCodec.decodeLuma(bytes)
+        .getOrElse(fail(s"${w}x$h gray=$gray: SOF2 decode returned None"))
+      assert((l.width, l.height) == (w, h))
+      assert(l.px.length == w * h && l.px.forall(p => p >= 0 && p <= 255))
+    }
+  }
+
+  test("allocation cap: a doctored header claiming huge dimensions is " +
+      "rejected up front — no multi-GiB plane is ever attempted") {
+    def doctorDims(bytes: Array[Byte], sofMarker: Int,
+        w: Int, h: Int): Array[Byte] = {
+      val out = bytes.clone()
+      val sof = out.sliding(2).indexWhere(p =>
+        (p(0) & 0xff) == 0xff && (p(1) & 0xff) == sofMarker)
+      assert(sof >= 0, f"no SOF$sofMarker%02x in fixture")
+      // SOF payload: len(2) precision(1) h(2) w(2) ...
+      out(sof + 5) = ((h >> 8) & 0xff).toByte
+      out(sof + 6) = (h & 0xff).toByte
+      out(sof + 7) = ((w >> 8) & 0xff).toByte
+      out(sof + 8) = (w & 0xff).toByte
+      out
+    }
+    val base = encodeJpeg(gradientImage(24, 24), 0.8f)
+    val prog = encodeJpeg(gradientImage(24, 24), 0.8f, progressive = true)
+    // 40000×40000 = 1.6e9 px: would be a ~6.4 GiB int plane (baseline)
+    // or ~16 GiB of coefficients (progressive) without the 64 MPix cap
+    assert(JpegCodec.decodeLuma(doctorDims(base, 0xc0, 40000, 40000))
+      .isEmpty, "baseline huge-dims must reject")
+    assert(JpegCodec.decodeLuma(doctorDims(prog, 0xc2, 40000, 40000))
+      .isEmpty, "progressive huge-dims must reject")
+    // just over the cap rejects; a legitimate size still decodes
+    assert(JpegCodec.decodeLuma(doctorDims(base, 0xc0, 16384, 4097))
+      .isEmpty, "just-over-cap must reject")
+    assert(JpegCodec.decodeLuma(base).isDefined)
+  }
+
   test("fallback: arithmetic-coded frames, truncations, and non-JPEG " +
       "bytes return None and phashOf degrades to the stub, never throws") {
     // doctor a real progressive stream's SOF2 into SOF9 (arithmetic

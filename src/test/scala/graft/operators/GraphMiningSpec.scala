@@ -606,6 +606,33 @@ class GraphMiningSpec extends SparkSpec {
       s"cycle: ${got.size} edges, $nNodes nodes, $nComponents components")
   }
 
+  test("weightedPaths: a cheap multi-hop route beats the direct weak " +
+      "edge, and the horizon caps reach at WpRounds edges") {
+    import spark.implicits._
+    // costs: support 1000 → 1 + 1000 div 1000 = 2; support 2 → 501.
+    // hub 1 (deg 3) and nodes 2, 3 (deg 2, lowest ids) are the seeds.
+    // seed 1 → 3: direct weak edge costs 501, the 2-hop strong route
+    // 1-2-3 costs 4 — the distance tier must pick 4. node 8 sits 5
+    // edges from every seed → past WpRounds=4, must NOT count.
+    val w = Seq((1L, 2L, 1000L), (1L, 3L, 2L), (1L, 4L, 1000L),
+      (2L, 3L, 1000L), (4L, 5L, 1000L), (5L, 6L, 1000L),
+      (6L, 7L, 1000L), (7L, 8L, 1000L)).toDF("u", "v", "support")
+    val out = GraphMining.weightedPaths(w).collect()
+      .map(r => r.getAs[Long]("p_partkey") ->
+        ((r.getAs[Long]("degree"), r.getAs[Long]("n_reached"),
+          r.getAs[Long]("sum_cost"), r.getAs[Long]("min_cost"),
+          r.getAs[Long]("max_cost")))).toMap
+    // seed 1: {2:2, 3:4, 4:2, 5:4, 6:6, 7:8}; seed 2: {1:2, 3:2,
+    // 4:4, 5:6, 6:8}; seed 3: {2:2, 1:4, 4:6, 5:8, 6:507} — note 6:
+    // within the 4-edge horizon only the weak direct edge reaches it
+    // (3-1-4-5-6 = 501+2+2+2); the strong detour 3-2-1-4-5-6 needs a
+    // 5th edge, exactly the ≤-WpRounds-edges semantics
+    assert(out == Map(
+      1L -> ((3L, 6L, 26L, 2L, 8L)),
+      2L -> ((2L, 5L, 22L, 2L, 8L)),
+      3L -> ((2L, 5L, 527L, 2L, 507L))))
+  }
+
   test("queries are deterministic across runs") {
     for ((name, q) <- GraphMining.queries) {
       val a = q(spark, sfDir).collect().map(_.toString).toSeq
