@@ -101,7 +101,15 @@ object BenchScale {
     "events_sequence_match" -> "verbatim",
     // late round 11: the new Borůvka forest rides the graph family's
     // iso regime (10 disjoint sf0.1 graphs — honest growth)
-    "graph_mst" -> "iso")
+    "graph_mst" -> "iso",
+    // round 12: the weighted-paths tier rides the graph family's iso
+    // regime; fuzzy decontamination rides iso (banded-LSH family —
+    // dup density per volume preserved); the heavy-hitters batch arm
+    // rides VERBATIM (per-token frequencies must keep their regime —
+    // iso splits every token's mass across 10 disjoint vocabularies)
+    "graph_weighted_paths" -> "iso",
+    "decontaminate_fuzzy" -> "iso",
+    "stream_heavy_hitters" -> "verbatim")
 
   private def replicate(df: DataFrame, key: String): DataFrame =
     (0 until Factor).map(k =>

@@ -45,16 +45,27 @@ object Ann {
     * rank on the 6-dp-rounded cosine with vec_id tiebreak, so ordering
     * is stable under last-bit float jitter across engines.
     */
-  private[ann] def topK(scored: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(round(col("cos"), 6).desc, col("vec_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
+  /** Per-query top-[[K]] of a scored (q_id, vec_id, cos) frame on the
+    * H5 bounded-heap operator (round 12, with [[graft.ann.KnnGraph]]'s
+    * twin): the row_number-window spelling shuffles EVERY candidate on
+    * q_id and fully sorts each partition before discarding all but K —
+    * per-query candidates grow ∝ √n under IVF probing, so at 100 TB
+    * that sort is the rank-sort spill the factor-1000 probe measured.
+    * TopKExec's map-side partial keeps a K-row heap per (q_id,
+    * partition) before the exchange; the shuffle carries O(queries ×
+    * partitions-touched × K) rows, zero sort. Row-identical ranking
+    * (6-dp cosine desc, vec_id tiebreak) — the oracle gate
+    * re-certifies every consuming E key.
+    */
+  private[ann] def topK(scored: DataFrame): DataFrame =
+    graft.plans.TopKOps.topK(
+      scored.withColumn("cos_r", round(col("cos"), 6)),
+      groupBy = Seq("q_id"),
+      orderBy = Seq("cos_r" -> false, "vec_id" -> true),
+      k = K)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
         round(col("cos"), 4).as("cos"))
       .orderBy(col("q_id"), col("rank"))
-  }
 
   /** E1 `ann_topk` — exact brute-force cosine top-k: broadcast the
     * queries, scan the corpus once, per-query heap via window top-k.
@@ -252,7 +263,7 @@ object Ann {
     * heavy lifting; norms hoisted out of the n×cells loop (dot-only
     * scoring).
     */
-  private[ann] def assignCells(vectors: DataFrame,
+  private[graft] def assignCells(vectors: DataFrame,
       centroids: DataFrame): DataFrame =
     vectors
       .withColumn("vn", sqrt(dotF(col("embedding"), col("embedding"))))
@@ -373,7 +384,7 @@ object Ann {
     * UN-repartitioned corpus so the one training scan has no shuffle
     * in front of it.
     */
-  private[ann] def refinedCentroids(spark: SparkSession,
+  private[graft] def refinedCentroids(spark: SparkSession,
       c: DataFrame): DataFrame =
     refineLocal(spark, trainSample(spark, c))
 

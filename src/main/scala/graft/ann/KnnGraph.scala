@@ -47,19 +47,31 @@ object KnnGraph {
   /** Deterministic per-node top-k of a scored (u, v, cos) frame — rank
     * on the 6-dp-rounded cosine with v tiebreak (stable under last-bit
     * float jitter cross-engine), keep [[KnnK]].
+    *
+    * Round 12: runs on the H5 bounded-heap operator instead of a
+    * row_number window. The window spelling shuffles EVERY candidate
+    * pair on u and then fully sorts each partition before discarding
+    * all but k — at factor 100 that rank-sort spilled 43 GB
+    * (BENCH_SF100), and at factor 1000 its ~1.3 TB of candidate rows
+    * exceeded the probe host's disk outright. TopKExec's map-side
+    * partial keeps a k-row heap per (u, partition) BEFORE the
+    * exchange, so the shuffle carries ≤ probes·blocks·k rows per node
+    * (~GBs at factor 1000, zero sort, zero spill) — the same
+    * reduction partial aggregation gives groupBy, applied to ranking.
+    * Output is row-identical to the window spelling (same total
+    * order, same rank), which the oracle gate re-certifies.
     */
-  private def topkOf(scored: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("u"))
-      .orderBy(round(col("cos"), 6).desc, col("v"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= KnnK)
+  private def topkOf(scored: DataFrame): DataFrame =
+    graft.plans.TopKOps.topK(
+      scored.withColumn("cos_r", round(col("cos"), 6)),
+      groupBy = Seq("u"),
+      orderBy = Seq("cos_r" -> false, "v" -> true),
+      k = KnnK)
       .select(col("u"), col("v"), col("rank"), col("cos"))
       // both sides of the mutuality join read this frame — O(n·k)
       // rows; without the checkpoint the candidate-scoring pass
       // re-executes per side (plan-verified: two scoring subtrees)
       .localCheckpoint()
-  }
 
   /** Mutual edges (u < v) from a directed top-k frame: equi self-join
     * on the REVERSED (u, v) key keeps exactly the pairs ranked by both
@@ -189,6 +201,13 @@ object KnnGraph {
   def embKnnGraphIvf(spark: SparkSession, dir: String): DataFrame =
     mutualKnnIvf(spark, Tables(spark, dir, "embeddings"))
       .orderBy(col("u"), col("v"))
+
+  /** The IVF knn-graph kernel over an arbitrary embeddings frame —
+    * the upper-decade scale probe's entry ([[graft.BenchKnnCap]]).
+    */
+  private[graft] def embKnnGraphFrame(spark: SparkSession,
+      c0: DataFrame): DataFrame =
+    mutualKnnIvf(spark, c0)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_knn_graph" -> (embKnnGraph _),

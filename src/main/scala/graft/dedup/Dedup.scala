@@ -846,6 +846,15 @@ object Dedup {
     * shared oracle prefix for D3 and the D17 banding sweep.
     */
   private[dedup] val minhashSigOracleCte: String =
+    // sig carries a MATERIALIZED hint (round 12, the §8m(d)
+    // betweenness discipline): the D17 sweep reads it once per band
+    // config — inlined, DuckDB re-ran the whole 128-perm HUGEINT
+    // chain per reference, which at sf1 pushed the sweep past the
+    // gate's 600 s watchdog. `s` stays UN-hinted deliberately:
+    // DuckDB 1.0.0 raises "Recursive CTE scan found without
+    // recursive CTE node" (an internal assertion) when `s` is
+    // materialized in the sweep, whose `truth` derived table nests
+    // D2's oracle with its own shadowing `s` CTE.
     """t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
         |    FROM documents),
         |s AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
@@ -905,7 +914,7 @@ object Dedup {
         |hv AS (SELECT doc_id, i, (a + CAST(i AS HUGEINT) * b)
         |    % CAST('18446744073709551616' AS HUGEINT) AS h FROM perm),
         |sigv AS (SELECT doc_id, i, min(h) AS mh FROM hv GROUP BY 1, 2),
-        |sig AS (SELECT doc_id, array_agg(mh ORDER BY i) AS sig
+        |sig AS MATERIALIZED (SELECT doc_id, array_agg(mh ORDER BY i) AS sig
         |  FROM sigv GROUP BY doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(

@@ -107,11 +107,15 @@ object DedupEval {
     */
   private def sweepCfgCte(b: Int): String = {
     val r = Dedup.NumPerms / b
-    s"""bk$b AS (SELECT doc_id, band,
+    // MATERIALIZED throughout (round 12): bk$b feeds both self-join
+    // sides and cand$b is read twice by the summary row — inlined,
+    // the signature chain upstream re-evaluated per reference and the
+    // sf1 gate's watchdog fired (the §8m(d) CTE-inlining class)
+    s"""bk$b AS MATERIALIZED (SELECT doc_id, band,
        |    list_slice(sig, band*$r+1, band*$r+$r) AS bucket
        |  FROM (SELECT doc_id, sig, unnest(range(0, $b)) AS band
        |        FROM sig)),
-       |cand$b AS (SELECT DISTINCT a.doc_id ia, b.doc_id ib
+       |cand$b AS MATERIALIZED (SELECT DISTINCT a.doc_id ia, b.doc_id ib
        |  FROM bk$b a JOIN bk$b b ON a.band = b.band
        |    AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
        |r$b AS (SELECT CAST($b AS INT) AS n_bands, CAST($r AS INT) AS n_rows,
@@ -127,7 +131,7 @@ object DedupEval {
     // + summary row per config, unioned
     "dedup_lsh_sweep" ->
       s"""WITH ${Dedup.minhashSigOracleCte},
-         |truth AS (SELECT ia, ib
+         |truth AS MATERIALIZED (SELECT ia, ib
          |  FROM (${Dedup.oracle("dedup_ngram_jaccard")})),
          |${SweepBands.map(sweepCfgCte).mkString(",\n")}
          |SELECT n_bands, n_rows, n_candidates, n_true_pairs, n_hits,

@@ -564,10 +564,10 @@ object Multimodal {
          |    | (CAST(coalesce(bytes[(n * 6) // 8 + 1], 0) AS BIGINT) << 8)
          |    | CAST(coalesce(bytes[(n * 7) // 8 + 1], 0) AS BIGINT) AS ph
          |  FROM b),
-         |bands AS (SELECT doc_id, ph, i AS band,
+         |bands AS MATERIALIZED (SELECT doc_id, ph, i AS band,
          |    (ph >> (16 * i)) & 65535 AS bv
          |  FROM ph, range(0, 4) r(i)),
-         |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib,
+         |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib,
          |    a.ph AS pha, b.ph AS phb
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)"""
@@ -575,6 +575,24 @@ object Multimodal {
   // lines start with a literal `|` after the margin, so the margins
   // must survive until the CONSUMING oracle entry's single stripMargin
   // (a second strip would eat the operators).
+
+  val PhashCcRounds = 16 // jump doubles covered distance: diameter ≤ 2^16
+
+  /** One unrolled CC round for the mm_phash_clusters oracle:
+    * PROPAGATE (min over self + neighbor labels — one edges join, one
+    * group) then JUMP (lbl ← lbl-of-lbl — one self equi join). Frames
+    * stay O(nodes) per round, never O(component²).
+    */
+  private def phashCcRoundOracle(k: Int): String =
+    s"""pp$k AS MATERIALIZED (SELECT l.node,
+       |    least(l.lbl, coalesce(min(n.lbl), l.lbl)) AS lbl
+       |  FROM lab${k - 1} l
+       |  LEFT JOIN edges e ON e.eu = l.node
+       |  LEFT JOIN lab${k - 1} n ON n.node = e.ev
+       |  GROUP BY l.node, l.lbl),
+       |lab$k AS MATERIALIZED (SELECT a.node,
+       |    coalesce(b.lbl, a.lbl) AS lbl
+       |  FROM pp$k a LEFT JOIN pp$k b ON b.node = a.lbl)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // F9: replay the per-stream greedy byte walk with a recursive CTE
@@ -609,22 +627,29 @@ object Multimodal {
     // same band join + xor/bit_count verify
     // mm_phash_clusters: F8's candidate chain + Hamming threshold as
     // the edge list, resolved by the D6/D14 recursive reach
+    // Round 12: the transitive-closure reach recursion was replaced by
+    // unrolled min-label PROPAGATE + POINTER-JUMP rounds. The sf1-iso
+    // phash stub produces a 28k-node cluster, and reach materializes
+    // every (node, reachable-root) pair — O(component²) ≈ 8·10⁸ rows,
+    // which wedged the full-registry sf1 gate (the r10 betweenness
+    // class, CC flavor). Propagate keeps frames O(nodes); the jump
+    // (lbl ← lbl-of-lbl) doubles covered distance per round, so
+    // [[PhashCcRounds]] rounds cover diameter 2^rounds — far past any
+    // component this corpus can hold. Non-convergence is loud, not
+    // silent: an unconverged label disagrees with the Spark side and
+    // fails the gate. Everything MATERIALIZED (the §8m(d) discipline).
     "mm_phash_clusters" ->
-      s"""WITH RECURSIVE $phashCandOracleCte,
-         |prs AS (SELECT ia, ib FROM cand
+      s"""WITH $phashCandOracleCte,
+         |prs AS MATERIALIZED (SELECT ia, ib FROM cand
          |  WHERE bit_count(xor(pha, phb)) <= $PhashMaxHamming),
-         |edges AS (SELECT ia AS eu, ib AS ev FROM prs
+         |edges AS MATERIALIZED (SELECT ia AS eu, ib AS ev FROM prs
          |  UNION SELECT ib, ia FROM prs),
-         |reach(eu, rr) AS (
-         |  SELECT eu, eu FROM (SELECT DISTINCT eu FROM edges)
-         |  UNION
-         |  SELECT e2.eu, reach.rr FROM edges e2
-         |    JOIN reach ON reach.eu = e2.ev),
-         |res AS (SELECT eu AS doc_id, min(rr) AS cluster_id
-         |  FROM reach GROUP BY eu)
-         |SELECT doc_id, cluster_id,
-         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
-         |FROM res ORDER BY doc_id""".stripMargin,
+         |lab0 AS MATERIALIZED (SELECT eu AS node, eu AS lbl
+         |  FROM (SELECT DISTINCT eu FROM edges)),
+         |${(1 to PhashCcRounds).map(phashCcRoundOracle).mkString(",\n")}
+         |SELECT node AS doc_id, lbl AS cluster_id,
+         |  count(*) OVER (PARTITION BY lbl) AS cluster_size
+         |FROM lab$PhashCcRounds ORDER BY doc_id""".stripMargin,
     "mm_phash_pairs" ->
       s"""WITH $phashCandOracleCte
          |SELECT ia, ib, CAST(bit_count(xor(pha, phb)) AS INT) AS hamming

@@ -1525,10 +1525,16 @@ object GraphMining {
         |    AND (q.p_retailprice < p.p_retailprice
         |         OR q.p_size < p.p_size))
         |ORDER BY p.p_partkey""".stripMargin,
+    // op/pairs MATERIALIZED (round 12): op feeds both pair-join sides
+    // plus items and the order count, pairs feeds both dir arms —
+    // inlined, DuckDB re-ran the basket pair join per reference and
+    // the sf1 gate's watchdog fired (the §8m(d) class)
     "orders_basket_rules" ->
-      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,
+        |    l_partkey AS p
         |    FROM lineitem),
-        |pairs AS (SELECT a.p AS u, b.p AS v, count(*) AS n_both
+        |pairs AS MATERIALIZED (SELECT a.p AS u, b.p AS v,
+        |    count(*) AS n_both
         |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
         |  GROUP BY a.p, b.p HAVING count(*) >= 2),
         |items AS (SELECT p, count(*) AS n_item FROM op GROUP BY p),

@@ -644,7 +644,15 @@ object CorpusQuality {
         col("doc_id"),
         col("n_tokens"),
         col("score_int"),
-        round(col("logit_raw"), 6).as("logit"),
+        // micro-unit FLOOR, not round(…, 6): the logit is the rational
+        // score_int/(250·n_tokens), and at sf1 the full-registry gate
+        // caught three docs landing EXACTLY on a round-half boundary
+        // (e.g. 16589/16000 = 1.0368125 → HALF_UP 1.036813 vs DuckDB's
+        // half-even 1.036812) — the §5 determinism lane: floor of the
+        // same IEEE double is engine-exact where round is not
+        floor(col("score_int") * lit(1000000L) /
+          (col("n_tokens") * lit(QcScale))).cast("long")
+          .as("logit_micro"),
         round(lit(1.0) / (lit(1.0) + exp(-col("logit_raw"))), 4)
           .as("score"),
         (col("score_int") >= 0).cast("int").as("keep"))
@@ -1321,7 +1329,8 @@ object CorpusQuality {
         |      for tok in toks]) AS BIGINT) AS score_int
         |  FROM t)
         |SELECT doc_id, n_tokens, score_int,
-        |  round(score_int / (n_tokens * 250.0), 6) AS logit,
+        |  CAST(floor(score_int * 1000000 / (n_tokens * 250.0)) AS BIGINT)
+        |    AS logit_micro,
         |  round(1.0 / (1.0 + exp(-(score_int / (n_tokens * 250.0)))), 4)
         |    AS score,
         |  CASE WHEN score_int >= 0 THEN 1 ELSE 0 END AS keep

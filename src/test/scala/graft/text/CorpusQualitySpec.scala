@@ -324,9 +324,10 @@ class CorpusQualitySpec extends SparkSpec {
       assert(r.getAs[Long]("n_tokens") == toks.length)
       // the gate is the INTEGER sign, immune to float rounding
       assert(r.getAs[Int]("keep") == (if (expect >= 0) 1 else 0))
-      val logit = r.getAs[Double]("logit")
-      assert(math.abs(logit - expect.toDouble / (toks.length * 250.0))
-        < 1e-6)
+      val logitMicro = r.getAs[Long]("logit_micro")
+      assert(logitMicro ==
+        math.floor(expect * 1000000L / (toks.length * 250.0)).toLong,
+        s"doc ${r.getAs[Long]("doc_id")}: logit_micro floor replay")
       val s = r.getAs[Double]("score")
       assert(s >= 0.0 && s <= 1.0)
       assert((s >= 0.5) == (expect >= 0) || math.abs(s - 0.5) < 1e-9)

@@ -11,12 +11,17 @@ With jsonOut set, also writes a machine-readable result
 CORRECTNESS artifact (the r9 incident) is distinguishable from a
 real regression without a judge re-running the whole gate.
 """
-import sys, json, glob, math, os
+import sys, json, glob, math, os, threading
 import duckdb
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 jsonout = sys.argv[3] if len(sys.argv) > 3 else None
+# Per-query watchdog for the upper-SF gates (GRAFT_CHECK_TIMEOUT_S,
+# unset = no limit): a runaway oracle (the r10 betweenness-CTE /
+# r11 kcore-inlining class) is interrupted and recorded as a
+# "timeout" failure to adjudicate, instead of wedging the whole gate.
+timeout_s = float(os.environ.get("GRAFT_CHECK_TIMEOUT_S", "0")) or None
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -42,15 +47,27 @@ for name in sorted(oracle):
         detail[name] = {"pass": False, "reason": "no spark output"}
         print(f"FAIL {name}: no spark output written")
         continue
+    timer = None
+    timed_out = []
+    if timeout_s:
+        def _interrupt():
+            timed_out.append(True)
+            con.interrupt()
+        timer = threading.Timer(timeout_s, _interrupt)
+        timer.start()
     try:
         got = con.execute(
             f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").fetchdf()
         want = con.execute(sql).fetchdf()
     except Exception as e:
-        fails.append((name, str(e)))
-        detail[name] = {"pass": False, "reason": str(e)[:200]}
-        print(f"FAIL {name}: {e}")
+        reason = f"timeout>{timeout_s}s" if timed_out else str(e)
+        fails.append((name, reason))
+        detail[name] = {"pass": False, "reason": reason[:200]}
+        print(f"FAIL {name}: {reason}")
         continue
+    finally:
+        if timer:
+            timer.cancel()
     gc, wc = sorted(got.columns), sorted(want.columns)
     if gc != wc:
         fails.append((name, "schema"))
