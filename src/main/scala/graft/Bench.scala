@@ -42,6 +42,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // H4/H7 live in the measured path: SQL kernels + the rank-filter →
+    // bounded-heap TopK rewrite (safety net behind the explicit
+    // TopKOps call sites; see SURVEY §2.H).
+    graft.functions.GraftExtensions.registerSql(spark)
+    graft.functions.GraftExtensions.registerOptimizations(spark)
     val metrics = BenchMetrics.install(spark.sparkContext)
     val warmupErr: Option[String] =
       try { SparkEntry.queries("q1_agg")(spark, sfDir).count(); None }

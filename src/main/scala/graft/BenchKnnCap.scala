@@ -60,6 +60,8 @@ object BenchKnnCap {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftExtensions.registerSql(spark)
+    graft.functions.GraftExtensions.registerOptimizations(spark)
     def f3(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
     val metrics = BenchMetrics.install(spark.sparkContext)

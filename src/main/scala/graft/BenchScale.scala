@@ -218,6 +218,8 @@ object BenchScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftExtensions.registerSql(spark)
+    graft.functions.GraftExtensions.registerOptimizations(spark)
     val selected = Probe.filter(p => only.forall(_.contains(p._1)))
     require(selected.nonEmpty, s"SPARK_GRAFT_ONLY matched no probe " +
       s"queries; known: ${Probe.map(_._1).mkString(",")}")

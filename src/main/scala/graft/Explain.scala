@@ -21,6 +21,8 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftExtensions.registerSql(spark)
+    graft.functions.GraftExtensions.registerOptimizations(spark)
     val sb = new StringBuilder(s"# graft query plans ($sfDir)\n")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan =

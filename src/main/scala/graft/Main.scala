@@ -85,6 +85,8 @@ object Main {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
       .getOrCreate()
+    graft.functions.GraftExtensions.registerSql(spark)
+    graft.functions.GraftExtensions.registerOptimizations(spark)
     try println(run(spark, args))
     finally spark.stop()
   }

@@ -67,6 +67,21 @@ object Ann {
         round(col("cos"), 4).as("cos"))
       .orderBy(col("q_id"), col("rank"))
 
+  /** Candidate-pool cut on the H5 bounded heap — the row-identical
+    * replacement for the `row_number().over(Window…) <= k` spelling
+    * every retrieve-then-rerank arm used to select its rerank pool
+    * (r13 sweep, completing r12's [[topK]] conversion). The window
+    * form shuffles every scored candidate on the group key and fully
+    * SORTS each partition before discarding all but k — at corpus
+    * scale that map-side rank-sort was the measured 43 GB factor-100
+    * spill in the knn family. The heap keeps O(groups × k) state,
+    * shuffles O(groups × partitions × k) rows, and sorts nothing.
+    */
+  private[graft] def poolTopK(df: DataFrame,
+      orderBy: Seq[(String, Boolean)], k: Int,
+      group: String = "q_id", rankName: String = "crank"): DataFrame =
+    graft.plans.TopKOps.topK(df, Seq(group), orderBy, k, rankName)
+
   /** E1 `ann_topk` — exact brute-force cosine top-k: broadcast the
     * queries, scan the corpus once, per-query heap via window top-k.
     * The exactness baseline every approximate variant is measured
@@ -265,20 +280,157 @@ object Ann {
     */
   private[graft] def assignCells(vectors: DataFrame,
       centroids: DataFrame): DataFrame =
-    vectors
-      .withColumn("vn", sqrt(dotF(col("embedding"), col("embedding"))))
-      .crossJoin(broadcast(centroids.withColumn("cn",
-        sqrt(dotF(col("c_emb"), col("c_emb"))))))
-      .withColumn("c_cos",
-        when(col("vn") * col("cn") === 0.0, 0.0)
-          .otherwise(dotF(col("embedding"), col("c_emb")) /
-            (col("vn") * col("cn"))))
+    assignCellsGated(vectors, centroids, TwoLevelMinCells)
+
+  /** [[assignCells]] with the two-level gate exposed (specs force the
+    * super-cell arm on a small corpus by passing a tiny bound). The
+    * centroid frame is bounded (≤ cap/31 rows, a LocalTableScan from
+    * [[refineLocal]]), so counting it costs nothing corpus-sized.
+    */
+  private[graft] def assignCellsGated(vectors: DataFrame,
+      centroids: DataFrame, twoLevelMin: Long): DataFrame = {
+    val body =
+      if (centroids.count() <= twoLevelMin)
+        vectors
+          .withColumn("vn", sqrt(dotF(col("embedding"), col("embedding"))))
+          .crossJoin(broadcast(centroids.withColumn("cn",
+            sqrt(dotF(col("c_emb"), col("c_emb"))))))
+          .withColumn("c_cos",
+            when(col("vn") * col("cn") === 0.0, 0.0)
+              .otherwise(dotF(col("embedding"), col("c_emb")) /
+                (col("vn") * col("cn"))))
+      else superCellCandidates(vectors, centroids)
+        .withColumn("c_cos",
+          when(col("vn") * col("cn") === 0.0, 0.0)
+            .otherwise(dotF(col("embedding"), col("c_emb")) /
+              (col("vn") * col("cn"))))
+    body
       .groupBy(col("vec_id"))
       .agg(
         first(col("embedding")).as("embedding"),
         max_by(col("cell_id"),
           struct(round(col("c_cos"), 6).as("c"), (-col("cell_id")).as("t")))
           .as("cell_id"))
+  }
+
+  /** Cell count above which per-vector cell search goes through the
+    * super-cell layer ([[superCellCandidates]]). Every oracled SF
+    * derives ≤ ~40 cells (sf1: n ≈ 2·10⁴ → cap ≈ 1.1·10³ → ~36), so
+    * the gate keeps the oracle-replayed exact argmax there; the
+    * factor-100/1000 probes (≥ ~115 cells) take the pruned arm.
+    */
+  private[graft] val TwoLevelMinCells = 100L
+
+  /** Super-cells each vector probes in the two-level arm. 3 of
+    * ⌈√cells⌉ supers bounds the missed-nearest-cell rate (the spec
+    * pins agreement vs the flat argmax) while keeping per-vector work
+    * at √cells·(1 + this) dots instead of cells.
+    */
+  private[graft] val SuperProbes = 3
+
+  /** Driver-side super-quantizer over a TRAINED centroid set (two-level
+    * IVF, the IMI/HNSW-coarse idea in its simplest shape): k-means the
+    * ≤ cap/31 centroids into ⌈√cells⌉ super-centroids — deterministic
+    * seeds (evenly spaced in cell_id order), cosine argmin assignment
+    * with lowest-super tiebreak on the 6-dp-rounded score, `iters`
+    * mean updates. Pure local Scala: the centroid set is already
+    * driver-bounded, so this never touches an executor. Returns the
+    * super embeddings (index = super id) and the cell → super map.
+    */
+  private[graft] def superCentroids(cells: Seq[(Long, Array[Float])],
+      iters: Int = 3): (Array[Array[Float]], Map[Long, Int]) = {
+    require(cells.nonEmpty, "superCentroids needs a non-empty cell set")
+    val sorted = cells.sortBy(_._1).toArray
+    val dim = sorted.head._2.length
+    val nS = math.max(1, math.ceil(math.sqrt(sorted.length.toDouble)).toInt)
+    def cos(a: Array[Float], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) { d += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else d / math.sqrt(na * nb)
+    }
+    var sup = Array.tabulate(nS)(s =>
+      sorted((s.toLong * sorted.length / nS).toInt)._2.map(_.toDouble))
+    var asg = new Array[Int](sorted.length)
+    for (_ <- 0 until iters) {
+      var ci = 0
+      while (ci < sorted.length) {
+        var best = 0; var bestScore = Double.MinValue
+        var s = 0
+        while (s < nS) {
+          val sc = math.rint(cos(sorted(ci)._2, sup(s)) * 1e6)
+          if (sc > bestScore) { bestScore = sc; best = s }
+          s += 1
+        }
+        asg(ci) = best; ci += 1
+      }
+      val sums = Array.fill(nS)(new Array[Double](dim))
+      val cnt = new Array[Long](nS)
+      var ci2 = 0
+      while (ci2 < sorted.length) {
+        val s = asg(ci2); cnt(s) += 1; var i = 0
+        while (i < dim) { sums(s)(i) += sorted(ci2)._2(i); i += 1 }
+        ci2 += 1
+      }
+      sup = Array.tabulate(nS)(s =>
+        if (cnt(s) == 0) sup(s) // empty super keeps its seed
+        else sums(s).map(_ / cnt(s)))
+    }
+    (sup.map(_.map(_.toFloat)),
+      sorted.map(_._1).zip(asg).toMap)
+  }
+
+  /** Two-level candidate restriction: instead of scoring every vector
+    * against EVERY cell centroid (O(n·cells) dots — cells ∝ √n makes
+    * that O(n^1.5), the growth the factor-1000 knncap probe measured
+    * in the assignment stage), each vector scores the ⌈√cells⌉
+    * super-centroids, keeps its [[SuperProbes]] best supers on the H5
+    * bounded heap, and only those supers' member cells become scoring
+    * candidates — √cells·(1 + [[SuperProbes]]) dots per vector,
+    * O(n·√cells) total. Cell/super norms are precomputed driver-side
+    * and ride the broadcast; the vector norm is hoisted once per row.
+    * Output: `vectors`' columns + (vn, cell_id, c_emb, cn) — the
+    * caller scores c_cos and applies its own argmax/top-k.
+    *
+    * Approximation contract: the nearest cell can be missed only when
+    * its super is not among the vector's top-[[SuperProbes]] supers;
+    * the spec pins the agreement rate vs the flat argmax and the knn
+    * recall downstream. Every oracled run stays below
+    * [[TwoLevelMinCells]] and never enters this path.
+    */
+  private[graft] def superCellCandidates(vectors: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val cl = centroids.select(col("cell_id"), col("c_emb"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val (sup, cellSup) = superCentroids(cl)
+    def norm(a: Array[Float]): Double = {
+      var n = 0.0; var i = 0
+      while (i < a.length) { n += a(i) * a(i); i += 1 }
+      math.sqrt(n)
+    }
+    val supDf = broadcast(sup.toSeq.zipWithIndex
+      .map { case (e, i) => (i, e, norm(e)) }
+      .toDF("super_id", "s_emb", "sn"))
+    val cellDf = broadcast(cl
+      .map { case (id, e) => (cellSup(id), id, e, norm(e)) }
+      .toDF("super_id", "cell_id", "c_emb", "cn"))
+    val withVn = vectors
+      .withColumn("vn", sqrt(dotF(col("embedding"), col("embedding"))))
+    val topSup = graft.plans.TopKOps.topK(
+      withVn.crossJoin(supDf)
+        .withColumn("s_cos_r", round(
+          when(col("vn") * col("sn") === 0.0, 0.0)
+            .otherwise(dotF(col("embedding"), col("s_emb")) /
+              (col("vn") * col("sn"))), 6))
+        .drop("s_emb", "sn"),
+      groupBy = Seq("vec_id"),
+      orderBy = Seq("s_cos_r" -> false, "super_id" -> true),
+      k = SuperProbes, rankName = "s_rank")
+      .drop("s_cos_r", "s_rank")
+    topSup.join(cellDf, Seq("super_id")).drop("super_id")
+  }
 
   /** Hard retained-set bound for the one-pass sample: the adaptive
     * prune keeps ≈ min(count-so-far, cap(count-so-far)) ≤ [[
@@ -440,15 +592,13 @@ object Ann {
       .withColumn("qq", expr(
         "transform(q_emb, x -> cast(round(x / greatest(qmx, float(1e-9)) * 127) as int))"))
     val probed = probeCells(q, refined)
-    val wc = Window.partitionBy(col("q_id"))
-      .orderBy(col("adot").desc, col("vec_id"))
-    val cand = enc.join(broadcast(probed), Seq("cell_id"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("adot",
-        col("qc_dot") + (col("qmx") / 127.0) * (col("rmx") / 127.0) *
-          dotI(col("qq"), col("rq")))
-      .withColumn("crank", row_number().over(wc))
-      .filter(col("crank") <= QuantRerank)
+    val cand = poolTopK(
+      enc.join(broadcast(probed), Seq("cell_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("adot",
+          col("qc_dot") + (col("qmx") / 127.0) * (col("rmx") / 127.0) *
+            dotI(col("qq"), col("rq"))),
+      orderBy = Seq("adot" -> false, "vec_id" -> true), k = QuantRerank)
     topK(cand.withColumn("cos",
       when(col("nrm") * col("qn") === 0.0, 0.0)
         .otherwise(dotF(col("embedding"), col("q_emb")) /
@@ -547,12 +697,10 @@ object Ann {
     val q = quantized(queriesDf(spark, dir), "q_emb")
       .withColumn("qn", sqrt(dotF(col("q_emb"), col("q_emb"))))
       .select(col("q_id"), col("q_emb"), col("qv").as("qqv"), col("qn"))
-    val wq = Window.partitionBy(col("q_id"))
-      .orderBy(col("qdot").desc, col("vec_id"))
-    val cand = c.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("qdot", dotI(col("qv"), col("qqv")))
-      .withColumn("crank", row_number().over(wq))
-      .filter(col("crank") <= QuantRerank)
+    val cand = poolTopK(
+      c.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("qdot", dotI(col("qv"), col("qqv"))),
+      orderBy = Seq("qdot" -> false, "vec_id" -> true), k = QuantRerank)
     topK(cand.withColumn("cos",
       when(col("nrm") * col("qn") === 0.0, 0.0)
         .otherwise(dotF(col("embedding"), col("q_emb")) /
@@ -600,13 +748,11 @@ object Ann {
       .withColumn("qn", sqrt(dotF(col("q_emb"), col("q_emb"))))
       .select(col("q_id"), col("q_emb"), col("lo").as("qlo"),
         col("hi").as("qhi"), col("qn"))
-    val wq = Window.partitionBy(col("q_id"))
-      .orderBy(col("hd").asc, col("vec_id"))
-    val cand = c.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("hd", expr(
-        "bit_count(lo ^ qlo) + bit_count(hi ^ qhi)"))
-      .withColumn("crank", row_number().over(wq))
-      .filter(col("crank") <= BqRerank)
+    val cand = poolTopK(
+      c.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("hd", expr(
+          "bit_count(lo ^ qlo) + bit_count(hi ^ qhi)")),
+      orderBy = Seq("hd" -> true, "vec_id" -> true), k = BqRerank)
     topK(cand.withColumn("cos",
       when(col("nrm") * col("qn") === 0.0, 0.0)
         .otherwise(dotF(col("embedding"), col("q_emb")) /
@@ -727,16 +873,15 @@ object Ann {
       .agg(map_from_entries(collect_list(struct(
         (col("sub") * PqK + col("code")).as("idx"), col("d")))).as("lut"))
       .join(q, Seq("q_id"))
-    val wq = Window.partitionBy(col("q_id"))
-      .orderBy(round(col("adot"), 6).desc, col("vec_id"))
-    val cand = enc.crossJoin(broadcast(lut))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("adot", expr(
-        s"""aggregate(sequence(0, ${PqM - 1}), cast(0 as double),
-           |  (acc, s) -> acc + element_at(lut,
-           |    s * $PqK + element_at(codes, s + 1)))""".stripMargin))
-      .withColumn("crank", row_number().over(wq))
-      .filter(col("crank") <= QuantRerank)
+    val cand = poolTopK(
+      enc.crossJoin(broadcast(lut))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("adot", expr(
+          s"""aggregate(sequence(0, ${PqM - 1}), cast(0 as double),
+             |  (acc, s) -> acc + element_at(lut,
+             |    s * $PqK + element_at(codes, s + 1)))""".stripMargin))
+        .withColumn("adot_r", round(col("adot"), 6)),
+      orderBy = Seq("adot_r" -> false, "vec_id" -> true), k = QuantRerank)
     topK(cand.withColumn("cos",
       when(col("nrm") * col("qn") === 0.0, 0.0)
         .otherwise(dotF(col("embedding"), col("q_emb")) /
@@ -823,16 +968,15 @@ object Ann {
       .agg(map_from_entries(collect_list(struct(
         (col("sub") * PqK + col("code")).as("idx"), col("d")))).as("lut"))
       .join(q.select(col("q_id"), col("q_emb"), col("qn")), Seq("q_id"))
-    val wq = Window.partitionBy(col("q_id"))
-      .orderBy(round(col("adot"), 6).desc, col("vec_id"))
-    val cand = enc.crossJoin(broadcast(lut))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("adot", expr(
-        s"""aggregate(sequence(0, ${PqM - 1}), cast(0 as double),
-           |  (acc, s) -> acc + element_at(lut,
-           |    s * $PqK + element_at(codes, s + 1)))""".stripMargin))
-      .withColumn("crank", row_number().over(wq))
-      .filter(col("crank") <= QuantRerank)
+    val cand = poolTopK(
+      enc.crossJoin(broadcast(lut))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("adot", expr(
+          s"""aggregate(sequence(0, ${PqM - 1}), cast(0 as double),
+             |  (acc, s) -> acc + element_at(lut,
+             |    s * $PqK + element_at(codes, s + 1)))""".stripMargin))
+        .withColumn("adot_r", round(col("adot"), 6)),
+      orderBy = Seq("adot_r" -> false, "vec_id" -> true), k = QuantRerank)
     topK(cand.withColumn("cos",
       when(col("nrm") * col("qn") === 0.0, 0.0)
         .otherwise(dotF(col("embedding"), col("q_emb")) /
@@ -909,16 +1053,15 @@ object Ann {
       .agg(map_from_entries(collect_list(struct(
         (col("sub") * PqK + col("code")).as("idx"), col("d")))).as("lut"))
     val probed = probeCells(q, refined).join(lut, Seq("q_id"))
-    val wq = Window.partitionBy(col("q_id"))
-      .orderBy(round(col("adot"), 6).desc, col("vec_id"))
-    val cand = enc.join(broadcast(probed), Seq("cell_id"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("adot", col("qc_dot") + expr(
-        s"""aggregate(sequence(0, ${PqM - 1}), cast(0 as double),
-           |  (acc, s) -> acc + element_at(lut,
-           |    s * $PqK + element_at(codes, s + 1)))""".stripMargin))
-      .withColumn("crank", row_number().over(wq))
-      .filter(col("crank") <= IvfPqRerank)
+    val cand = poolTopK(
+      enc.join(broadcast(probed), Seq("cell_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("adot", col("qc_dot") + expr(
+          s"""aggregate(sequence(0, ${PqM - 1}), cast(0 as double),
+             |  (acc, s) -> acc + element_at(lut,
+             |    s * $PqK + element_at(codes, s + 1)))""".stripMargin))
+        .withColumn("adot_r", round(col("adot"), 6)),
+      orderBy = Seq("adot_r" -> false, "vec_id" -> true), k = IvfPqRerank)
     topK(cand.withColumn("cos",
       when(col("nrm") * col("qn") === 0.0, 0.0)
         .otherwise(dotF(col("embedding"), col("q_emb")) /
@@ -991,17 +1134,16 @@ object Ann {
   def annMmr(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     import spark.implicits._
-    val wRel = Window.partitionBy(col("q_id"))
-      .orderBy(col("rel").desc, col("cid"))
-    val cand = corpus(spark, dir)
-      .crossJoin(broadcast(queriesDf(spark, dir)))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("rel",
-        round(cosineSim(col("embedding"), col("q_emb")), 6))
-      .select(col("q_id"), col("vec_id").as("cid"), col("rel"),
-        col("embedding"))
-      .withColumn("rn", row_number().over(wRel))
-      .filter(col("rn") <= MmrCandidates)
+    val cand = poolTopK(
+      corpus(spark, dir)
+        .crossJoin(broadcast(queriesDf(spark, dir)))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("rel",
+          round(cosineSim(col("embedding"), col("q_emb")), 6))
+        .select(col("q_id"), col("vec_id").as("cid"), col("rel"),
+          col("embedding")),
+      orderBy = Seq("rel" -> false, "cid" -> true),
+      k = MmrCandidates, rankName = "rn")
       .drop("rn")
       .withColumn("rel_u", round(col("rel") * 1e6, 0).cast("long"))
       .persist(MEMORY_AND_DISK)
@@ -1272,10 +1414,10 @@ object Ann {
     * Plan shape is E1's broadcast-query scan verbatim with the label
     * inequality fused into the join predicate: anchors broadcast, the
     * corpus never shuffles, wrong-label rows score dot-only on hoisted
-    * norms, and the per-anchor top-k goes through the same
-    * rank-on-rounded-cosine window the H7 rewrite turns into a
-    * bounded-heap TopK — per-anchor state is O(k) regardless of corpus
-    * size.
+    * norms, and the per-anchor top-k runs directly on the H5
+    * bounded-heap TopKExec (rank on rounded cosine, vec_id tiebreak;
+    * [[poolTopK]], r13) — per-anchor state is O(k) regardless of
+    * corpus size, and no rank-sort ever happens.
     */
   def embHardNegatives(spark: SparkSession, dir: String): DataFrame = {
     val full = Tables(spark, dir, "embeddings")
@@ -1285,15 +1427,15 @@ object Ann {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("label").as("anchor_label"))
       .withColumn("qn", sqrt(dotF(col("q_emb"), col("q_emb"))))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(round(col("cos"), 6).desc, col("vec_id"))
-    c.join(broadcast(q), col("label") =!= col("anchor_label"))
-      .withColumn("cos",
-        when(col("nrm") * col("qn") === 0.0, 0.0)
-          .otherwise(dotF(col("embedding"), col("q_emb")) /
-            (col("nrm") * col("qn"))))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
+    poolTopK(
+      c.join(broadcast(q), col("label") =!= col("anchor_label"))
+        .withColumn("cos",
+          when(col("nrm") * col("qn") === 0.0, 0.0)
+            .otherwise(dotF(col("embedding"), col("q_emb")) /
+              (col("nrm") * col("qn"))))
+        .withColumn("cos_r", round(col("cos"), 6)),
+      orderBy = Seq("cos_r" -> false, "vec_id" -> true),
+      k = K, rankName = "rank")
       .select(col("q_id"), col("anchor_label"), col("rank"),
         col("vec_id").as("neighbor_id"), col("label").as("neg_label"),
         round(col("cos"), 4).as("cos"))

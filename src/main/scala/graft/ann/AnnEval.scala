@@ -64,15 +64,14 @@ object AnnEval {
         .cosineSim(col("embedding"), col("q_emb")))
       .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
         col("cos"))
-    val wq = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id"))
-      .orderBy(round(col("cos"), 6).desc, col("vec_id"))
-    val pre = scored.filter(col("label") === col("q_label"))
-      .withColumn("rk", row_number().over(wq)).filter(col("rk") <= FK)
-    val post = scored
-      .withColumn("crk", row_number().over(wq)).filter(col("crk") <= PostC)
-      .filter(col("label") === col("q_label"))
-      .withColumn("rk", row_number().over(wq)).filter(col("rk") <= FK)
+    val scoredR = scored.withColumn("cos_r", round(col("cos"), 6))
+    val ord = Seq("cos_r" -> false, "vec_id" -> true)
+    val pre = Ann.poolTopK(scoredR.filter(col("label") === col("q_label")),
+      orderBy = ord, k = FK, rankName = "rk")
+    val post = Ann.poolTopK(
+      Ann.poolTopK(scoredR, orderBy = ord, k = PostC, rankName = "crk")
+        .filter(col("label") === col("q_label")),
+      orderBy = ord, k = FK, rankName = "rk")
     val np = post.groupBy(col("q_id")).agg(count(lit(1)).as("n_post"))
     pre.select(col("q_id"), col("q_label"), col("vec_id"))
       .join(post.select(col("q_id"), col("vec_id"), lit(1).as("hit")),

@@ -203,16 +203,15 @@ object AnnOpq {
       .agg(map_from_entries(collect_list(struct(
         (col("sub") * PqK + col("code")).as("idx"), col("d")))).as("lut"))
       .join(q.select(col("q_id"), col("q_emb"), col("qn")), Seq("q_id"))
-    val wq = Window.partitionBy(col("q_id"))
-      .orderBy(round(col("adot"), 6).desc, col("vec_id"))
-    val cand = enc.crossJoin(broadcast(lut))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("adot", expr(
-        s"""aggregate(sequence(0, ${PqM - 1}), cast(0 as double),
-           |  (acc, s) -> acc + element_at(lut,
-           |    s * $PqK + element_at(codes, s + 1)))""".stripMargin))
-      .withColumn("crank", row_number().over(wq))
-      .filter(col("crank") <= QuantRerank)
+    val cand = Ann.poolTopK(
+      enc.crossJoin(broadcast(lut))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("adot", expr(
+          s"""aggregate(sequence(0, ${PqM - 1}), cast(0 as double),
+             |  (acc, s) -> acc + element_at(lut,
+             |    s * $PqK + element_at(codes, s + 1)))""".stripMargin))
+        .withColumn("adot_r", round(col("adot"), 6)),
+      orderBy = Seq("adot_r" -> false, "vec_id" -> true), k = QuantRerank)
     Ann.topK(cand.withColumn("cos",
       when(col("nrm") * col("qn") === 0.0, 0.0)
         .otherwise(dotF(col("embedding"), col("q_emb")) /

@@ -141,14 +141,13 @@ object Hybrid {
     val emb = Tables(spark, dir, "embeddings")
     val q = emb.filter(col("vec_id").isin(MultiQueries.map(_._1): _*))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val wSem = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    val sem = emb.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos",
-        round(cosineSim(col("embedding"), col("q_emb")), 6))
-      .withColumn("sem_rank", row_number().over(wSem))
-      .filter(col("sem_rank") <= ArmN)
+    val sem = Ann.poolTopK(
+      emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos",
+          round(cosineSim(col("embedding"), col("q_emb")), 6)),
+      orderBy = Seq("cos" -> false, "vec_id" -> true),
+      k = ArmN, rankName = "sem_rank")
       .select(col("q_id"), col("vec_id").as("doc_id"), col("sem_rank"))
     val wFuse = Window.partitionBy(col("q_id"))
       .orderBy(col("rrf").desc, col("doc_id"))

@@ -1,7 +1,6 @@
 package graft.ann
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -153,24 +152,33 @@ object KnnGraph {
       .select(col("cell_id"), col("vec_id").as("v"),
         col("embedding").as("v_emb"))
     // fixed-depth probe (vs E3's margin-expanded rule): every vector
-    // takes its [[KnnProbes]] nearest cells — O(n·cells) dot products
-    // over the broadcast centroid set, spread across cores
-    val wp = Window.partitionBy(col("u"))
-      .orderBy(round(col("p_cos"), 6).desc, col("cell_id"))
-    // the explicit u-hash repartition AHEAD of the probe window is
-    // what the window reuses as its partitioning — user-specified, so
-    // AQE cannot coalesce it to one task and drag the candidate
-    // scoring (which runs in the same stage, on the broadcast asg
-    // side) onto one core; it also pre-partitions the per-u rank
-    // window downstream
-    val probes = spread
-      .select(col("vec_id").as("u"), col("embedding").as("u_emb"))
-      .repartition(spark.sparkContext.defaultParallelism, col("u"))
-      .crossJoin(broadcast(cents))
-      .withColumn("p_cos", cosineSim(col("u_emb"), col("c_emb")))
-      .withColumn("rn", row_number().over(wp))
-      .filter(col("rn") <= KnnProbes)
-      .select(col("cell_id"), col("u"), col("u_emb"))
+    // takes its [[KnnProbes]] nearest cells. Below the two-level gate
+    // that is the flat O(n·cells) broadcast scan; above it (r13) the
+    // super-cell layer prunes candidates to √cells·(1+SuperProbes)
+    // dots per vector — cells ∝ √n made the flat scan O(n^1.5), the
+    // assignment-stage growth the factor-1000 knncap probe measured.
+    // Selection runs on the H5 bounded heap either way (r13 — the
+    // rank-window spelling sorted every (vector × cell) row).
+    // The explicit vec_id-hash repartition AHEAD of the scoring stage
+    // is user-specified so AQE cannot coalesce it to one task and
+    // drag the candidate scoring onto one core; the TopK final phase
+    // reuses the same hash partitioning, so no second exchange.
+    val nCells = math.max(cents.count(), 1L)
+    val spreadU = spread
+      .select(col("vec_id"), col("embedding"))
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+    val candCells =
+      if (nCells <= Ann.TwoLevelMinCells) spreadU.crossJoin(broadcast(cents))
+      else Ann.superCellCandidates(spreadU, cents)
+    val probes = graft.plans.TopKOps.topK(
+      candCells
+        .withColumn("p_cos_r",
+          round(cosineSim(col("embedding"), col("c_emb")), 6)),
+      groupBy = Seq("vec_id"),
+      orderBy = Seq("p_cos_r" -> false, "cell_id" -> true),
+      k = KnnProbes, rankName = "rn")
+      .select(col("cell_id"), col("vec_id").as("u"),
+        col("embedding").as("u_emb"))
     // Self-tuning block fan-out for the scoring join: its parallelism
     // is bounded by the distinct-cell count, which at test SF (tiny
     // derived cap → ~8 cells) is below the core count — and the shuffle
@@ -184,7 +192,6 @@ object KnnGraph {
     // explicit co-repartition on (cell_id, blk) is user-specified so
     // AQE cannot coalesce the quadratic-work stage down to one task.
     val par = spark.sparkContext.defaultParallelism
-    val nCells = math.max(cents.count(), 1L)
     val blocks = ((par + nCells - 1) / nCells).toInt
     val asgB = asg
       .withColumn("blk", pmod(col("v"), lit(blocks)).cast("int"))

@@ -32,15 +32,15 @@ object MatryoshkaEval {
     val q = base.filter(col("vec_id") < Ann.NumQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .withColumn("qn", sqrt(dotF(col("q_emb"), col("q_emb"))))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(round(col("cos"), 6).desc, col("vec_id"))
-    c.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("cos",
-        when(col("nrm") * col("qn") === 0.0, 0.0)
-          .otherwise(dotF(col("embedding"), col("q_emb")) /
-            (col("nrm") * col("qn"))))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+    Ann.poolTopK(
+      c.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("cos",
+          when(col("nrm") * col("qn") === 0.0, 0.0)
+            .otherwise(dotF(col("embedding"), col("q_emb")) /
+              (col("nrm") * col("qn"))))
+        .withColumn("cos_r", round(col("cos"), 6)),
+      orderBy = Seq("cos_r" -> false, "vec_id" -> true),
+      k = 5, rankName = "rank")
       .select(col("q_id"), col("vec_id").as("neighbor_id"))
   }
 

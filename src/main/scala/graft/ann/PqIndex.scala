@@ -128,16 +128,16 @@ object PqIndex {
     val idx = spark.read.parquet(vectorsDir(root))
       .withColumn("cell_id", col("cell_id").cast("long"))
       .filter(col("cell_id").isin(cellIds: _*))
-    val wq = Window.partitionBy(col("q_id"))
-      .orderBy(round(col("adot"), 6).desc, col("vec_id"))
-    val shortlist = idx.join(broadcast(probed), Seq("cell_id"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("adot", col("qc_dot") + expr(
-        s"""aggregate(sequence(0, ${Ann.PqM - 1}), cast(0 as double),
-           |  (acc, s) -> acc + element_at(lut,
-           |    s * ${Ann.PqK} + element_at(codes, s + 1)))""".stripMargin))
-      .withColumn("crank", row_number().over(wq))
-      .filter(col("crank") <= Ann.IvfPqRerank)
+    val shortlist = Ann.poolTopK(
+      idx.join(broadcast(probed), Seq("cell_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("adot", col("qc_dot") + expr(
+          s"""aggregate(sequence(0, ${Ann.PqM - 1}), cast(0 as double),
+             |  (acc, s) -> acc + element_at(lut,
+             |    s * ${Ann.PqK} + element_at(codes, s + 1)))""".stripMargin))
+        .withColumn("adot_r", round(col("adot"), 6)),
+      orderBy = Seq("adot_r" -> false, "vec_id" -> true),
+      k = Ann.IvfPqRerank)
       .select(col("q_id"), col("q_emb"), col("qn"), col("vec_id"))
     val emb = graft.Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))

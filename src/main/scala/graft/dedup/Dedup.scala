@@ -203,12 +203,15 @@ object Dedup {
     * training docs sit above [[FuzzyContamTau]] Jaccard, and the
     * worst offender's similarity.
     *
-    * Scale shape: the eval side is tiny by nature → its band frame
-    * BROADCASTS (C12's discipline applied to D3's banding); the
-    * corpus explodes to [[NumBands]] fixed-width rows per doc map-only
-    * into the broadcast hash join, so the only shuffles carry
-    * candidate pairs (rare) and the O(eval docs) rollup — never the
-    * corpus. Verification joins shingle sets for candidates only.
+    * Scale shape: a REAL eval set is small and its band frame
+    * broadcasts — but this query's stand-in split (doc_id %
+    * ContamMod) grows linearly with the corpus, so the join is left
+    * UN-hinted (r13): the planner broadcasts under the threshold and
+    * degrades to a shuffle equi join on (band, bucket) above it, the
+    * same transition PlanSpec pins for dedup_minhash_lsh. Either way
+    * the only shuffles carry band rows and candidate pairs (rare)
+    * plus the O(eval docs) rollup — never corpus payloads.
+    * Verification joins shingle sets for candidates only.
     */
   def decontaminateFuzzy(spark: SparkSession, dir: String): DataFrame =
     decontaminateFuzzyDocs(shingled(spark, dir))
@@ -232,7 +235,15 @@ object Dedup {
       .select(col("doc_id").as("bench_id"), col("band"), col("bucket"))
     val corpus = bands.filter(pmod(col("doc_id"), lit(ContamMod)) =!= 0)
       .select(col("doc_id").as("cdoc"), col("band"), col("bucket"))
-    val cand = corpus.join(broadcast(bench), Seq("band", "bucket"))
+    // no broadcast() hint (r13 ADVICE fix): in THIS query's split the
+    // eval side is doc_id % ContamMod — a fixed 1/ContamMod of the
+    // corpus × NumBands rows, so it grows linearly with corpus size
+    // and a forced broadcast would OOM at the 100 TB target. Let the
+    // planner pick: broadcast while the band frame fits under the
+    // threshold, degrade to a shuffle equi join above it (the same
+    // transition PlanSpec pins for dedup_minhash_lsh). A deployment
+    // with a genuinely fixed eval set can still hint its own frame.
+    val cand = corpus.join(bench, Seq("band", "bucket"))
       .select(col("cdoc"), col("bench_id")).distinct()
     val verified = cand
       .join(sig.select(col("doc_id").as("cdoc"), col("shingles").as("shc")),
@@ -416,19 +427,31 @@ object Dedup {
       driverMaxEdges: Long = CcDriverMaxEdges): DataFrame = {
     val spark = edges0.sparkSession
     import spark.implicits._
+    // the probe below materializes the bound as an Int limit
+    // (0 = "never take the driver arm", the spec's forcing value)
+    require(driverMaxEdges >= 0 && driverMaxEdges < Int.MaxValue,
+      s"driverMaxEdges must be in [0, Int.MaxValue), got $driverMaxEdges")
     val edges = edges0.select(col("u").cast("long"), col("v").cast("long"))
       .distinct()
       .localCheckpoint()
-    // limit-probe gate (round 12): collecting driverMaxEdges+1 rows in
-    // ONE job both answers "is the driver arm safe?" AND, when it is,
-    // already delivers the full edge set — the separate count() job the
-    // r11 verdict flagged in dedup_clusters' serialized chain is gone,
-    // and the probe runs over the checkpoint, never the pair-mining
-    // lineage. (CollectLimit grows its partition scan geometrically, so
-    // an over-bound graph answers from a prefix without a full pass.)
-    val probe = edges.limit(driverMaxEdges.toInt + 1).as[(Long, Long)]
-      .collect()
-    if (probe.length <= driverMaxEdges) {
+    // Tiered limit-probe gate (r12 one-job probe + r13 ADVICE fix):
+    // tier 1 collects only SmallCap+1 rows — for the common small
+    // graph that single job already delivers the full edge set, and
+    // for a big graph it caps the driver transfer at ~64k tuples
+    // instead of driverMaxEdges (~5M, ~200 MB). Only the mid tier
+    // (SmallCap < edges ≤ driverMaxEdges) pays a second collect; the
+    // over-bound tier answers from a 1-row count over the same
+    // geometric CollectLimit prefix, no full pass, no bulk transfer.
+    val SmallCap = 1 << 16
+    val tier1 = edges.limit(math.min(SmallCap, driverMaxEdges.toInt) + 1)
+      .as[(Long, Long)].collect()
+    val probe: Array[(Long, Long)] =
+      if (tier1.length <= math.min(SmallCap, driverMaxEdges.toInt)) tier1
+      else if (edges.limit(driverMaxEdges.toInt + 1).count()
+          <= driverMaxEdges)
+        edges.limit(driverMaxEdges.toInt).as[(Long, Long)].collect()
+      else Array.empty // over bound: distributed arm (probe unused)
+    if (probe.nonEmpty || tier1.isEmpty) {
       val pairs = probe
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {

@@ -470,14 +470,13 @@ object Multimodal {
       .toDF("doc_id", "emb")
     val q = emb.filter(col("doc_id") < 10)
       .select(col("doc_id").as("q_id"), col("emb").as("q_emb"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id"))
-      .orderBy(round(col("cos"), 6).desc, col("doc_id"))
-    emb.join(broadcast(q), col("doc_id") =!= col("q_id"))
-      .withColumn("cos",
-        graft.functions.GraftFunctions.cosineSim(col("emb"), col("q_emb")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+    graft.ann.Ann.poolTopK(
+      emb.join(broadcast(q), col("doc_id") =!= col("q_id"))
+        .withColumn("cos",
+          graft.functions.GraftFunctions.cosineSim(col("emb"), col("q_emb")))
+        .withColumn("cos_r", round(col("cos"), 6)),
+      orderBy = Seq("cos_r" -> false, "doc_id" -> true),
+      k = 5, rankName = "rank")
       .select(col("q_id"), col("doc_id").as("neighbor_id"), col("rank"),
         round(col("cos"), 4).as("cos"))
       .orderBy(col("q_id"), col("rank"))
@@ -637,7 +636,10 @@ object Multimodal {
     // [[PhashCcRounds]] rounds cover diameter 2^rounds — far past any
     // component this corpus can hold. Non-convergence is loud, not
     // silent: an unconverged label disagrees with the Spark side and
-    // fails the gate. Everything MATERIALIZED (the §8m(d) discipline).
+    // fails the gate — and since r13 it is self-identifying: a final
+    // lab_N ≠ lab_{N-1} probe emits a doc_id = -1 sentinel row, so an
+    // under-unrolled oracle reads as "oracle needs more rounds", not
+    // as a mystery label diff. Everything MATERIALIZED (§8m(d)).
     "mm_phash_clusters" ->
       s"""WITH $phashCandOracleCte,
          |prs AS MATERIALIZED (SELECT ia, ib FROM cand
@@ -649,7 +651,13 @@ object Multimodal {
          |${(1 to PhashCcRounds).map(phashCcRoundOracle).mkString(",\n")}
          |SELECT node AS doc_id, lbl AS cluster_id,
          |  count(*) OVER (PARTITION BY lbl) AS cluster_size
-         |FROM lab$PhashCcRounds ORDER BY doc_id""".stripMargin,
+         |FROM lab$PhashCcRounds
+         |UNION ALL
+         |SELECT -1, -1, -1
+         |WHERE EXISTS (SELECT 1 FROM lab$PhashCcRounds a
+         |  JOIN lab${PhashCcRounds - 1} b ON b.node = a.node
+         |  WHERE a.lbl <> b.lbl)
+         |ORDER BY doc_id""".stripMargin,
     "mm_phash_pairs" ->
       s"""WITH $phashCandOracleCte
          |SELECT ia, ib, CAST(bit_count(xor(pha, phb)) AS INT) AS hamming

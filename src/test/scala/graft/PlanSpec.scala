@@ -250,18 +250,43 @@ class PlanSpec extends SparkSpec {
   }
 
   test("ann_mmr: greedy runs in one cogroup, candidates broadcast-scan " +
-      "with rank-limit pushdown") {
+      "onto the bounded-heap top-C") {
     val p = plan("ann_mmr")
     // the greedy loop must be the single CoGroup — not unrolled joins
     assert(p.contains("CoGroup"), "greedy selection must be one cogroup")
     // candidate generation: corpus scanned once against BROADCAST
-    // queries; the top-C window prunes via WindowGroupLimit before any
-    // full partition sort
+    // queries; the top-C candidate cut is the H5 bounded heap (r13 —
+    // even WindowGroupLimit's pushed rank limit still fully sorts
+    // every candidate partition)
     assert(p.contains("BroadcastNestedLoopJoin"),
       "query set must broadcast against the corpus scan")
-    assert(p.contains("WindowGroupLimit"),
-      "candidate top-C must push the rank limit below the sort")
+    assert(countOccurrences(p, "TopK (") >= 2,
+      s"candidate top-C must be partial+final TopKExec, plan:\n$p")
+    assert(!p.contains("WindowGroupLimit") && !p.contains(" Window "),
+      "no rank-filter window may survive in the candidate cut")
     assert(!p.contains("CartesianProduct"))
+  }
+
+  test("r13 rerank-pool sweep: every retrieve-then-rerank arm selects " +
+      "its pool on TopKExec, no corpus-scale rank window") {
+    // the ten r12-weak sites + the eval tier; each pool cut must plan
+    // partial+final TopKExec. Keys whose plans legitimately retain
+    // windows over BOUNDED frames (probeCells' queries×cells frame,
+    // hybrid's per-arm limit-N ranks) assert only the TopK presence;
+    // the pure brute-force arms also pin the absence of any window.
+    val noWindowKeys = Seq("ann_quantized", "ann_bq", "ann_pq",
+      "ann_pq_balanced", "ann_opq", "emb_hard_negatives",
+      "mm_embed_topk", "ann_filtered_eval")
+    val topkOnlyKeys = Seq("ann_ivfq", "ann_ivfpq", "ann_ivfopq",
+      "hybrid_mmr_multi")
+    for (q <- noWindowKeys ++ topkOnlyKeys) {
+      val p = plan(q)
+      assert(countOccurrences(p, "TopK (") >= 2,
+        s"$q: expected partial+final TopKExec, plan:\n${p.take(3000)}")
+      if (noWindowKeys.contains(q))
+        assert(!p.contains("WindowGroupLimit") && !p.contains(" Window "),
+          s"$q: rank-filter window survived the r13 TopK sweep")
+    }
   }
 
   test("sample_pergroup: bounded-heap TopKExec, never a full window sort") {

@@ -1,0 +1,102 @@
+package graft.ann
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The r13 two-level coarse quantizer (super-cell candidate pruning
+  * for per-vector cell search — [[Ann.superCentroids]] /
+  * [[Ann.superCellCandidates]] / [[Ann.assignCellsGated]]).
+  *
+  * Every oracled run stays below [[Ann.TwoLevelMinCells]] and takes
+  * the exact flat argmax, so these specs are the correctness gate for
+  * the pruned arm: determinism, full coverage, exactness whenever the
+  * probe set covers all supers, and a pinned agreement floor vs the
+  * flat argmax when it does not.
+  */
+class AnnTwoLevelSpec extends SparkSpec {
+
+  private val Dim = 64
+
+  /** Deterministic pseudo-random unit-ish vector (StrictMath — bit
+    * stable across JVMs/hosts).
+    */
+  private def vec(seed: Long): Array[Float] =
+    Array.tabulate(Dim)(d => StrictMath.sin(seed * 37.0 + d * 1.31).toFloat)
+
+  private def cellSet(n: Int): Seq[(Long, Array[Float])] =
+    (0 until n).map(i => (i.toLong * 3 + 1, vec(1000 + i)))
+
+  test("superCentroids: ⌈√cells⌉ supers, every cell mapped, " +
+      "deterministic across calls") {
+    val cells = cellSet(40)
+    val (sup1, map1) = Ann.superCentroids(cells)
+    val (sup2, map2) = Ann.superCentroids(scala.util.Random.shuffle(cells))
+    assert(sup1.length == math.ceil(math.sqrt(40.0)).toInt) // 7
+    assert(map1.keySet == cells.map(_._1).toSet)
+    assert(map1.values.forall(s => s >= 0 && s < sup1.length))
+    // input order must not matter (the kernel sorts by cell_id)
+    assert(map1 == map2)
+    assert(sup1.zip(sup2).forall { case (a, b) => a.sameElements(b) })
+  }
+
+  test("two-level assignment is EXACT when SuperProbes covers all " +
+      "supers (candidate set complete ⇒ same argmax as flat)") {
+    import spark.implicits._
+    // 9 cells → 3 supers = SuperProbes → every cell is a candidate
+    val cents = cellSet(9).toDF("cell_id", "c_emb")
+    val vecs = (0 until 200).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val flat = Ann.assignCellsGated(vecs, cents, twoLevelMin = Long.MaxValue)
+      .select(col("vec_id"), col("cell_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val two = Ann.assignCellsGated(vecs, cents, twoLevelMin = 1)
+      .select(col("vec_id"), col("cell_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two == flat)
+  }
+
+  test("two-level assignment agreement floor vs flat argmax when " +
+      "probing a strict super subset") {
+    import spark.implicits._
+    // 64 cells → 8 supers, 3 probed: the nearest cell can be missed
+    // only when its super misses the vector's top-3 — pin the floor
+    val cents = cellSet(64).toDF("cell_id", "c_emb")
+    val vecs = (0 until 400).map(i => (i.toLong, vec(i * 7 + 3)))
+      .toDF("vec_id", "embedding")
+    val flat = Ann.assignCellsGated(vecs, cents, twoLevelMin = Long.MaxValue)
+      .select(col("vec_id"), col("cell_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val two = Ann.assignCellsGated(vecs, cents, twoLevelMin = 1)
+      .select(col("vec_id"), col("cell_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two.keySet == flat.keySet, "every vector must be assigned")
+    val agree = flat.count { case (v, c) => two(v) == c }
+    assert(agree >= (flat.size * 0.8).toInt,
+      s"agreement $agree/${flat.size} below the 80% floor")
+  }
+
+  test("superCellCandidates: per-vector candidates are exactly the " +
+      "probed supers' member cells, selection plans on TopKExec") {
+    import spark.implicits._
+    val cells = cellSet(25) // 5 supers, 3 probed
+    val cents = cells.toDF("cell_id", "c_emb")
+    val vecs = (0 until 50).map(i => (i.toLong, vec(i + 77)))
+      .toDF("vec_id", "embedding")
+    val cand = Ann.superCellCandidates(vecs, cents)
+    val p = cand.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.sliding("TopK (".length).count(_ == "TopK (") >= 2,
+      s"super selection must be partial+final TopKExec:\n$p")
+    assert(!p.contains(" Window "), "no rank window in the pruned arm")
+    val perVec = cand.groupBy(col("vec_id"))
+      .agg(countDistinct(col("cell_id")).as("nc"))
+      .select(min(col("nc")), max(col("nc"))).head()
+    val (_, cellSup) = Ann.superCentroids(cells)
+    val supSizes = cellSup.groupBy(_._2).view.mapValues(_.size)
+    val maxCand = supSizes.values.toSeq.sorted.reverse
+      .take(Ann.SuperProbes).sum
+    assert(perVec.getLong(1) <= maxCand,
+      "candidates exceed the largest 3 supers' membership")
+    assert(perVec.getLong(0) >= 1, "every vector needs ≥1 candidate cell")
+  }
+}

@@ -49,8 +49,15 @@ for name in sorted(oracle):
         continue
     timer = None
     timed_out = []
+    # `done` guards the watchdog race: the timer can fire after the
+    # guarded query completes but before timer.cancel(); an interrupt
+    # landing then would poison the NEXT query on the shared
+    # connection and be misreported as a real failure for that key.
+    done = threading.Event()
     if timeout_s:
         def _interrupt():
+            if done.is_set():
+                return
             timed_out.append(True)
             con.interrupt()
         timer = threading.Timer(timeout_s, _interrupt)
@@ -59,7 +66,9 @@ for name in sorted(oracle):
         got = con.execute(
             f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").fetchdf()
         want = con.execute(sql).fetchdf()
+        done.set()
     except Exception as e:
+        done.set()
         reason = f"timeout>{timeout_s}s" if timed_out else str(e)
         fails.append((name, reason))
         detail[name] = {"pass": False, "reason": reason[:200]}
