@@ -62,7 +62,9 @@ final class BenchMetrics extends SparkListener {
       si.numTasks, dur,
       if (m != null) m.shuffleReadMetrics.totalBytesRead else 0L,
       if (m != null) m.shuffleWriteMetrics.bytesWritten else 0L,
-      if (m != null) m.inputMetrics.bytesRead else 0L))
+      if (m != null) m.inputMetrics.bytesRead else 0L,
+      if (m != null) m.memoryBytesSpilled else 0L,
+      if (m != null) m.diskBytesSpilled else 0L))
   }
 
   /** Drain and return every stage completed since the last call. */
@@ -86,11 +88,13 @@ final class BenchMetrics extends SparkListener {
 
 object BenchMetrics {
   final case class StageRec(id: Int, name: String, tasks: Int, ms: Long,
-      shufRead: Long, shufWrite: Long, input: Long) {
+      shufRead: Long, shufWrite: Long, input: Long,
+      spillMem: Long = 0L, spillDisk: Long = 0L) {
     def json: String =
       s"""{"id":$id,"name":"$name","tasks":$tasks,"ms":$ms,""" +
         s""""shuffle_read":$shufRead,"shuffle_write":$shufWrite,""" +
-        s""""input":$input}"""
+        s""""input":$input,"spill_mem":$spillMem,""" +
+        s""""spill_disk":$spillDisk}"""
   }
 
   final case class Snap(shufRead: Long, shufWrite: Long, spillMem: Long,

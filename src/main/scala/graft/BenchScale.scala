@@ -109,7 +109,24 @@ object BenchScale {
     // iso splits every token's mass across 10 disjoint vocabularies)
     "graph_weighted_paths" -> "iso",
     "decontaminate_fuzzy" -> "iso",
-    "stream_heavy_hitters" -> "verbatim")
+    "stream_heavy_hitters" -> "verbatim",
+    // round 13: the rerank-pool arms converted from rank windows to
+    // the bounded-heap TopK — spill 0 at the constrained heap is the
+    // claim under test (the window spelling's map-side rank-sort was
+    // the 43 GB factor-100 spill in the knn family). All ride
+    // VERBATIM: embeddings replicate with the per-copy nudge, the
+    // growing-candidate-pool regime the heap must bound.
+    "ann_quantized" -> "verbatim",
+    "ann_bq" -> "verbatim",
+    "ann_pq" -> "verbatim",
+    "hybrid_mmr_multi" -> "verbatim",
+    // round 13: the record-linkage chain (A45 → A46 → A47) above
+    // factor 10 — its BlockCap discipline is spec-asserted but had
+    // never executed above sf1. ISO like the rest of the part-keyed
+    // family: copies share no tokens or part keys, so the 100× run
+    // is 100 disjoint catalogs (honest block-size growth).
+    "link_entities" -> "iso",
+    "link_survivorship" -> "iso")
 
   private def replicate(df: DataFrame, key: String): DataFrame =
     (0 until Factor).map(k =>

@@ -794,6 +794,103 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Near-dup bar for the incremental MinHash tier: candidate store
+    * docs whose signatures agree on at least this many of the
+    * [[NumPerms]] permutations count as near-dups — the estimated
+    * Jaccard ≥ 0.5, D3's verify bar expressed in signature space.
+    */
+  val IncMinhashMinMatches: Int = NumPerms / 2
+
+  /** D19 `dedup_incremental_minhash` — the NEAR-DUP tier of D15's
+    * intake-vs-store dedup (r12 verdict task 6): D15's sidecars catch
+    * exact copies and verbatim substrings, but a paraphrased
+    * near-copy of a store doc sails through both. This operator
+    * persists D3's banded-LSH state as TWO store sidecars — the
+    * (band, bucket, store-doc) band table and the (store-doc,
+    * signature) table — and scores each intake batch against them:
+    * band-bucket equi-join for candidates, then the match count
+    * between the two 128-perm signatures as the ESTIMATED Jaccard
+    * (matches/perms is an unbiased estimator; 128 perms put the
+    * standard error at ~0.044, the standard sig-store trade — the
+    * store TEXT is never read, which is the point). Split is D15's
+    * `doc_id % [[IncMod]]` stand-in.
+    *
+    * Scale shape: the sidecars are O(store docs × bands) and O(store
+    * docs × perms) — built once, appended per batch (E30's append
+    * discipline); per batch the store is scanned ZERO times: one
+    * intake-sized signature pass, a band equi-join against the band
+    * sidecar, and a sid-keyed join of the RARE candidates against
+    * the signature sidecar. Everything is integer (match counts,
+    * floor-division basis points) → bit-exact oracle replay.
+    * Empty-shingle docs are excluded on both sides: their signature
+    * is the all-max sentinel, which would make every pair of them a
+    * spurious full match.
+    */
+  def dedupIncrementalMinhash(spark: SparkSession,
+      dir: String): DataFrame = {
+    val sig = shingled(spark, dir)
+      .filter(size(col("shingles")) >= 1)
+      .select(col("doc_id"), minhashSig(col("shingles"), NumPerms).as("sig"))
+      .localCheckpoint() // both sidecars + the intake pass read it
+    val (bandSc, sigSc) = minhashSidecars(
+      sig.filter(col("doc_id") % IncMod =!= 0))
+    intakeMinhashDedup(
+      sig.filter(col("doc_id") % IncMod === 0), bandSc, sigSc)
+  }
+
+  /** The two persisted store sidecars for the near-dup tier, from a
+    * (doc_id, sig) store frame: the band table (band, bucket, sid)
+    * and the signature table (sid, ssig). A deployment writes these
+    * once and appends per batch; the spec drives them standalone to
+    * pin "store never rescanned".
+    */
+  private[dedup] def minhashSidecars(
+      storeSig: DataFrame): (DataFrame, DataFrame) = {
+    val rows = NumPerms / NumBands
+    val bands = storeSig.select(col("doc_id").as("sid"),
+      posexplode(expr(
+        s"transform(sequence(0, $NumBands - 1), " +
+          s"b -> slice(sig, b * $rows + 1, $rows))"))
+        .as(Seq("band", "bucket")))
+    (bands, storeSig.select(col("doc_id").as("sid"), col("sig").as("ssig")))
+  }
+
+  /** Score one intake batch (doc_id, sig) against the store sidecars —
+    * the per-batch arm; see [[dedupIncrementalMinhash]]. One row per
+    * intake doc: distinct banded candidates, near-dups at the
+    * [[IncMinhashMinMatches]] bar, and the best match in perms and
+    * floor-div basis points.
+    */
+  private[dedup] def intakeMinhashDedup(intakeSig: DataFrame,
+      bandSidecar: DataFrame, sigSidecar: DataFrame): DataFrame = {
+    val rows = NumPerms / NumBands
+    val iband = intakeSig.select(col("doc_id"),
+      posexplode(expr(
+        s"transform(sequence(0, $NumBands - 1), " +
+          s"b -> slice(sig, b * $rows + 1, $rows))"))
+        .as(Seq("band", "bucket")))
+    val cand = iband.join(bandSidecar.select(col("band"), col("bucket"),
+        col("sid")), Seq("band", "bucket"))
+      .select(col("doc_id"), col("sid")).distinct()
+    val scored = cand
+      .join(intakeSig, Seq("doc_id"))
+      .join(sigSidecar, Seq("sid"))
+      .withColumn("matches", expr(
+        "size(filter(zip_with(sig, ssig, (x, y) -> x = y), b -> b))")
+        .cast("long"))
+    val agg = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("matches") >= IncMinhashMinMatches, 1L)
+          .otherwise(0L)).as("n_near_dups"),
+        max(col("matches")).as("best_match_perms"))
+    intakeSig.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_candidates", "n_near_dups", "best_match_perms"))
+      .withColumn("best_match_bp",
+        expr(s"best_match_perms * 10000 div $NumPerms"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D16 `dedup_hot_spans` — WHAT text is duplicated: the top-20 most
     * repeated 16-token windows corpus-wide, with occurrence and
     * distinct-doc counts (D12 scores docs, D13/D14 name pairs and
@@ -835,6 +932,7 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_incremental_minhash" -> (dedupIncrementalMinhash _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_hot_spans" -> (dedupHotSpans _),
     "dedup_substring_clusters" -> (dedupSubstringClusters _),
@@ -941,6 +1039,38 @@ object Dedup {
         |  FROM sigv GROUP BY doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // dedup_incremental_minhash: D3's signature replay, bipartite
+    // band join (intake probes the store side), per-candidate match
+    // count over the two signatures — all integers, so the estimated-
+    // Jaccard tier replays bit-exactly
+    "dedup_incremental_minhash" ->
+      s"""WITH $minhashSigOracleCte,
+        |bk AS (SELECT doc_id, band, list_slice(sig, band*4+1, band*4+4)
+        |    AS bucket
+        |  FROM (SELECT doc_id, sig, unnest(range(0, 32)) AS band FROM sig)),
+        |cand AS (SELECT DISTINCT i.doc_id AS doc_id, st.doc_id AS sid
+        |  FROM bk i JOIN bk st ON i.band = st.band AND i.bucket = st.bucket
+        |  WHERE i.doc_id % $IncMod = 0 AND st.doc_id % $IncMod <> 0),
+        |m AS (SELECT c.doc_id, c.sid,
+        |    len([i for i in range(1, ${NumPerms + 1})
+        |      if sa.sig[i] = sb.sig[i]]) AS matches
+        |  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_id
+        |    JOIN sig sb ON sb.doc_id = c.sid),
+        |agg AS (SELECT doc_id, count(*) AS n_candidates,
+        |    sum(CASE WHEN matches >= $IncMinhashMinMatches
+        |      THEN 1 ELSE 0 END) AS n_near_dups,
+        |    max(matches) AS best_match_perms
+        |  FROM m GROUP BY doc_id)
+        |SELECT s.doc_id,
+        |  CAST(coalesce(a.n_candidates, 0) AS BIGINT) AS n_candidates,
+        |  CAST(coalesce(a.n_near_dups, 0) AS BIGINT) AS n_near_dups,
+        |  CAST(coalesce(a.best_match_perms, 0) AS BIGINT)
+        |    AS best_match_perms,
+        |  CAST(coalesce(a.best_match_perms, 0) * 10000 // $NumPerms
+        |    AS BIGINT) AS best_match_bp
+        |FROM s LEFT JOIN agg a ON a.doc_id = s.doc_id
+        |WHERE s.doc_id % $IncMod = 0 AND len(s.sh) >= 1
+        |ORDER BY s.doc_id""".stripMargin,
     // dedup_incremental: store sidecars as DISTINCT literal-window /
     // fingerprint sets, intake scored by semi-join — same literal-
     // string grouping as D12, so the gate certifies the hash sidecar

@@ -521,10 +521,42 @@ object CurationOps {
       .localCheckpoint() // feeds blocking + both verify sides
     val toks = recs.select(col("p_partkey"), col("p_brand"),
       explode(col("ts")).as("tok"))
-    val capped = toks
-      .withColumn("bsz",
-        count(lit(1)).over(Window.partitionBy(col("tok"), col("p_brand"))))
-      .filter(col("bsz") <= BlockCap)
+    // Block-size cap WITHOUT a window (r13 — the factor-100 probe
+    // measured the count-over-window spelling spilling 44 GB: a
+    // count window shuffles AND SORTS every (part, token) row on the
+    // block key before emitting a per-row count). The groupBy
+    // collapses map-side to one row per block — no sort anywhere —
+    // and only the OVER-cap blocks (rare by construction: at most
+    // tokens/BlockCap of them) come back to anti-join the token
+    // stream, a hash join the planner broadcasts while they fit.
+    // Row-identical to the window spelling; the oracles replay the
+    // cap via their own HAVING count(*) <= cap.
+    val over = toks.groupBy(col("tok"), col("p_brand"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > BlockCap)
+      .select(col("tok"), col("p_brand"))
+    // shuffle_hash on the self-join (r13, same probe): the default
+    // sort-merge join SORTS both corpus-sized token streams on the
+    // block key — the probe's remaining ~40 GB spill. A per-partition
+    // hash build never sorts, and its build side is safe by
+    // construction: blocks are ≤ BlockCap rows, so no single key can
+    // blow a partition's map, and partition volume is the cluster's
+    // shuffle-partition sizing knob.
+    val capped = toks.join(over, Seq("tok", "p_brand"), "left_anti")
+      .hint("shuffle_hash")
+      // user-specified block-key repartition with an EXPLICIT count
+      // (r13, per-stage spill attribution): AQE sizes the pair stage
+      // off its ~100 MB INPUT and coalesced it to a handful of
+      // tasks, blind to the ~17× in-block pair fan-out — the same
+      // trap the knn-graph scoring join documents. Only a
+      // numPartitions-pinned repartition is exempt from AQE
+      // coalescing (the bare column form is still optimizable), so
+      // pin it to the session's shuffle-partition setting — the knob
+      // a cluster sizes to the data, which is exactly what bounds
+      // the distinct's per-task partial state here.
+      .repartition(recs.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt,
+        col("tok"), col("p_brand"))
     val cand = capped.as("a")
       .join(capped.as("b"),
         col("a.tok") === col("b.tok") &&
@@ -532,6 +564,14 @@ object CurationOps {
           col("a.p_partkey") < col("b.p_partkey"))
       .select(col("a.p_partkey").as("pa"), col("b.p_partkey").as("pb"))
       .distinct()
+      // materialize the deduped pair set ONCE (r13, per-stage spill
+      // attribution): both verify joins consume it, and without the
+      // checkpoint each consumer re-executes the pair mining AND the
+      // distinct aggregate — at factor 100 that tripled a ~15 GB
+      // aggregate spill into the measured 43 GB. The checkpointed
+      // frame is O(matched pairs) (~118 MB there), tiny next to the
+      // pre-distinct fan-out.
+      .localCheckpoint()
     cand
       .join(recs.select(col("p_partkey").as("pa"), col("ts").as("ta"),
         col("p_type").as("type_a")), Seq("pa"))
