@@ -844,7 +844,7 @@ object Dedup {
     * once and appends per batch; the spec drives them standalone to
     * pin "store never rescanned".
     */
-  private[dedup] def minhashSidecars(
+  private[graft] def minhashSidecars(
       storeSig: DataFrame): (DataFrame, DataFrame) = {
     val rows = NumPerms / NumBands
     val bands = storeSig.select(col("doc_id").as("sid"),
@@ -861,7 +861,7 @@ object Dedup {
     * [[IncMinhashMinMatches]] bar, and the best match in perms and
     * floor-div basis points.
     */
-  private[dedup] def intakeMinhashDedup(intakeSig: DataFrame,
+  private[graft] def intakeMinhashDedup(intakeSig: DataFrame,
       bandSidecar: DataFrame, sigSidecar: DataFrame): DataFrame = {
     val rows = NumPerms / NumBands
     val iband = intakeSig.select(col("doc_id"),
@@ -966,7 +966,7 @@ object Dedup {
     * min-hash → `sig`, with `s` carrying per-doc shingle sets) as a
     * shared oracle prefix for D3 and the D17 banding sweep.
     */
-  private[dedup] val minhashSigOracleCte: String =
+  private[graft] val minhashSigOracleCte: String =
     // sig carries a MATERIALIZED hint (round 12, the §8m(d)
     // betweenness discipline): the D17 sweep reads it once per band
     // config — inlined, DuckDB re-ran the whole 128-perm HUGEINT

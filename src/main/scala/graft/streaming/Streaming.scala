@@ -231,6 +231,39 @@ object Streaming {
       .orderBy(col("vec_id"))
   }
 
+  /** G20 `stream_decontaminate` — batch arm of [[DecontaminateStream]]:
+    * C44's fuzzy decontamination asked from the INTAKE side (one row
+    * per arriving corpus doc: banded eval candidates, near-dups at
+    * the signature bar, best estimated match) instead of C41/C44's
+    * per-eval-item report. The kernel is D19's sidecar machinery
+    * verbatim with the roles swapped — the eval slice
+    * (doc_id % ContamMod = 0, C12's split) builds the two sidecars
+    * and the REST of the corpus scores against them; the eval side is
+    * tiny by nature, so both sidecars broadcast at any corpus size
+    * and the per-batch cost is one corpus signature pass + a band
+    * equi-join. The live twin flags each doc statelessly against the
+    * same state ([[DecontaminateStream]]; spec pins stream ≡ batch
+    * and micro-batch invariance).
+    */
+  def streamDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Dedup
+    import graft.functions.GraftFunctions.minhashSig
+    import graft.text.TextOps.ContamMod
+    val sig = Tables(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("toks", graft.text.TextOps.tokens(col("text")))
+      .withColumn("shingles", graft.text.TextOps.wordShingles(col("toks")))
+      .filter(size(col("shingles")) >= 1)
+      .select(col("doc_id"),
+        minhashSig(col("shingles"), Dedup.NumPerms).as("sig"))
+      .localCheckpoint() // both sidecars + the intake pass read it
+    val (bandSc, sigSc) = Dedup.minhashSidecars(
+      sig.filter(pmod(col("doc_id"), lit(ContamMod)) === 0))
+    Dedup.intakeMinhashDedup(
+      sig.filter(pmod(col("doc_id"), lit(ContamMod)) =!= 0),
+      bandSc, sigSc)
+  }
+
   /** G19 `stream_heavy_hitters` — batch arm of [[HeavyHittersStream]]:
     * per-source exact θ-heavy tokens (θ = 1/HeavyDenom) via C11's
     * sketch-then-verify replayed PER GROUP — pass 1 collapses every
@@ -291,6 +324,7 @@ object Streaming {
       .drop("event_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_decontaminate" -> (streamDecontaminate _),
     "stream_heavy_hitters" -> (streamHeavyHitters _),
     "stream_sequence_match" -> (streamSequenceMatch _),
     "stream_semantic_dedup" -> (streamSemanticDedup _),
@@ -321,6 +355,40 @@ object Streaming {
   }
 
   val oracle: Map[String, String] = Map(
+    // G20 batch arm: D19's signature replay with the roles swapped —
+    // corpus docs probe the eval slice's bands, candidates score by
+    // signature match count (all integers, bit-exact replay)
+    "stream_decontaminate" -> {
+      import graft.dedup.Dedup.{IncMinhashMinMatches, NumPerms}
+      import graft.text.TextOps.ContamMod
+      s"""WITH ${graft.dedup.Dedup.minhashSigOracleCte},
+        |bk AS (SELECT doc_id, band, list_slice(sig, band*4+1, band*4+4)
+        |    AS bucket
+        |  FROM (SELECT doc_id, sig, unnest(range(0, 32)) AS band FROM sig)),
+        |cand AS (SELECT DISTINCT c.doc_id AS doc_id, ev.doc_id AS sid
+        |  FROM bk c JOIN bk ev ON c.band = ev.band AND c.bucket = ev.bucket
+        |  WHERE c.doc_id % $ContamMod <> 0 AND ev.doc_id % $ContamMod = 0),
+        |m AS (SELECT c.doc_id, c.sid,
+        |    len([i for i in range(1, ${NumPerms + 1})
+        |      if sa.sig[i] = sb.sig[i]]) AS matches
+        |  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_id
+        |    JOIN sig sb ON sb.doc_id = c.sid),
+        |agg AS (SELECT doc_id, count(*) AS n_candidates,
+        |    sum(CASE WHEN matches >= $IncMinhashMinMatches
+        |      THEN 1 ELSE 0 END) AS n_near_dups,
+        |    max(matches) AS best_match_perms
+        |  FROM m GROUP BY doc_id)
+        |SELECT s.doc_id,
+        |  CAST(coalesce(a.n_candidates, 0) AS BIGINT) AS n_candidates,
+        |  CAST(coalesce(a.n_near_dups, 0) AS BIGINT) AS n_near_dups,
+        |  CAST(coalesce(a.best_match_perms, 0) AS BIGINT)
+        |    AS best_match_perms,
+        |  CAST(coalesce(a.best_match_perms, 0) * 10000 // $NumPerms
+        |    AS BIGINT) AS best_match_bp
+        |FROM s LEFT JOIN agg a ON a.doc_id = s.doc_id
+        |WHERE s.doc_id % $ContamMod <> 0 AND len(s.sh) >= 1
+        |ORDER BY s.doc_id""".stripMargin
+    },
     // G19 batch arm: exact per-source θ-heavy tokens — the answer the
     // sketch-then-verify pipeline computes without the full-vocabulary
     // exchange
