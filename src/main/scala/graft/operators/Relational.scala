@@ -122,23 +122,32 @@ object Relational {
   }
 
   /** B7 `agg_rollup` — hierarchy totals in one pass (partial agg per
-    * grouping set, single shuffle).
+    * grouping set, single shuffle). Money sums accumulate as EXACT
+    * integer cents (r13 — the grand-total row sums the WHOLE fact
+    * table, and a double sum's value depends on partial-merge ORDER,
+    * which task scheduling makes nondeterministic: the factor-10 gate
+    * caught the 2-dp round flipping between runs; §5 determinism
+    * lane). Identical integers divide identically in any engine.
     */
   def aggRollup(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        (sum(round(col("l_extendedprice") * 100, 0).cast("long")) / 100.0)
+          .as("sum_price"),
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
-  /** B8 `agg_cube` — all grouping-set combinations. */
+  /** B8 `agg_cube` — all grouping-set combinations. Integer-cent sums
+    * for the same reason as [[aggRollup]].
+    */
   def aggCube(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "orders")
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(
-        round(sum(col("o_totalprice")), 2).as("sum_price"),
+        (sum(round(col("o_totalprice") * 100, 0).cast("long")) / 100.0)
+          .as("sum_price"),
         count(lit(1)).as("n_orders"))
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
@@ -676,16 +685,22 @@ object Relational {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_totalprice > 250000.0)
         |ORDER BY c_custkey""".stripMargin,
+    // exact integer-cent sums (r13): a double sum over the whole fact
+    // table is partial-merge-order dependent — the 2-dp round flipped
+    // between runs at the factor-10 gate. CAST before sum matches
+    // Spark's long accumulation exactly.
     "agg_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0
+        |    AS sum_price,
         |  count(*) AS n_rows
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "agg_cube" ->
       """SELECT o_orderstatus, o_orderpriority,
-        |  round(sum(o_totalprice), 2) AS sum_price,
+        |  sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0
+        |    AS sum_price,
         |  count(*) AS n_orders
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
