@@ -35,6 +35,11 @@ import org.apache.spark.sql.functions._
   */
 object BenchKnnCap {
 
+  /** Fixed query-batch size for the query-side probe: constant across
+    * factors so per-query cost comparisons are direct.
+    */
+  val QueryBatch = 5000
+
   def embAt(spark: SparkSession, base: String, factor: Int): DataFrame =
     spark.read.parquet(s"$base/embeddings.parquet")
       .withColumn("k", explode(expr(s"sequence(0, ${factor - 1})")))
@@ -85,6 +90,20 @@ object BenchKnnCap {
           count(lit(1)).as("cells_nonempty"))
         .head()
       val assignSec = (System.nanoTime() - t1) / 1e9
+      // Query-side probe (r14): rank cells for a FIXED-size query
+      // batch against this factor's centroid set — the per-query
+      // cell-ranking cost a batch-retrieval deployment pays. Above
+      // TwoLevelMinCells probeCells routes through the super-cell
+      // layer, so candidate pairs per query track √cells, not cells;
+      // the claim under test is the probe wall and the ranked-pair
+      // count per query staying near-flat across the decade.
+      val qBatch = emb.limit(QueryBatch)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .localCheckpoint()
+      val nQ = qBatch.count()
+      val t1b = System.nanoTime()
+      val probedPairs = graft.ann.Ann.probeCells(qBatch, cents).count()
+      val probeSec = (System.nanoTime() - t1b) / 1e9
       val (fullSec, fullJson) =
         if (!full) (-1.0, "null")
         else {
@@ -101,6 +120,8 @@ object BenchKnnCap {
       System.err.println(s"[knncap] f=$f n=$n cap=$cap cells=$nCells " +
         s"occ_p50=${occ.getDouble(0)} occ_max=${occ.getLong(2)} " +
         s"train=${f3(trainSec)}s assign=${f3(assignSec)}s " +
+        s"probe=${f3(probeSec)}s pairs/q=${f3(
+          probedPairs.toDouble / math.max(nQ, 1))} " +
         (if (full) s"full=${f3(fullSec)}s" else ""))
       s""""$f":{"n":$n,"cap":$cap,"cells":$nCells,""" +
         s""""cells_nonempty":${occ.getLong(4)},""" +
@@ -109,6 +130,9 @@ object BenchKnnCap {
         s""""cells_per_sqrt_n":${f3(nCells / sq)},""" +
         s""""occ_p50_per_sqrt_n":${f3(occ.getDouble(0) / sq)},""" +
         s""""train_sec":${f3(trainSec)},"assign_sec":${f3(assignSec)},""" +
+        s""""probe_queries":$nQ,"probe_sec":${f3(probeSec)},""" +
+        s""""probe_pairs_per_q":${f3(
+          probedPairs.toDouble / math.max(nQ, 1))},""" +
         s""""full_knn_sec":${f3(fullSec)},"full_knn_metrics":$fullJson}"""
     }
     val json =

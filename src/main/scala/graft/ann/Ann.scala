@@ -410,7 +410,16 @@ object Ann {
       while (i < a.length) { n += a(i) * a(i); i += 1 }
       math.sqrt(n)
     }
+    // Member-bearing supers ONLY (r14 ADVICE): an empty super (zero
+    // member cells, seed embedding kept) contributes no candidate
+    // cells, so a vector whose top-SuperProbes supers were all empty
+    // would get ZERO candidates after the cellDf join and silently
+    // drop out of assignment — row loss, worse than the documented
+    // miss-the-nearest-cell contract. Filtering them here guarantees
+    // every probed super yields ≥ 1 candidate cell.
+    val memberSup = cellSup.values.toSet
     val supDf = broadcast(sup.toSeq.zipWithIndex
+      .filter { case (_, i) => memberSup(i) }
       .map { case (e, i) => (i, e, norm(e)) }
       .toDF("super_id", "s_emb", "sn"))
     val cellDf = broadcast(cl
@@ -610,13 +619,45 @@ object Ann {
     * window functions share one partition-by → one WindowExec over the
     * tiny queries×cells frame. Package-private so the spec can pin the
     * per-query probe-count bounds directly.
+    *
+    * Above [[TwoLevelMinCells]] cells the per-query cell ranking goes
+    * through the SAME two-level super-cell layer the assignment side
+    * uses ([[superCellCandidates]], r13): each query scores ⌈√cells⌉
+    * super-centroids and ranks only its top-[[SuperProbes]] supers'
+    * member cells — O(Q·√cells) instead of O(Q·cells), the term that
+    * dominates a 10⁶-query batch-retrieval deployment (cells ∝ √n).
+    * Approximation contract is the assignment side's: a cell can be
+    * missed only when its super misses the query's top supers, and
+    * `best` (the margin-expansion anchor) is the best CANDIDATE cell.
+    * Every oracled SF derives ≤ ~40 cells and keeps the exact arm.
     */
   private[ann] def probeCells(queries: DataFrame,
-      centroids: DataFrame): DataFrame = {
+      centroids: DataFrame): DataFrame =
+    probeCellsGated(queries, centroids, TwoLevelMinCells)
+
+  /** [[probeCells]] with the two-level gate exposed for specs. */
+  private[ann] def probeCellsGated(queries: DataFrame,
+      centroids: DataFrame, twoLevelMin: Long): DataFrame = {
     val wq = Window.partitionBy(col("q_id"))
       .orderBy(round(col("q_cos"), 6).desc, col("cell_id"))
     val wbest = Window.partitionBy(col("q_id"))
-    queries.crossJoin(broadcast(centroids))
+    val paired =
+      if (centroids.count() <= twoLevelMin)
+        queries.crossJoin(broadcast(centroids))
+      else {
+        // superCellCandidates speaks (vec_id, embedding); the query
+        // frame's extra per-query state (codes, norms) rides through
+        // untouched, exactly as the crossJoin arm carries it.
+        val vnFree = superCellCandidates(
+            queries.withColumnRenamed("q_id", "vec_id")
+              .withColumnRenamed("q_emb", "embedding"),
+            centroids)
+          .drop("vn", "cn")
+        vnFree
+          .withColumnRenamed("vec_id", "q_id")
+          .withColumnRenamed("embedding", "q_emb")
+      }
+    paired
       .withColumn("q_cos", cosineSim(col("q_emb"), col("c_emb")))
       .withColumn("qc_dot", dotF(col("q_emb"), col("c_emb")))
       .withColumn("rn", row_number().over(wq))

@@ -451,7 +451,10 @@ object Dedup {
           <= driverMaxEdges)
         edges.limit(driverMaxEdges.toInt).as[(Long, Long)].collect()
       else Array.empty // over bound: distributed arm (probe unused)
-    if (probe.nonEmpty || tier1.isEmpty) {
+    // driverMaxEdges == 0 means "never take the driver arm" (the spec's
+    // forcing value) — honor it even for an empty edge set, where
+    // tier1.isEmpty would otherwise route to the driver (r14 ADVICE).
+    if (driverMaxEdges > 0 && (probe.nonEmpty || tier1.isEmpty)) {
       val pairs = probe
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
@@ -486,7 +489,10 @@ object Dedup {
             coalesce((col("nbr_min") < col("label")).cast("long"), lit(0L))
               .as("chg"))
           .localCheckpoint()
-        changed = next.agg(sum(col("chg"))).head().getLong(0)
+        // coalesce: sum over an EMPTY label frame is NULL (reachable
+        // since r14's driverMaxEdges=0 forcing covers empty graphs)
+        changed = next.agg(coalesce(sum(col("chg")), lit(0L)))
+          .head().getLong(0)
         // pointer jumping (Shiloach–Vishkin shortcutting; round 12):
         // label(u) ← label(label(u)) — one O(nodes) equi self-join
         // that halves remaining chain depth per round, turning the
@@ -1038,6 +1044,70 @@ object Dedup {
         |sig AS MATERIALIZED (SELECT doc_id, array_agg(mh ORDER BY i) AS sig
         |  FROM sigv GROUP BY doc_id)""".stripMargin
 
+  /** The banded-bucket oracle CTE (expects a `sig` CTE in scope):
+    * band geometry DERIVED from [[NumPerms]]/[[NumBands]] exactly as
+    * the Spark side derives it, so changing either constant moves
+    * both sides together instead of tripping the gate with a
+    * hardcoded `range(0, 32)`/`band*4` mismatch (r14 ADVICE).
+    */
+  private[graft] val bandKeyOracleCte: String = {
+    val rows = NumPerms / NumBands
+    s"""bk AS (SELECT doc_id, band,
+       |    list_slice(sig, band*$rows+1, band*$rows+$rows) AS bucket
+       |  FROM (SELECT doc_id, sig, unnest(range(0, $NumBands)) AS band
+       |    FROM sig))""".stripMargin
+  }
+
+  /** Rounds for the shared propagate+jump CC oracle chain: label
+    * coverage doubles per round, so 16 rounds resolve any component
+    * of diameter ≤ 2^16 — far past what any tested corpus holds.
+    */
+  val CcOracleRounds = 16
+
+  /** One unrolled CC round for a DuckDB oracle (shared shape, ported
+    * from the r12/r13 mm_phash_clusters fix): PROPAGATE (min over
+    * self + neighbor labels — one edge join, one group) then JUMP
+    * (lbl ← lbl-of-lbl — one self equi join). Frames stay O(nodes)
+    * per round, never the O(component²) a transitive-closure `reach`
+    * recursion materializes — the blowup that wedged the sf1 gate on
+    * a 28k-node cluster. `edges` names a CTE with symmetric (eu, ev)
+    * columns; `pfx` namespaces the chain so several chains can live
+    * under one WITH.
+    */
+  private[graft] def ccJumpRoundOracle(k: Int, edges: String,
+      pfx: String): String =
+    s"""${pfx}pp$k AS MATERIALIZED (SELECT l.node,
+       |    least(l.lbl, coalesce(min(n.lbl), l.lbl)) AS lbl
+       |  FROM ${pfx}lab${k - 1} l
+       |  LEFT JOIN $edges e ON e.eu = l.node
+       |  LEFT JOIN ${pfx}lab${k - 1} n ON n.node = e.ev
+       |  GROUP BY l.node, l.lbl),
+       |${pfx}lab$k AS MATERIALIZED (SELECT a.node,
+       |    coalesce(b.lbl, a.lbl) AS lbl
+       |  FROM ${pfx}pp$k a LEFT JOIN ${pfx}pp$k b ON b.node = a.lbl)"""
+      .stripMargin
+
+  /** The full unrolled CC chain: lab0 seeding + `rounds` jump rounds.
+    * Read the final labels from `${pfx}lab$rounds`; pair with
+    * [[ccSentinelOracle]] so an under-unrolled chain self-identifies.
+    */
+  private[graft] def ccChainOracle(rounds: Int, edges: String,
+      pfx: String): String =
+    s"""${pfx}lab0 AS MATERIALIZED (SELECT eu AS node, eu AS lbl
+       |  FROM (SELECT DISTINCT eu FROM $edges)),
+       |${(1 to rounds).map(k => ccJumpRoundOracle(k, edges, pfx))
+          .mkString(",\n")}""".stripMargin
+
+  /** Convergence sentinel predicate (r13): true iff the last round
+    * still moved a label — the consuming oracle emits an impossible
+    * row under it, so non-convergence reads as "oracle needs more
+    * rounds", not as a mystery label diff.
+    */
+  private[graft] def ccSentinelOracle(rounds: Int, pfx: String): String =
+    s"""EXISTS (SELECT 1 FROM ${pfx}lab$rounds a
+       |  JOIN ${pfx}lab${rounds - 1} b ON b.node = a.node
+       |  WHERE a.lbl <> b.lbl)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // dedup_incremental_minhash: D3's signature replay, bipartite
     // band join (intake probes the store side), per-candidate match
@@ -1045,9 +1115,7 @@ object Dedup {
     // Jaccard tier replays bit-exactly
     "dedup_incremental_minhash" ->
       s"""WITH $minhashSigOracleCte,
-        |bk AS (SELECT doc_id, band, list_slice(sig, band*4+1, band*4+4)
-        |    AS bucket
-        |  FROM (SELECT doc_id, sig, unnest(range(0, 32)) AS band FROM sig)),
+        |$bandKeyOracleCte,
         |cand AS (SELECT DISTINCT i.doc_id AS doc_id, st.doc_id AS sid
         |  FROM bk i JOIN bk st ON i.band = st.band AND i.bucket = st.bucket
         |  WHERE i.doc_id % $IncMod = 0 AND st.doc_id % $IncMod <> 0),
@@ -1308,9 +1376,7 @@ object Dedup {
         |ORDER BY ia, ib""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $minhashSigOracleCte,
-        |bk AS (SELECT doc_id, band, list_slice(sig, band*4+1, band*4+4)
-        |    AS bucket
-        |  FROM (SELECT doc_id, sig, unnest(range(0, 32)) AS band FROM sig)),
+        |$bandKeyOracleCte,
         |cand AS (SELECT DISTINCT a.doc_id ia, b.doc_id ib
         |  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
         |    AND a.doc_id < b.doc_id),
@@ -1325,9 +1391,7 @@ object Dedup {
     // (corpus probes the eval side), C41's one-row-per-bench-doc shape
     "decontaminate_fuzzy" ->
       s"""WITH $minhashSigOracleCte,
-        |bk AS (SELECT doc_id, band, list_slice(sig, band*4+1, band*4+4)
-        |    AS bucket
-        |  FROM (SELECT doc_id, sig, unnest(range(0, 32)) AS band FROM sig)),
+        |$bandKeyOracleCte,
         |cand AS (SELECT DISTINCT c.doc_id AS cdoc, b.doc_id AS bench_id
         |  FROM bk c JOIN bk b ON c.band = b.band AND c.bucket = b.bucket
         |  WHERE c.doc_id % ${graft.text.TextOps.ContamMod} <> 0
@@ -1347,9 +1411,14 @@ object Dedup {
         |FROM s LEFT JOIN h ON h.bench_id = s.doc_id
         |WHERE s.doc_id % ${graft.text.TextOps.ContamMod} = 0
         |ORDER BY bench_id""".stripMargin,
+    // dedup_clusters: pair mining as before, but components resolved
+    // by the shared propagate+jump chain (r14 — the mm_phash port):
+    // the old transitive-closure `reach` recursion materializes
+    // O(component²) rows, one big component away from wedging the
+    // 900 s gate. Sentinel row (-1,-1,-1) iff under-unrolled.
     "dedup_clusters" ->
-      """WITH RECURSIVE
-        |t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w
+      s"""WITH
+        |t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w
         |    FROM documents),
         |s AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
         |    THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
@@ -1366,23 +1435,24 @@ object Dedup {
         |  WHERE round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6)
         |    >= 0.5),
         |f AS (SELECT doc_id,
-        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
         |  FROM documents),
         |ex AS (SELECT min(doc_id) OVER (PARTITION BY fp) AS ia, doc_id AS ib
         |  FROM f),
         |pairs AS (SELECT ia, ib FROM fuzzy
         |  UNION SELECT ia, ib FROM ex WHERE ia < ib),
-        |edges AS (SELECT ia AS u, ib AS v FROM pairs
+        |edges AS MATERIALIZED (SELECT ia AS eu, ib AS ev FROM pairs
         |  UNION SELECT ib, ia FROM pairs),
-        |reach(u, r) AS (
-        |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
-        |  UNION
-        |  SELECT e2.u, reach.r FROM edges e2 JOIN reach ON reach.u = e2.v),
-        |res AS (SELECT u AS doc_id, min(r) AS cluster_id
-        |  FROM reach GROUP BY u)
+        |${ccChainOracle(CcOracleRounds, "edges", "cc")},
+        |res AS (SELECT node AS doc_id, lbl AS cluster_id
+        |  FROM cclab$CcOracleRounds)
         |SELECT doc_id, cluster_id,
         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
-        |FROM res ORDER BY doc_id""".stripMargin,
+        |FROM res
+        |UNION ALL
+        |SELECT -1, -1, -1
+        |WHERE ${ccSentinelOracle(CcOracleRounds, "cc")}
+        |ORDER BY doc_id""".stripMargin,
     "dedup_by_source" ->
       """WITH f AS (SELECT doc_id, source,
         |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp

@@ -575,23 +575,11 @@ object Multimodal {
   // must survive until the CONSUMING oracle entry's single stripMargin
   // (a second strip would eat the operators).
 
-  val PhashCcRounds = 16 // jump doubles covered distance: diameter ≤ 2^16
-
-  /** One unrolled CC round for the mm_phash_clusters oracle:
-    * PROPAGATE (min over self + neighbor labels — one edges join, one
-    * group) then JUMP (lbl ← lbl-of-lbl — one self equi join). Frames
-    * stay O(nodes) per round, never O(component²).
-    */
-  private def phashCcRoundOracle(k: Int): String =
-    s"""pp$k AS MATERIALIZED (SELECT l.node,
-       |    least(l.lbl, coalesce(min(n.lbl), l.lbl)) AS lbl
-       |  FROM lab${k - 1} l
-       |  LEFT JOIN edges e ON e.eu = l.node
-       |  LEFT JOIN lab${k - 1} n ON n.node = e.ev
-       |  GROUP BY l.node, l.lbl),
-       |lab$k AS MATERIALIZED (SELECT a.node,
-       |    coalesce(b.lbl, a.lbl) AS lbl
-       |  FROM pp$k a LEFT JOIN pp$k b ON b.node = a.lbl)""".stripMargin
+  // jump doubles covered distance: diameter ≤ 2^16. The unrolled
+  // propagate+jump chain itself moved to graft.dedup.Dedup
+  // (ccChainOracle/ccSentinelOracle) in r14 so graph_components /
+  // dedup_clusters / graph_mst share the one implementation.
+  val PhashCcRounds: Int = graft.dedup.Dedup.CcOracleRounds
 
   val oracle: Map[String, String] = Map(
     // F9: replay the per-stream greedy byte walk with a recursive CTE
@@ -646,17 +634,13 @@ object Multimodal {
          |  WHERE bit_count(xor(pha, phb)) <= $PhashMaxHamming),
          |edges AS MATERIALIZED (SELECT ia AS eu, ib AS ev FROM prs
          |  UNION SELECT ib, ia FROM prs),
-         |lab0 AS MATERIALIZED (SELECT eu AS node, eu AS lbl
-         |  FROM (SELECT DISTINCT eu FROM edges)),
-         |${(1 to PhashCcRounds).map(phashCcRoundOracle).mkString(",\n")}
+         |${graft.dedup.Dedup.ccChainOracle(PhashCcRounds, "edges", "")}
          |SELECT node AS doc_id, lbl AS cluster_id,
          |  count(*) OVER (PARTITION BY lbl) AS cluster_size
          |FROM lab$PhashCcRounds
          |UNION ALL
          |SELECT -1, -1, -1
-         |WHERE EXISTS (SELECT 1 FROM lab$PhashCcRounds a
-         |  JOIN lab${PhashCcRounds - 1} b ON b.node = a.node
-         |  WHERE a.lbl <> b.lbl)
+         |WHERE ${graft.dedup.Dedup.ccSentinelOracle(PhashCcRounds, "")}
          |ORDER BY doc_id""".stripMargin,
     "mm_phash_pairs" ->
       s"""WITH $phashCandOracleCte

@@ -48,7 +48,11 @@ object Analytic {
   def regrTrend(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables(spark, dir, "events")
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(round(sum(col("value")), 2).as("rev"))
+      // exact integer-cent daily sums (r14 sweep): (type, day) groups
+      // are fact-scale, and the fit must see identical inputs in both
+      // engines regardless of partial-merge order
+      .agg((sum(round(col("value") * 100, 0).cast("long")) / 100.0)
+        .as("rev"))
       .withColumn("x",
         datediff(col("day"), lit("1997-01-01").cast("date")).cast("double"))
     daily.groupBy(col("event_type"))
@@ -1446,7 +1450,7 @@ object Analytic {
     "regr_trend" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,
-        |    round(sum(value), 2) AS rev
+        |    sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS rev
         |  FROM events GROUP BY 1, 2)
         |SELECT event_type,
         |  round(regr_slope(rev,

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.Tables
 import graft.text.TextOps
@@ -514,11 +515,18 @@ object CurationOps {
 
   /** The unsorted matched-pair frame behind A45/A46. */
   private[operators] def linkPairFrame(parts: DataFrame): DataFrame = {
+    // Serialized checkpoint storage + minimal columns (r14): the frame
+    // feeds blocking + both verify sides, and a LogicalRDD re-read has
+    // NO column pruning — every consumer scans full rows. The default
+    // deserialized level made that re-read the queries' dominant
+    // "input" at factor 100 (32.6 GB moved for 1.86 GB of shuffle);
+    // MEMORY_AND_DISK_SER stores compact serialized batches, and
+    // p_name is dropped outright (only its token array is ever read —
+    // the raw string just rode along, doubling the row).
     val recs = parts
-      .select(col("p_partkey"), col("p_name"), col("p_brand"),
-        col("p_type"),
+      .select(col("p_partkey"), col("p_brand"), col("p_type"),
         array_distinct(split(col("p_name"), " ")).as("ts"))
-      .localCheckpoint() // feeds blocking + both verify sides
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     val toks = recs.select(col("p_partkey"), col("p_brand"),
       explode(col("ts")).as("tok"))
     // Block-size cap WITHOUT a window (r13 — the factor-100 probe
@@ -553,9 +561,16 @@ object CurationOps {
       // coalescing (the bare column form is still optimizable), so
       // pin it to the session's shuffle-partition setting — the knob
       // a cluster sizes to the data, which is exactly what bounds
-      // the distinct's per-task partial state here.
+      // the distinct's per-task partial state here. Trade-off: the
+      // pin also opts this skew-prone stage out of AQE skew
+      // splitting — acceptable because blocks are ≤ BlockCap rows by
+      // construction, so no key can dominate a partition. The conf
+      // can resolve non-numeric on some deployments ("auto"); fall
+      // back to the cluster's default parallelism (r14 ADVICE).
       .repartition(recs.sparkSession.conf
-        .get("spark.sql.shuffle.partitions").toInt,
+        .getOption("spark.sql.shuffle.partitions")
+        .flatMap(_.toIntOption)
+        .getOrElse(recs.sparkSession.sparkContext.defaultParallelism),
         col("tok"), col("p_brand"))
     val cand = capped.as("a")
       .join(capped.as("b"),
@@ -570,8 +585,8 @@ object CurationOps {
       // distinct aggregate — at factor 100 that tripled a ~15 GB
       // aggregate spill into the measured 43 GB. The checkpointed
       // frame is O(matched pairs) (~118 MB there), tiny next to the
-      // pre-distinct fan-out.
-      .localCheckpoint()
+      // pre-distinct fan-out. Serialized storage (r14) — see recs.
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     cand
       .join(recs.select(col("p_partkey").as("pa"), col("ts").as("ta"),
         col("p_type").as("type_a")), Seq("pa"))

@@ -1201,12 +1201,17 @@ object GraphMining {
       .stripMargin
 
   /** One unrolled Borůvka round for the B97 oracle: cross edges under
-    * lab(k−1), the per-component rank pick, and contraction as the
-    * D6/B80 min-label closure over the picked component-pair graph
-    * (a recursive CTE per round — legal under one WITH RECURSIVE; the
-    * closure runs on ≤ #components rows, never the edge list).
+    * lab(k−1), the per-component rank pick, and contraction over the
+    * picked component-pair graph via the SHARED propagate+jump chain
+    * (r14 — the mm_phash port; the old per-round transitive-closure
+    * `reach` recursion materializes O(component²) rows, and Borůvka
+    * picks can chain arbitrarily long). The chain runs on
+    * ≤ #components rows, never the edge list; each round namespaces
+    * its chain `m${k}c…`, and [[Dedup.ccSentinelOracle]] per round
+    * feeds the consuming oracle's sentinel row.
     */
-  private def mstRoundOracle(k: Int): String =
+  private def mstRoundOracle(k: Int): String = {
+    import graft.dedup.Dedup.{ccChainOracle, CcOracleRounds}
     s"""cx$k AS MATERIALIZED (SELECT we.u, we.v, we.support,
        |    a.lbl AS cu, b.lbl AS cv
        |  FROM we JOIN lab${k - 1} a ON a.node = we.u
@@ -1219,19 +1224,16 @@ object GraphMining {
        |      UNION ALL
        |      SELECT cv AS c, u, v, support, cu, cv FROM cx$k) t)
        |  WHERE rn = 1),
-       |sym$k AS (SELECT cu AS u, cv AS v FROM sel$k
+       |sym$k AS (SELECT cu AS eu, cv AS ev FROM sel$k
        |  UNION SELECT cv, cu FROM sel$k),
-       |reach$k(u, r) AS (
-       |  SELECT u, u FROM (SELECT DISTINCT u FROM sym$k)
-       |  UNION
-       |  SELECT s.u, reach$k.r FROM sym$k s
-       |    JOIN reach$k ON reach$k.u = s.v),
-       |rm$k AS MATERIALIZED (SELECT u AS old, min(r) AS newl
-       |  FROM reach$k GROUP BY u),
+       |${ccChainOracle(CcOracleRounds, s"sym$k", s"m${k}c")},
+       |rm$k AS MATERIALIZED (SELECT node AS old, lbl AS newl
+       |  FROM m${k}clab$CcOracleRounds),
        |lab$k AS MATERIALIZED (SELECT l.node,
        |    coalesce(rm.newl, l.lbl) AS lbl
        |  FROM lab${k - 1} l LEFT JOIN rm$k rm ON rm.old = l.lbl)"""
       .stripMargin
+  }
 
   /** One unrolled weighted-relaxation round for the
     * graph_weighted_paths oracle: min over (carry everything known,
@@ -1276,10 +1278,13 @@ object GraphMining {
          |WHERE v.node <> v.seed
          |GROUP BY v.seed, s.d ORDER BY p_partkey""".stripMargin,
     // graph_mst: weighted edge build, MstRounds unrolled Borůvka
-    // rounds (pick by the strict total order, contract by min-label
-    // closure), forest = every round's deduped picks
-    "graph_mst" ->
-      s"""WITH RECURSIVE
+    // rounds (pick by the strict total order, contract by the shared
+    // propagate+jump chain), forest = every round's deduped picks.
+    // Sentinel row (-1,-1,-1,-1) iff ANY round's chain is
+    // under-unrolled (r14).
+    "graph_mst" -> {
+      import graft.dedup.Dedup.{ccSentinelOracle, CcOracleRounds}
+      s"""WITH
          |op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
          |    FROM lineitem),
          |we AS MATERIALIZED (SELECT a.p AS u, b.p AS v,
@@ -1293,7 +1298,13 @@ object GraphMining {
          |FROM (${(1 to MstRounds).map(k =>
             s"SELECT DISTINCT u, v, support, $k AS round_added FROM sel$k")
             .mkString("\n  UNION ALL\n")})
-         |ORDER BY u, v""".stripMargin,
+         |UNION ALL
+         |SELECT -1, -1, -1, -1
+         |WHERE ${(1 to MstRounds)
+            .map(k => ccSentinelOracle(CcOracleRounds, s"m${k}c"))
+            .mkString("\n  OR ")}
+         |ORDER BY u, v""".stripMargin
+    },
     // graph_betweenness: shared edge/degree/seed prefix, unrolled
     // per-round CTEs BOTH directions (forward σ, backward δ), O(nodes)
     // rollup excluding each source's own row
@@ -1555,26 +1566,36 @@ object GraphMining {
         |ORDER BY lift_milli DESC, conf_bp DESC, d.antecedent,
         |  d.consequent
         |LIMIT 20""".stripMargin,
-    "graph_components" ->
-      """WITH RECURSIVE
+    // graph_components: edge build as before, components resolved by
+    // the shared propagate+jump chain (r14 — the mm_phash port): the
+    // old transitive-closure `reach` recursion materializes
+    // O(component²) rows, which is exactly the co-purchase graph's
+    // failure shape (one giant component). Sentinel row (-1,-1,-1)
+    // iff the chain is under-unrolled.
+    "graph_components" -> {
+      import graft.dedup.Dedup.{ccChainOracle, ccSentinelOracle,
+        CcOracleRounds}
+      s"""WITH
         |op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |    FROM lineitem),
         |e AS MATERIALIZED (SELECT a.p AS u, b.p AS v
         |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
         |  GROUP BY a.p, b.p HAVING count(*) >= 2),
-        |sym AS MATERIALIZED (SELECT u, v FROM e UNION SELECT v, u FROM e),
-        |reach(u, r) AS (
-        |  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
-        |  UNION
-        |  SELECT s.u, reach.r FROM sym s JOIN reach ON reach.u = s.v),
-        |res AS (SELECT u AS node, min(r) AS label FROM reach GROUP BY u),
+        |sym AS MATERIALIZED (SELECT u AS eu, v AS ev FROM e
+        |  UNION SELECT v, u FROM e),
+        |${ccChainOracle(CcOracleRounds, "sym", "cc")},
+        |res AS (SELECT node, lbl AS label FROM cclab$CcOracleRounds),
         |nodes AS (SELECT label, count(*) AS n_nodes FROM res
         |  GROUP BY label),
         |ec AS (SELECT res.label, count(*) AS n_edges
         |  FROM e JOIN res ON res.node = e.u GROUP BY res.label)
         |SELECT nodes.label AS component, nodes.n_nodes, ec.n_edges
         |FROM nodes JOIN ec USING (label)
-        |ORDER BY component""".stripMargin,
+        |UNION ALL
+        |SELECT -1, -1, -1
+        |WHERE ${ccSentinelOracle(CcOracleRounds, "cc")}
+        |ORDER BY component""".stripMargin
+    },
     "events_paths" ->
       """WITH s AS (SELECT user_id, event_type AS e1,
         |    lead(event_type, 1) OVER (PARTITION BY user_id

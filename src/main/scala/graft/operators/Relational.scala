@@ -20,16 +20,24 @@ object Relational {
     * linearly with input and the shuffle is tiny.
     */
   def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    // Money sums accumulate as EXACT integer cents (r14 sweep — the
+    // agg_rollup lesson): these groups span the WHOLE fact table, and
+    // a double sum's 2-dp round flips with partial-merge order.
+    // sum_qty/avg_qty stay double: l_quantity is integer-valued, and
+    // integer-valued doubles sum exactly (order-free) below 2^53.
+    // avg_disc divides an exact cent sum once at the end.
     val li = Tables(spark, dir, "lineitem")
     li.filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("sum_disc_price"),
+        (sum(round(col("l_extendedprice") * 100, 0).cast("long")) / 100.0)
+          .as("sum_base_price"),
+        (sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 100, 0).cast("long")) / 100.0).as("sum_disc_price"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        round(sum(round(col("l_discount") * 100, 0).cast("long"))
+          / 100.0 / count(lit(1)), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
@@ -73,8 +81,10 @@ object Relational {
       .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
       .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-        .as("revenue"))
+      // exact integer-cent revenue (r14 sweep): nation groups are
+      // fact-scale, so the double sum's round is merge-order dependent
+      .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * 100, 0).cast("long")) / 100.0).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -231,7 +241,9 @@ object Relational {
       .groupBy(col("l_returnflag"))
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        // exact integer cents (r14 sweep): whole-table-scale groups
+        (sum(round(col("l_extendedprice") * 100, 0).cast("long")) / 100.0)
+          .as("sum_base_price"),
         count(lit(1)).cast("double").as("n_rows"))
       .select(col("l_returnflag"), expr(
         """stack(3,
@@ -631,13 +643,18 @@ object Relational {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
         |GROUP BY 1 ORDER BY order_month""".stripMargin,
+    // q1_agg/q5: exact integer-cent money sums (r14 sweep — the r13
+    // agg_rollup fix applied to every fact-scale group sum)
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0
+        |    AS sum_base_price,
+        |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+        |    AS BIGINT)) / 100.0 AS sum_disc_price,
         |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_discount), 4) AS avg_disc,
+        |  round(sum(CAST(round(l_discount * 100, 0) AS BIGINT))
+        |    / 100.0 / count(*), 4) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -655,7 +672,8 @@ object Relational {
         |LIMIT 10""".stripMargin,
     "q5_local_supplier" ->
       """SELECT n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+        |    AS BIGINT)) / 100.0 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -786,7 +804,8 @@ object Relational {
     "unpivot_metrics" ->
       """WITH w AS (SELECT l_returnflag,
         |    round(sum(l_quantity), 2) AS sum_qty,
-        |    round(sum(l_extendedprice), 2) AS sum_base_price,
+        |    sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0
+        |      AS sum_base_price,
         |    CAST(count(*) AS DOUBLE) AS n_rows
         |  FROM lineitem GROUP BY 1)
         |SELECT l_returnflag, metric, value FROM (

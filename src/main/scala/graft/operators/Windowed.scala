@@ -49,9 +49,12 @@ object Windowed {
     * the unpartitioned window is safe.
     */
   def lagDelta(spark: SparkSession, dir: String): DataFrame = {
+    // exact integer-cent daily revenue (r14 sweep): day groups are
+    // fact-scale, so the double sum's round is merge-order dependent
     val daily = Tables(spark, dir, "orders")
       .groupBy(to_date(col("o_orderdate")).as("order_day"))
-      .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+      .agg((sum(round(col("o_totalprice") * 100, 0).cast("long")) / 100.0)
+        .as("revenue"))
     val w = Window.orderBy(col("order_day"))
     daily
       .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
@@ -233,7 +236,8 @@ object Windowed {
     "win_lag_delta" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS order_day,
-        |    round(sum(o_totalprice), 2) AS revenue
+        |    sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0
+        |      AS revenue
         |  FROM orders GROUP BY 1)
         |SELECT order_day, revenue,
         |  lag(revenue, 1) OVER (ORDER BY order_day) AS prev_revenue,

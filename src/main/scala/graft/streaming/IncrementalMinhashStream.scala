@@ -1,0 +1,146 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** G21 `IncrementalMinhashStream` — D19's paraphrase intake gate as a
+  * LIVE stream over a PERSISTED store (the stream twin the D19 batch
+  * arm was built for): the store's two MinHash sidecars — the
+  * (band, bucket) → store-id table and the store-id → 128-perm
+  * signature table — live as parquet under one root, every arriving
+  * micro-batch scores against them with EXACT batch semantics
+  * (`foreachBatch` + [[transformBatch]]), and accepted (novel) docs
+  * append INTO the sidecars so the next batch already dedups against
+  * them — a paraphrase arriving one batch after its original is
+  * caught at intake.
+  *
+  * Contrast with G20 [[DecontaminateStream]]: the eval set there is
+  * small by nature, so its state broadcasts as driver maps. A STORE
+  * is corpus-sized, so here the state stays tabular and each batch
+  * runs D19's band equi-join ([[graft.dedup.Dedup.intakeMinhashDedup]]
+  * — the SAME kernel as the oracled batch arm, so stream and batch
+  * can never drift) against the parquet sidecars. Per batch the store
+  * text is scanned ZERO times — only band rows and signatures are
+  * ever read.
+  *
+  * State maintenance mirrors E30/E31 ([[graft.ann.IvfIndex]]):
+  * [[appendToState]] assigns the delta against the SAME signature
+  * kernel and appends under the touched `band=` partitions (append ≡
+  * rebuild bit-exactly — spec-pinned: band derivation is per-doc
+  * deterministic, order-free); [[maintain]] folds append files back
+  * via A36's Compactor, query-invisible by construction.
+  *
+  * Verdicts are stateless GIVEN the store (a doc's row depends only
+  * on the doc and the sidecar contents when its batch runs), so
+  * micro-batch boundaries cannot change rows whose store is unchanged
+  * — spec-pinned alongside stream ≡ batch on the sf corpus.
+  *
+  * Reference scope: extends aiesec.py's snapshot-delta intake
+  * (aiesec.py:142-144, "what is new since the stored state") to
+  * near-duplicate semantics at corpus scale.
+  */
+object IncrementalMinhashStream {
+
+  import graft.dedup.Dedup.{NumPerms, minhashSidecars, intakeMinhashDedup}
+
+  def bandsDir(root: String): String = s"$root/bands"
+  def sigsDir(root: String): String = s"$root/sigs"
+
+  /** (doc_id, sig) from a (doc_id, text) frame — the batch arm's
+    * signature chain verbatim (H3 codegen kernel; empty-shingle docs
+    * excluded per D19's all-max-sentinel rule).
+    */
+  def sigFrame(docs: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions.minhashSig
+    import graft.text.TextOps
+    docs
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("shingles", TextOps.wordShingles(col("toks")))
+      .filter(size(col("shingles")) >= 1)
+      .select(col("doc_id"), minhashSig(col("shingles"), NumPerms).as("sig"))
+  }
+
+  /** Materialize the two store sidecars under `root` from a store
+    * (doc_id, text) frame — the once-per-store build. The band table
+    * partitions by `band` (A22's partition-is-the-unit discipline):
+    * every append touches all band directories (a signature has all
+    * bands), but [[maintain]] compacts per band and the layout keeps
+    * each band's buckets co-located for the equi-join.
+    */
+  def build(spark: SparkSession, storeDocs: DataFrame, root: String): Unit = {
+    val sig = sigFrame(storeDocs).localCheckpoint() // feeds both sidecars
+    val (bandSc, sigSc) = minhashSidecars(sig)
+    bandSc.write.mode("overwrite").partitionBy("band")
+      .parquet(bandsDir(root))
+    sigSc.write.mode("overwrite").parquet(sigsDir(root))
+  }
+
+  /** The CURRENT store sidecars. `band` comes back as the partition
+    * directory's inferred int — cast pinned so the equi-join key type
+    * never drifts from the posexplode side.
+    */
+  def sidecars(spark: SparkSession, root: String): (DataFrame, DataFrame) = (
+    spark.read.parquet(bandsDir(root))
+      .withColumn("band", col("band").cast("int")),
+    spark.read.parquet(sigsDir(root)))
+
+  /** Per-micro-batch intake gate: D19's verdict columns for each doc
+    * in `batch`, scored against the store as of NOW. Run it from
+    * `foreachBatch` (see [[gate]]) for exact batch semantics.
+    */
+  def transformBatch(batch: DataFrame, root: String): DataFrame = {
+    val (bandSc, sigSc) = sidecars(batch.sparkSession, root)
+    intakeMinhashDedup(sigFrame(batch), bandSc, sigSc)
+  }
+
+  /** Append a (doc_id, text) delta to the store sidecars — E30's
+    * `appendToIndex` mirrored: one signature pass feeds band rows
+    * (appended under their `band=` partitions) and signature rows;
+    * returns the per-band append report the [[maintain]] trigger
+    * reads. Append ≡ rebuild because banding is per-doc and
+    * deterministic — a doc lands in the same buckets no matter which
+    * batch delivers it.
+    */
+  def appendToState(spark: SparkSession, root: String,
+      accepted: DataFrame): DataFrame = {
+    val sig = sigFrame(accepted).localCheckpoint() // both sidecars
+    val (bandSc, sigSc) = minhashSidecars(sig)
+    bandSc.write.mode("append").partitionBy("band").parquet(bandsDir(root))
+    sigSc.write.mode("append").parquet(sigsDir(root))
+    bandSc.groupBy(col("band")).agg(count(lit(1)).as("n_appended"))
+      .orderBy(col("band"))
+  }
+
+  /** Maintenance pass after appends: compact the band store's
+    * accumulated append files (A36's Compactor verbatim — E31's
+    * maintain shape: tmp-staged swap, row-conservation guard).
+    * Query results are unaffected by construction.
+    */
+  def maintain(spark: SparkSession, root: String): graft.etl.Compactor.Result =
+    graft.etl.Compactor.compact(spark, bandsDir(root), Some("band"))
+
+  /** Wire a streaming (doc_id, text) frame through the gate: per
+    * batch, verdicts go to `sink`, and (when `appendNovel`) docs that
+    * cleared the near-dup bar append into the store so the NEXT batch
+    * dedups against them — the incremental-intake loop. Returns the
+    * started query.
+    */
+  def gate(docs: DataFrame, root: String,
+      sink: (DataFrame, Long) => Unit,
+      appendNovel: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.localCheckpoint() // verdict + append read it
+        val verdicts = transformBatch(b, root).localCheckpoint()
+        sink(verdicts, batchId)
+        if (appendNovel) {
+          val novel = b.join(
+            verdicts.filter(col("n_near_dups") === 0)
+              .select(col("doc_id")), Seq("doc_id"))
+          appendToState(spark, root, novel)
+          ()
+        }
+      }
+      .start()
+}

@@ -362,9 +362,7 @@ object Streaming {
       import graft.dedup.Dedup.{IncMinhashMinMatches, NumPerms}
       import graft.text.TextOps.ContamMod
       s"""WITH ${graft.dedup.Dedup.minhashSigOracleCte},
-        |bk AS (SELECT doc_id, band, list_slice(sig, band*4+1, band*4+4)
-        |    AS bucket
-        |  FROM (SELECT doc_id, sig, unnest(range(0, 32)) AS band FROM sig)),
+        |${graft.dedup.Dedup.bandKeyOracleCte},
         |cand AS (SELECT DISTINCT c.doc_id AS doc_id, ev.doc_id AS sid
         |  FROM bk c JOIN bk ev ON c.band = ev.band AND c.bucket = ev.bucket
         |  WHERE c.doc_id % $ContamMod <> 0 AND ev.doc_id % $ContamMod = 0),

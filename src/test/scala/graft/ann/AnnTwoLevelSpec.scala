@@ -99,4 +99,66 @@ class AnnTwoLevelSpec extends SparkSpec {
       "candidates exceed the largest 3 supers' membership")
     assert(perVec.getLong(0) >= 1, "every vector needs ≥1 candidate cell")
   }
+
+  test("empty supers are excluded from probing (r14 ADVICE): forced " +
+      "empty supers lose no vector and candidates stay member-backed") {
+    import spark.implicits._
+    // 25 IDENTICAL cells: every cell k-means-assigns to super 0 (ties
+    // break to the lowest super id), so supers 1–4 end EMPTY with
+    // their seed embeddings kept. Pre-fix those seeds sat in the
+    // probe table; a probed empty super contributes zero candidate
+    // cells. The fix probes member-bearing supers only, making ≥1
+    // candidate per probed super structural.
+    val cells = (0 until 25).map(i => (i.toLong, vec(42)))
+    val (_, cellSup) = Ann.superCentroids(cells)
+    assert(cellSup.values.toSet == Set(0),
+      "construction must leave supers 1–4 empty")
+    val cents = cells.toDF("cell_id", "c_emb")
+    val vecs = (0 until 60).map(i => (i.toLong, vec(i + 5)))
+      .toDF("vec_id", "embedding")
+    val cand = Ann.superCellCandidates(vecs, cents)
+    assert(cand.select(col("vec_id")).distinct().count() == 60,
+      "no vector may drop out when its top supers would be empty")
+    val assigned = Ann.assignCellsGated(vecs, cents, twoLevelMin = 1)
+    assert(assigned.count() == 60, "assignment must cover every vector")
+  }
+
+  test("probeCellsGated (r14): two-level arm equals the flat arm when " +
+      "SuperProbes covers all supers, and keeps the per-query probe " +
+      "bounds on a strict subset") {
+    import spark.implicits._
+    def probeSet(qs: org.apache.spark.sql.DataFrame,
+        cs: org.apache.spark.sql.DataFrame, gate: Long) =
+      Ann.probeCellsGated(qs, cs, gate)
+        .select(col("q_id"), col("cell_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 9 cells → 3 supers = SuperProbes → candidate set complete →
+    // probed cells identical to the flat arm
+    val cents9 = cellSet(9).toDF("cell_id", "c_emb")
+    val qs = (0 until 40).map(i => (i.toLong, vec(i * 11 + 2)))
+      .toDF("q_id", "q_emb")
+    assert(probeSet(qs, cents9, 1L) ==
+      probeSet(qs, cents9, Long.MaxValue))
+    // 64 cells → 8 supers, 3 probed: bounds still hold per query —
+    // at least IvfProbes (floor) when candidates allow, never more
+    // than IvfMaxProbes; every query keeps ≥ 1 probed cell
+    val cents64 = cellSet(64).toDF("cell_id", "c_emb")
+    // plan pin: the forced arm routes through the super selection's
+    // bounded heap, never a per-query rank over ALL cells
+    val p = Ann.probeCellsGated(qs, cents64, 1L).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("TopK ("),
+      s"two-level probe must plan the super TopK:\n$p")
+    val byQ = Ann.probeCellsGated(qs, cents64, 1L)
+      .groupBy(col("q_id")).agg(countDistinct(col("cell_id")).as("nc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byQ.size == 40, "every query must keep probed cells")
+    assert(byQ.values.forall(n => n >= 1 && n <= Ann.IvfMaxProbes),
+      s"probe counts out of bounds: ${byQ.values.toSeq.sorted}")
+    // extra per-query state must ride through the pruned arm untouched
+    val withState = qs.withColumn("qn", lit(1.0))
+    val cols = Ann.probeCellsGated(withState, cents64, 1L).columns.toSeq
+    assert(cols == (withState.columns.toSeq :+ "cell_id" :+ "qc_dot"),
+      s"column contract drifted: $cols")
+  }
 }

@@ -123,6 +123,17 @@ class DedupSpec extends SparkSpec {
     assert(gotDist == want)
   }
 
+  test("CC: driverMaxEdges = 0 honors the forcing contract on an " +
+      "EMPTY graph (r14 ADVICE) — distributed arm, empty labels") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("u", "v")
+    // both arms return no labels; the forced distributed arm must not
+    // fall back to the driver via the tier1.isEmpty disjunct
+    assert(Dedup.connectedComponents(empty).count() == 0L)
+    assert(Dedup.connectedComponents(empty, driverMaxEdges = 0L)
+      .count() == 0L)
+  }
+
   test("CC: driver union-find and distributed label-prop agree on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
