@@ -631,12 +631,12 @@ object Ann {
     * `best` (the margin-expansion anchor) is the best CANDIDATE cell.
     * Every oracled SF derives ≤ ~40 cells and keeps the exact arm.
     */
-  private[ann] def probeCells(queries: DataFrame,
+  private[graft] def probeCells(queries: DataFrame,
       centroids: DataFrame): DataFrame =
     probeCellsGated(queries, centroids, TwoLevelMinCells)
 
   /** [[probeCells]] with the two-level gate exposed for specs. */
-  private[ann] def probeCellsGated(queries: DataFrame,
+  private[graft] def probeCellsGated(queries: DataFrame,
       centroids: DataFrame, twoLevelMin: Long): DataFrame = {
     val wq = Window.partitionBy(col("q_id"))
       .orderBy(round(col("q_cos"), 6).desc, col("cell_id"))
