@@ -127,9 +127,12 @@ object Windowed {
     * regardless of event volume.
     */
   def movingAvg(spark: SparkSession, dir: String): DataFrame = {
+    // exact integer-cent daily sums (r14 sweep — fact-scale day
+    // groups); ma7 averages ≤ 7 already-deterministic day values
     val daily = Tables(spark, dir, "events")
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(round(sum(col("value")), 2).as("day_value"))
+      .agg((sum(round(col("value") * 100, 0).cast("long")) / 100.0)
+        .as("day_value"))
     val w = Window.partitionBy(col("event_type"))
       .orderBy(datediff(col("day"), lit("1970-01-01").cast("date")))
       .rangeBetween(-6, Window.currentRow)
@@ -152,9 +155,11 @@ object Windowed {
     Tables(spark, dir, "events")
       .groupBy(window(col("ts"), "1 hour", "15 minutes"),
         col("event_type"))
+      // exact integer-cent sums (r14 sweep): fact-scale window groups
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        (sum(round(col("value") * 100, 0).cast("long")) / 100.0)
+          .as("sum_value"))
       .select(
         col("window.start").as("window_start"),
         col("window.end").as("window_end"),
@@ -186,12 +191,14 @@ object Windowed {
         |SELECT window_start,
         |  window_start + INTERVAL '1 hour' AS window_end,
         |  event_type, count(*) AS n_events,
-        |  round(sum(value), 2) AS sum_value
+        |  sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0
+        |    AS sum_value
         |FROM h GROUP BY 1, 2, 3
         |ORDER BY window_start, event_type""".stripMargin,
     "win_moving_avg" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
-        |    round(sum(value), 2) AS day_value
+        |    sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0
+        |      AS day_value
         |  FROM events GROUP BY 1, 2)
         |SELECT event_type, day, day_value,
         |  round(avg(day_value) OVER (PARTITION BY event_type

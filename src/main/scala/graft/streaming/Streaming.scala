@@ -20,8 +20,12 @@ object Streaming {
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      // exact integer-cent sums (r14 sweep): (window, type) groups are
+      // fact-scale, and the long state is also the cheaper streaming
+      // accumulator; one shared transform keeps stream ≡ batch
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        (sum(round(col("value") * 100, 0).cast("long")) / 100.0)
+          .as("sum_value"))
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("sum_value"))
@@ -501,7 +505,8 @@ object Streaming {
       """SELECT date_trunc('hour', ts) AS window_start,
         |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
         |  event_type, count(*) AS n_events,
-        |  round(sum(value), 2) AS sum_value
+        |  sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0
+        |    AS sum_value
         |FROM events GROUP BY 1, 2, 3
         |ORDER BY window_start, event_type""".stripMargin,
     "stream_first_seen" ->
