@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -431,9 +432,14 @@ object Dedup {
     // (0 = "never take the driver arm", the spec's forcing value)
     require(driverMaxEdges >= 0 && driverMaxEdges < Int.MaxValue,
       s"driverMaxEdges must be in [0, Int.MaxValue), got $driverMaxEdges")
+    // all CC-kernel checkpoints store SERIALIZED (r14): per-round
+    // lineage truncation means every frame is re-read next round, and
+    // the factor-100 link probe measured the deserialized re-reads as
+    // the queries' dominant task input (two-long rows triple in size
+    // deserialized)
     val edges = edges0.select(col("u").cast("long"), col("v").cast("long"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     // Tiered limit-probe gate (r12 one-job probe + r13 ADVICE fix):
     // tier 1 collects only SmallCap+1 rows — for the common small
     // graph that single job already delivers the full edge set, and
@@ -473,10 +479,10 @@ object Dedup {
     } else {
       val sym = edges
         .union(edges.select(col("v").as("u"), col("u").as("v")))
-        .localCheckpoint()
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
       var labels = sym.select(col("u").as("node")).distinct()
         .withColumn("label", col("node"))
-        .localCheckpoint()
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
       var changed = 1L
       var iter = 0
       while (changed > 0 && iter < maxIters) {
@@ -488,7 +494,7 @@ object Dedup {
               .as("label"),
             coalesce((col("nbr_min") < col("label")).cast("long"), lit(0L))
               .as("chg"))
-          .localCheckpoint()
+          .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
         // coalesce: sum over an EMPTY label frame is NULL (reachable
         // since r14's driverMaxEdges=0 forcing covers empty graphs)
         changed = next.agg(coalesce(sum(col("chg")), lit(0L)))
@@ -510,7 +516,7 @@ object Dedup {
               col("label") === col("jn"), "left")
             .select(col("node"), coalesce(col("jl"), col("label"))
               .as("label"))
-            .localCheckpoint()
+            .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
         labels = jumped
         iter += 1
       }

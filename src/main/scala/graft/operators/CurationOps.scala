@@ -513,20 +513,42 @@ object CurationOps {
   private[operators] def linkBlockingOf(parts: DataFrame): DataFrame =
     linkPairFrame(parts).orderBy(col("pa"), col("pb"))
 
-  /** The unsorted matched-pair frame behind A45/A46. */
-  private[operators] def linkPairFrame(parts: DataFrame): DataFrame = {
-    // Serialized checkpoint storage + minimal columns (r14): the frame
-    // feeds blocking + both verify sides, and a LogicalRDD re-read has
-    // NO column pruning — every consumer scans full rows. The default
-    // deserialized level made that re-read the queries' dominant
-    // "input" at factor 100 (32.6 GB moved for 1.86 GB of shuffle);
-    // MEMORY_AND_DISK_SER stores compact serialized batches, and
-    // p_name is dropped outright (only its token array is ever read —
-    // the raw string just rode along, doubling the row).
+  /** The unsorted matched-pair frame behind A45/A46: the verify chain
+    * of [[linkPairPlanFrame]] materialized ONCE as a serialized
+    * checkpoint. The checkpoint sits HERE — after the similarity
+    * filter — because the matched frame is the chain's only small
+    * surface (O(matched pairs)): every downstream consumer (the A45
+    * presentation sort, whose range partitioner SAMPLES its child in
+    * an extra pass; A46's CC edge build) re-reads megabytes instead
+    * of re-running the candidate verify. The r13 spelling
+    * checkpointed the pre-verify CANDIDATE set instead — O(Σ block²)
+    * rows, 7.9 GB at factor 100 — and the sort's sampling pass read
+    * it twice.
+    */
+  private[operators] def linkPairFrame(parts: DataFrame): DataFrame =
+    linkPairPlanFrame(parts)
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+
+  /** The matched-pair chain as a PLAN (no materialization) — the
+    * spec's window into the executed shape; [[linkPairFrame]] is the
+    * runtime entry.
+    */
+  private[graft] def linkPairPlanFrame(parts: DataFrame): DataFrame = {
+    // recs is NOT checkpointed (r14 — the probe-measured reversal of
+    // the r13 choice): it is a MAP-ONLY projection (split +
+    // array_distinct, no aggregate), so per-consumer re-execution is
+    // one column-pruned parquet scan (~246 MB at factor 100), while a
+    // checkpoint re-read moves the materialized ROW-format frame
+    // (~7.9 GB there — token arrays dominate) once per consumer with
+    // no pruning: the r13 probe measured 32.6 GB of checkpoint input
+    // against 1.86 GB of real shuffle. The blocking side's repeated
+    // subtrees (toks → over → capped twice under the self-join)
+    // dedup via ReuseExchange — identical exchange subtrees evaluate
+    // once — so dropping the checkpoint adds scans, never shuffles.
+    // p_name itself is dropped: only its token array is ever read.
     val recs = parts
       .select(col("p_partkey"), col("p_brand"), col("p_type"),
         array_distinct(split(col("p_name"), " ")).as("ts"))
-      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     val toks = recs.select(col("p_partkey"), col("p_brand"),
       explode(col("ts")).as("tok"))
     // Block-size cap WITHOUT a window (r13 — the factor-100 probe
@@ -578,15 +600,16 @@ object CurationOps {
           col("a.p_brand") === col("b.p_brand") &&
           col("a.p_partkey") < col("b.p_partkey"))
       .select(col("a.p_partkey").as("pa"), col("b.p_partkey").as("pb"))
+      // the distinct's output feeds the verify joins in ONE pipelined
+      // pass (they hash/broadcast on the record side), so the
+      // candidate set is never materialized — r14 moved the chain's
+      // single checkpoint to the post-verify matched frame (see
+      // linkPairFrame). The r13 measurement that motivated a
+      // checkpoint here (the distinct re-executing per consumer,
+      // 43 GB spill) arose from MULTIPLE consumers of the verify
+      // output; with the matched frame checkpointed there is exactly
+      // one end-to-end execution of this chain per query.
       .distinct()
-      // materialize the deduped pair set ONCE (r13, per-stage spill
-      // attribution): both verify joins consume it, and without the
-      // checkpoint each consumer re-executes the pair mining AND the
-      // distinct aggregate — at factor 100 that tripled a ~15 GB
-      // aggregate spill into the measured 43 GB. The checkpointed
-      // frame is O(matched pairs) (~118 MB there), tiny next to the
-      // pre-distinct fan-out. Serialized storage (r14) — see recs.
-      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     cand
       .join(recs.select(col("p_partkey").as("pa"), col("ts").as("ta"),
         col("p_type").as("type_a")), Seq("pa"))
