@@ -119,6 +119,73 @@ object IncrementalMinhashStream {
   def maintain(spark: SparkSession, root: String): graft.etl.Compactor.Result =
     graft.etl.Compactor.compact(spark, bandsDir(root), Some("band"))
 
+  /** Right-to-erasure surgery on the store sidecars (E33's
+    * `eraseFromIndex` mirrored — the G21 maintenance triad's third
+    * arm): remove a (doc_id) victim frame from BOTH sidecars so
+    * erased documents stop matching future intake, without
+    * re-signaturing anything. Returns the per-band report
+    * (before/erased/after + exact floor basis points — A26's
+    * health-report pattern) materialized BEFORE any file moves.
+    *
+    * Write amplification is inherent here and worth naming: a
+    * signature occupies EVERY band, so a non-empty cohort touches
+    * all band partitions (amp ≈ bands, the A41 story at its worst) —
+    * still only O(store) bytes total, rewritten via dynamic
+    * partition overwrite with fully-erased partitions dropped
+    * explicitly. The signature table is unpartitioned and rewrites
+    * wholesale from a checkpointed survivor frame. Victims join
+    * hash-keyed (a DSAR list at scale is not driver-sized).
+    * Erase ≡ rebuild-from-survivors bit-exactly (banding is per-doc
+    * deterministic) — spec-pinned.
+    */
+  def removeFromState(spark: SparkSession, root: String,
+      victims0: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val victims = victims0.select(col("doc_id").as("sid"))
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    val (bands, sigs) = sidecars(spark, root)
+    val report = bands
+      .join(victims.withColumn("erased", lit(1L)), Seq("sid"), "left")
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_before"),
+        sum(coalesce(col("erased"), lit(0L))).as("n_erased"))
+      .withColumn("n_after", col("n_before") - col("n_erased"))
+      .withColumn("erased_bp", expr("n_erased * 10000 div n_before"))
+      .orderBy(col("band"))
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    val touched = report.filter(col("n_erased") > 0)
+      .select(col("band"), col("n_after")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    if (touched.nonEmpty) {
+      // checkpoint survivors so the overwrite never reads the files
+      // it replaces
+      val keep = bands.filter(col("band").isin(touched.map(_._1): _*))
+        .join(victims, Seq("sid"), "left_anti")
+        .select(col("sid"), col("band"), col("bucket"))
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+      val conf = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(conf)
+      spark.conf.set(conf, "dynamic")
+      try keep.write.mode("overwrite").partitionBy("band")
+        .parquet(bandsDir(root))
+      finally prev match {
+        case Some(v) => spark.conf.set(conf, v)
+        case None => spark.conf.unset(conf)
+      }
+      // dynamic overwrite can't replace a partition with NOTHING
+      val fs = new org.apache.hadoop.fs.Path(bandsDir(root))
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      touched.collect { case (band, 0L) => band }.foreach { band =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"${bandsDir(root)}/band=$band"), true)
+      }
+      val keepSigs = sigs.join(victims, Seq("sid"), "left_anti")
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+      keepSigs.write.mode("overwrite").parquet(sigsDir(root))
+    }
+    report
+  }
+
   /** Wire a streaming (doc_id, text) frame through the gate: per
     * batch, verdicts go to `sink`, and (when `appendNovel`) docs that
     * cleared the near-dup bar append into the store so the NEXT batch

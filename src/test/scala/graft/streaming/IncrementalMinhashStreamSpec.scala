@@ -143,4 +143,50 @@ class IncrementalMinhashStreamSpec extends SparkSpec {
       IncrementalMinhashStream.transformBatch(intake, rootA))
     assert(after == before, "maintain must not change verdicts")
   }
+
+  test("removeFromState: erased docs stop matching intake, erase ≡ " +
+      "rebuild-from-survivors on both sidecars, report counts exact") {
+    import spark.implicits._
+    val original = "the quick brown fox jumps over the lazy dog while " +
+      "seven wizards brew strong coffee beside the river bank today " +
+      "and the caravan rests under tall cedars until the storm passes"
+    val other = "completely different seed content about bounded heaps " +
+      "shuffle partitions and adaptive physical plans on large clusters"
+    val store = Seq((10L, original), (20L, other)).toDF("doc_id", "text")
+    val root = freshRoot("erase")
+    IncrementalMinhashStream.build(spark, store, root)
+    val probe = Seq((1L, original.replace("coffee", "tea")))
+      .toDF("doc_id", "text")
+    val pre = verdictSet(
+      IncrementalMinhashStream.transformBatch(probe, root))
+      .map(t => t._1 -> t).toMap
+    assert(pre(1L)._3 >= 1L, s"paraphrase must match pre-erase: $pre")
+    val report = IncrementalMinhashStream.removeFromState(spark, root,
+      Seq(10L).toDF("doc_id"))
+      .collect().map(r => (r.getAs[Int]("band"),
+        r.getAs[Long]("n_before"), r.getAs[Long]("n_erased"),
+        r.getAs[Long]("n_after"))).toSeq
+    // both store docs band everywhere: every band row reports
+    // 2 before, 1 erased, 1 after
+    assert(report.size == graft.dedup.Dedup.NumBands)
+    assert(report.forall { case (_, b, e, a) => b == 2 && e == 1 && a == 1 })
+    val post = verdictSet(
+      IncrementalMinhashStream.transformBatch(probe, root))
+      .map(t => t._1 -> t).toMap
+    assert(post(1L)._3 == 0L && post(1L)._2 == 0L,
+      s"erased doc must stop matching: $post")
+    // erase ≡ rebuild from the surviving store
+    val rootR = freshRoot("erase-rebuild")
+    IncrementalMinhashStream.build(spark,
+      store.filter(col("doc_id") =!= 10L), rootR)
+    def dump(r: String) = {
+      val (b, s) = IncrementalMinhashStream.sidecars(spark, r)
+      (b.collect().map(x => (x.getAs[Int]("band"),
+          x.getAs[scala.collection.Seq[Long]]("bucket").toList,
+          x.getAs[Long]("sid"))).toSet,
+        s.collect().map(x => (x.getAs[Long]("sid"),
+          x.getAs[scala.collection.Seq[Long]]("ssig").toList)).toSet)
+    }
+    assert(dump(root) == dump(rootR), "erase must equal rebuild")
+  }
 }
