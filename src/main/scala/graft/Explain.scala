@@ -18,6 +18,10 @@ object Explain {
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
+      // house default (r14, probe-measured): lz4-compress RDD
+      // cache/checkpoint blocks — the serialized lineage-truncation
+      // checkpoints shrink ~4x with no measurable wall cost
+      .config("spark.rdd.compress", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

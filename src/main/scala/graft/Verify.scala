@@ -10,6 +10,10 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // house default (r14, probe-measured): lz4-compress RDD
+      // cache/checkpoint blocks — the serialized lineage-truncation
+      // checkpoints shrink ~4x with no measurable wall cost
+      .config("spark.rdd.compress", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
