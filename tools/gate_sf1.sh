@@ -39,3 +39,12 @@ java $JAVA_OPTS -cp "$CP" graft.Verify \
 echo "[gate_sf1] DuckDB oracle replay (900 s/query watchdog)" >&2
 GRAFT_CHECK_TIMEOUT_S=900 /root/.pyenv/shims/python3 tools/check.py \
   /tmp/graft_sf1-iso /tmp/graft_sf1_verify "$OUT"
+# r14 standing sweep: merge-order determinism of every integer-cent
+# money/value sum — two SparkSessions with different shuffle
+# geometries must produce byte-identical rows (the agg_rollup class
+# is caught the round it lands, not at a factor-100 oracle run).
+echo "[gate_sf1] money-sum stability probe (shuffle 7 vs 32)" >&2
+SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-16} java $JAVA_OPTS -cp "$CP" \
+  graft.BenchStability /tmp/graft_sf1-iso \
+  q1_agg,q5_local_supplier,q6_revenue,q9_profit,cohort_ltv,win_lag_delta,unpivot_metrics,regr_trend,agg_rollup,agg_cube,win_hopping,win_moving_avg,stream_window_counts \
+  BENCH_STABILITY_SF1.json
