@@ -80,6 +80,13 @@ object Dedup {
     */
   val MaxShingleDf = 50
 
+  /** D2/D3/D6 near-dup bar: exact 3-gram Jaccard at-or-above this
+    * keeps a pair. Interpolated into the oracles (r14 — the band-
+    * geometry ADVICE applied to the remaining shared constants), so
+    * moving the bar moves both engines together.
+    */
+  val NearDupTau = 0.5
+
   /** D2 `dedup_ngram_jaccard` — near-dup pairs with exact 3-gram
     * Jaccard ≥ 0.5, via inverted index (shingle → docs) self-join:
     * shuffle on shingle, pair counting on (ia, ib) — no cartesian.
@@ -140,7 +147,7 @@ object Dedup {
       .join(sz.select(col("doc_id").as("ib"), col("n_sh").as("nb")), "ib")
       .withColumn("jaccard",
         col("n_common") / (col("na") + col("nb") - col("n_common")))
-      .filter(round(col("jaccard"), 6) >= 0.5)
+      .filter(round(col("jaccard"), 6) >= NearDupTau)
       .select(col("ia"), col("ib"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("ia"), col("ib"))
   }
@@ -184,7 +191,7 @@ object Dedup {
       .join(docs.select(col("doc_id").as("ia"), col("shingles").as("sha")), "ia")
       .join(docs.select(col("doc_id").as("ib"), col("shingles").as("shb")), "ib")
       .withColumn("jaccard", jaccardSim(col("sha"), col("shb")))
-      .filter(round(col("jaccard"), 6) >= 0.5)
+      .filter(round(col("jaccard"), 6) >= NearDupTau)
       .select(col("ia"), col("ib"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("ia"), col("ib"))
   }
@@ -1392,7 +1399,7 @@ object Dedup {
         |      AS jac
         |  FROM cand JOIN s sa ON sa.doc_id = ia JOIN s sb ON sb.doc_id = ib)
         |SELECT ia, ib, round(jac, 4) AS jaccard FROM j
-        |WHERE round(jac, 6) >= 0.5 ORDER BY ia, ib""".stripMargin,
+        |WHERE round(jac, 6) >= $NearDupTau ORDER BY ia, ib""".stripMargin,
     // decontaminate_fuzzy: D3's signature replay, bipartite band join
     // (corpus probes the eval side), C41's one-row-per-bench-doc shape
     "decontaminate_fuzzy" ->
@@ -1430,7 +1437,7 @@ object Dedup {
         |    THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
         |      for i in range(1, len(w) - 1)] ELSE [] END) sh FROM t),
         |e0 AS (SELECT doc_id, unnest(sh) g FROM s),
-        |keep AS (SELECT g FROM e0 GROUP BY g HAVING count(*) <= 50),
+        |keep AS (SELECT g FROM e0 GROUP BY g HAVING count(*) <= $MaxShingleDf),
         |e AS (SELECT e0.* FROM e0 JOIN keep USING (g)),
         |sz AS (SELECT doc_id, count(*) n_sh FROM e GROUP BY doc_id),
         |p AS (SELECT a.doc_id ia, b.doc_id ib, count(*) n_common
@@ -1439,7 +1446,7 @@ object Dedup {
         |fuzzy AS (SELECT ia, ib FROM p
         |  JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
         |  WHERE round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6)
-        |    >= 0.5),
+        |    >= $NearDupTau),
         |f AS (SELECT doc_id,
         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
         |  FROM documents),
@@ -1481,13 +1488,13 @@ object Dedup {
         |  count(*) OVER (PARTITION BY fp) AS group_size
         |FROM f ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w
         |    FROM documents),
         |s AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
         |    THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
         |      for i in range(1, len(w) - 1)] ELSE [] END) sh FROM t),
         |e0 AS (SELECT doc_id, unnest(sh) g FROM s),
-        |keep AS (SELECT g FROM e0 GROUP BY g HAVING count(*) <= 50),
+        |keep AS (SELECT g FROM e0 GROUP BY g HAVING count(*) <= $MaxShingleDf),
         |e AS (SELECT e0.* FROM e0 JOIN keep USING (g)),
         |sz AS (SELECT doc_id, count(*) n_sh FROM e GROUP BY doc_id),
         |p AS (SELECT a.doc_id ia, b.doc_id ib, count(*) n_common
@@ -1496,7 +1503,7 @@ object Dedup {
         |SELECT ia, ib,
         |  round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
         |FROM p JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
-        |WHERE round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.5
+        |WHERE round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) >= $NearDupTau
         |ORDER BY ia, ib""".stripMargin,
     "dedup_embedding" ->
       """SELECT a.vec_id ia, b.vec_id ib,
