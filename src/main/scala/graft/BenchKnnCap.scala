@@ -101,12 +101,18 @@ object BenchKnnCap {
       // layer, so candidate pairs per query track √cells, not cells;
       // the claim under test is the probe wall and the ranked-pair
       // count per query staying near-flat across the decade.
-      val qBatch = emb.limit(QueryBatch)
+      // deterministic batch (r14 ADVICE): an unordered limit() made
+      // the probed subset depend on partition layout, adding noise to
+      // the cross-round trend; lowest-QueryBatch vec_ids is stable.
+      // The gate's centroid count is hoisted out of the timed section
+      // too (it was one extra job inside probe_sec).
+      val qBatch = emb.orderBy(col("vec_id")).limit(QueryBatch)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
         .localCheckpoint()
       val nQ = qBatch.count()
       val t1b = System.nanoTime()
-      val probedPairs = graft.ann.Ann.probeCells(qBatch, cents).count()
+      val probedPairs = graft.ann.Ann.probeCellsGated(qBatch, cents,
+        graft.ann.Ann.TwoLevelMinCells, knownCells = Some(nCells)).count()
       val probeSec = (System.nanoTime() - t1b) / 1e9
       val (fullSec, fullJson) =
         if (!full) (-1.0, "null")

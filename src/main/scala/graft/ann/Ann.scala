@@ -292,18 +292,18 @@ object Ann {
     val body =
       if (centroids.count() <= twoLevelMin)
         vectors
-          .withColumn("vn", sqrt(dotF(col("embedding"), col("embedding"))))
-          .crossJoin(broadcast(centroids.withColumn("cn",
+          .withColumn("__vn", sqrt(dotF(col("embedding"), col("embedding"))))
+          .crossJoin(broadcast(centroids.withColumn("__cn",
             sqrt(dotF(col("c_emb"), col("c_emb"))))))
           .withColumn("c_cos",
-            when(col("vn") * col("cn") === 0.0, 0.0)
+            when(col("__vn") * col("__cn") === 0.0, 0.0)
               .otherwise(dotF(col("embedding"), col("c_emb")) /
-                (col("vn") * col("cn"))))
+                (col("__vn") * col("__cn"))))
       else superCellCandidates(vectors, centroids)
         .withColumn("c_cos",
-          when(col("vn") * col("cn") === 0.0, 0.0)
+          when(col("__vn") * col("__cn") === 0.0, 0.0)
             .otherwise(dotF(col("embedding"), col("c_emb")) /
-              (col("vn") * col("cn"))))
+              (col("__vn") * col("__cn"))))
     body
       .groupBy(col("vec_id"))
       .agg(
@@ -418,22 +418,25 @@ object Ann {
     // miss-the-nearest-cell contract. Filtering them here guarantees
     // every probed super yields ≥ 1 candidate cell.
     val memberSup = cellSup.values.toSet
+    // helper columns are double-underscored (r14 ADVICE): a caller's
+    // legitimate per-vector state named vn/cn must ride through
+    // untouched, so the internals take collision-safe names
     val supDf = broadcast(sup.toSeq.zipWithIndex
       .filter { case (_, i) => memberSup(i) }
       .map { case (e, i) => (i, e, norm(e)) }
-      .toDF("super_id", "s_emb", "sn"))
+      .toDF("super_id", "s_emb", "__sn"))
     val cellDf = broadcast(cl
       .map { case (id, e) => (cellSup(id), id, e, norm(e)) }
-      .toDF("super_id", "cell_id", "c_emb", "cn"))
+      .toDF("super_id", "cell_id", "c_emb", "__cn"))
     val withVn = vectors
-      .withColumn("vn", sqrt(dotF(col("embedding"), col("embedding"))))
+      .withColumn("__vn", sqrt(dotF(col("embedding"), col("embedding"))))
     val topSup = graft.plans.TopKOps.topK(
       withVn.crossJoin(supDf)
         .withColumn("s_cos_r", round(
-          when(col("vn") * col("sn") === 0.0, 0.0)
+          when(col("__vn") * col("__sn") === 0.0, 0.0)
             .otherwise(dotF(col("embedding"), col("s_emb")) /
-              (col("vn") * col("sn"))), 6))
-        .drop("s_emb", "sn"),
+              (col("__vn") * col("__sn"))), 6))
+        .drop("s_emb", "__sn"),
       groupBy = Seq("vec_id"),
       orderBy = Seq("s_cos_r" -> false, "super_id" -> true),
       k = SuperProbes, rankName = "s_rank")
@@ -635,24 +638,30 @@ object Ann {
       centroids: DataFrame): DataFrame =
     probeCellsGated(queries, centroids, TwoLevelMinCells)
 
-  /** [[probeCells]] with the two-level gate exposed for specs. */
+  /** [[probeCells]] with the two-level gate exposed for specs.
+    * `knownCells` lets a caller that already counted the centroid
+    * frame (an index build, a bench loop reusing one centroid set
+    * across query batches) skip the gate's one-job count.
+    */
   private[graft] def probeCellsGated(queries: DataFrame,
-      centroids: DataFrame, twoLevelMin: Long): DataFrame = {
+      centroids: DataFrame, twoLevelMin: Long,
+      knownCells: Option[Long] = None): DataFrame = {
     val wq = Window.partitionBy(col("q_id"))
       .orderBy(round(col("q_cos"), 6).desc, col("cell_id"))
     val wbest = Window.partitionBy(col("q_id"))
     val paired =
-      if (centroids.count() <= twoLevelMin)
+      if (knownCells.getOrElse(centroids.count()) <= twoLevelMin)
         queries.crossJoin(broadcast(centroids))
       else {
         // superCellCandidates speaks (vec_id, embedding); the query
         // frame's extra per-query state (codes, norms) rides through
-        // untouched, exactly as the crossJoin arm carries it.
+        // untouched, exactly as the crossJoin arm carries it — its
+        // __vn/__cn helpers are collision-safe by name.
         val vnFree = superCellCandidates(
             queries.withColumnRenamed("q_id", "vec_id")
               .withColumnRenamed("q_emb", "embedding"),
             centroids)
-          .drop("vn", "cn")
+          .drop("__vn", "__cn")
         vnFree
           .withColumnRenamed("vec_id", "q_id")
           .withColumnRenamed("embedding", "q_emb")

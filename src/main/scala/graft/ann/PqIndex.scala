@@ -107,6 +107,89 @@ object PqIndex {
       root: String): graft.etl.Compactor.Result =
     graft.etl.Compactor.compact(spark, vectorsDir(root), Some("cell_id"))
 
+  /** Right-to-erasure surgery on the COMPRESSED index — E33's
+    * ([[IndexErasure.eraseFromIndex]]) contract asked of the PQ
+    * layout, closing the triad's GDPR hole (r14 verdict #2): before
+    * this, a DSAR against the 32×-compressed production index had no
+    * supported path short of a full rebuild. Victim rows leave the
+    * codes table; the centroid AND codebook sidecars stay frozen
+    * (E30's artifact-freeze discipline — survivors keep their cells
+    * and their codes, so post-erasure retrieval is bit-equal to an
+    * index rebuilt from the surviving corpus under the same sidecars,
+    * spec-pinned). One pass marks victims per cell and materializes
+    * the O(cells) report BEFORE any file moves; only touched
+    * `cell_id=` partitions rewrite via dynamic partition overwrite
+    * (untouched code lists keep their exact bytes — spec-pinned at
+    * file level); fully-erased cells drop their directories
+    * explicitly. Victims join hash-keyed on vec_id, never broadcast
+    * (a DSAR list at 100 TB is not driver-sized).
+    */
+  def eraseFromIndex(spark: SparkSession, root: String,
+      victims0: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val victims = victims0.select(col("vec_id")).distinct()
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    val vecs = spark.read.parquet(vectorsDir(root))
+      .withColumn("cell_id", col("cell_id").cast("long"))
+    val report = vecs
+      .join(victims.withColumn("erased", lit(1L)), Seq("vec_id"), "left")
+      .groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n_before"),
+        sum(coalesce(col("erased"), lit(0L))).as("n_erased"))
+      .withColumn("n_after", col("n_before") - col("n_erased"))
+      .withColumn("erased_bp", expr("n_erased * 10000 div n_before"))
+      .withColumn("rewrite_advised",
+        (col("erased_bp") >= IndexErasure.RecompactBp).cast("int"))
+      .select(col("cell_id"), col("n_before"), col("n_erased"),
+        col("n_after"), col("erased_bp"), col("rewrite_advised"))
+      .orderBy(col("cell_id"))
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    val touched = report.filter(col("n_erased") > 0)
+      .select(col("cell_id"), col("n_after")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    if (touched.nonEmpty) {
+      // checkpoint survivors so the overwrite never reads the files
+      // it replaces
+      val keep = vecs
+        .filter(col("cell_id").isin(touched.map(_._1): _*))
+        .join(victims, Seq("vec_id"), "left_anti")
+        .select(col("cell_id"), col("vec_id"), col("codes"))
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+      val conf = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(conf)
+      spark.conf.set(conf, "dynamic")
+      try keep.write.mode("overwrite").partitionBy("cell_id")
+        .parquet(vectorsDir(root))
+      finally prev match {
+        case Some(v) => spark.conf.set(conf, v)
+        case None => spark.conf.unset(conf)
+      }
+      // dynamic overwrite can't replace a partition with NOTHING;
+      // resolve the fs FROM the index root (E33's s3a/hdfs caveat)
+      val fs = new org.apache.hadoop.fs.Path(vectorsDir(root))
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      touched.collect { case (cell, 0L) => cell }.foreach { cell =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"${vectorsDir(root)}/cell_id=$cell"), true)
+      }
+    }
+    report
+  }
+
+  /** Registered E33-for-PQ query: fresh E23 build under a scratch
+    * root, the seeded cohort erased, the per-cell report returned
+    * (build + surgery inside the benched region — the honest
+    * maintenance cost, as ann_index_erasure).
+    */
+  def pqIndexErasure(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-ivfpq-erase",
+      java.lang.Integer.toHexString(dir.hashCode)).toString
+    build(spark, dir, root)
+    eraseFromIndex(spark, root, IndexErasure.victimsOf(
+      graft.Tables(spark, dir, "embeddings")))
+  }
+
   /** Retrieve top-k against a built index; `dir` locates the primary
     * embeddings table the exact re-rank reads.
     */
@@ -162,9 +245,17 @@ object PqIndex {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ann_ivfpq_indexed" -> (annIvfPqIndexed _))
+    "ann_ivfpq_indexed" -> (annIvfPqIndexed _),
+    "pq_index_erasure" -> (pqIndexErasure _))
 
-  /** Bit-identical to E11 end-to-end → its oracle replays this. */
+  /** ann_ivfpq_indexed is bit-identical to E11 end-to-end → its
+    * oracle replays it. pq_index_erasure's report is a pure function
+    * of (cell assignment, seeded cohort) — the codes never enter it —
+    * and the PQ build's coarse assignment is the SAME
+    * trainSample→refineLocal chain as E21's, so E33's oracle replays
+    * this report verbatim.
+    */
   val oracle: Map[String, String] = Map(
-    "ann_ivfpq_indexed" -> Ann.oracle("ann_ivfpq"))
+    "ann_ivfpq_indexed" -> Ann.oracle("ann_ivfpq"),
+    "pq_index_erasure" -> IndexErasure.oracle("ann_index_erasure"))
 }

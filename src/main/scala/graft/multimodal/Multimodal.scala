@@ -412,14 +412,60 @@ object Multimodal {
 
   val AudioWindow = 100 // samples per analysis window
 
+  /** REAL public-format WAV parse (r15 — the audio analogue of
+    * [[decodeHeader]]'s image arms): the canonical minimal RIFF/WAVE
+    * layout from the public spec — "RIFF" + u32 size + "WAVE", a
+    * 16-byte "fmt " chunk at offset 12 (PCM format tag 1, bits 8 or
+    * 16), and the "data" chunk immediately at offset 36 with samples
+    * from offset 44. That fixed layout is what every minimal PCM
+    * writer emits; files with extra chunks (LIST/INFO), float or
+    * compressed formats, or 24/32-bit depth fall back to the stub arm
+    * — a bounded, loop-free parse keeps the arm total on adversarial
+    * input AND byte-sliceable in the oracle's SQL mirror.
+    *
+    * Returns the decoded sample stream in file order (channels stay
+    * interleaved — for windowed RMS energy that is the per-frame
+    * energy across channels, the VAD-relevant quantity): 8-bit PCM is
+    * unsigned centered at 128, 16-bit is signed little-endian. The
+    * declared data size clamps to the actual payload (truncated
+    * uploads), and a trailing odd byte of a 16-bit stream is dropped.
+    *
+    * Oracle reachability note: every magic here is ASCII/low-control
+    * bytes, all representable in UTF-8 text, so the oracle mirrors
+    * this arm byte-for-byte (the GIF/WebP precedent) — cross-engine
+    * equivalence stays total, not probabilistic.
+    */
+  private[multimodal] def wavSamples(bytes: Array[Byte]): Option[Array[Int]] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def ascii(i: Int, s: String): Boolean =
+      bytes.length >= i + s.length &&
+        s.indices.forall(j => u8(i + j) == s.charAt(j).toInt)
+    if (bytes.length >= 44 && ascii(0, "RIFF") && ascii(8, "WAVE") &&
+        ascii(12, "fmt ") && le32(16) == 16L && le16(20) == 1 &&
+        (le16(34) == 8 || le16(34) == 16) && ascii(36, "data")) {
+      val ds = math.min(le32(40), (bytes.length - 44).toLong).toInt
+      if (le16(34) == 8) Some(Array.tabulate(ds)(i => u8(44 + i) - 128))
+      else Some(Array.tabulate(ds / 2) { j =>
+        val v = le16(44 + 2 * j)
+        if (v >= 32768) v - 65536 else v
+      })
+    } else None
+  }
+
   /** F5 `mm_audio_energy` — audio-shaped signal analysis over binary
-    * payloads: bytes as 8-bit PCM samples, split into consecutive
-    * [[AudioWindow]]-sample windows, per-window RMS energy and peak
-    * amplitude (centered at 128) — the VAD/silence-trim front end of
-    * an audio pipeline, with the decode stubbed (bytes ARE the
-    * samples) and the windowing/flatMap fan-out real. RMS stays
-    * bit-exact cross-engine because the sum of squares is integer
-    * arithmetic; the only floats are one division and one sqrt.
+    * payloads: PCM samples split into consecutive [[AudioWindow]]-
+    * sample windows, per-window RMS energy and peak amplitude — the
+    * VAD/silence-trim front end of an audio pipeline. Genuine RIFF/WAV
+    * payloads decode REAL samples through [[wavSamples]] (8/16-bit
+    * PCM, header excluded, data-size honored); anything else takes the
+    * stub arm (bytes ARE 8-bit samples centered at 128), standing in
+    * for the full codec zoo. The windowing/flatMap fan-out is real
+    * either way. RMS stays bit-exact cross-engine because the sum of
+    * squares is integer arithmetic; the only floats are one division
+    * and one sqrt.
     */
   def mmAudioEnergy(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -427,11 +473,12 @@ object Multimodal {
       .select(col("doc_id").cast("long"), col("text").cast("binary"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        val nw = (bytes.length + AudioWindow - 1) / AudioWindow
+        val samples = wavSamples(bytes)
+          .getOrElse(bytes.map(b => (b & 0xff) - 128))
+        val nw = (samples.length + AudioWindow - 1) / AudioWindow
         (0 until nw).iterator.map { w =>
-          val s = bytes.slice(w * AudioWindow,
-            math.min((w + 1) * AudioWindow, bytes.length))
-            .map(b => (b & 0xff) - 128)
+          val s = samples.slice(w * AudioWindow,
+            math.min((w + 1) * AudioWindow, samples.length))
           val sumSq = s.foldLeft(0L)((a, x) => a + x.toLong * x)
           MmAudioWin(id, w, s.length,
             math.sqrt(sumSq.toDouble / s.length),
@@ -720,23 +767,52 @@ object Multimodal {
         |    list_slice(bytes, off + 1, least(off + 32, n))), 4), 0.0)
         |    AS mean_byte
         |FROM w ORDER BY doc_id, frame_idx""".stripMargin,
-    // F5: byte decode via the hex trick, then integer sum-of-squares
-    // per window — the division and sqrt are the only floats, so the
-    // 4-dp round never sits on a boundary
+    // F5: byte decode via the hex trick; the WAV header arm mirrors
+    // wavSamples byte-for-byte (RIFF magics are plain ASCII and the
+    // fmt-chunk control bytes are valid UTF-8, so the arm is REACHABLE
+    // from text — the GIF/WebP precedent applies and the mirror is
+    // mandatory); then integer sum-of-squares per window — the
+    // division and sqrt are the only floats, so the 4-dp round never
+    // sits on a boundary
     "mm_audio_energy" ->
       """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
         |    octet_length(encode(text)) AS n
         |  FROM documents),
-        |b AS (SELECT doc_id, n,
+        |rb AS (SELECT doc_id, n,
         |    [16 * (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1)
-        |      + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1 - 128
-        |      for i in range(1, n + 1)] AS s
+        |      + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1
+        |      for i in range(1, n + 1)] AS raw
         |  FROM h),
-        |w AS (SELECT doc_id, n, s,
-        |    unnest(range(0, (n + 99) // 100)) AS win_idx
+        |v AS (SELECT doc_id, n, raw,
+        |    n >= 44 AND raw[1] = 82 AND raw[2] = 73 AND raw[3] = 70
+        |      AND raw[4] = 70 AND raw[9] = 87 AND raw[10] = 65
+        |      AND raw[11] = 86 AND raw[12] = 69 AND raw[13] = 102
+        |      AND raw[14] = 109 AND raw[15] = 116 AND raw[16] = 32
+        |      AND raw[17] = 16 AND raw[18] = 0 AND raw[19] = 0
+        |      AND raw[20] = 0 AND raw[21] = 1 AND raw[22] = 0
+        |      AND (raw[35] = 8 OR raw[35] = 16) AND raw[36] = 0
+        |      AND raw[37] = 100 AND raw[38] = 97 AND raw[39] = 116
+        |      AND raw[40] = 97 AS is_wav
+        |  FROM rb),
+        |d AS (SELECT doc_id, n, raw, is_wav,
+        |    CASE WHEN is_wav THEN least(raw[41] + 256 * raw[42]
+        |        + 65536 * raw[43] + 16777216 * raw[44], n - 44)
+        |      ELSE n END AS ds
+        |  FROM v),
+        |b AS (SELECT doc_id,
+        |    CASE WHEN NOT is_wav THEN [x - 128 for x in raw]
+        |      WHEN raw[35] = 8
+        |        THEN [raw[44 + i] - 128 for i in range(1, ds + 1)]
+        |      ELSE [CASE WHEN raw[45 + 2*j] + 256 * raw[46 + 2*j] >= 32768
+        |          THEN raw[45 + 2*j] + 256 * raw[46 + 2*j] - 65536
+        |          ELSE raw[45 + 2*j] + 256 * raw[46 + 2*j] END
+        |        for j in range(0, ds // 2)] END AS s
+        |  FROM d),
+        |w AS (SELECT doc_id, s, len(s) AS ns,
+        |    unnest(range(0, (len(s) + 99) // 100)) AS win_idx
         |  FROM b),
         |sl AS (SELECT doc_id, win_idx,
-        |    s[win_idx*100 + 1 : least((win_idx+1)*100, n)] AS win
+        |    s[win_idx*100 + 1 : least((win_idx+1)*100, ns)] AS win
         |  FROM w)
         |SELECT doc_id, CAST(win_idx AS INT) AS win_idx,
         |  CAST(len(win) AS INT) AS n_samples,

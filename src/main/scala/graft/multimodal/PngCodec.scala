@@ -237,12 +237,14 @@ object PngCodec {
   }
 
   /** The F8 hash with the real tiers in front: DCT pHash for
-    * decodable PNGs and baseline JPEGs ([[JpegCodec]] — same luma
-    * contract, same pHash pipeline, so a PNG and a JPEG encoding of
-    * the same pixels band together), the byte-arithmetic stub for
-    * everything else.
+    * decodable PNGs, baseline JPEGs ([[JpegCodec]]) and GIFs
+    * ([[GifCodec]], r15 — behind its UTF-8 oracle-reachability gate)
+    * — same luma contract, same pHash pipeline, so a PNG, a JPEG and
+    * a GIF encoding of the same pixels band together — and the
+    * byte-arithmetic stub for everything else.
     */
   def phashOf(bytes: Array[Byte]): Long =
     decodeLuma(bytes).orElse(JpegCodec.decodeLuma(bytes))
+      .orElse(GifCodec.decodeLuma(bytes))
       .map(phash).getOrElse(Multimodal.phashStub(bytes))
 }

@@ -78,11 +78,33 @@ object IncrementalMinhashStream {
   /** The CURRENT store sidecars. `band` comes back as the partition
     * directory's inferred int — cast pinned so the equi-join key type
     * never drifts from the posexplode side.
+    *
+    * A store whose every document has been erased (a legal
+    * [[removeFromState]] outcome) leaves the sidecar roots with no
+    * data files — parquet schema inference would fail there, so this
+    * falls back to EMPTY frames with the pinned sidecar schemas: the
+    * store behaves as "matches nothing" rather than erroring the
+    * next batch.
     */
-  def sidecars(spark: SparkSession, root: String): (DataFrame, DataFrame) = (
-    spark.read.parquet(bandsDir(root))
-      .withColumn("band", col("band").cast("int")),
-    spark.read.parquet(sigsDir(root)))
+  def sidecars(spark: SparkSession, root: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types._
+    def readOrEmpty(path: String, schema: StructType): DataFrame =
+      try spark.read.parquet(path)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("infer schema") ||
+              e.getMessage.contains("PATH_NOT_FOUND") =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      }
+    val sigT = ArrayType(LongType, containsNull = false)
+    val bands = readOrEmpty(bandsDir(root), StructType(Seq(
+      StructField("sid", LongType), StructField("bucket", sigT),
+      StructField("band", IntegerType))))
+    val sigs = readOrEmpty(sigsDir(root), StructType(Seq(
+      StructField("sid", LongType), StructField("ssig", sigT))))
+    (bands.withColumn("band", col("band").cast("int")), sigs)
+  }
 
   /** Per-micro-batch intake gate: D19's verdict columns for each doc
     * in `batch`, scored against the store as of NOW. Run it from
@@ -141,7 +163,10 @@ object IncrementalMinhashStream {
   def removeFromState(spark: SparkSession, root: String,
       victims0: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val victims = victims0.select(col("doc_id").as("sid"))
+    // distinct: a duplicated victim id would multiply band rows
+    // through the report's left join (n_before/n_erased inflate; the
+    // rewrite itself is left_anti and so dup-insensitive)
+    val victims = victims0.select(col("doc_id").as("sid")).distinct()
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     val (bands, sigs) = sidecars(spark, root)
     val report = bands
@@ -186,11 +211,53 @@ object IncrementalMinhashStream {
     report
   }
 
+  /** Within-batch near-dup victims among a (doc_id, text) frame: the
+    * doc_ids that band-collide with a LOWER-id doc in the SAME frame
+    * and match it at the store near-dup bar
+    * ([[graft.dedup.Dedup.IncMinhashMinMatches]]). The greedy
+    * keep-the-lowest-id rule is deterministic and order-free (a doc's
+    * fate depends only on the frame contents, not row order), the
+    * standard LSH-dedup tie-break. Used by [[gate]] so two
+    * near-duplicates arriving in ONE micro-batch cannot both append.
+    */
+  private[graft] def intraBatchVictims(docs: DataFrame): DataFrame = {
+    import graft.dedup.Dedup.IncMinhashMinMatches
+    val sig = sigFrame(docs).localCheckpoint()
+    val (bands, sigs) = minhashSidecars(sig)
+    val cand = bands
+      .join(bands.select(col("band"), col("bucket"),
+        col("sid").as("sid2")), Seq("band", "bucket"))
+      .filter(col("sid2") < col("sid"))
+      .select(col("sid"), col("sid2")).distinct()
+    cand
+      .join(sigs, Seq("sid"))
+      .join(sigs.select(col("sid").as("sid2"), col("ssig").as("ssig2")),
+        Seq("sid2"))
+      .withColumn("matches", expr(
+        "size(filter(zip_with(ssig, ssig2, (x, y) -> x = y), b -> b))"))
+      .filter(col("matches") >= IncMinhashMinMatches)
+      .select(col("sid").as("doc_id")).distinct()
+  }
+
   /** Wire a streaming (doc_id, text) frame through the gate: per
     * batch, verdicts go to `sink`, and (when `appendNovel`) docs that
     * cleared the near-dup bar append into the store so the NEXT batch
     * dedups against them — the incremental-intake loop. Returns the
     * started query.
+    *
+    * VERDICTS are store-only by contract (a doc's row depends only on
+    * the doc and the store when its batch runs — that is what makes
+    * them batch-boundary-invariant over a frozen store). The APPEND
+    * path additionally self-dedups each batch ([[intraBatchVictims]]):
+    * of two near-duplicates arriving in the SAME micro-batch, only the
+    * lowest doc_id appends — closing the blind spot where both would
+    * have scored store-only-novel and both appended. Across batches
+    * the earlier arrival wins (it is in the store when the later one
+    * scores), so store contents are batch-boundary-invariant exactly
+    * when doc_ids are monotone with arrival order — the typical
+    * intake-sequence case; under out-of-order ids the within-batch
+    * winner is the lowest id while the cross-batch winner is the
+    * earliest arrival.
     */
   def gate(docs: DataFrame, root: String,
       sink: (DataFrame, Long) => Unit,
@@ -205,7 +272,9 @@ object IncrementalMinhashStream {
           val novel = b.join(
             verdicts.filter(col("n_near_dups") === 0)
               .select(col("doc_id")), Seq("doc_id"))
-          appendToState(spark, root, novel)
+          val kept = novel.join(intraBatchVictims(novel),
+            Seq("doc_id"), "left_anti")
+          appendToState(spark, root, kept)
           ()
         }
       }

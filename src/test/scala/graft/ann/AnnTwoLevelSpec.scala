@@ -156,9 +156,22 @@ class AnnTwoLevelSpec extends SparkSpec {
     assert(byQ.values.forall(n => n >= 1 && n <= Ann.IvfMaxProbes),
       s"probe counts out of bounds: ${byQ.values.toSeq.sorted}")
     // extra per-query state must ride through the pruned arm untouched
+    // — INCLUDING columns named vn/cn, which clashed with the helper
+    // names before r15 renamed the internals to __vn/__cn
     val withState = qs.withColumn("qn", lit(1.0))
-    val cols = Ann.probeCellsGated(withState, cents64, 1L).columns.toSeq
+      .withColumn("vn", lit(2.0)).withColumn("cn", lit(3.0))
+    val out = Ann.probeCellsGated(withState, cents64, 1L)
+    val cols = out.columns.toSeq
     assert(cols == (withState.columns.toSeq :+ "cell_id" :+ "qc_dot"),
       s"column contract drifted: $cols")
+    val vncn = out.select(col("vn"), col("cn")).distinct().collect()
+    assert(vncn.length == 1 && vncn(0).getDouble(0) == 2.0 &&
+      vncn(0).getDouble(1) == 3.0,
+      "caller state named vn/cn must survive with its values intact")
+    // hoisted-count arm: a caller-supplied count gates identically
+    assert(probeSet(qs, cents64, 1L) ==
+      Ann.probeCellsGated(qs, cents64, 1L, knownCells = Some(64L))
+        .select(col("q_id"), col("cell_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 }

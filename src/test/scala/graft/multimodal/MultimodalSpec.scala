@@ -302,4 +302,96 @@ class MultimodalSpec extends SparkSpec {
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Canonical minimal PCM WAV: RIFF + 16-byte fmt + data at 36. */
+  private def wavBytes(bits: Int, channels: Int, data: Array[Byte],
+      declaredDs: Option[Int] = None): Array[Byte] = {
+    val bb = java.nio.ByteBuffer
+      .allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val rate = 8000
+    bb.put("RIFF".getBytes("US-ASCII"))
+      .putInt(36 + data.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII"))
+      .putInt(16).putShort(1.toShort).putShort(channels.toShort)
+      .putInt(rate).putInt(rate * channels * bits / 8)
+      .putShort((channels * bits / 8).toShort).putShort(bits.toShort)
+      .put("data".getBytes("US-ASCII"))
+      .putInt(declaredDs.getOrElse(data.length))
+      .put(data)
+    bb.array()
+  }
+
+  test("wavSamples (r15): real 8/16-bit PCM decode — header excluded, " +
+      "signed 16-bit little-endian, data-size clamp, odd-byte drop, " +
+      "non-canonical layouts fall back") {
+    // 8-bit mono: samples are unsigned bytes centered at 128
+    val d8 = Array.tabulate(7)(i => (30 * i).toByte)
+    assert(Multimodal.wavSamples(wavBytes(8, 1, d8)).get.toSeq ==
+      d8.map(b => (b & 0xff) - 128).toSeq)
+    // 16-bit mono: signed LE including negatives and extremes
+    val vals = Seq(0, 1, -1, 32767, -32768, 12345, -12345)
+    val d16 = {
+      val bb = java.nio.ByteBuffer.allocate(vals.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(v => bb.putShort(v.toShort)); bb.array()
+    }
+    assert(Multimodal.wavSamples(wavBytes(16, 1, d16)).get.toSeq == vals)
+    // 16-bit stereo: channels stay interleaved in file order
+    assert(Multimodal.wavSamples(wavBytes(16, 2, d16)).get.toSeq == vals)
+    // declared data size clamps to the actual payload (truncated file)
+    assert(Multimodal.wavSamples(
+      wavBytes(8, 1, d8, declaredDs = Some(1000))).get.length == 7)
+    // declared size smaller than payload: trailing bytes ignored
+    assert(Multimodal.wavSamples(
+      wavBytes(8, 1, d8, declaredDs = Some(3))).get.toSeq ==
+      d8.take(3).map(b => (b & 0xff) - 128).toSeq)
+    // odd trailing byte of a 16-bit stream drops
+    assert(Multimodal.wavSamples(
+      wavBytes(16, 1, d16 :+ 9.toByte)).get.toSeq == vals)
+    // fall-backs: wrong depth, float format, non-canonical chunk order
+    assert(Multimodal.wavSamples(wavBytes(24, 1, d8)).isEmpty)
+    val float32 = wavBytes(16, 1, d16)
+    float32(20) = 3 // IEEE-float format tag
+    assert(Multimodal.wavSamples(float32).isEmpty)
+    val extraChunk = wavBytes(16, 1, d16)
+    extraChunk(36) = 'L'.toByte // "LIST" where "data" must sit
+    assert(Multimodal.wavSamples(extraChunk).isEmpty)
+    assert(Multimodal.wavSamples("RIFFxxWAVE".getBytes).isEmpty)
+    assert(Multimodal.wavSamples(Array.empty[Byte]).isEmpty)
+  }
+
+  test("mm_audio_energy WAV arm end-to-end: genuine PCM payloads " +
+      "window over REAL samples, text payloads keep the stub arm") {
+    import spark.implicits._
+    // ASCII-safe 8-bit WAV (every byte < 0x80) survives the text
+    // round-trip — the reachability case the oracle mirrors. ds chosen
+    // so BOTH little-endian size fields (ds = 300 → 2C 01, riff size
+    // 336 → 50 01) stay below 0x80 per byte.
+    val ds = 300
+    val pcm = Array.tabulate(ds)(i => (32 + (i * 7) % 90).toByte)
+    val wav = wavBytes(8, 1, pcm)
+    assert(wav.forall(b => (b & 0xff) < 0x80), "must survive UTF-8")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wav").toString
+    Seq((1L, new String(wav, "US-ASCII")), (2L, "plain text payload"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$tmp/documents.parquet")
+    val rows = Multimodal.mmAudioEnergy(spark, tmp).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    // doc 1: windows over the 300 DATA samples, not the 344 file bytes
+    val w1 = rows(1L).sortBy(_.getAs[Int]("win_idx"))
+    assert(w1.map(_.getAs[Int]("n_samples")).toSeq == Seq(100, 100, 100))
+    val ref = pcm.map(b => (b & 0xff) - 128)
+    def rms(s: Array[Int]): Double = BigDecimal(math.sqrt(
+      s.foldLeft(0L)((a, x) => a + x.toLong * x).toDouble / s.length))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(w1(0).getAs[Double]("rms") == rms(ref.take(100)))
+    assert(w1(2).getAs[Double]("rms") == rms(ref.drop(200)))
+    assert(w1(0).getAs[Int]("peak") == ref.take(100).map(math.abs).max)
+    // doc 2: stub arm unchanged — windows tile the raw bytes
+    val w2 = rows(2L)
+    assert(w2.map(_.getAs[Int]("n_samples")).sum ==
+      "plain text payload".length)
+  }
 }

@@ -188,5 +188,72 @@ class IncrementalMinhashStreamSpec extends SparkSpec {
           x.getAs[scala.collection.Seq[Long]]("ssig").toList)).toSet)
     }
     assert(dump(root) == dump(rootR), "erase must equal rebuild")
+    // duplicated victim ids must not inflate the report (r14 ADVICE):
+    // same surgery driven with the victim listed three times
+    val rootD = freshRoot("erase-dup")
+    IncrementalMinhashStream.build(spark, store, rootD)
+    val dupReport = IncrementalMinhashStream.removeFromState(spark, rootD,
+      Seq(10L, 10L, 10L).toDF("doc_id"))
+      .collect().map(r => (r.getAs[Long]("n_before"),
+        r.getAs[Long]("n_erased"), r.getAs[Long]("n_after")))
+    assert(dupReport.forall { case (b, e, a) => b == 2 && e == 1 && a == 1 },
+      s"dup victims inflated the report: ${dupReport.take(3).toSeq}")
+  }
+
+  test("within-batch near-dups (r14 ADVICE): both score store-novel " +
+      "but only the lowest id appends, so a later paraphrase is caught") {
+    import spark.implicits._
+    val original = "the quick brown fox jumps over the lazy dog while " +
+      "seven wizards brew strong coffee beside the river bank today " +
+      "and the caravan rests under tall cedars until the storm passes"
+    val root = freshRoot("intra")
+    IncrementalMinhashStream.build(spark,
+      Seq((9000L, "completely different seed content about bounded " +
+        "heaps shuffle partitions and physical plans on large clusters"))
+        .toDF("doc_id", "text"), root)
+    // batch 1 delivers the original AND its paraphrase together —
+    // the blind spot: both are store-novel
+    val out = run(root, Seq(
+      Seq(StreamDoc(1L, original),
+        StreamDoc(2L, original.replace("coffee", "tea"))),
+      Seq(StreamDoc(3L, original.replace("coffee", "cocoa")))),
+      appendNovel = true).map(t => t._1 -> t).toMap
+    assert(out(1L)._3 == 0L && out(2L)._3 == 0L,
+      "verdicts stay store-only by contract (both novel vs the store)")
+    // but the store appended only doc 1 — doc 3 is flagged against it
+    assert(out(3L)._3 >= 1L,
+      s"batch-2 paraphrase must be caught by the single survivor: $out")
+    val (_, sigs) = IncrementalMinhashStream.sidecars(spark, root)
+    val stored = sigs.select(col("sid")).collect().map(_.getLong(0)).toSet
+    assert(stored(1L) && !stored(2L),
+      s"only the lowest-id near-dup may append: $stored")
+  }
+
+  test("erasing the ENTIRE store leaves a working empty store " +
+      "(r14 ADVICE): sidecars fall back to empty frames, intake " +
+      "scores all-novel, and appends repopulate it") {
+    import spark.implicits._
+    val store = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog while seven " +
+        "wizards brew strong coffee beside the river bank today"),
+      (20L, "completely different seed content about bounded heaps " +
+        "shuffle partitions and adaptive physical plans on clusters"))
+      .toDF("doc_id", "text")
+    val root = freshRoot("erase-all")
+    IncrementalMinhashStream.build(spark, store, root)
+    IncrementalMinhashStream.removeFromState(spark, root,
+      Seq(10L, 20L).toDF("doc_id"))
+    val (b, s) = IncrementalMinhashStream.sidecars(spark, root)
+    assert(b.count() == 0 && s.count() == 0, "store must read as empty")
+    val verdicts = verdictSet(IncrementalMinhashStream.transformBatch(
+      store, root)).map(t => t._1 -> t).toMap
+    assert(verdicts(10L)._3 == 0L && verdicts(20L)._3 == 0L,
+      "an empty store matches nothing")
+    // the empty store accepts appends and dedups against them again
+    IncrementalMinhashStream.appendToState(spark, root,
+      store.filter(col("doc_id") === 10L))
+    val again = verdictSet(IncrementalMinhashStream.transformBatch(
+      store.filter(col("doc_id") === 10L), root)).head
+    assert(again._3 >= 1L, s"repopulated store must match: $again")
   }
 }
