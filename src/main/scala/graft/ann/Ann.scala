@@ -31,14 +31,25 @@ object Ann {
     * itself provides the splits.
     */
   private[ann] def corpus(spark: SparkSession, dir: String,
-      spread: Boolean = false): DataFrame = {
-    val c = Tables(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"))
-    if (spread) c.repartition(spark.sparkContext.defaultParallelism) else c
+      spread: Boolean = false): DataFrame =
+    corpusOf(Tables(spark, dir, "embeddings"), spread)
+
+  /** [[corpus]]'s kernel on any (vec_id, embedding) frame. */
+  def corpusOf(emb: DataFrame, spread: Boolean = false): DataFrame = {
+    val c = emb.select(col("vec_id"), col("embedding"))
+    if (spread)
+      c.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+    else c
   }
 
   private[ann] def queriesDf(spark: SparkSession, dir: String): DataFrame =
-    corpus(spark, dir).filter(col("vec_id") < NumQueries)
+    queriesOf(Tables(spark, dir, "embeddings"))
+
+  /** The standard query batch of a corpus frame: the lowest-
+    * [[NumQueries]] vec_ids as (q_id, q_emb) — [[queriesDf]]'s kernel.
+    */
+  def queriesOf(emb: DataFrame): DataFrame =
+    corpusOf(emb).filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
 
   /** Deterministic top-k per query from a (q_id, vec_id, cos) frame:
@@ -87,12 +98,16 @@ object Ann {
     * The exactness baseline every approximate variant is measured
     * against.
     */
-  def annTopK(spark: SparkSession, dir: String): DataFrame = {
+  def annTopK(spark: SparkSession, dir: String): DataFrame =
+    annTopKOf(Tables(spark, dir, "embeddings"))
+
+  /** [[annTopK]]'s kernel on caller embeddings frame. */
+  def annTopKOf(emb: DataFrame): DataFrame = {
     // norms hoisted to one projection per row/query; the n×q scoring
     // loop is dot-product-only (1/3 of fused cosine work, same result)
-    val c = corpus(spark, dir)
+    val c = corpusOf(emb)
       .withColumn("nrm", sqrt(dotF(col("embedding"), col("embedding"))))
-    val q = queriesDf(spark, dir)
+    val q = queriesOf(emb)
       .withColumn("qn", sqrt(dotF(col("q_emb"), col("q_emb"))))
     val scored = c
       .join(broadcast(q), col("vec_id") =!= col("q_id"))
@@ -110,12 +125,16 @@ object Ann {
     * neighbor bucket. Multi-probe costs only on the tiny query side and
     * sharply lifts recall in the low-similarity regime.
     */
-  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+  def annLsh(spark: SparkSession, dir: String): DataFrame =
+    annLshOf(Tables(spark, dir, "embeddings"))
+
+  /** [[annLsh]]'s kernel on caller embeddings frame. */
+  def annLshOf(emb: DataFrame): DataFrame = {
     val bits = 8; val tables = 16
-    val c = corpus(spark, dir).select(col("vec_id"), col("embedding"),
+    val c = corpusOf(emb).select(col("vec_id"), col("embedding"),
       posexplode(rhpSigs(col("embedding"), bits, tables))
         .as(Seq("table", "sig")))
-    val q = queriesDf(spark, dir)
+    val q = queriesOf(emb)
       .select(col("q_id"), col("q_emb"),
         posexplode(rhpSigs(col("q_emb"), bits, tables))
           .as(Seq("table", "sig0")))
@@ -263,11 +282,16 @@ object Ann {
     * probe set. Probe cost scales per query with boundary proximity,
     * not with a global worst-case constant.
     */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    val c = corpus(spark, dir)
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    annIvfOf(Tables(spark, dir, "embeddings"))
+
+  /** [[annIvf]]'s kernel on caller embeddings frame. */
+  def annIvfOf(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    val c = corpusOf(emb)
     val refined = refinedCentroids(spark, c)
     val assigned = assignCells(c, refined)
-    val probed = probeCells(queriesDf(spark, dir), refined)
+    val probed = probeCells(queriesOf(emb), refined)
     val cand = assigned.join(broadcast(probed), Seq("cell_id"))
       .filter(col("vec_id") =!= col("q_id"))
     topK(cand.withColumn("cos", cosineSim(col("embedding"), col("q_emb"))))
@@ -581,11 +605,16 @@ object Ann {
     * cost per query is probed-cells × bucket, not n. Exact float
     * re-rank of the top [[QuantRerank]] restores exact ordering.
     */
-  def annIvfQ(spark: SparkSession, dir: String): DataFrame = {
-    val c = corpus(spark, dir, spread = true)
+  def annIvfQ(spark: SparkSession, dir: String): DataFrame =
+    annIvfQOf(Tables(spark, dir, "embeddings"))
+
+  /** [[annIvfQ]]'s kernel on caller embeddings frame. */
+  def annIvfQOf(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    val c = corpusOf(emb, spread = true)
     // train on the UN-spread corpus: the threshold count and the sample
     // collect then run straight off the scan with no shuffle in front
-    val cUn = corpus(spark, dir)
+    val cUn = corpusOf(emb)
     val refined = refinedCentroids(spark, cUn)
     val enc = assignCells(c, refined)
       .join(broadcast(refined), Seq("cell_id"))
@@ -597,7 +626,7 @@ object Ann {
         "transform(res, x -> cast(round(x / greatest(rmx, float(1e-9)) * 127) as int))"))
       .select(col("cell_id"), col("vec_id"), col("embedding"),
         col("nrm"), col("rq"), col("rmx"))
-    val q = queriesDf(spark, dir)
+    val q = queriesOf(emb)
       .withColumn("qn", sqrt(dotF(col("q_emb"), col("q_emb"))))
       .withColumn("qmx", expr(
         "aggregate(q_emb, cast(0 as float), (m, x) -> greatest(m, abs(x)))"))
@@ -687,7 +716,12 @@ object Ann {
     * (HOFs only hurt under Generate — see word_shingles).
     */
   def embStats(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "embeddings")
+    embStatsOf(Tables(spark, dir, "embeddings"))
+
+
+  /** [[embStats]]'s kernel on any embeddings-shaped frame. */
+  def embStatsOf(emb: DataFrame): DataFrame =
+    emb
       .withColumn("norm", sqrt(expr(
         """aggregate(zip_with(embedding, embedding, (x, y) ->
           |  cast(x as double) * cast(y as double)),
@@ -708,10 +742,14 @@ object Ann {
     * output size is data-dependent, which is exactly what the range API
     * is for (dedup candidates, recall sweeps).
     */
-  def annRange(spark: SparkSession, dir: String): DataFrame = {
-    val c = corpus(spark, dir)
+  def annRange(spark: SparkSession, dir: String): DataFrame =
+    annRangeOf(Tables(spark, dir, "embeddings"))
+
+  /** [[annRange]]'s kernel on caller embeddings frame. */
+  def annRangeOf(emb: DataFrame): DataFrame = {
+    val c = corpusOf(emb)
       .withColumn("nrm", sqrt(dotF(col("embedding"), col("embedding"))))
-    val q = queriesDf(spark, dir)
+    val q = queriesOf(emb)
       .withColumn("qn", sqrt(dotF(col("q_emb"), col("q_emb"))))
     c.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .withColumn("cos",
@@ -735,16 +773,20 @@ object Ann {
     * a true neighbor falls out of the candidate pool — the recall spec
     * measures exactly that against the exact baseline.
     */
-  def annQuantized(spark: SparkSession, dir: String): DataFrame = {
+  def annQuantized(spark: SparkSession, dir: String): DataFrame =
+    annQuantizedOf(Tables(spark, dir, "embeddings"))
+
+  /** [[annQuantized]]'s kernel on caller embeddings frame. */
+  def annQuantizedOf(emb: DataFrame): DataFrame = {
     def quantized(df: DataFrame, emb: String): DataFrame = df
       .withColumn("mx", expr(
         s"aggregate($emb, cast(0 as float), (m, x) -> greatest(m, abs(x)))"))
       .withColumn("qv", expr( // zero-vector guard on the divisor
         s"transform($emb, x -> cast(round(x / greatest(mx, float(1e-9)) * 127) as int))"))
-    val c = quantized(corpus(spark, dir, spread = true), "embedding")
+    val c = quantized(corpusOf(emb, spread = true), "embedding")
       .withColumn("nrm", sqrt(dotF(col("embedding"), col("embedding"))))
       .select(col("vec_id"), col("embedding"), col("qv"), col("nrm"))
-    val q = quantized(queriesDf(spark, dir), "q_emb")
+    val q = quantized(queriesOf(emb), "q_emb")
       .withColumn("qn", sqrt(dotF(col("q_emb"), col("q_emb"))))
       .select(col("q_id"), col("q_emb"), col("qv").as("qqv"), col("qn"))
     val cand = poolTopK(
@@ -778,7 +820,11 @@ object Ann {
     * codes — and therefore the candidate pool and the final top-k —
     * replay identically in the DuckDB oracle.
     */
-  def annBq(spark: SparkSession, dir: String): DataFrame = {
+  def annBq(spark: SparkSession, dir: String): DataFrame =
+    annBqOf(Tables(spark, dir, "embeddings"))
+
+  /** [[annBq]]'s kernel on caller embeddings frame. */
+  def annBqOf(emb: DataFrame): DataFrame = {
     def packed(df: DataFrame, emb: String): DataFrame = df
       .withColumn("lo", expr(
         s"""aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, i) ->
@@ -790,11 +836,11 @@ object Ann {
            |  acc + CASE WHEN $emb[i] > 0
            |    THEN shiftleft(CAST(1 AS BIGINT), i - 32)
            |    ELSE CAST(0 AS BIGINT) END)""".stripMargin))
-    val c = packed(corpus(spark, dir, spread = true), "embedding")
+    val c = packed(corpusOf(emb, spread = true), "embedding")
       .withColumn("nrm", sqrt(dotF(col("embedding"), col("embedding"))))
       .select(col("vec_id"), col("embedding"), col("lo"), col("hi"),
         col("nrm"))
-    val q = packed(queriesDf(spark, dir), "q_emb")
+    val q = packed(queriesOf(emb), "q_emb")
       .withColumn("qn", sqrt(dotF(col("q_emb"), col("q_emb"))))
       .select(col("q_id"), col("q_emb"), col("lo").as("qlo"),
         col("hi").as("qhi"), col("qn"))
@@ -897,14 +943,19 @@ object Ann {
     * codes) is the classic IVF-PQ layout, and each half is verified
     * here separately.
     */
-  def annPq(spark: SparkSession, dir: String): DataFrame = {
+  def annPq(spark: SparkSession, dir: String): DataFrame =
+    annPqOf(Tables(spark, dir, "embeddings"))
+
+  /** [[annPq]]'s kernel on caller embeddings frame. */
+  def annPqOf(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
     // thresh count and the one sample collect read the un-spread corpus
     // (no shuffle behind them); Lloyd runs over the local sample, and
     // the corpus subvector frame is consumed exactly once (encoding),
     // so it no longer needs a persist
-    val cUn = corpus(spark, dir)
+    val cUn = corpusOf(emb)
     val cb = pqTrainLocal(spark, trainSample(spark, cUn))
-    val c = corpus(spark, dir, spread = true)
+    val c = corpusOf(emb, spread = true)
     val sv = subvecFrame(c, "embedding", "vec_id")
     val enc = assignCodes(sv, cb)
       .groupBy(col("vec_id"))
@@ -913,7 +964,7 @@ object Ann {
         .as("codes"))
       .join(c.withColumn("nrm", sqrt(dotF(col("embedding"), col("embedding")))),
         Seq("vec_id"))
-    val q = queriesDf(spark, dir)
+    val q = queriesOf(emb)
       .withColumn("qn", sqrt(dotF(col("q_emb"), col("q_emb"))))
     // per-query ADC lookup table: idx = sub * k + code → dot(q_sub, c)
     val lut = subvecFrame(q, "q_emb", "q_id")
@@ -991,14 +1042,19 @@ object Ann {
     * pins permutation validity, per-subspace variance balance vs the
     * contiguous split, and the no-recall-loss floor.
     */
-  def annPqBalanced(spark: SparkSession, dir: String): DataFrame = {
-    val cUn = corpus(spark, dir)
+  def annPqBalanced(spark: SparkSession, dir: String): DataFrame =
+    annPqBalancedOf(Tables(spark, dir, "embeddings"))
+
+  /** [[annPqBalanced]]'s kernel on caller embeddings frame. */
+  def annPqBalancedOf(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    val cUn = corpusOf(emb)
     val perm = balancedPerm(cUn)
     def permute(c: Column): Column = array(perm.map(d => c.getItem(d)): _*)
     val sample = trainSample(spark, cUn)
       .select(col("vec_id"), permute(col("embedding")).as("embedding"))
     val cb = pqTrainLocal(spark, sample)
-    val c = corpus(spark, dir, spread = true)
+    val c = corpusOf(emb, spread = true)
       .withColumn("p_emb", permute(col("embedding")))
     val sv = subvecFrame(c, "p_emb", "vec_id")
     val enc = assignCodes(sv, cb)
@@ -1008,7 +1064,7 @@ object Ann {
         .as("codes"))
       .join(c.withColumn("nrm", sqrt(dotF(col("embedding"), col("embedding"))))
         .select(col("vec_id"), col("embedding"), col("nrm")), Seq("vec_id"))
-    val q = queriesDf(spark, dir)
+    val q = queriesOf(emb)
       .withColumn("p_emb", permute(col("q_emb")))
       .withColumn("qn", sqrt(dotF(col("q_emb"), col("q_emb"))))
     val lut = subvecFrame(q, "p_emb", "q_id")
@@ -1053,7 +1109,13 @@ object Ann {
     * the E3 IVF replay with the E8 Lloyd replay over residuals.
     */
   def annIvfPq(spark: SparkSession, dir: String): DataFrame =
-    ivfPqOver(spark, corpus(spark, dir), queriesDf(spark, dir))
+    annIvfPqOf(Tables(spark, dir, "embeddings"))
+
+  /** [[annIvfPq]]'s kernel on caller embeddings frame. */
+  def annIvfPqOf(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    ivfPqOver(spark, corpusOf(emb), queriesOf(emb))
+  }
 
   /** E11's whole pipeline over ANY (vec_id, embedding) corpus and
     * (q_id, q_emb) query frame in the same coordinate space — E28's
@@ -1128,8 +1190,13 @@ object Ann {
     * cosine-to-centroid (cohesion), and mean norm. The centroid set is
     * driver-sized and broadcast; the report is O(cells).
     */
-  def embKmeans(spark: SparkSession, dir: String): DataFrame = {
-    val c = corpus(spark, dir)
+  def embKmeans(spark: SparkSession, dir: String): DataFrame =
+    embKmeansOf(Tables(spark, dir, "embeddings"))
+
+  /** [[embKmeans]]'s kernel on caller embeddings frame. */
+  def embKmeansOf(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    val c = corpusOf(emb)
     val cents = refinedCentroids(spark, c)
     assignCells(c, cents)
       .join(broadcast(cents), Seq("cell_id"))
@@ -1181,12 +1248,17 @@ object Ann {
     * (round(x·10⁶) as bigint) and the MMR score is the exact integer
     * 7·rel_µ − 3·msim_µ, divided by 10⁷ only for display.
     */
-  def annMmr(spark: SparkSession, dir: String): DataFrame = {
+  def annMmr(spark: SparkSession, dir: String): DataFrame =
+    annMmrOf(Tables(spark, dir, "embeddings"))
+
+  /** [[annMmr]]'s kernel on caller embeddings frame. */
+  def annMmrOf(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     import spark.implicits._
     val cand = poolTopK(
-      corpus(spark, dir)
-        .crossJoin(broadcast(queriesDf(spark, dir)))
+      corpusOf(emb)
+        .crossJoin(broadcast(queriesOf(emb)))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("rel",
           round(cosineSim(col("embedding"), col("q_emb")), 6))
@@ -1291,8 +1363,13 @@ object Ann {
     * broadcasts back. Output pins the exact sample identity per
     * cluster via the md5 of the ordered kept-id list.
     */
-  def embClusterSample(spark: SparkSession, dir: String): DataFrame = {
-    val c = corpus(spark, dir)
+  def embClusterSample(spark: SparkSession, dir: String): DataFrame =
+    embClusterSampleOf(Tables(spark, dir, "embeddings"))
+
+  /** [[embClusterSample]]'s kernel on caller embeddings frame. */
+  def embClusterSampleOf(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    val c = corpusOf(emb)
     val cents = refinedCentroids(spark, c)
     val k = math.max(cents.count(), 1L)
     val target = ClusterSampleBudget / k
@@ -1343,9 +1420,14 @@ object Ann {
     * similarity rounds per-pair to 4 dp before the max — both
     * engine-exact, so the flag set replays identically in the oracle.
     */
-  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
+    dedupSemanticOf(Tables(spark, dir, "embeddings"))
+
+  /** [[dedupSemantic]]'s kernel on caller embeddings frame. */
+  def dedupSemanticOf(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val c = corpus(spark, dir)
+    val c = corpusOf(emb)
     val cents = refinedCentroids(spark, c)
     val asg = assignCells(c, cents)
       .withColumn("nrm", sqrt(dotF(col("embedding"), col("embedding"))))
@@ -1421,8 +1503,13 @@ object Ann {
     * Scale shape: D9's cell-bounded self-join once, one vector-keyed
     * combine, the grid a broadcast spine; output O(|grid|) rows.
     */
-  def dedupSemanticSweep(spark: SparkSession, dir: String): DataFrame = {
-    val c = corpus(spark, dir)
+  def dedupSemanticSweep(spark: SparkSession, dir: String): DataFrame =
+    dedupSemanticSweepOf(Tables(spark, dir, "embeddings"))
+
+  /** [[dedupSemanticSweep]]'s kernel on caller embeddings frame. */
+  def dedupSemanticSweepOf(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    val c = corpusOf(emb)
     val cents = refinedCentroids(spark, c)
     val asg = assignCells(c, cents)
       .withColumn("nrm", sqrt(dotF(col("embedding"), col("embedding"))))
@@ -1469,8 +1556,13 @@ object Ann {
     * [[poolTopK]], r13) — per-anchor state is O(k) regardless of
     * corpus size, and no rank-sort ever happens.
     */
-  def embHardNegatives(spark: SparkSession, dir: String): DataFrame = {
-    val full = Tables(spark, dir, "embeddings")
+  def embHardNegatives(spark: SparkSession, dir: String): DataFrame =
+    embHardNegativesOf(Tables(spark, dir, "embeddings"))
+
+
+  /** [[embHardNegatives]]'s kernel on any embeddings-shaped frame. */
+  def embHardNegativesOf(emb: DataFrame): DataFrame = {
+    val full = emb
     val c = full.select(col("vec_id"), col("embedding"), col("label"))
       .withColumn("nrm", sqrt(dotF(col("embedding"), col("embedding"))))
     val q = full.filter(col("vec_id") < NumQueries)
@@ -1504,8 +1596,13 @@ object Ann {
     * 6-dp-rounded values so cross-engine double-sum jitter in
     * mean/stddev can't flip a boundary row.
     */
-  def embOutliers(spark: SparkSession, dir: String): DataFrame = {
-    val c = corpus(spark, dir)
+  def embOutliers(spark: SparkSession, dir: String): DataFrame =
+    embOutliersOf(Tables(spark, dir, "embeddings"))
+
+  /** [[embOutliers]]'s kernel on caller embeddings frame. */
+  def embOutliersOf(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    val c = corpusOf(emb)
     val cents = refinedCentroids(spark, c)
     val assigned = assignCells(c, cents)
       .join(broadcast(cents), Seq("cell_id"))

@@ -20,10 +20,14 @@ import org.apache.spark.sql.functions._
   */
 object AnnEval {
 
-  def annRecallEval(spark: SparkSession, dir: String): DataFrame = {
-    val exact = Ann.annTopK(spark, dir)
+  def annRecallEval(spark: SparkSession, dir: String): DataFrame =
+    annRecallEvalOf(graft.Tables(spark, dir, "embeddings"))
+
+  /** [[annRecallEval]]'s kernel on any embeddings-shaped frame. */
+  def annRecallEvalOf(emb: DataFrame): DataFrame = {
+    val exact = Ann.annTopKOf(emb)
       .select(col("q_id"), col("neighbor_id"))
-    val approx = Ann.annLsh(spark, dir)
+    val approx = Ann.annLshOf(emb)
       .select(col("q_id"), col("neighbor_id"), lit(1).as("hit"))
     exact.join(approx, Seq("q_id", "neighbor_id"), "left_outer")
       .groupBy(col("q_id"))
@@ -53,8 +57,13 @@ object AnnEval {
     * cosine with vec_id tiebreak → bit-reproducible, oracle replays
     * both verbatim.
     */
-  def annFilteredEval(spark: SparkSession, dir: String): DataFrame = {
-    val c = graft.Tables(spark, dir, "embeddings")
+  def annFilteredEval(spark: SparkSession, dir: String): DataFrame =
+    annFilteredEvalOf(graft.Tables(spark, dir, "embeddings"))
+
+
+  /** [[annFilteredEval]]'s kernel on any embeddings-shaped frame. */
+  def annFilteredEvalOf(emb: DataFrame): DataFrame = {
+    val c = emb
       .select(col("vec_id"), col("embedding"), col("label"))
     val q = c.filter(col("vec_id") < Ann.NumQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),

@@ -166,9 +166,14 @@ object AnnOpq {
       })
   }
 
-  def annOpq(spark: SparkSession, dir: String): DataFrame = {
+  def annOpq(spark: SparkSession, dir: String): DataFrame =
+    annOpqOf(graft.Tables(spark, dir, "embeddings"))
+
+  /** [[annOpq]]'s kernel on caller embeddings frame. */
+  def annOpqOf(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
     import Ann.{PqM, PqK, QuantRerank}
-    val cUn = Ann.corpus(spark, dir)
+    val cUn = Ann.corpusOf(emb)
     val (rot, cmf) = givensChain(covariance(cUn))
     val perm = allocPerm(cmf)
     // COMPOSE the allocation permutation into the rotation literal —
@@ -183,7 +188,7 @@ object AnnOpq {
     val sample = Ann.trainSample(spark, cUn)
       .select(col("vec_id"), rotate(col("embedding")).as("embedding"))
     val cb = Ann.pqTrainLocal(spark, sample)
-    val c = Ann.corpus(spark, dir, spread = true)
+    val c = Ann.corpusOf(emb, spread = true)
       .withColumn("p_emb", rotate(col("embedding")))
     val sv = Ann.subvecFrame(c, "p_emb", "vec_id")
     val enc = Ann.assignCodes(sv, cb)
@@ -193,7 +198,7 @@ object AnnOpq {
         .as("codes"))
       .join(c.withColumn("nrm", sqrt(dotF(col("embedding"), col("embedding"))))
         .select(col("vec_id"), col("embedding"), col("nrm")), Seq("vec_id"))
-    val q = Ann.queriesDf(spark, dir)
+    val q = Ann.queriesOf(emb)
       .withColumn("p_emb", rotate(col("q_emb")))
       .withColumn("qn", sqrt(dotF(col("q_emb"), col("q_emb"))))
     val lut = Ann.subvecFrame(q, "p_emb", "q_id")
@@ -228,8 +233,13 @@ object AnnOpq {
     * against rotated queries, which is the same cosine up to float
     * rounding and exactly what the oracle replays.
     */
-  def annIvfOpq(spark: SparkSession, dir: String): DataFrame = {
-    val cRaw = Ann.corpus(spark, dir)
+  def annIvfOpq(spark: SparkSession, dir: String): DataFrame =
+    annIvfOpqOf(graft.Tables(spark, dir, "embeddings"))
+
+  /** [[annIvfOpq]]'s kernel on caller embeddings frame. */
+  def annIvfOpqOf(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    val cRaw = Ann.corpusOf(emb)
     val (rot, cmf) = givensChain(covariance(cRaw))
     val perm = allocPerm(cmf)
     val rtP = flatRot((0 until Dim).map(j =>

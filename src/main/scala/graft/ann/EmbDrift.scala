@@ -33,8 +33,13 @@ object EmbDrift {
 
   val DriftMod = 5 // reference slice: vec_id % DriftMod != 0
 
-  def embDriftCells(spark: SparkSession, dir: String): DataFrame = {
-    val all = Ann.corpus(spark, dir)
+  def embDriftCells(spark: SparkSession, dir: String): DataFrame =
+    embDriftCellsOf(graft.Tables(spark, dir, "embeddings"))
+
+  /** [[embDriftCells]]'s kernel on caller embeddings frame. */
+  def embDriftCellsOf(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    val all = Ann.corpusOf(emb)
     val ref = all.filter(col("vec_id") % DriftMod =!= 0)
     val cents = Ann.refinedCentroids(spark, ref) // driver-local frame
     val k = cents.count() // LocalTableScan — no corpus job

@@ -32,8 +32,12 @@ object EmbPca {
   val Dim = 64   // embeddings table dimension (oracles pin it too)
   val Iters = 8  // power-iteration rounds, unrolled in the oracle
 
-  def embPca(spark: SparkSession, dir: String): DataFrame = {
-    val c = Tables(spark, dir, "embeddings")
+  def embPca(spark: SparkSession, dir: String): DataFrame =
+    embPcaOf(Tables(spark, dir, "embeddings"))
+
+  /** [[embPca]]'s kernel on any embeddings-shaped frame. */
+  def embPcaOf(emb: DataFrame): DataFrame = {
+    val c = emb
       .select(col("vec_id"), col("embedding"))
     // exact integer accumulation, ONE distributed pass: Gram upper
     // triangle via the custom aggregate, plus the 64 per-dim

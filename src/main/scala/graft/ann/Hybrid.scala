@@ -34,13 +34,18 @@ object Hybrid {
       .select(col(idCol).as("doc_id"), col(rankName))
   }
 
-  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
-    val lexTop = graft.text.Retrieval.bm25Scores(spark, dir)
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame =
+    hybridRrfOf(Tables(spark, dir, "documents"),
+      Tables(spark, dir, "embeddings"))
+
+  /** [[hybridRrf]]'s kernel on caller documents/embeddings frames. */
+  def hybridRrfOf(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val lexTop = graft.text.Retrieval
+      .bm25ScoresOf(docs, graft.text.Retrieval.Bm25Terms)
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(ArmN)
     val lex = ranked(lexTop, "bm25", "doc_id", "lex_rank")
 
-    val emb = Tables(spark, dir, "embeddings")
     val q = emb.filter(col("vec_id") === QueryVec)
       .select(col("embedding").as("q_emb"))
     val semTop = emb.filter(col("vec_id") =!= QueryVec)
@@ -74,14 +79,20 @@ object Hybrid {
     * TakeOrderedAndProject before anything pairwise; the MMR pool is
     * FuseN rows.
     */
-  def hybridMmr(spark: SparkSession, dir: String): DataFrame = {
+  def hybridMmr(spark: SparkSession, dir: String): DataFrame =
+    hybridMmrOf(Tables(spark, dir, "documents"),
+      Tables(spark, dir, "embeddings"))
+
+  /** [[hybridMmr]]'s kernel on caller documents/embeddings frames. */
+  def hybridMmrOf(docs: DataFrame, emb: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = emb.sparkSession
     import spark.implicits._
-    val fused = hybridRrf(spark, dir)
+    val fused = hybridRrfOf(docs, emb)
       .withColumn("fused_rank", row_number().over(
         Window.orderBy(col("rrf").desc, col("doc_id"))))
       .persist(MEMORY_AND_DISK)
-    val cand = Tables(spark, dir, "embeddings")
+    val cand = emb
       .join(broadcast(fused.select(col("doc_id"), col("fused_rank"))),
         col("vec_id") === col("doc_id"))
       .select(lit(0L).as("q_id"), col("doc_id").as("cid"),
@@ -127,18 +138,26 @@ object Hybrid {
     * batch runs: Q queries amortize one corpus scan per arm kind, and
     * everything after the arms is O(Q × FuseN).
     */
-  def hybridMmrMulti(spark: SparkSession, dir: String): DataFrame = {
+  def hybridMmrMulti(spark: SparkSession, dir: String): DataFrame =
+    hybridMmrMultiOf(Tables(spark, dir, "documents"),
+      Tables(spark, dir, "embeddings"))
+
+  /** [[hybridMmrMulti]]'s kernel on caller documents/embeddings
+    * frames.
+    */
+  def hybridMmrMultiOf(docs: DataFrame, emb0: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = emb0.sparkSession
     import spark.implicits._
     val lex = MultiQueries.map { case (qid, terms) =>
-      graft.text.Retrieval.bm25ScoresFor(spark, dir, terms)
+      graft.text.Retrieval.bm25ScoresOf(docs, terms)
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(ArmN)
         .withColumn("lex_rank", row_number().over(
           Window.orderBy(col("bm25").desc, col("doc_id"))))
         .select(lit(qid).as("q_id"), col("doc_id"), col("lex_rank"))
     }.reduce(_ unionByName _)
-    val emb = Tables(spark, dir, "embeddings")
+    val emb = emb0
     val q = emb.filter(col("vec_id").isin(MultiQueries.map(_._1): _*))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val sem = Ann.poolTopK(

@@ -124,8 +124,14 @@ object KnnGraph {
     else mutualKnnIvf(spark, c0)
 
   def embKnnGraph(spark: SparkSession, dir: String): DataFrame =
-    mutualKnnGated(spark, Tables(spark, dir, "embeddings"))
+    embKnnGraphOf(Tables(spark, dir, "embeddings"))
+
+  /** [[embKnnGraph]]'s kernel on caller embeddings frame. */
+  def embKnnGraphOf(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    mutualKnnGated(spark, emb)
       .orderBy(col("u"), col("v"))
+  }
 
   /** IVF arm: candidates = probed-cell × home-cell pairs. Training is
     * the bounded-sample E3 quantizer ([[Ann.refinedCentroids]]);
@@ -206,8 +212,14 @@ object KnnGraph {
   }
 
   def embKnnGraphIvf(spark: SparkSession, dir: String): DataFrame =
-    mutualKnnIvf(spark, Tables(spark, dir, "embeddings"))
+    embKnnGraphIvfOf(Tables(spark, dir, "embeddings"))
+
+  /** [[embKnnGraphIvf]]'s kernel on caller embeddings frame. */
+  def embKnnGraphIvfOf(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    mutualKnnIvf(spark, emb)
       .orderBy(col("u"), col("v"))
+  }
 
   /** The IVF knn-graph kernel over an arbitrary embeddings frame —
     * the upper-decade scale probe's entry ([[graft.BenchKnnCap]]).

@@ -25,8 +25,8 @@ object MatryoshkaEval {
   val Dims: Seq[Int] = Seq(8, 16, 32, 64)
 
   /** E1's scan with both sides truncated to the first `d` dims. */
-  private def topKAtDim(spark: SparkSession, dir: String, d: Int): DataFrame = {
-    val base = graft.Tables(spark, dir, "embeddings")
+  private def topKAtDim(emb: DataFrame, d: Int): DataFrame = {
+    val base = emb
       .select(col("vec_id"), slice(col("embedding"), 1, d).as("embedding"))
     val c = base.withColumn("nrm", sqrt(dotF(col("embedding"), col("embedding"))))
     val q = base.filter(col("vec_id") < Ann.NumQueries)
@@ -44,19 +44,24 @@ object MatryoshkaEval {
       .select(col("q_id"), col("vec_id").as("neighbor_id"))
   }
 
-  def embMatryoshkaEval(spark: SparkSession, dir: String): DataFrame = {
+  def embMatryoshkaEval(spark: SparkSession, dir: String): DataFrame =
+    embMatryoshkaEvalOf(graft.Tables(spark, dir, "embeddings"))
+
+  /** [[embMatryoshkaEval]]'s kernel on any embeddings-shaped frame. */
+  def embMatryoshkaEvalOf(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
     import spark.implicits._
     // the ground truth is O(queries × k) rows BY CONSTRUCTION — collect
     // it once into a local frame, otherwise every union branch below
     // replays the full E1 corpus scan (plan-pinned in PlanSpec)
-    val full = Ann.annTopK(spark, dir)
+    val full = Ann.annTopKOf(emb)
       .select(col("q_id"), col("neighbor_id"))
       .as[(Long, Long)].collect().toSeq.sortBy(identity)
       .toDF("q_id", "neighbor_id")
     Dims.map { d =>
       // the arm is ≤ queries × k rows by construction, but it sits
       // under a window so Catalyst can't see that — hint the broadcast
-      val t = broadcast(topKAtDim(spark, dir, d).withColumn("hit", lit(1)))
+      val t = broadcast(topKAtDim(emb, d).withColumn("hit", lit(1)))
       full.join(t, Seq("q_id", "neighbor_id"), "left_outer")
         .agg(
           count(lit(1)).as("n_pairs"),

@@ -29,8 +29,14 @@ object Dedup {
     * corpus splits naturally).
     */
   private[dedup] def shingled(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
-      .repartition(spark.sparkContext.defaultParallelism)
+    shingledOf(Tables(spark, dir, "documents"))
+
+  /** [[shingled]]'s kernel on any (doc_id, text) frame — the shared
+    * front of the shingle-based dedup family.
+    */
+  def shingledOf(docs: DataFrame): DataFrame =
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .withColumn("toks", TextOps.tokens(col("text")))
       .withColumn("shingles", TextOps.wordShingles(col("toks")))
 
@@ -39,9 +45,13 @@ object Dedup {
     * Single hash-shuffle on the fingerprint; at scale this is the
     * classic first-pass dedup (group sizes are tiny, no skew).
     */
-  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    exactDups(Tables(spark, dir, "documents"))
+
+  /** [[dedupExact]]'s kernel on any (doc_id, text) frame. */
+  def exactDups(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("fp"))
-    Tables(spark, dir, "documents")
+    docs
       .withColumn("fp", TextOps.fingerprint(col("text")))
       .withColumn("keep_id", min(col("doc_id")).over(w))
       .withColumn("group_size", count(lit(1)).over(w))
@@ -61,9 +71,13 @@ object Dedup {
     * copy), then one O(sources) rollup; dup share in exact basis
     * points (floor division, the house float-free ratio rule).
     */
-  def dedupBySource(spark: SparkSession, dir: String): DataFrame = {
+  def dedupBySource(spark: SparkSession, dir: String): DataFrame =
+    dupsBySource(Tables(spark, dir, "documents"))
+
+  /** [[dedupBySource]]'s kernel on any (doc_id, text, source) frame. */
+  def dupsBySource(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("fp"))
-    Tables(spark, dir, "documents")
+    docs
       .withColumn("fp", TextOps.fingerprint(col("text")))
       .withColumn("is_dup",
         (col("doc_id") =!= min(col("doc_id")).over(w)).cast("long"))
@@ -99,7 +113,11 @@ object Dedup {
     * corpus 8×.
     */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    ngramJaccardPairs(spark, dir, materialize = true)
+    dedupNgramJaccardOf(Tables(spark, dir, "documents"))
+
+  /** [[dedupNgramJaccard]]'s kernel on any (doc_id, text) frame. */
+  def dedupNgramJaccardOf(docs: DataFrame): DataFrame =
+    ngramJaccardPairsOf(shingledOf(docs), materialize = true)
 
   /** n-gram Jaccard pair engine behind D2/D6. ONE wide shuffle: the
     * df-cap window partitions the exploded (doc, shingle) rows by
@@ -166,13 +184,23 @@ object Dedup {
     * bytes would shave the shuffle but make candidates depend on the
     * engine's hash function.
     */
-  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    dedupMinhashLshOf(Tables(spark, dir, "documents"))
+
+  /** [[dedupMinhashLsh]]'s kernel on any (doc_id, text) frame. */
+  def dedupMinhashLshOf(docs: DataFrame): DataFrame =
+    minhashLshPairs(shingledOf(docs))
+
+  /** [[dedupMinhashLsh]]'s kernel on any (doc_id, shingles) frame
+    * (see [[shingledOf]]).
+    */
+  def minhashLshPairs(shingledDocs: DataFrame): DataFrame = {
     val rows = NumPerms / NumBands
     // materialize signatures once: the band explode and BOTH verify
     // joins read this frame, and only the two band-join sides would be
     // deduplicated by ReuseExchange — without the checkpoint the
     // 128-perm minhash kernel runs ~3× over the corpus
-    val sig = shingled(spark, dir)
+    val sig = shingledDocs
       .select(col("doc_id"), col("shingles"),
         minhashSig(col("shingles"), NumPerms).as("sig"))
       .localCheckpoint()
@@ -222,12 +250,16 @@ object Dedup {
     * Verification joins shingle sets for candidates only.
     */
   def decontaminateFuzzy(spark: SparkSession, dir: String): DataFrame =
-    decontaminateFuzzyDocs(shingled(spark, dir))
+    decontaminateFuzzyOf(Tables(spark, dir, "documents"))
+
+  /** [[decontaminateFuzzy]]'s kernel on any (doc_id, text) frame. */
+  def decontaminateFuzzyOf(docs: DataFrame): DataFrame =
+    decontaminateFuzzyDocs(shingledOf(docs))
 
   /** [[decontaminateFuzzy]]'s kernel on any (doc_id, shingles) frame
     * (bench membership = doc_id % ContamMod, C12's split).
     */
-  private[dedup] def decontaminateFuzzyDocs(docs: DataFrame): DataFrame = {
+  def decontaminateFuzzyDocs(docs: DataFrame): DataFrame = {
     import graft.text.TextOps.ContamMod
     val rows = NumPerms / NumBands
     val sig = docs
@@ -279,13 +311,17 @@ object Dedup {
     * generation is a plain equality join; verification is native
     * `bit_count(a ^ b)` in codegen.
     */
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(Tables(spark, dir, "documents"))
+
+  /** [[dedupSimhash]]'s kernel on any (doc_id, text) frame. */
+  def simhashPairs(docs: DataFrame): DataFrame = {
     // spread the single-split scan BEFORE signature compute + chunk
     // posexplode so both Generate passes run on every core (round-4
     // rule); the two self-join sides share the exchange via
     // ReusedExchange, so the corpus is still hashed exactly once.
-    val sig = Tables(spark, dir, "documents")
-      .repartition(spark.sparkContext.defaultParallelism)
+    val sig = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         simhash64(TextOps.tokens(col("text"))).as("sig"))
     val chunks = sig.select(col("doc_id"), col("sig"),
@@ -328,7 +364,15 @@ object Dedup {
     * remains the high-τ scale path when LSH recall suffices.
     */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
-    dedupEmbeddingGated(spark, Tables(spark, dir, "embeddings"))
+    embeddingDupPairs(Tables(spark, dir, "embeddings"))
+
+  /** [[dedupEmbedding]]'s kernel on any (vec_id, embedding) frame:
+    * cosine-τ near-dup pairs, size-gated between the exact all-pairs
+    * arm and the cell-restricted scan.
+    */
+  def embeddingDupPairs(em: DataFrame,
+      exactMax: Long = EmbExactMaxVectors): DataFrame =
+    dedupEmbeddingGated(em.sparkSession, em, exactMax)
 
   /** [[dedupEmbedding]]'s gated kernel, bound parameterized so the
     * spec can force the above-bound arm on a small corpus.
@@ -418,6 +462,21 @@ object Dedup {
     */
   val CcDriverMaxEdges = 5000000L
 
+  /** Checkpoint cadence for the distributed CC loop: the label frame
+    * materializes (serialized localCheckpoint) every k-th round, with
+    * intermediate rounds kept as LAZY lineage and the convergence agg
+    * evaluated only at checkpoint rounds (a fixpoint is
+    * propagation-invariant, so up to k−1 redundant no-op rounds may
+    * run past convergence — results unchanged). k = 1 is today's
+    * behavior (the oracle-gated default); the SPARK_GRAFT_CC_K knob
+    * exists for the §9g factor-100 A/B probe — per-round checkpoint
+    * re-reads are the link family's residual input term, and k > 1
+    * trades them for recompute of the in-between joins. Adopt a new
+    * default only on probe evidence (≥2x input cut at flat wall).
+    */
+  private[graft] val CcCheckpointEvery: Int =
+    sys.env.get("SPARK_GRAFT_CC_K").map(_.toInt).getOrElse(1)
+
   /** Connected components over an undirected edge list (cols `u`, `v`):
     * every node's label converges to the smallest reachable node id.
     *
@@ -432,7 +491,8 @@ object Dedup {
     *    round N doesn't replay rounds 1..N-1.
     */
   def connectedComponents(edges0: DataFrame, maxIters: Int = 50,
-      driverMaxEdges: Long = CcDriverMaxEdges): DataFrame = {
+      driverMaxEdges: Long = CcDriverMaxEdges,
+      checkpointEvery: Int = CcCheckpointEvery): DataFrame = {
     val spark = edges0.sparkSession
     import spark.implicits._
     // the probe below materializes the bound as an Int limit
@@ -493,19 +553,29 @@ object Dedup {
       var changed = 1L
       var iter = 0
       while (changed > 0 && iter < maxIters) {
+        // cadence: materialize + test convergence only at every
+        // checkpointEvery-th round; in between the round stays lazy
+        // lineage (see CcCheckpointEvery)
+        val cpRound = checkpointEvery <= 1 ||
+          iter % checkpointEvery == checkpointEvery - 1 ||
+          iter == maxIters - 1
         val nbrMin = sym.join(labels, sym("v") === labels("node"))
           .groupBy(sym("u")).agg(min(col("label")).as("nbr_min"))
-        val next = labels.join(nbrMin, labels("node") === nbrMin("u"), "left")
+        val next0 = labels.join(nbrMin, labels("node") === nbrMin("u"), "left")
           .select(col("node"),
             least(col("label"), coalesce(col("nbr_min"), col("label")))
               .as("label"),
             coalesce((col("nbr_min") < col("label")).cast("long"), lit(0L))
               .as("chg"))
-          .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+        val next =
+          if (cpRound)
+            next0.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+          else next0
         // coalesce: sum over an EMPTY label frame is NULL (reachable
         // since r14's driverMaxEdges=0 forcing covers empty graphs)
-        changed = next.agg(coalesce(sum(col("chg")), lit(0L)))
-          .head().getLong(0)
+        if (cpRound)
+          changed = next.agg(coalesce(sum(col("chg")), lit(0L)))
+            .head().getLong(0)
         // pointer jumping (Shiloach–Vishkin shortcutting; round 12):
         // label(u) ← label(label(u)) — one O(nodes) equi self-join
         // that halves remaining chain depth per round, turning the
@@ -518,12 +588,16 @@ object Dedup {
         val cur = next.select(col("node"), col("label"))
         val jumped =
           if (changed == 0) cur
-          else cur
-            .join(cur.select(col("node").as("jn"), col("label").as("jl")),
-              col("label") === col("jn"), "left")
-            .select(col("node"), coalesce(col("jl"), col("label"))
-              .as("label"))
-            .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+          else {
+            val j = cur
+              .join(cur.select(col("node").as("jn"), col("label").as("jl")),
+                col("label") === col("jn"), "left")
+              .select(col("node"), coalesce(col("jl"), col("label"))
+                .as("label"))
+            if (cpRound)
+              j.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+            else j
+          }
         labels = jumped
         iter += 1
       }
@@ -541,13 +615,17 @@ object Dedup {
     * step that turns pairwise dedup signals into actual drop decisions
     * in a corpus pipeline.
     */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    clustersOf(Tables(spark, dir, "documents"))
+
+  /** [[dedupClusters]]'s kernel on any (doc_id, text) frame. */
+  def clustersOf(docs: DataFrame): DataFrame = {
     val wfp = Window.partitionBy(col("fp"))
-    val exact = Tables(spark, dir, "documents")
+    val exact = docs
       .withColumn("fp", TextOps.fingerprint(col("text")))
       .select(min(col("doc_id")).over(wfp).as("u"), col("doc_id").as("v"))
       .filter(col("u") < col("v"))
-    val fuzzy = ngramJaccardPairs(spark, dir, materialize = false)
+    val fuzzy = ngramJaccardPairsOf(shingledOf(docs), materialize = false)
       .select(col("ia").as("u"), col("ib").as("v"))
     val labels = connectedComponents(exact.union(fuzzy))
     val wc = Window.partitionBy(col("cluster_id"))
@@ -572,8 +650,12 @@ object Dedup {
     * fan-out); the rollup re-shuffles only O(segments) rows, and no
     * stage ever holds a doc pair.
     */
-  def dedupSegments(spark: SparkSession, dir: String): DataFrame = {
-    val segs = Tables(spark, dir, "documents")
+  def dedupSegments(spark: SparkSession, dir: String): DataFrame =
+    segmentDedup(Tables(spark, dir, "documents"))
+
+  /** [[dedupSegments]]'s kernel on any (doc_id, text) frame. */
+  def segmentDedup(docs: DataFrame): DataFrame = {
+    val segs = docs
       .withColumn("w", TextOps.tokens(col("text")))
       .withColumn("seg_id", explode(sequence(lit(0),
         ceil(size(col("w")) / lit(SegTokens.toDouble)).cast("int") - 1)))
@@ -636,7 +718,7 @@ object Dedup {
     substringDedup(Tables(spark, dir, "documents"))
 
   /** [[dedupSubstring]]'s kernel on any (doc_id, text) frame. */
-  private[dedup] def substringDedup(docs: DataFrame): DataFrame = {
+  def substringDedup(docs: DataFrame): DataFrame = {
     val w = SubTokens
     val wins = docs
       .select(col("doc_id"),
@@ -685,7 +767,7 @@ object Dedup {
     substringPairs(Tables(spark, dir, "documents"))
 
   /** [[dedupSubstringPairs]]'s kernel on any (doc_id, text) frame. */
-  private[dedup] def substringPairs(docs: DataFrame): DataFrame =
+  def substringPairs(docs: DataFrame): DataFrame =
     substringPairFrame(docs)
       .orderBy(col("n_shared_windows").desc, col("da"), col("db"))
       .limit(20)
@@ -729,7 +811,7 @@ object Dedup {
     substringClusters(Tables(spark, dir, "documents"))
 
   /** [[dedupSubstringClusters]]'s kernel on any (doc_id, text) frame. */
-  private[dedup] def substringClusters(docs: DataFrame): DataFrame = {
+  def substringClusters(docs: DataFrame): DataFrame = {
     val edges = substringPairFrame(docs)
       .filter(col("n_shared_windows") >= SubClusterMinShared)
       .select(col("da").as("u"), col("db").as("v"))
@@ -773,7 +855,7 @@ object Dedup {
     incrementalDedup(Tables(spark, dir, "documents"))
 
   /** [[dedupIncremental]]'s kernel on any (doc_id, text) frame. */
-  private[dedup] def incrementalDedup(docs: DataFrame): DataFrame = {
+  def incrementalDedup(docs: DataFrame): DataFrame = {
     val w = SubTokens
     val store = docs.filter(col("doc_id") % IncMod =!= 0)
     val intake = docs.filter(col("doc_id") % IncMod === 0)
@@ -846,8 +928,21 @@ object Dedup {
     * spurious full match.
     */
   def dedupIncrementalMinhash(spark: SparkSession,
-      dir: String): DataFrame = {
-    val sig = shingled(spark, dir)
+      dir: String): DataFrame =
+    dedupIncrementalMinhashOf(Tables(spark, dir, "documents"))
+
+  /** [[dedupIncrementalMinhash]]'s kernel on any (doc_id, text)
+    * frame.
+    */
+  def dedupIncrementalMinhashOf(docs: DataFrame): DataFrame =
+    incrementalMinhash(shingledOf(docs))
+
+  /** [[dedupIncrementalMinhash]]'s kernel on any (doc_id, shingles)
+    * frame (see [[shingledOf]]; store/intake split by doc_id %
+    * [[IncMod]]).
+    */
+  def incrementalMinhash(shingledDocs: DataFrame): DataFrame = {
+    val sig = shingledDocs
       .filter(size(col("shingles")) >= 1)
       .select(col("doc_id"), minhashSig(col("shingles"), NumPerms).as("sig"))
       .localCheckpoint() // both sidecars + the intake pass read it
@@ -863,7 +958,7 @@ object Dedup {
     * once and appends per batch; the spec drives them standalone to
     * pin "store never rescanned".
     */
-  private[graft] def minhashSidecars(
+  def minhashSidecars(
       storeSig: DataFrame): (DataFrame, DataFrame) = {
     val rows = NumPerms / NumBands
     val bands = storeSig.select(col("doc_id").as("sid"),
@@ -880,7 +975,7 @@ object Dedup {
     * [[IncMinhashMinMatches]] bar, and the best match in perms and
     * floor-div basis points.
     */
-  private[graft] def intakeMinhashDedup(intakeSig: DataFrame,
+  def intakeMinhashDedup(intakeSig: DataFrame,
       bandSidecar: DataFrame, sigSidecar: DataFrame): DataFrame = {
     val rows = NumPerms / NumBands
     val iband = intakeSig.select(col("doc_id"),
@@ -930,7 +1025,7 @@ object Dedup {
     hotSpans(Tables(spark, dir, "documents"))
 
   /** [[dedupHotSpans]]'s kernel on any (doc_id, text) frame. */
-  private[dedup] def hotSpans(docs: DataFrame): DataFrame = {
+  def hotSpans(docs: DataFrame): DataFrame = {
     val w = SubTokens
     val wins = docs.select(col("doc_id"),
       posexplode(rollingWinHashes(col("text"), w)).as(Seq("pos", "wh")))

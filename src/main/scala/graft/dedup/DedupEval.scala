@@ -19,10 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object DedupEval {
 
-  def dedupLshEval(spark: SparkSession, dir: String): DataFrame = {
-    val exact = Dedup.dedupNgramJaccard(spark, dir)
+  def dedupLshEval(spark: SparkSession, dir: String): DataFrame =
+    dedupLshEvalOf(graft.Tables(spark, dir, "documents"))
+
+  /** [[dedupLshEval]]'s kernel on any (doc_id, text) frame. */
+  def dedupLshEvalOf(docs: DataFrame): DataFrame = {
+    val sh = Dedup.shingledOf(docs)
+    val exact = Dedup.ngramJaccardPairsOf(sh, materialize = true)
       .select(col("ia"), col("ib"), lit(1).as("e"))
-    val lsh = Dedup.dedupMinhashLsh(spark, dir)
+    val lsh = Dedup.minhashLshPairs(sh)
       .select(col("ia"), col("ib"), lit(1).as("l"))
     exact.join(lsh, Seq("ia", "ib"), "full_outer")
       .agg(
@@ -60,14 +65,19 @@ object DedupEval {
     * 100 TB this is a sample-slice job by construction — the sweep is
     * run on a slice to pick (b, r), then D3 runs the choice.
     */
-  def dedupLshSweep(spark: SparkSession, dir: String): DataFrame = {
+  def dedupLshSweep(spark: SparkSession, dir: String): DataFrame =
+    dedupLshSweepOf(graft.Tables(spark, dir, "documents"))
+
+  /** [[dedupLshSweep]]'s kernel on any (doc_id, text) frame. */
+  def dedupLshSweepOf(docs: DataFrame): DataFrame = {
     import Dedup.NumPerms
-    val sig = Dedup.shingled(spark, dir)
+    val sh = Dedup.shingledOf(docs)
+    val sig = sh
       .select(col("doc_id"),
         graft.functions.GraftFunctions.minhashSig(col("shingles"), NumPerms)
           .as("sig"))
       .localCheckpoint()
-    val truth = Dedup.dedupNgramJaccard(spark, dir)
+    val truth = Dedup.ngramJaccardPairsOf(sh, materialize = true)
       .select(col("ia"), col("ib"))
       .localCheckpoint()
     SweepBands.map { b =>

@@ -22,7 +22,12 @@ object Etl {
     * digit presence. Pure regexp_extract, stays in whole-stage codegen.
     */
   def extract(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    extractOf(Tables(spark, dir, "documents"))
+
+
+  /** [[extract]]'s kernel on any documents-shaped frame. */
+  def extractOf(docs: DataFrame): DataFrame =
+    docs
       .select(
         col("doc_id"),
         regexp_extract(col("text"), "^([A-Za-z]+)", 1).as("first_word"),
@@ -36,7 +41,12 @@ object Etl {
     * double→int behavior is engine-independent.
     */
   def normalize(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "customer")
+    normalizeOf(Tables(spark, dir, "customer"))
+
+
+  /** [[normalize]]'s kernel on any customer-shaped frame. */
+  def normalizeOf(cust: DataFrame): DataFrame =
+    cust
       .select(
         col("c_custkey"),
         upper(trim(col("c_name"))).as("name_norm"),
@@ -50,17 +60,20 @@ object Etl {
   /** Yesterday's order snapshot: the deterministic data-derived split
     * standing in for the reference's rotated Yesterday.xlsx (SURVEY §3).
     */
-  private def ordersYesterday(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "orders")
+  private def ordersYesterday(orders: DataFrame): DataFrame =
+    orders
       .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
 
   /** A3 `etl_snapshot_new` — keys in today absent from yesterday
     * (LEFT ANTI ≈ `~isin`, aiesec.py:142-144). One shuffle on the key;
     * at scale the anti join is the standard incremental-ingest delta.
     */
-  def snapshotNew(spark: SparkSession, dir: String): DataFrame = {
-    val today = Tables(spark, dir, "orders")
-    today.join(ordersYesterday(spark, dir).select(col("o_orderkey").as("y_key")),
+  def snapshotNew(spark: SparkSession, dir: String): DataFrame =
+    snapshotNewOf(Tables(spark, dir, "orders"))
+
+  /** [[snapshotNew]]'s kernel on any orders-shaped frame. */
+  def snapshotNewOf(today: DataFrame): DataFrame = {
+    today.join(ordersYesterday(today).select(col("o_orderkey").as("y_key")),
         today("o_orderkey") === col("y_key"), "left_anti")
       .select(col("o_orderkey"), col("o_custkey"),
         round(col("o_totalprice"), 2).as("o_totalprice"), col("o_orderdate"))
@@ -72,8 +85,13 @@ object Etl {
     * Generalizes the reference's today-vs-yesterday diff beyond pure
     * key-presence to value drift.
     */
-  def snapshotChanged(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(spark, dir, "events")
+  def snapshotChanged(spark: SparkSession, dir: String): DataFrame =
+    snapshotChangedOf(Tables(spark, dir, "events"))
+
+
+  /** [[snapshotChanged]]'s kernel on any events-shaped frame. */
+  def snapshotChangedOf(events: DataFrame): DataFrame = {
+    val ev = events
     def snap(cutoff: Option[String]) = cutoff.fold(ev)(c =>
         ev.filter(col("ts") < lit(c).cast("timestamp")))
       .groupBy(col("user_id"))
@@ -98,10 +116,15 @@ object Etl {
     * time (event_id tiebreak). Single shuffle on user_id + in-partition
     * sort: the scalable dedup-window shape for CDC-style ingest.
     */
-  def upsertLatest(spark: SparkSession, dir: String): DataFrame = {
+  def upsertLatest(spark: SparkSession, dir: String): DataFrame =
+    upsertLatestOf(Tables(spark, dir, "events"))
+
+
+  /** [[upsertLatest]]'s kernel on any events-shaped frame. */
+  def upsertLatestOf(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").desc, col("event_id").desc)
-    Tables(spark, dir, "events")
+    events
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("user_id"), col("event_id").as("last_event_id"),
@@ -116,7 +139,12 @@ object Etl {
     * banding.
     */
   def derivedFlags(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "orders")
+    derivedFlagsOf(Tables(spark, dir, "orders"))
+
+
+  /** [[derivedFlags]]'s kernel on any orders-shaped frame. */
+  def derivedFlagsOf(orders: DataFrame): DataFrame =
+    orders
       .select(
         col("o_orderkey"),
         col("o_orderpriority"),
@@ -134,7 +162,12 @@ object Etl {
     * rendering cost is O(report size), not O(data).
     */
   def reportCards(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "customer")
+    reportCardsOf(Tables(spark, dir, "customer"))
+
+
+  /** [[reportCards]]'s kernel on any customer-shaped frame. */
+  def reportCardsOf(cust: DataFrame): DataFrame =
+    cust
       .orderBy(col("c_acctbal").desc, col("c_custkey"))
       .limit(10)
       .select(col("c_custkey"),
@@ -149,7 +182,11 @@ object Etl {
     * summary row, message only when non-empty (≈ aiesec.py:241-251).
     */
   def alertDelta(spark: SparkSession, dir: String): DataFrame =
-    snapshotNew(spark, dir)
+    alertDeltaOf(Tables(spark, dir, "orders"))
+
+  /** [[alertDelta]]'s kernel on any orders-shaped frame. */
+  def alertDeltaOf(orders: DataFrame): DataFrame =
+    snapshotNewOf(orders)
       .agg(count(lit(1)).as("n_new"),
         round(sum(col("o_totalprice")), 2).as("new_value"))
       .select(col("n_new"), col("new_value"),
@@ -166,7 +203,12 @@ object Etl {
     * exchange here is the 3-group summary rollup.
     */
   def sampleSplit(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    sampleSplitOf(Tables(spark, dir, "documents"))
+
+
+  /** [[sampleSplit]]'s kernel on any documents-shaped frame. */
+  def sampleSplitOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("hx",
         substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2))
       .withColumn("split",
@@ -192,17 +234,21 @@ object Etl {
     * exact shuffle plan a table-format MERGE executes, with the
     * decision matrix spelled out instead of hidden in a writer.
     */
-  def etlMergeCdc(spark: SparkSession, dir: String): DataFrame = {
+  def etlMergeCdc(spark: SparkSession, dir: String): DataFrame =
+    etlMergeCdcOf(Tables(spark, dir, "events"), Tables(spark, dir, "customer"))
+
+  /** [[etlMergeCdc]]'s kernel on caller events/customer frames. */
+  def etlMergeCdcOf(events: DataFrame, cust: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").desc, col("event_id").desc)
-    val lastOp = Tables(spark, dir, "events")
+    val lastOp = events
       .withColumn("op",
         when(col("event_type") === "error", "D").otherwise("U"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("user_id").as("key"), col("op"),
         round(col("value"), 2).as("new_value"))
-    val base = Tables(spark, dir, "customer")
+    val base = cust
       .select(col("c_custkey").cast("long").as("key"),
         round(col("c_acctbal"), 2).as("base_value"))
     base.join(lastOp, Seq("key"), "full_outer")
@@ -228,9 +274,14 @@ object Etl {
     * and TakeOrderedAndProject keeps it a map-side heap, not a global
     * sort.
     */
-  def sampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    sampleWeightedOf(Tables(spark, dir, "documents"))
+
+
+  /** [[sampleWeighted]]'s kernel on any documents-shaped frame. */
+  def sampleWeightedOf(docs: DataFrame): DataFrame = {
     val k = 50
-    Tables(spark, dir, "documents")
+    docs
       .withColumn("u",
         (conv(substring(md5(col("doc_id").cast("string").cast("binary")),
           1, 6), 16, 10).cast("double") + 0.5) / (1 << 24).toDouble)
@@ -252,7 +303,12 @@ object Etl {
     * dominant ones). Map-only select + one tiny rollup shuffle.
     */
   def sampleStratified(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    sampleStratifiedOf(Tables(spark, dir, "documents"))
+
+
+  /** [[sampleStratified]]'s kernel on any documents-shaped frame. */
+  def sampleStratifiedOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("hx",
         substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2))
       .withColumn("keep",
@@ -274,10 +330,15 @@ object Etl {
     * full recompute, proving merge ≡ recompute. At 100 TB this is the
     * difference between touching one day and touching the archive.
     */
-  def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+  def incrementalAgg(spark: SparkSession, dir: String): DataFrame =
+    incrementalAggOf(Tables(spark, dir, "events"))
+
+
+  /** [[incrementalAgg]]'s kernel on any events-shaped frame. */
+  def incrementalAggOf(events: DataFrame): DataFrame = {
     val cutoff = lit("2024-01-20").cast("timestamp")
     def slice(cond: Column): DataFrame =
-      Tables(spark, dir, "events")
+      events
         .filter(cond)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
@@ -301,10 +362,15 @@ object Etl {
     * write-task granularity and each sorts locally; pair with
     * ShardedWriter for the physical layout.
     */
-  def corpusShuffle(spark: SparkSession, dir: String): DataFrame = {
+  def corpusShuffle(spark: SparkSession, dir: String): DataFrame =
+    corpusShuffleOf(Tables(spark, dir, "documents"))
+
+
+  /** [[corpusShuffle]]'s kernel on any documents-shaped frame. */
+  def corpusShuffleOf(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("h"), col("doc_id"))
-    Tables(spark, dir, "documents")
+    docs
       .withColumn("h", md5(col("doc_id").cast("string").cast("binary")))
       .withColumn("shard",
         (expr("instr('0123456789abcdef', substring(h, 1, 1))") - 1)
@@ -323,10 +389,11 @@ object Etl {
     * (the PK side broadcasts when dim-sized). A real deployment runs
     * this ON the day's delta, not the archive.
     */
-  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
-    val orders = graft.Tables(spark, dir, "orders")
-    val li = graft.Tables(spark, dir, "lineitem")
-    val cust = graft.Tables(spark, dir, "customer")
+  def dqChecks(spark: SparkSession, dir: String): DataFrame =
+    dqChecksOf(Tables(spark, dir, "orders"), Tables(spark, dir, "lineitem"), Tables(spark, dir, "customer"))
+
+  /** [[dqChecks]]'s kernel on caller orders/lineitem/customer frames. */
+  def dqChecksOf(orders: DataFrame, li: DataFrame, cust: DataFrame): DataFrame = {
     // one multi-aggregate pass per table (N checks ≠ N scans), plus one
     // pass per relationship — 4 scans of the two fact tables total
     // instead of one per (check × operand)
@@ -373,8 +440,13 @@ object Etl {
     * aggregate so ordering stays numeric but output stays cross-engine
     * formatting-safe.
     */
-  def etlProfile(spark: SparkSession, dir: String): DataFrame = {
-    val c = Tables(spark, dir, "customer")
+  def etlProfile(spark: SparkSession, dir: String): DataFrame =
+    etlProfileOf(Tables(spark, dir, "customer"))
+
+
+  /** [[etlProfile]]'s kernel on any customer-shaped frame. */
+  def etlProfileOf(cust: DataFrame): DataFrame = {
+    val c = cust
     def nulls(col0: String) =
       sum(when(col(col0).isNull, 1L).otherwise(0L)).as(s"${col0}_nulls")
     c.agg(
@@ -427,7 +499,12 @@ object Etl {
     * aggregation to the O(types) frame + a one-row broadcast max.
     */
   def etlFreshness(spark: SparkSession, dir: String): DataFrame =
-    freshness(Tables(spark, dir, "events"))
+    etlFreshnessOf(Tables(spark, dir, "events"))
+
+
+  /** [[etlFreshness]]'s kernel on any events-shaped frame. */
+  def etlFreshnessOf(events: DataFrame): DataFrame =
+    freshness(events)
 
   /** [[etlFreshness]]'s core on any (event_type, ts) frame. */
   def freshness(events: DataFrame): DataFrame = {
@@ -460,7 +537,12 @@ object Etl {
     * round(·, 6) like every cross-engine float comparison here.
     */
   def etlDriftPsi(spark: SparkSession, dir: String): DataFrame =
-    driftPsi(Tables(spark, dir, "events"))
+    etlDriftPsiOf(Tables(spark, dir, "events"))
+
+
+  /** [[etlDriftPsi]]'s kernel on any events-shaped frame. */
+  def etlDriftPsiOf(events: DataFrame): DataFrame =
+    driftPsi(events)
 
   /** [[etlDriftPsi]]'s core on any (event_type, ts, value) frame. */
   def driftPsi(events: DataFrame): DataFrame = {
@@ -514,7 +596,12 @@ object Etl {
     * between per-partition rewrite and a deletion-vector layout.
     */
   def etlErasurePlan(spark: SparkSession, dir: String): DataFrame =
-    erasurePlan(Tables(spark, dir, "events"))
+    etlErasurePlanOf(Tables(spark, dir, "events"))
+
+
+  /** [[etlErasurePlan]]'s kernel on any events-shaped frame. */
+  def etlErasurePlanOf(events: DataFrame): DataFrame =
+    erasurePlan(events)
 
   /** [[etlErasurePlan]]'s kernel on any events frame. */
   private[etl] def erasurePlan(events: DataFrame): DataFrame =
@@ -552,7 +639,12 @@ object Etl {
     * No per-TTL rescan of the fact table.
     */
   def etlRetentionPlan(spark: SparkSession, dir: String): DataFrame =
-    retentionPlan(Tables(spark, dir, "events"))
+    etlRetentionPlanOf(Tables(spark, dir, "events"))
+
+
+  /** [[etlRetentionPlan]]'s kernel on any events-shaped frame. */
+  def etlRetentionPlanOf(events: DataFrame): DataFrame =
+    retentionPlan(events)
 
   /** [[etlRetentionPlan]]'s kernel on any events frame. */
   private[etl] def retentionPlan(events: DataFrame): DataFrame = {
@@ -607,7 +699,12 @@ object Etl {
     * O(selected users) and every reported number is integer-exact.
     */
   def etlSubjectExport(spark: SparkSession, dir: String): DataFrame =
-    subjectExport(Tables(spark, dir, "events"))
+    etlSubjectExportOf(Tables(spark, dir, "events"))
+
+
+  /** [[etlSubjectExport]]'s kernel on any events-shaped frame. */
+  def etlSubjectExportOf(events: DataFrame): DataFrame =
+    subjectExport(events)
 
   /** [[etlSubjectExport]]'s kernel on any events frame. */
   private[etl] def subjectExport(events: DataFrame): DataFrame = {

@@ -18,7 +18,12 @@ object Multimodal {
     * of the text fingerprint (dedup key for raw media).
     */
   def mmMeta(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    mmMetaOf(Tables(spark, dir, "documents"))
+
+
+  /** [[mmMeta]]'s kernel on any documents-shaped frame. */
+  def mmMetaOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("payload", col("text").cast("binary"))
       .select(
         col("doc_id"),
@@ -149,9 +154,14 @@ object Multimodal {
     * partition (the real-codec pattern — decoder init is expensive),
     * rows streamed through it, typed output via case-class Encoder.
     */
-  def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
+  def mmFeatures(spark: SparkSession, dir: String): DataFrame =
+    mmFeaturesOf(Tables(spark, dir, "documents"))
+
+  /** [[mmFeatures]]'s kernel on caller documents frame. */
+  def mmFeaturesOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    Tables(spark, dir, "documents")
+    docs
       .select(col("doc_id").cast("long"), col("text").cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
@@ -190,9 +200,14 @@ object Multimodal {
     * [[decodeStub]]). flatMap fan-out keeps frames with their source
     * partition — no shuffle until a consumer asks for one.
     */
-  def mmFrames(spark: SparkSession, dir: String): DataFrame = {
+  def mmFrames(spark: SparkSession, dir: String): DataFrame =
+    mmFramesOf(Tables(spark, dir, "documents"))
+
+  /** [[mmFrames]]'s kernel on caller documents frame. */
+  def mmFramesOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    Tables(spark, dir, "documents")
+    docs
       .select(col("doc_id").cast("long"), col("text").cast("binary"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
@@ -225,7 +240,12 @@ object Multimodal {
     * deterministic sort.
     */
   def mmStrings(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    mmStringsOf(Tables(spark, dir, "documents"))
+
+
+  /** [[mmStrings]]'s kernel on any documents-shaped frame. */
+  def mmStringsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .withColumn("txt", decode(col("payload"), "UTF-8"))
       .withColumn("runs",
@@ -281,7 +301,12 @@ object Multimodal {
     * duplicates.
     */
   def mmPhashPairs(spark: SparkSession, dir: String): DataFrame =
-    phashPairs(Tables(spark, dir, "documents")
+    mmPhashPairsOf(Tables(spark, dir, "documents"))
+
+
+  /** [[mmPhashPairs]]'s kernel on any documents-shaped frame. */
+  def mmPhashPairsOf(docs: DataFrame): DataFrame =
+    phashPairs(docs
       .select(col("doc_id"), col("text").cast("binary").as("payload")))
 
   /** [[mmPhashPairs]]'s core on any (doc_id, payload) frame. */
@@ -322,7 +347,12 @@ object Multimodal {
     * the O(pairs) edges, never payloads.
     */
   def mmPhashClusters(spark: SparkSession, dir: String): DataFrame =
-    phashClusters(Tables(spark, dir, "documents")
+    mmPhashClustersOf(Tables(spark, dir, "documents"))
+
+
+  /** [[mmPhashClusters]]'s kernel on any documents-shaped frame. */
+  def mmPhashClustersOf(docs: DataFrame): DataFrame =
+    phashClusters(docs
       .select(col("doc_id"), col("text").cast("binary").as("payload")))
 
   /** [[mmPhashClusters]]'s core on any (doc_id, payload) frame. */
@@ -355,9 +385,14 @@ object Multimodal {
     * order inside a shard IS doc_id order, so `array_sort` after the
     * shuffle reconstructs it exactly.
     */
-  def mmShardPack(spark: SparkSession, dir: String): DataFrame = {
+  def mmShardPack(spark: SparkSession, dir: String): DataFrame =
+    mmShardPackOf(Tables(spark, dir, "documents"))
+
+  /** [[mmShardPack]]'s kernel on caller documents frame. */
+  def mmShardPackOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    Tables(spark, dir, "documents")
+    docs
       .select(col("doc_id"),
         pmod(col("doc_id"), lit(ShardStreams.toLong)).as("pid"),
         length(col("text").cast("binary")).as("n_bytes"))
@@ -467,9 +502,14 @@ object Multimodal {
     * squares is integer arithmetic; the only floats are one division
     * and one sqrt.
     */
-  def mmAudioEnergy(spark: SparkSession, dir: String): DataFrame = {
+  def mmAudioEnergy(spark: SparkSession, dir: String): DataFrame =
+    mmAudioEnergyOf(Tables(spark, dir, "documents"))
+
+  /** [[mmAudioEnergy]]'s kernel on caller documents frame. */
+  def mmAudioEnergyOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    Tables(spark, dir, "documents")
+    docs
       .select(col("doc_id").cast("long"), col("text").cast("binary"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
@@ -499,13 +539,18 @@ object Multimodal {
     * integer-valued histograms stays bit-exact cross-engine — every
     * sum is exact integer arithmetic until the final division.
     */
-  def mmEmbedTopK(spark: SparkSession, dir: String): DataFrame = {
+  def mmEmbedTopK(spark: SparkSession, dir: String): DataFrame =
+    mmEmbedTopKOf(Tables(spark, dir, "documents"))
+
+  /** [[mmEmbedTopK]]'s kernel on caller documents frame. */
+  def mmEmbedTopKOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     // empty payloads embed to the zero vector, whose cosine is
     // engine-defined (Spark's cosineSim yields 0.0, DuckDB's
     // list_cosine_similarity NaN) — exclude them on BOTH sides so the
     // corpus is identical cross-engine
-    val emb = Tables(spark, dir, "documents")
+    val emb = docs
       .filter(length(col("text")) > 0)
       .select(col("doc_id").cast("long"), col("text").cast("binary"))
       .as[(Long, Array[Byte])]
@@ -539,7 +584,11 @@ object Multimodal {
     * already-oracled values, so the grouping replays exactly in SQL.
     */
   def mmDedup(spark: SparkSession, dir: String): DataFrame =
-    mmFeatures(spark, dir)
+    mmDedupOf(Tables(spark, dir, "documents"))
+
+  /** [[mmDedup]]'s kernel on any documents-shaped frame. */
+  def mmDedupOf(docs: DataFrame): DataFrame =
+    mmFeaturesOf(docs)
       .select(col("doc_id"), col("fmt"),
         floor(col("width") / 32).cast("int").as("wband"),
         floor(col("height") / 32).cast("int").as("hband"),

@@ -26,7 +26,11 @@ object Analytic {
     * shuffle as 100 MB).
     */
   def corrStats(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "lineitem")
+    corrStatsOf(Tables(spark, dir, "lineitem"))
+
+  /** [[corrStats]]'s kernel on any lineitem-shaped frame. */
+  def corrStatsOf(li: DataFrame): DataFrame =
+    li
       .groupBy(col("l_returnflag"))
       .agg(
         round(corr(col("l_quantity"), col("l_extendedprice")), 6)
@@ -45,8 +49,12 @@ object Analytic {
     * daily rollup is the only full-data pass. Daily sums are rounded
     * before the fit so both engines regress over identical inputs.
     */
-  def regrTrend(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables(spark, dir, "events")
+  def regrTrend(spark: SparkSession, dir: String): DataFrame =
+    regrTrendOf(Tables(spark, dir, "events"))
+
+  /** [[regrTrend]]'s kernel on any events-shaped frame. */
+  def regrTrendOf(events: DataFrame): DataFrame = {
+    val daily = events
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       // exact integer-cent daily sums (r14 sweep): (type, day) groups
       // are fact-scale, and the fit must see identical inputs in both
@@ -69,10 +77,14 @@ object Analytic {
     * second aggregation and its probability window are driver-trivial
     * at any scale.
     */
-  def eventsMarkov(spark: SparkSession, dir: String): DataFrame = {
+  def eventsMarkov(spark: SparkSession, dir: String): DataFrame =
+    eventsMarkovOf(Tables(spark, dir, "events"))
+
+  /** [[eventsMarkov]]'s kernel on any events-shaped frame. */
+  def eventsMarkovOf(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val trans = Tables(spark, dir, "events")
+    val trans = events
       .withColumn("prev", lag(col("event_type"), 1).over(w))
       .filter(col("prev").isNotNull)
       .groupBy(col("prev"), col("event_type").as("curr"))
@@ -100,7 +112,11 @@ object Analytic {
     * pure integers on both engines.
     */
   def cohortLtv(spark: SparkSession, dir: String): DataFrame =
-    ltvCurves(Tables(spark, dir, "orders"))
+    cohortLtvOf(Tables(spark, dir, "orders"))
+
+  /** [[cohortLtv]]'s kernel on any orders-shaped frame. */
+  def cohortLtvOf(orders: DataFrame): DataFrame =
+    ltvCurves(orders)
 
   /** [[cohortLtv]]'s kernel on any orders-shaped frame. */
   private[operators] def ltvCurves(orders: DataFrame): DataFrame = {
@@ -147,7 +163,11 @@ object Analytic {
     * algorithms agreeing exactly is the point.
     */
   def aggExactMedian(spark: SparkSession, dir: String): DataFrame =
-    exactMedian(Tables(spark, dir, "events"))
+    aggExactMedianOf(Tables(spark, dir, "events"))
+
+  /** [[aggExactMedian]]'s kernel on any events-shaped frame. */
+  def aggExactMedianOf(events: DataFrame): DataFrame =
+    exactMedian(events)
 
   /** [[aggExactMedian]]'s kernel on any events frame. */
   private[operators] def exactMedian(events: DataFrame): DataFrame = {
@@ -198,7 +218,11 @@ object Analytic {
     * engines).
     */
   def eventsStreaks(spark: SparkSession, dir: String): DataFrame =
-    streaks(Tables(spark, dir, "events"))
+    eventsStreaksOf(Tables(spark, dir, "events"))
+
+  /** [[eventsStreaks]]'s kernel on any events-shaped frame. */
+  def eventsStreaksOf(events: DataFrame): DataFrame =
+    streaks(events)
 
   /** [[eventsStreaks]]'s kernel on any events frame. */
   private[operators] def streaks(events: DataFrame): DataFrame = {
@@ -235,8 +259,12 @@ object Analytic {
     * approx-quantile cut points (same segment semantics, no global
     * sort).
     */
-  def ordersRfm(spark: SparkSession, dir: String): DataFrame = {
-    val ord = Tables(spark, dir, "orders")
+  def ordersRfm(spark: SparkSession, dir: String): DataFrame =
+    ordersRfmOf(Tables(spark, dir, "orders"))
+
+  /** [[ordersRfm]]'s kernel on any orders-shaped frame. */
+  def ordersRfmOf(orders: DataFrame): DataFrame = {
+    val ord = orders
     val refDate = ord.agg(max(col("o_orderdate")).as("ref_date"))
     val perCust = ord.groupBy(col("o_custkey"))
       .agg(
@@ -271,7 +299,11 @@ object Analytic {
     * order-independent across engines.
     */
   def q6Revenue(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "lineitem")
+    q6RevenueOf(Tables(spark, dir, "lineitem"))
+
+  /** [[q6Revenue]]'s kernel on any lineitem-shaped frame. */
+  def q6RevenueOf(li: DataFrame): DataFrame =
+    li
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
         col("l_discount").between(0.05, 0.07) &&
@@ -287,11 +319,16 @@ object Analytic {
     * multiplication — and the date filter prunes the orders scan before
     * the shuffle.
     */
-  def q4Priority(spark: SparkSession, dir: String): DataFrame = {
-    val ord = Tables(spark, dir, "orders")
+  def q4Priority(spark: SparkSession, dir: String): DataFrame =
+    q4PriorityOf(Tables(spark, dir, "orders"),
+      Tables(spark, dir, "lineitem"))
+
+  /** [[q4Priority]]'s kernel on caller orders/lineitem frames. */
+  def q4PriorityOf(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val ord = orders
       .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
-    val heavy = Tables(spark, dir, "lineitem")
+    val heavy = lineitem
       .filter(col("l_quantity") > 45)
       .select(col("l_orderkey"))
     ord.join(heavy, ord("o_orderkey") === heavy("l_orderkey"), "left_semi")
@@ -305,13 +342,18 @@ object Analytic {
     * joins on custkey; nation broadcasts; TakeOrderedAndProject caps
     * the result without a global sort.
     */
-  def q10Returns(spark: SparkSession, dir: String): DataFrame = {
-    val cust = Tables(spark, dir, "customer")
-    val nation = Tables(spark, dir, "nation")
-    val ord = Tables(spark, dir, "orders")
+  def q10Returns(spark: SparkSession, dir: String): DataFrame =
+    q10ReturnsOf(Tables(spark, dir, "customer"),
+      Tables(spark, dir, "nation"), Tables(spark, dir, "orders"),
+      Tables(spark, dir, "lineitem"))
+
+  /** [[q10Returns]]'s kernel on the four caller frames. */
+  def q10ReturnsOf(cust: DataFrame, nation: DataFrame,
+      orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val ord = orders
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
-    val li = Tables(spark, dir, "lineitem")
+    val li = lineitem
       .filter(col("l_returnflag") === "R")
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(cust, ord("o_custkey") === cust("c_custkey"))
@@ -330,21 +372,25 @@ object Analytic {
     * stream ahead of the orderkey shuffle; only the cross-pair filter
     * (drop same-nation flows) runs post-join.
     */
-  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame =
+    q7VolumeShippingOf(Tables(spark, dir, "nation"),
+      Tables(spark, dir, "lineitem"), Tables(spark, dir, "orders"),
+      Tables(spark, dir, "customer"), Tables(spark, dir, "supplier"))
+
+  /** [[q7VolumeShipping]]'s kernel on the five caller frames. */
+  def q7VolumeShippingOf(nation: DataFrame, lineitem: DataFrame,
+      ord: DataFrame, cust: DataFrame, sup: DataFrame): DataFrame = {
     // 4-nation trade bloc (2 is empty at the smallest test SF)
     val nations = Seq("NATION_0", "NATION_1", "NATION_2", "NATION_3")
-    val n1 = Tables(spark, dir, "nation")
+    val n1 = nation
       .filter(col("n_name").isin(nations: _*))
       .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
-    val n2 = Tables(spark, dir, "nation")
+    val n2 = nation
       .filter(col("n_name").isin(nations: _*))
       .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
-    val li = Tables(spark, dir, "lineitem")
+    val li = lineitem
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
-    val ord = Tables(spark, dir, "orders")
-    val cust = Tables(spark, dir, "customer")
-    val sup = Tables(spark, dir, "supplier")
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(cust, ord("o_custkey") === cust("c_custkey"))
       .join(sup, li("l_suppkey") === sup("s_suppkey"))
@@ -363,11 +409,16 @@ object Analytic {
     * decimal-cast cent-exact sums rounded BEFORE the ratio so both
     * engines divide identical numbers.
     */
-  def q14Promo(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables(spark, dir, "lineitem")
+  def q14Promo(spark: SparkSession, dir: String): DataFrame =
+    q14PromoOf(Tables(spark, dir, "lineitem"),
+      Tables(spark, dir, "part"))
+
+  /** [[q14Promo]]'s kernel on caller lineitem/part frames. */
+  def q14PromoOf(lineitem: DataFrame, partTbl: DataFrame): DataFrame = {
+    val li = lineitem
       .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
         col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
-    val part = Tables(spark, dir, "part")
+    val part = partTbl
       .select(col("p_partkey"), col("p_type"))
     val disc = (col("l_extendedprice") * (lit(1) - col("l_discount")))
       .cast("decimal(18,4)")
@@ -387,12 +438,16 @@ object Analytic {
     * the row_number filter keeps one row per user without a second
     * aggregation.
     */
-  def winFirstLast(spark: SparkSession, dir: String): DataFrame = {
+  def winFirstLast(spark: SparkSession, dir: String): DataFrame =
+    winFirstLastOf(Tables(spark, dir, "events"))
+
+  /** [[winFirstLast]]'s kernel on any events-shaped frame. */
+  def winFirstLastOf(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val full = w.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
-    Tables(spark, dir, "events")
+    events
       .withColumn("first_value", round(first(col("value")).over(full), 2))
       .withColumn("last_value", round(last(col("value")).over(full), 2))
       .withColumn("second_value", round(nth_value(col("value"), 2).over(full), 2))
@@ -415,8 +470,12 @@ object Analytic {
     * for a 50-row answer. The uniform-without-replacement sampler you
     * can re-run over 100 TB and get the same rows.
     */
-  def samplePergroup(spark: SparkSession, dir: String): DataFrame = {
-    val hashed = Tables(spark, dir, "documents")
+  def samplePergroup(spark: SparkSession, dir: String): DataFrame =
+    samplePergroupOf(Tables(spark, dir, "documents"))
+
+  /** [[samplePergroup]]'s kernel on any documents-shaped frame. */
+  def samplePergroupOf(docs: DataFrame): DataFrame = {
+    val hashed = docs
       .select(col("lang"), col("doc_id"), col("n_chars"),
         md5(col("doc_id").cast("string")).as("h"))
     graft.plans.TopKOps.topK(hashed,
@@ -442,8 +501,12 @@ object Analytic {
     * with ignoreNulls — one in-partition sort per type, no self-join).
     * The spine is O(types × days) regardless of event volume.
     */
-  def tsGapfill(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables(spark, dir, "events")
+  def tsGapfill(spark: SparkSession, dir: String): DataFrame =
+    tsGapfillOf(Tables(spark, dir, "events"))
+
+  /** [[tsGapfill]]'s kernel on any events-shaped frame. */
+  def tsGapfillOf(events: DataFrame): DataFrame = {
+    val daily = events
       .filter(col("value") >= GapfillThreshold)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
@@ -472,14 +535,18 @@ object Analytic {
     * what drives thresholding on heavy-tailed value distributions where
     * mean/stddev are hostage to the tail.
     */
-  def robustStats(spark: SparkSession, dir: String): DataFrame = {
-    val quart = Tables(spark, dir, "events")
+  def robustStats(spark: SparkSession, dir: String): DataFrame =
+    robustStatsOf(Tables(spark, dir, "events"))
+
+  /** [[robustStats]]'s kernel on any events-shaped frame. */
+  def robustStatsOf(events: DataFrame): DataFrame = {
+    val quart = events
       .groupBy(col("event_type"))
       .agg(
         expr("percentile(value, 0.5)").as("med_raw"),
         expr("percentile(value, 0.25)").as("p25"),
         expr("percentile(value, 0.75)").as("p75"))
-    Tables(spark, dir, "events")
+    events
       .join(broadcast(quart), Seq("event_type"))
       .groupBy(col("event_type"))
       .agg(
@@ -497,8 +564,12 @@ object Analytic {
     * deterministic without an id tiebreak in the ORDER BY — and the
     * window input is the pre-aggregated O(customers) frame.
     */
-  def winDistribution(spark: SparkSession, dir: String): DataFrame = {
-    val totals = Tables(spark, dir, "orders")
+  def winDistribution(spark: SparkSession, dir: String): DataFrame =
+    winDistributionOf(Tables(spark, dir, "orders"))
+
+  /** [[winDistribution]]'s kernel on any orders-shaped frame. */
+  def winDistributionOf(orders: DataFrame): DataFrame = {
+    val totals = orders
       .groupBy(col("o_orderpriority"), col("o_custkey"))
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("total_d"))
     val w = Window.partitionBy(col("o_orderpriority"))
@@ -535,9 +606,13 @@ object Analytic {
     * order-independent, so the result is bit-identical to the
     * single-window spelling the oracle uses.
     */
-  def abcPareto(spark: SparkSession, dir: String): DataFrame = {
-    val nPart = spark.sparkContext.defaultParallelism
-    val perPart = Tables(spark, dir, "lineitem")
+  def abcPareto(spark: SparkSession, dir: String): DataFrame =
+    abcParetoOf(Tables(spark, dir, "lineitem"))
+
+  /** [[abcPareto]]'s kernel on any lineitem-shaped frame. */
+  def abcParetoOf(lineitem: DataFrame): DataFrame = {
+    val nPart = lineitem.sparkSession.sparkContext.defaultParallelism
+    val perPart = lineitem
       .groupBy(col("l_partkey"))
       .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
         .cast("decimal(18,4)")).as("rev_d"))
@@ -580,8 +655,12 @@ object Analytic {
     * self-join fans out at most types²/2 pairs per basket — bounded by
     * the type cardinality, not event volume.
     */
-  def eventsCooccur(spark: SparkSession, dir: String): DataFrame = {
-    val baskets = Tables(spark, dir, "events")
+  def eventsCooccur(spark: SparkSession, dir: String): DataFrame =
+    eventsCooccurOf(Tables(spark, dir, "events"))
+
+  /** [[eventsCooccur]]'s kernel on any events-shaped frame. */
+  def eventsCooccurOf(events: DataFrame): DataFrame = {
+    val baskets = events
       .select(col("user_id"), to_date(col("ts")).as("day"),
         col("event_type")).distinct()
     val perType = baskets.groupBy(col("event_type"))
@@ -627,8 +706,12 @@ object Analytic {
     * hash compare. Shuffles carry O(types × days × buckets) counters,
     * never raw values; error is bounded by the bucket width (spec).
     */
-  def aggHistQuantiles(spark: SparkSession, dir: String): DataFrame = {
-    val partials = Tables(spark, dir, "events")
+  def aggHistQuantiles(spark: SparkSession, dir: String): DataFrame =
+    aggHistQuantilesOf(Tables(spark, dir, "events"))
+
+  /** [[aggHistQuantiles]]'s kernel on any events-shaped frame. */
+  def aggHistQuantilesOf(events: DataFrame): DataFrame = {
+    val partials = events
       .groupBy(col("event_type"), to_date(col("ts")).as("day"),
         least(floor(col("value") / HistW), lit(HistBuckets - 1))
           .cast("long").as("bucket"))
@@ -677,8 +760,12 @@ object Analytic {
     * negative (refund-heavy day); floor-consistent integer math keeps
     * the recurrence engine-exact for any sign.
     */
-  def tsEwma(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables(spark, dir, "events")
+  def tsEwma(spark: SparkSession, dir: String): DataFrame =
+    tsEwmaOf(Tables(spark, dir, "events"))
+
+  /** [[tsEwma]]'s kernel on any events-shaped frame. */
+  def tsEwmaOf(events: DataFrame): DataFrame = {
+    val daily = events
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(round(sum(col("value")) * 100, 0).cast("long").as("cents"))
     daily
@@ -712,7 +799,11 @@ object Analytic {
     * oracle's `//` on identical integers at every step.
     */
   def tsHolt(spark: SparkSession, dir: String): DataFrame =
-    holtCents(spark, dir)
+    tsHoltOf(Tables(spark, dir, "events"))
+
+  /** [[tsHolt]]'s kernel on any events-shaped frame. */
+  def tsHoltOf(events: DataFrame): DataFrame =
+    holtCentsOf(events)
       .select(col("event_type"), col("day"),
         (col("rev_cents") / 100.0).as("rev"),
         (col("level_cents") / 100.0).as("level"),
@@ -725,8 +816,8 @@ object Analytic {
     * `ts_backtest` (one row per type-day with level/trend after
     * folding that day).
     */
-  private def holtCents(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables(spark, dir, "events")
+  private def holtCentsOf(events: DataFrame): DataFrame = {
+    val daily = events
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(round(sum(col("value")) * 100, 0).cast("long").as("cents"))
     // the new level appears inside the trend update; SQL lambdas have
@@ -767,9 +858,13 @@ object Analytic {
     * and the holt-beats-naive flag. One O(types × days) frame end to
     * end; the lead window and rollup ride the collapsed frame.
     */
-  def tsBacktest(spark: SparkSession, dir: String): DataFrame = {
+  def tsBacktest(spark: SparkSession, dir: String): DataFrame =
+    tsBacktestOf(Tables(spark, dir, "events"))
+
+  /** [[tsBacktest]]'s kernel on any events-shaped frame. */
+  def tsBacktestOf(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
-    holtCents(spark, dir)
+    holtCentsOf(events)
       .withColumn("fc", col("level_cents") + col("trend_cents"))
       .withColumn("next_rev", lead(col("rev_cents"), 1).over(w))
       .filter(col("next_rev").isNotNull)
@@ -805,7 +900,11 @@ object Analytic {
     * and the flag all run there.
     */
   def tsChangepoint(spark: SparkSession, dir: String): DataFrame =
-    changepoint(Tables(spark, dir, "events"))
+    tsChangepointOf(Tables(spark, dir, "events"))
+
+  /** [[tsChangepoint]]'s kernel on any events-shaped frame. */
+  def tsChangepointOf(events: DataFrame): DataFrame =
+    changepoint(events)
 
   /** [[tsChangepoint]]'s core on any (event_type, ts) frame. */
   def changepoint(events: DataFrame): DataFrame = {
@@ -858,7 +957,11 @@ object Analytic {
     * frame (B31's collapse-the-stream-first rule), output O(types×7).
     */
   def tsAutocorr(spark: SparkSession, dir: String): DataFrame =
-    autocorr(Tables(spark, dir, "events"), maxLag = 7)
+    tsAutocorrOf(Tables(spark, dir, "events"))
+
+  /** [[tsAutocorr]]'s kernel on any events-shaped frame. */
+  def tsAutocorrOf(events: DataFrame): DataFrame =
+    autocorr(events, maxLag = 7)
 
   /** [[tsAutocorr]]'s kernel on any (event_type, ts, value) frame. */
   private[operators] def autocorr(events: DataFrame, maxLag: Int)
@@ -906,14 +1009,18 @@ object Analytic {
     * are spelled as the same literals in both engines (never 1−d:
     * 1−0.85 ≠ literal-0.15 in doubles).
     */
-  def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val nation = Tables(spark, dir, "nation")
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame =
+    graphPagerankOf(Tables(spark, dir, "nation"),
+      Tables(spark, dir, "lineitem"), Tables(spark, dir, "orders"),
+      Tables(spark, dir, "customer"), Tables(spark, dir, "supplier"))
+
+  /** [[graphPagerank]]'s kernel on the five caller frames. */
+  def graphPagerankOf(nationTbl: DataFrame, li: DataFrame,
+      ord: DataFrame, cust: DataFrame, sup: DataFrame): DataFrame = {
+    val spark = nationTbl.sparkSession
+    val nation = nationTbl
       .select(col("n_nationkey").as("node"), col("n_name"))
-    val nC = Tables(spark, dir, "nation").count().toDouble
-    val li = Tables(spark, dir, "lineitem")
-    val ord = Tables(spark, dir, "orders")
-    val cust = Tables(spark, dir, "customer")
-    val sup = Tables(spark, dir, "supplier")
+    val nC = nationTbl.count().toDouble
     val edges = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(cust, ord("o_custkey") === cust("c_custkey"))
       .join(sup, li("l_suppkey") === sup("s_suppkey"))
@@ -966,11 +1073,17 @@ object Analytic {
     * the pre-aggregated calendar frame (the documented tiny-frame
     * global window).
     */
-  def ordersOpenByDay(spark: SparkSession, dir: String): DataFrame = {
-    val close = Tables(spark, dir, "lineitem")
+  def ordersOpenByDay(spark: SparkSession, dir: String): DataFrame =
+    ordersOpenByDayOf(Tables(spark, dir, "lineitem"),
+      Tables(spark, dir, "orders"))
+
+  /** [[ordersOpenByDay]]'s kernel on caller lineitem/orders frames. */
+  def ordersOpenByDayOf(lineitem: DataFrame,
+      orders: DataFrame): DataFrame = {
+    val close = lineitem
       .groupBy(col("l_orderkey"))
       .agg(max(to_date(col("l_shipdate"))).as("close_day"))
-    val spans = Tables(spark, dir, "orders")
+    val spans = orders
       .join(close, col("o_orderkey") === col("l_orderkey"), "left")
       .select(to_date(col("o_orderdate")).as("open_day"),
         greatest(coalesce(col("close_day"), to_date(col("o_orderdate"))),
@@ -1012,7 +1125,11 @@ object Analytic {
     * op is bit-identical too.
     */
   def tsSeasonal(spark: SparkSession, dir: String): DataFrame =
-    seasonalDecompose(Tables(spark, dir, "events"))
+    tsSeasonalOf(Tables(spark, dir, "events"))
+
+  /** [[tsSeasonal]]'s kernel on any events-shaped frame. */
+  def tsSeasonalOf(events: DataFrame): DataFrame =
+    seasonalDecompose(events)
 
   /** [[tsSeasonal]]'s kernel on any events frame. */
   private[operators] def seasonalDecompose(events: DataFrame): DataFrame = {

@@ -32,10 +32,15 @@ object CurationOps {
     * Lateness is reported in whole seconds via exact integer micros
     * (floor division; non-negative by construction).
     */
-  def etlLateData(spark: SparkSession, dir: String): DataFrame = {
+  def etlLateData(spark: SparkSession, dir: String): DataFrame =
+    etlLateDataOf(Tables(spark, dir, "events"))
+
+
+  /** [[etlLateData]]'s kernel on any events-shaped frame. */
+  def etlLateDataOf(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables(spark, dir, "events")
+    events
       .select(col("user_id"), col("event_id"), col("ts"))
       .withColumn("wm", max(col("ts")).over(w))
       .withColumn("late", col("ts") < col("wm") - expr(LateDelay))
@@ -71,15 +76,19 @@ object CurationOps {
     * carries the join. Workload: shipments attributed to urgent-order
     * processing windows ([o_orderdate, +6d]).
     */
-  def intervalJoinBucketed(spark: SparkSession, dir: String): DataFrame = {
-    val win = Tables(spark, dir, "orders")
+  def intervalJoinBucketed(spark: SparkSession, dir: String): DataFrame =
+    intervalJoinBucketedOf(Tables(spark, dir, "orders"), Tables(spark, dir, "lineitem"))
+
+  /** [[intervalJoinBucketed]]'s kernel on caller orders/lineitem frames. */
+  def intervalJoinBucketedOf(orders: DataFrame, li: DataFrame): DataFrame = {
+    val win = orders
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"),
         to_date(col("o_orderdate")).as("w_start"),
         date_add(to_date(col("o_orderdate")), WindowDays - 1).as("w_end"))
     val buckets = win.withColumn("day",
       explode(sequence(col("w_start"), col("w_end"))))
-    val daily = Tables(spark, dir, "lineitem")
+    val daily = li
       .groupBy(to_date(col("l_shipdate")).as("day"))
       .agg(count(lit(1)).as("n_day"), sum(col("l_quantity")).as("qty_day"))
     buckets.join(daily, Seq("day"))
@@ -106,8 +115,13 @@ object CurationOps {
     * boundary (1/32 = 0.03125) where the engines' rounding modes
     * legitimately disagree.
     */
-  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables(spark, dir, "documents")
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    vocabCoverageOf(Tables(spark, dir, "documents"))
+
+
+  /** [[vocabCoverage]]'s kernel on any documents-shaped frame. */
+  def vocabCoverageOf(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
     val vocab = toks.groupBy(col("tok"))
       .agg(count(lit(1)).as("c"))
@@ -145,7 +159,12 @@ object CurationOps {
     * join, OOV fold, and KL sum all run on O(sources × V) rows.
     */
   def textVocabKl(spark: SparkSession, dir: String): DataFrame =
-    vocabKl(Tables(spark, dir, "documents"))
+    textVocabKlOf(Tables(spark, dir, "documents"))
+
+
+  /** [[textVocabKl]]'s kernel on any documents-shaped frame. */
+  def textVocabKlOf(docs: DataFrame): DataFrame =
+    vocabKl(docs)
 
   /** [[textVocabKl]]'s core on any (source, text) frame. */
   def vocabKl(docs: DataFrame): DataFrame = vocabKlBy(docs, Seq("source"))
@@ -210,7 +229,12 @@ object CurationOps {
     * (source, lang): the drift diagnostic one level finer than C29.
     */
   def textVocabKlLang(spark: SparkSession, dir: String): DataFrame =
-    vocabKlBy(Tables(spark, dir, "documents"), Seq("source", "lang"))
+    textVocabKlLangOf(Tables(spark, dir, "documents"))
+
+
+  /** [[textVocabKlLang]]'s kernel on any documents-shaped frame. */
+  def textVocabKlLangOf(docs: DataFrame): DataFrame =
+    vocabKlBy(docs, Seq("source", "lang"))
 
   val ContainTauBp = 7000 // containment threshold (basis points)
 
@@ -224,9 +248,14 @@ object CurationOps {
     * candidate pairs only — never all pairs. Scores ship as exact
     * basis points.
     */
-  def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    dedupContainmentOf(Tables(spark, dir, "documents"))
+
+  /** [[dedupContainment]]'s kernel on caller documents frame. */
+  def dedupContainmentOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     val wg = Window.partitionBy(col("g"))
-    val ex = Tables(spark, dir, "documents")
+    val ex = docs
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         explode(TextOps.wordShingles(TextOps.tokens(col("text")))).as("gs"))
@@ -264,8 +293,12 @@ object CurationOps {
     * fold/dot idiom). Sums stay in i64 up to ~10^8 vectors; widen to
     * decimal partials beyond.
     */
-  def embWhiten(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables(spark, dir, "embeddings")
+  def embWhiten(spark: SparkSession, dir: String): DataFrame =
+    embWhitenOf(Tables(spark, dir, "embeddings"))
+
+
+  /** [[embWhiten]]'s kernel on any embeddings-shaped frame. */
+  def embWhitenOf(emb: DataFrame): DataFrame = {
     val stats = emb
       .select(posexplode(col("embedding")).as(Seq("d", "x")))
       .select(col("d"),
@@ -319,8 +352,13 @@ object CurationOps {
     * frame, one window over it — at 100 TB the audit costs one
     * map-side-combined shuffle. All counts and tiers integer-exact.
     */
-  def etlKAnonymity(spark: SparkSession, dir: String): DataFrame = {
-    val g1 = Tables(spark, dir, "customer")
+  def etlKAnonymity(spark: SparkSession, dir: String): DataFrame =
+    etlKAnonymityOf(Tables(spark, dir, "customer"))
+
+
+  /** [[etlKAnonymity]]'s kernel on any customer-shaped frame. */
+  def etlKAnonymityOf(cust: DataFrame): DataFrame = {
+    val g1 = cust
       .groupBy(
         col("c_nationkey"), col("c_mktsegment"),
         floor(col("c_acctbal") / 1000).cast("long").as("band1"),
@@ -361,7 +399,12 @@ object CurationOps {
     * (identical u16 both engines) — the C29 guarded-ln precedent.
     */
   def etlDpCounts(spark: SparkSession, dir: String): DataFrame =
-    dpCounts(Tables(spark, dir, "events"))
+    etlDpCountsOf(Tables(spark, dir, "events"))
+
+
+  /** [[etlDpCounts]]'s kernel on any events-shaped frame. */
+  def etlDpCountsOf(events: DataFrame): DataFrame =
+    dpCounts(events)
 
   /** [[etlDpCounts]]'s kernel on any events frame. */
   private[operators] def dpCounts(events: DataFrame): DataFrame = {
@@ -401,7 +444,12 @@ object CurationOps {
     * (floor-division basis points, the house rule for ratios).
     */
   def anonLDiversity(spark: SparkSession, dir: String): DataFrame =
-    lDiversity(Tables(spark, dir, "customer"))
+    anonLDiversityOf(Tables(spark, dir, "customer"))
+
+
+  /** [[anonLDiversity]]'s kernel on any customer-shaped frame. */
+  def anonLDiversityOf(cust: DataFrame): DataFrame =
+    lDiversity(cust)
 
   /** [[anonLDiversity]]'s kernel on any customer-shaped frame. */
   private[operators] def lDiversity(customers: DataFrame): DataFrame = {
@@ -446,7 +494,12 @@ object CurationOps {
     * the O(bands) rollup — B63's rule), broadcast one-row totals.
     */
   def anonTCloseness(spark: SparkSession, dir: String): DataFrame =
-    tCloseness(Tables(spark, dir, "customer"))
+    anonTClosenessOf(Tables(spark, dir, "customer"))
+
+
+  /** [[anonTCloseness]]'s kernel on any customer-shaped frame. */
+  def anonTClosenessOf(cust: DataFrame): DataFrame =
+    tCloseness(cust)
 
   /** [[anonTCloseness]]'s kernel on any customer-shaped frame. */
   private[operators] def tCloseness(customers: DataFrame): DataFrame = {
@@ -509,8 +562,9 @@ object CurationOps {
   def linkBlocking(spark: SparkSession, dir: String): DataFrame =
     linkBlockingOf(Tables(spark, dir, "part"))
 
+
   /** [[linkBlocking]]'s kernel on any part-shaped frame. */
-  private[operators] def linkBlockingOf(parts: DataFrame): DataFrame =
+  def linkBlockingOf(parts: DataFrame): DataFrame =
     linkPairFrame(parts).orderBy(col("pa"), col("pb"))
 
   /** The unsorted matched-pair frame behind A45/A46: the verify chain
@@ -644,6 +698,7 @@ object CurationOps {
   def linkEntities(spark: SparkSession, dir: String): DataFrame =
     linkEntitiesOf(Tables(spark, dir, "part"))
 
+
   /** The (p_partkey, entity_id) label frame behind A46/A47. */
   private[operators] def linkEntityLabels(parts: DataFrame): DataFrame =
     graft.dedup.Dedup.connectedComponents(
@@ -651,7 +706,7 @@ object CurationOps {
       .select(col("node").as("p_partkey"), col("label").as("entity_id"))
 
   /** [[linkEntities]]'s kernel on any part-shaped frame. */
-  private[operators] def linkEntitiesOf(parts: DataFrame): DataFrame = {
+  def linkEntitiesOf(parts: DataFrame): DataFrame = {
     val wc = Window.partitionBy(col("entity_id"))
     linkEntityLabels(parts)
       .withColumn("entity_size", count(lit(1)).over(wc))
@@ -677,8 +732,9 @@ object CurationOps {
   def linkSurvivorship(spark: SparkSession, dir: String): DataFrame =
     linkSurvivorshipOf(Tables(spark, dir, "part"))
 
+
   /** [[linkSurvivorship]]'s kernel on any part-shaped frame. */
-  private[operators] def linkSurvivorshipOf(parts: DataFrame): DataFrame = {
+  def linkSurvivorshipOf(parts: DataFrame): DataFrame = {
     val m = linkEntityLabels(parts)
       .join(parts, Seq("p_partkey"))
       .withColumn("cents",

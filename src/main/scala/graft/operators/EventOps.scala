@@ -17,7 +17,11 @@ object EventOps {
     * distinct job, stable column set at any scale); missing cells → 0.
     */
   def pivotEvents(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "events")
+    pivotEventsOf(Tables(spark, dir, "events"))
+
+  /** [[pivotEvents]]'s kernel on any events-shaped frame. */
+  def pivotEventsOf(events: DataFrame): DataFrame =
+    events
       .groupBy(col("user_id"))
       .pivot("event_type", eventTypes)
       .agg(count(lit(1)))
@@ -30,8 +34,12 @@ object EventOps {
     * so it scales where a naive inequality join would not. Clicks sort
     * before purchases on equal ts so "at-or-before" includes ties.
     */
-  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(spark, dir, "events")
+  def asofJoin(spark: SparkSession, dir: String): DataFrame =
+    asofJoinOf(Tables(spark, dir, "events"))
+
+  /** [[asofJoin]]'s kernel on any events-shaped frame. */
+  def asofJoinOf(events: DataFrame): DataFrame = {
+    val ev = events
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"), lit(null).cast("long").as("event_id"),
         lit(null).cast("double").as("value"), lit(0).as("kind"))
@@ -58,8 +66,12 @@ object EventOps {
     * shuffle, one sort, no inequality join. Purchases sort after
     * clicks on equal ts so "at-or-after" includes ties.
     */
-  def asofJoinFwd(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(spark, dir, "events")
+  def asofJoinFwd(spark: SparkSession, dir: String): DataFrame =
+    asofJoinFwdOf(Tables(spark, dir, "events"))
+
+  /** [[asofJoinFwd]]'s kernel on any events-shaped frame. */
+  def asofJoinFwdOf(events: DataFrame): DataFrame = {
+    val ev = events
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("kind"))
     val purchases = ev.filter(col("event_type") === "purchase")
@@ -91,7 +103,11 @@ object EventOps {
     * EARLIER click (deterministic, spelled ≤ in both engines).
     */
   def asofJoinNearest(spark: SparkSession, dir: String): DataFrame =
-    nearestAsof(Tables(spark, dir, "events"))
+    asofJoinNearestOf(Tables(spark, dir, "events"))
+
+  /** [[asofJoinNearest]]'s kernel on any events-shaped frame. */
+  def asofJoinNearestOf(events: DataFrame): DataFrame =
+    nearestAsof(events)
 
   /** [[asofJoinNearest]]'s core on any (user_id, ts, event_type,
     * event_id) frame.
@@ -133,8 +149,12 @@ object EventOps {
     * range as a post-filter, so work stays proportional to same-user
     * pairs — the scalable shape for interval joins.
     */
-  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(spark, dir, "events")
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame =
+    rangeJoinOf(Tables(spark, dir, "events"))
+
+  /** [[rangeJoin]]'s kernel on any events-shaped frame. */
+  def rangeJoinOf(events: DataFrame): DataFrame = {
+    val ev = events
     val errors = ev.filter(col("event_type") === "error")
       .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
         col("ts").as("error_ts"))
@@ -158,7 +178,11 @@ object EventOps {
     * column (≈ the reference's per-card field scraping, aiesec.py:70).
     */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "events")
+    jsonExtractOf(Tables(spark, dir, "events"))
+
+  /** [[jsonExtract]]'s kernel on any events-shaped frame. */
+  def jsonExtractOf(events: DataFrame): DataFrame =
+    events
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
       .groupBy(col("event_type"))
       .agg(
@@ -172,7 +196,11 @@ object EventOps {
     * downstream consumer) is order-stable.
     */
   def arraysCollect(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "events")
+    arraysCollectOf(Tables(spark, dir, "events"))
+
+  /** [[arraysCollect]]'s kernel on any events-shaped frame. */
+  def arraysCollectOf(events: DataFrame): DataFrame =
+    events
       .groupBy(col("user_id"))
       .agg(
         array_join(array_sort(collect_list(col("event_type"))), ",")
@@ -187,9 +215,13 @@ object EventOps {
     * a single shuffle on user_id, with the per-user reduction and the
     * tiny final stage rollup both map-side-combinable.
     */
-  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame =
+    eventsFunnelOf(Tables(spark, dir, "events"))
+
+  /** [[eventsFunnel]]'s kernel on any events-shaped frame. */
+  def eventsFunnelOf(events: DataFrame): DataFrame = {
     val wu = Window.partitionBy(col("user_id"))
-    val staged = Tables(spark, dir, "events")
+    val staged = events
       .select(col("user_id"), col("event_type"), col("ts"))
       .withColumn("t_view",
         min(when(col("event_type") === "view", col("ts"))).over(wu))
@@ -221,10 +253,14 @@ object EventOps {
     * distinct count — the user_id join in between reuses the first
     * shuffle's partitioning.
     */
-  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame =
+    retentionCohortsOf(Tables(spark, dir, "events"))
+
+  /** [[retentionCohorts]]'s kernel on any events-shaped frame. */
+  def retentionCohortsOf(events: DataFrame): DataFrame = {
     def week(c: Column): Column =
       floor(datediff(to_date(c), lit("1970-01-01")) / 7).cast("long")
-    val ev = Tables(spark, dir, "events").select(col("user_id"), col("ts"))
+    val ev = events.select(col("user_id"), col("ts"))
     val firstSeen = ev.groupBy(col("user_id"))
       .agg(week(min(col("ts"))).as("cohort_wk"))
     ev.join(firstSeen, "user_id")
@@ -242,8 +278,12 @@ object EventOps {
     * the windowed frame is O(types × days), trivially small at any
     * event volume, which is what makes this pattern safe at 100 TB.
     */
-  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables(spark, dir, "events")
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame =
+    eventsAnomalyOf(Tables(spark, dir, "events"))
+
+  /** [[eventsAnomaly]]'s kernel on any events-shaped frame. */
+  def eventsAnomalyOf(events: DataFrame): DataFrame = {
+    val daily = events
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n_events"))
     val wt = Window.partitionBy(col("event_type")).orderBy(col("day"))
@@ -266,7 +306,11 @@ object EventOps {
     * against a sample or one partition-date.
     */
   def skewAudit(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "events")
+    skewAuditOf(Tables(spark, dir, "events"))
+
+  /** [[skewAudit]]'s kernel on any events-shaped frame. */
+  def skewAuditOf(events: DataFrame): DataFrame =
+    events
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n"))
       .agg(
@@ -300,11 +344,15 @@ object EventOps {
     * in integer µs, so every aggregate is order-free exact and the
     * oracle replays bit-for-bit.
     */
-  def eventsAttribution(spark: SparkSession, dir: String): DataFrame = {
+  def eventsAttribution(spark: SparkSession, dir: String): DataFrame =
+    eventsAttributionOf(Tables(spark, dir, "events"))
+
+  /** [[eventsAttribution]]'s kernel on any events-shaped frame. */
+  def eventsAttributionOf(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables(spark, dir, "events")
+    events
       .withColumn("touch",
         when(col("event_type").isin("click", "view"),
           struct(unix_micros(col("ts")).as("t_us"),
@@ -348,7 +396,11 @@ object EventOps {
     * inputs, and credits ship as rounded integer milli-cents.
     */
   def eventsAttributionDecay(spark: SparkSession, dir: String): DataFrame =
-    attributionDecay(Tables(spark, dir, "events"))
+    eventsAttributionDecayOf(Tables(spark, dir, "events"))
+
+  /** [[eventsAttributionDecay]]'s kernel on any events-shaped frame. */
+  def eventsAttributionDecayOf(events: DataFrame): DataFrame =
+    attributionDecay(events)
 
   /** [[eventsAttributionDecay]]'s kernel on any events frame. */
   private[operators] def attributionDecay(events: DataFrame): DataFrame = {
@@ -419,7 +471,11 @@ object EventOps {
     * unique.
     */
   def eventsSequenceMatch(spark: SparkSession, dir: String): DataFrame =
-    sequenceMatch(Tables(spark, dir, "events"))
+    eventsSequenceMatchOf(Tables(spark, dir, "events"))
+
+  /** [[eventsSequenceMatch]]'s kernel on any events-shaped frame. */
+  def eventsSequenceMatchOf(events: DataFrame): DataFrame =
+    sequenceMatch(events)
 
   /** [[eventsSequenceMatch]]'s kernel on any events-shaped frame. */
   private[operators] def sequenceMatch(events: DataFrame): DataFrame = {

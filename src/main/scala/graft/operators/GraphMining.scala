@@ -112,7 +112,12 @@ object GraphMining {
     * TakeOrderedAndProject — no global sort of the node table.
     */
   def graphTriangles(spark: SparkSession, dir: String): DataFrame =
-    triangleCounts(copurchaseEdges(Tables(spark, dir, "lineitem")))
+    graphTrianglesOf(Tables(spark, dir, "lineitem"))
+
+
+  /** [[graphTriangles]]'s kernel on any lineitem-shaped frame. */
+  def graphTrianglesOf(li: DataFrame): DataFrame =
+    triangleCounts(copurchaseEdges(li))
       .select(col("node").as("p_partkey"), col("degree"), col("n_tri"))
       .orderBy(col("n_tri").desc, col("p_partkey"))
       .limit(TriTopK)
@@ -152,7 +157,12 @@ object GraphMining {
     * the staircase plan above.
     */
   def skylinePareto(spark: SparkSession, dir: String): DataFrame =
-    skyline(Tables(spark, dir, "part")
+    skylineParetoOf(Tables(spark, dir, "part"))
+
+
+  /** [[skylinePareto]]'s kernel on any part-shaped frame. */
+  def skylineParetoOf(part: DataFrame): DataFrame =
+    skyline(part
       .select(col("p_partkey").as("id"),
         col("p_retailprice").as("price"), col("p_size").as("size")))
       .select(col("id").as("p_partkey"), col("price").as("p_retailprice"),
@@ -225,9 +235,13 @@ object GraphMining {
     * any summation order, so cross-engine dominance never flips on a
     * ulp); the frontier computes via [[skyline3dKernel]].
     */
-  def skyline3d(spark: SparkSession, dir: String): DataFrame = {
-    val pts = Tables(spark, dir, "part")
-      .join(Tables(spark, dir, "lineitem"),
+  def skyline3d(spark: SparkSession, dir: String): DataFrame =
+    skyline3dOf(Tables(spark, dir, "part"), Tables(spark, dir, "lineitem"))
+
+  /** [[skyline3d]]'s kernel on caller part/lineitem frames. */
+  def skyline3dOf(partTbl: DataFrame, li: DataFrame): DataFrame = {
+    val pts = partTbl
+      .join(li,
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_partkey"), col("p_retailprice"), col("p_size"))
       .agg(sum(col("l_quantity")).as("qty"))
@@ -269,7 +283,12 @@ object GraphMining {
     * tie-break → TakeOrderedAndProject head.
     */
   def eventsPaths(spark: SparkSession, dir: String): DataFrame =
-    pathTrigrams(Tables(spark, dir, "events"))
+    eventsPathsOf(Tables(spark, dir, "events"))
+
+
+  /** [[eventsPaths]]'s kernel on any events-shaped frame. */
+  def eventsPathsOf(events: DataFrame): DataFrame =
+    pathTrigrams(events)
       .orderBy(col("n_paths").desc, col("e1"), col("e2"), col("e3"))
       .limit(PathTopK)
 
@@ -293,7 +312,12 @@ object GraphMining {
     * rule) via TakeOrderedAndProject.
     */
   def ordersBasketRules(spark: SparkSession, dir: String): DataFrame =
-    basketRules(Tables(spark, dir, "lineitem")
+    ordersBasketRulesOf(Tables(spark, dir, "lineitem"))
+
+
+  /** [[ordersBasketRules]]'s kernel on any lineitem-shaped frame. */
+  def ordersBasketRulesOf(li: DataFrame): DataFrame =
+    basketRules(li
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
       .orderBy(col("lift_milli").desc, col("conf_bp").desc,
         col("antecedent"), col("consequent"))
@@ -348,8 +372,13 @@ object GraphMining {
     * O(Σ size²), which is exactly why the UNthresholded graph has no
     * SQL oracle; documented in §9).
     */
-  def graphComponents(spark: SparkSession, dir: String): DataFrame = {
-    val edges = copurchaseEdges(Tables(spark, dir, "lineitem"))
+  def graphComponents(spark: SparkSession, dir: String): DataFrame =
+    graphComponentsOf(Tables(spark, dir, "lineitem"))
+
+
+  /** [[graphComponents]]'s kernel on any lineitem-shaped frame. */
+  def graphComponentsOf(li: DataFrame): DataFrame = {
+    val edges = copurchaseEdges(li)
       .localCheckpoint() // feeds the CC kernel + both rollups
     val labels = graft.dedup.Dedup.connectedComponents(edges)
     val nodes = labels.groupBy(col("label"))
@@ -426,7 +455,12 @@ object GraphMining {
     * TakeOrderedAndProject head.
     */
   def graphJaccardLinks(spark: SparkSession, dir: String): DataFrame =
-    jaccardLinks(copurchaseEdges(Tables(spark, dir, "lineitem")))
+    graphJaccardLinksOf(Tables(spark, dir, "lineitem"))
+
+
+  /** [[graphJaccardLinks]]'s kernel on any lineitem-shaped frame. */
+  def graphJaccardLinksOf(li: DataFrame): DataFrame =
+    jaccardLinks(copurchaseEdges(li))
       .orderBy(col("jacc_milli").desc, col("n_common").desc,
         col("u"), col("v"))
       .limit(LinkTopK)
@@ -510,7 +544,12 @@ object GraphMining {
     * above B76's triangles): node + residual degree, ordered.
     */
   def graphKcore(spark: SparkSession, dir: String): DataFrame =
-    kcorePeel(copurchaseEdges(Tables(spark, dir, "lineitem")))
+    graphKcoreOf(Tables(spark, dir, "lineitem"))
+
+
+  /** [[graphKcore]]'s kernel on any lineitem-shaped frame. */
+  def graphKcoreOf(li: DataFrame): DataFrame =
+    kcorePeel(copurchaseEdges(li))
       .select(col("node").as("p_partkey"), col("degree"))
       .orderBy(col("p_partkey"))
 
@@ -561,7 +600,12 @@ object GraphMining {
     * part key) and size after [[LpaRounds]] voting rounds.
     */
   def graphLpaCommunities(spark: SparkSession, dir: String): DataFrame =
-    lpaCommunities(copurchaseEdges(Tables(spark, dir, "lineitem")))
+    graphLpaCommunitiesOf(Tables(spark, dir, "lineitem"))
+
+
+  /** [[graphLpaCommunities]]'s kernel on any lineitem-shaped frame. */
+  def graphLpaCommunitiesOf(li: DataFrame): DataFrame =
+    lpaCommunities(copurchaseEdges(li))
 
   val BfsSeedK = 3  // hub seeds: top-K by (degree DESC, node ASC)
   val BfsRounds = 4 // hop horizon
@@ -610,7 +654,12 @@ object GraphMining {
     * from the hub seed set), reachable-within-[[BfsRounds]] only.
     */
   def graphBfs(spark: SparkSession, dir: String): DataFrame =
-    bfsLayers(copurchaseEdges(Tables(spark, dir, "lineitem")))
+    graphBfsOf(Tables(spark, dir, "lineitem"))
+
+
+  /** [[graphBfs]]'s kernel on any lineitem-shaped frame. */
+  def graphBfsOf(li: DataFrame): DataFrame =
+    bfsLayers(copurchaseEdges(li))
 
   /** B93 `graph_closeness` — bounded-horizon closeness centrality for
     * the [[BfsSeedK]] highest-degree hubs (B90 answers "how far is
@@ -632,7 +681,12 @@ object GraphMining {
     * O(K) rows.
     */
   def graphCloseness(spark: SparkSession, dir: String): DataFrame =
-    hubCloseness(copurchaseEdges(Tables(spark, dir, "lineitem")))
+    graphClosenessOf(Tables(spark, dir, "lineitem"))
+
+
+  /** [[graphCloseness]]'s kernel on any lineitem-shaped frame. */
+  def graphClosenessOf(li: DataFrame): DataFrame =
+    hubCloseness(copurchaseEdges(li))
 
   /** [[graphCloseness]]'s kernel on any (u, v) edge frame. */
   private[operators] def hubCloseness(edges0: DataFrame): DataFrame = {
@@ -691,7 +745,12 @@ object GraphMining {
     * rollups on the O(K·nodes) visited frame; output O(K).
     */
   def graphEccentricity(spark: SparkSession, dir: String): DataFrame =
-    hubEccentricity(copurchaseEdges(Tables(spark, dir, "lineitem")))
+    graphEccentricityOf(Tables(spark, dir, "lineitem"))
+
+
+  /** [[graphEccentricity]]'s kernel on any lineitem-shaped frame. */
+  def graphEccentricityOf(li: DataFrame): DataFrame =
+    hubEccentricity(copurchaseEdges(li))
 
   /** [[graphEccentricity]]'s kernel on any (u, v) edge frame. */
   private[operators] def hubEccentricity(edges0: DataFrame): DataFrame = {
@@ -762,7 +821,12 @@ object GraphMining {
     * by change; this ranks nodes by brokered flow.
     */
   def graphBetweenness(spark: SparkSession, dir: String): DataFrame =
-    hubBetweenness(copurchaseEdges(Tables(spark, dir, "lineitem")))
+    graphBetweennessOf(Tables(spark, dir, "lineitem"))
+
+
+  /** [[graphBetweenness]]'s kernel on any lineitem-shaped frame. */
+  def graphBetweennessOf(li: DataFrame): DataFrame =
+    hubBetweenness(copurchaseEdges(li))
 
   /** Shared B94/B95 prefix on any (u, v) edge frame: symmetrized
     * adjacency (checkpointed — read every round in both directions)
@@ -874,7 +938,12 @@ object GraphMining {
     * bridge+tail, σ-multiplicity diamond) against the recursion.
     */
   def graphStress(spark: SparkSession, dir: String): DataFrame =
-    hubStress(copurchaseEdges(Tables(spark, dir, "lineitem")))
+    graphStressOf(Tables(spark, dir, "lineitem"))
+
+
+  /** [[graphStress]]'s kernel on any lineitem-shaped frame. */
+  def graphStressOf(li: DataFrame): DataFrame =
+    hubStress(copurchaseEdges(li))
 
   /** [[graphStress]]'s kernel on any (u, v) edge frame. */
   private[operators] def hubStress(edges0: DataFrame): DataFrame = {
@@ -952,7 +1021,12 @@ object GraphMining {
     * point of Borůvka at scale.
     */
   def graphMst(spark: SparkSession, dir: String): DataFrame =
-    boruvkaForest(copurchaseWeightedEdges(Tables(spark, dir, "lineitem")))
+    graphMstOf(Tables(spark, dir, "lineitem"))
+
+
+  /** [[graphMst]]'s kernel on any lineitem-shaped frame. */
+  def graphMstOf(li: DataFrame): DataFrame =
+    boruvkaForest(copurchaseWeightedEdges(li))
 
   /** [[graphMst]]'s kernel on any (u, v, support) weighted frame. */
   private[operators] def boruvkaForest(wedges0: DataFrame): DataFrame = {
@@ -1029,7 +1103,12 @@ object GraphMining {
     * (the B90/D6 rule). Rollup is O(K) rows.
     */
   def graphWeightedPaths(spark: SparkSession, dir: String): DataFrame =
-    weightedPaths(copurchaseWeightedEdges(Tables(spark, dir, "lineitem")))
+    graphWeightedPathsOf(Tables(spark, dir, "lineitem"))
+
+
+  /** [[graphWeightedPaths]]'s kernel on any lineitem-shaped frame. */
+  def graphWeightedPathsOf(li: DataFrame): DataFrame =
+    weightedPaths(copurchaseWeightedEdges(li))
 
   /** [[graphWeightedPaths]]'s kernel on any (u, v, support) frame. */
   private[operators] def weightedPaths(wedges0: DataFrame): DataFrame = {

@@ -19,14 +19,17 @@ object Relational {
     * (map-side combine) does almost all the work, so this scales
     * linearly with input and the shuffle is tiny.
     */
-  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    q1AggOf(Tables(spark, dir, "lineitem"))
+
+  /** [[q1Agg]]'s kernel on any lineitem-shaped frame. */
+  def q1AggOf(li: DataFrame): DataFrame = {
     // Money sums accumulate as EXACT integer cents (r14 sweep — the
     // agg_rollup lesson): these groups span the WHOLE fact table, and
     // a double sum's 2-dp round flips with partial-merge order.
     // sum_qty/avg_qty stay double: l_quantity is integer-valued, and
     // integer-valued doubles sum exactly (order-free) below 2^53.
     // avg_disc divides an exact cent sum once at the end.
-    val li = Tables(spark, dir, "lineitem")
     li.filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
@@ -47,11 +50,16 @@ object Relational {
     * it under AQE. The lineitem↔orders join shuffles on orderkey — the
     * natural high-cardinality key, so it stays balanced at scale.
     */
-  def q3Shipping(spark: SparkSession, dir: String): DataFrame = {
-    val cust = Tables(spark, dir, "customer")
-      .filter(col("c_mktsegment") === "BUILDING")
-    val ord = Tables(spark, dir, "orders")
-    val li = Tables(spark, dir, "lineitem")
+  def q3Shipping(spark: SparkSession, dir: String): DataFrame =
+    q3ShippingOf(Tables(spark, dir, "customer"),
+      Tables(spark, dir, "orders"), Tables(spark, dir, "lineitem"))
+
+  /** [[q3Shipping]]'s kernel on caller customer/orders/lineitem
+    * frames.
+    */
+  def q3ShippingOf(customer: DataFrame, ord: DataFrame,
+      li: DataFrame): DataFrame = {
+    val cust = customer.filter(col("c_mktsegment") === "BUILDING")
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
@@ -64,15 +72,20 @@ object Relational {
   /** B3 `q5_local_supplier` — star join: two broadcast dims + three
     * fact-side shuffles keyed on orderkey/custkey/suppkey.
     */
-  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
-    val region = Tables(spark, dir, "region").filter(col("r_name") === "ASIA")
-    val nation = Tables(spark, dir, "nation")
-    val cust = Tables(spark, dir, "customer")
-    val ord = Tables(spark, dir, "orders")
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame =
+    q5LocalSupplierOf(Tables(spark, dir, "region"),
+      Tables(spark, dir, "nation"), Tables(spark, dir, "customer"),
+      Tables(spark, dir, "orders"), Tables(spark, dir, "lineitem"),
+      Tables(spark, dir, "supplier"))
+
+  /** [[q5LocalSupplier]]'s kernel on the six caller frames. */
+  def q5LocalSupplierOf(region0: DataFrame, nation: DataFrame,
+      cust: DataFrame, ord0: DataFrame, li: DataFrame,
+      sup: DataFrame): DataFrame = {
+    val region = region0.filter(col("r_name") === "ASIA")
+    val ord = ord0
       .filter(col("o_orderdate") >= lit("1994-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
-    val li = Tables(spark, dir, "lineitem")
-    val sup = Tables(spark, dir, "supplier")
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(sup, li("l_suppkey") === sup("s_suppkey"))
       .join(cust,
@@ -92,10 +105,13 @@ object Relational {
     * hop stays driver-side tiny; only customer shuffles (once, for the
     * final agg — the join itself is map-side).
     */
-  def joinBroadcast(spark: SparkSession, dir: String): DataFrame = {
-    val region = Tables(spark, dir, "region")
-    val nation = Tables(spark, dir, "nation")
-    val cust = Tables(spark, dir, "customer")
+  def joinBroadcast(spark: SparkSession, dir: String): DataFrame =
+    joinBroadcastOf(Tables(spark, dir, "region"),
+      Tables(spark, dir, "nation"), Tables(spark, dir, "customer"))
+
+  /** [[joinBroadcast]]'s kernel on caller region/nation/customer. */
+  def joinBroadcastOf(region: DataFrame, nation: DataFrame,
+      cust: DataFrame): DataFrame = {
     val dim = nation.join(broadcast(region),
       nation("n_regionkey") === region("r_regionkey"))
     cust.join(broadcast(dim), cust("c_nationkey") === dim("n_nationkey"))
@@ -109,10 +125,13 @@ object Relational {
   /** B5 `join_semi` — EXISTS as left-semi: no row multiplication, the
     * probe side streams through the build-side hash set.
     */
-  def joinSemi(spark: SparkSession, dir: String): DataFrame = {
-    val cust = Tables(spark, dir, "customer")
-    val ord = Tables(spark, dir, "orders")
-      .filter(col("o_totalprice") > 100000.0)
+  def joinSemi(spark: SparkSession, dir: String): DataFrame =
+    joinSemiOf(Tables(spark, dir, "customer"),
+      Tables(spark, dir, "orders"))
+
+  /** [[joinSemi]]'s kernel on caller customer/orders. */
+  def joinSemiOf(cust: DataFrame, orders: DataFrame): DataFrame = {
+    val ord = orders.filter(col("o_totalprice") > 100000.0)
     cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .orderBy(col("c_custkey"))
@@ -121,10 +140,13 @@ object Relational {
   /** B6 `join_anti` — NOT EXISTS as left-anti: the reference's
     * new-vs-yesterday delta (aiesec.py:142) generalized.
     */
-  def joinAnti(spark: SparkSession, dir: String): DataFrame = {
-    val cust = Tables(spark, dir, "customer")
-    val bigOrders = Tables(spark, dir, "orders")
-      .filter(col("o_totalprice") > 250000.0)
+  def joinAnti(spark: SparkSession, dir: String): DataFrame =
+    joinAntiOf(Tables(spark, dir, "customer"),
+      Tables(spark, dir, "orders"))
+
+  /** [[joinAnti]]'s kernel on caller customer/orders. */
+  def joinAntiOf(cust: DataFrame, orders: DataFrame): DataFrame = {
+    val bigOrders = orders.filter(col("o_totalprice") > 250000.0)
     cust.join(bigOrders, cust("c_custkey") === bigOrders("o_custkey"),
         "left_anti")
       .select(col("c_custkey"), col("c_name"))
@@ -140,7 +162,11 @@ object Relational {
     * lane). Identical integers divide identically in any engine.
     */
   def aggRollup(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "lineitem")
+    aggRollupOf(Tables(spark, dir, "lineitem"))
+
+  /** [[aggRollup]]'s kernel on any lineitem-shaped frame. */
+  def aggRollupOf(li: DataFrame): DataFrame =
+    li
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
         (sum(round(col("l_extendedprice") * 100, 0).cast("long")) / 100.0)
@@ -153,7 +179,11 @@ object Relational {
     * for the same reason as [[aggRollup]].
     */
   def aggCube(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "orders")
+    aggCubeOf(Tables(spark, dir, "orders"))
+
+  /** [[aggCube]]'s kernel on any orders-shaped frame. */
+  def aggCubeOf(orders: DataFrame): DataFrame =
+    orders
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(
         (sum(round(col("o_totalprice") * 100, 0).cast("long")) / 100.0)
@@ -166,7 +196,11 @@ object Relational {
     * two-phase aggregate (distinct shuffle then count) under Catalyst.
     */
   def aggDistinct(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "orders")
+    aggDistinctOf(Tables(spark, dir, "orders"))
+
+  /** [[aggDistinct]]'s kernel on any orders-shaped frame. */
+  def aggDistinctOf(orders: DataFrame): DataFrame =
+    orders
       .groupBy(col("o_orderpriority"))
       .agg(
         countDistinct(col("o_custkey")).as("n_customers"),
@@ -180,9 +214,13 @@ object Relational {
     * full cross-engine DuckDB oracle (HLL++'s empirical bias tables
     * can't be replayed in SQL); the spec still pins error vs exact.
     */
-  def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+  def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    aggApproxDistinctOf(Tables(spark, dir, "lineitem"))
+
+  /** [[aggApproxDistinct]]'s kernel on any lineitem-shaped frame. */
+  def aggApproxDistinctOf(li: DataFrame): DataFrame = {
     import graft.functions.HllSketch._
-    Tables(spark, dir, "lineitem")
+    li
       .groupBy(col("l_returnflag"))
       .agg(
         hllEstimate(hllAgg(col("l_partkey"))).as("approx_parts"),
@@ -196,8 +234,11 @@ object Relational {
     * plans INTERSECT/EXCEPT as left-semi/anti under the hood, so the
     * scalable join machinery applies unchanged.
     */
-  def setOps(spark: SparkSession, dir: String): DataFrame = {
-    val cust = Tables(spark, dir, "customer")
+  def setOps(spark: SparkSession, dir: String): DataFrame =
+    setOpsOf(Tables(spark, dir, "customer"))
+
+  /** [[setOps]]'s kernel on any customer-shaped frame. */
+  def setOpsOf(cust: DataFrame): DataFrame = {
     val rich = cust.filter(col("c_acctbal") > 5000)
       .select(col("c_custkey"), col("c_name"))
     val building = cust.filter(col("c_mktsegment") === "BUILDING")
@@ -216,9 +257,12 @@ object Relational {
     * (it is at test SFs) and shuffle join when it isn't. The heavy work
     * stays one partial-aggregated groupBy on the natural key either way.
     */
-  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables(spark, dir, "lineitem")
-    val ord = Tables(spark, dir, "orders")
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame =
+    q18LargeOrdersOf(Tables(spark, dir, "lineitem"),
+      Tables(spark, dir, "orders"))
+
+  /** [[q18LargeOrders]]'s kernel on caller lineitem/orders. */
+  def q18LargeOrdersOf(li: DataFrame, ord: DataFrame): DataFrame = {
     val bigKeys = li.groupBy(col("l_orderkey"))
       .agg(sum(col("l_quantity")).as("total_qty"))
       .filter(col("total_qty") > 300)
@@ -237,7 +281,11 @@ object Relational {
     * metric stores and plotting layers ingest.
     */
   def unpivotMetrics(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "lineitem")
+    unpivotMetricsOf(Tables(spark, dir, "lineitem"))
+
+  /** [[unpivotMetrics]]'s kernel on any lineitem-shaped frame. */
+  def unpivotMetricsOf(li: DataFrame): DataFrame =
+    li
       .groupBy(col("l_returnflag"))
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
@@ -263,9 +311,13 @@ object Relational {
     * exactly by sketching each whole group; merge ≡ direct and ±5%
     * accuracy are additionally pinned in spec.
     */
-  def aggHllPartial(spark: SparkSession, dir: String): DataFrame = {
+  def aggHllPartial(spark: SparkSession, dir: String): DataFrame =
+    aggHllPartialOf(Tables(spark, dir, "events"))
+
+  /** [[aggHllPartial]]'s kernel on any events-shaped frame. */
+  def aggHllPartialOf(events: DataFrame): DataFrame = {
     import graft.functions.HllSketch._
-    val daily = Tables(spark, dir, "events")
+    val daily = events
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(hllAgg(col("user_id")).as("sk")) // the stored partial
     daily
@@ -288,10 +340,14 @@ object Relational {
     * derived overlap (3 estimates' errors compound) is pinned in spec
     * against the exact intersection.
     */
-  def hllOverlap(spark: SparkSession, dir: String): DataFrame = {
+  def hllOverlap(spark: SparkSession, dir: String): DataFrame =
+    hllOverlapOf(Tables(spark, dir, "events"))
+
+  /** [[hllOverlap]]'s kernel on any events-shaped frame. */
+  def hllOverlapOf(events: DataFrame): DataFrame = {
     import graft.functions.HllSketch._
     val (ta, tb) = ("view", "purchase")
-    val daily = Tables(spark, dir, "events")
+    val daily = events
       .filter(col("event_type").isin(ta, tb))
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(hllAgg(col("user_id")).as("sk"))
@@ -319,9 +375,14 @@ object Relational {
     * frame is ~tens of rows — each exchange is an order of magnitude
     * smaller than the last, the shape that scales.
     */
-  def q13Custdist(spark: SparkSession, dir: String): DataFrame = {
-    val c = Tables(spark, dir, "customer").select(col("c_custkey"))
-    val o = Tables(spark, dir, "orders")
+  def q13Custdist(spark: SparkSession, dir: String): DataFrame =
+    q13CustdistOf(Tables(spark, dir, "customer"),
+      Tables(spark, dir, "orders"))
+
+  /** [[q13Custdist]]'s kernel on caller customer/orders. */
+  def q13CustdistOf(cust: DataFrame, orders: DataFrame): DataFrame = {
+    val c = cust.select(col("c_custkey"))
+    val o = orders
       .filter(col("o_orderpriority") =!= "1-URGENT")
       .select(col("o_custkey"), col("o_orderkey"))
     c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
@@ -337,9 +398,13 @@ object Relational {
     * grand total in one pass — one shuffle, one scan, Catalyst expands
     * the sets.
     */
-  def aggGroupingSets(spark: SparkSession, dir: String): DataFrame = {
-    Tables(spark, dir, "orders").createOrReplaceTempView("__orders_gs")
-    spark.sql(
+  def aggGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    aggGroupingSetsOf(Tables(spark, dir, "orders"))
+
+  /** [[aggGroupingSets]]'s kernel on any orders-shaped frame. */
+  def aggGroupingSetsOf(orders: DataFrame): DataFrame = {
+    orders.createOrReplaceTempView("__orders_gs")
+    orders.sparkSession.sql(
       """SELECT o_orderstatus, o_orderpriority,
         |  round(sum(o_totalprice), 2) AS sum_price,
         |  count(*) AS n_orders
@@ -356,10 +421,16 @@ object Relational {
     * two stacked windows over the same sort — the standard way to build
     * dimension history from a change log.
     */
-  def etlScd2(spark: SparkSession, dir: String): DataFrame = {
+  def etlScd2(spark: SparkSession, dir: String): DataFrame =
+    scd2Of(Tables(spark, dir, "events"))
+
+  /** [[etlScd2]]'s kernel on any change-log frame with (user_id, ts,
+    * event_id, event_type).
+    */
+  def scd2Of(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables(spark, dir, "events")
+    events
       .withColumn("changed",
         when(lag(col("event_type"), 1).over(w).isNull ||
           lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
@@ -401,7 +472,7 @@ object Relational {
     bitemporalCorrections(graft.Tables(spark, dir, "events"))
 
   /** [[etlBitemporal]]'s kernel on any events frame. */
-  private[operators] def bitemporalCorrections(ev: DataFrame): DataFrame = {
+  def bitemporalCorrections(ev: DataFrame): DataFrame = {
     val bounds = ev.agg(
       (unix_micros(max(col("ts"))) - BitemporalValidLagUs).as("tv_us"),
       expr("max(event_id) * 4 div 10").as("tx1"))
@@ -430,8 +501,12 @@ object Relational {
     * still applies), and the second phase merges 5×16 tiny partials.
     * Same result as the direct groupBy — the oracle is the unsalted SQL.
     */
-  def aggSaltedSkew(spark: SparkSession, dir: String): DataFrame = {
-    val salted = graft.Tables(spark, dir, "events")
+  def aggSaltedSkew(spark: SparkSession, dir: String): DataFrame =
+    aggSaltedSkewOf(Tables(spark, dir, "events"))
+
+  /** [[aggSaltedSkew]]'s kernel on any events-shaped frame. */
+  def aggSaltedSkewOf(events: DataFrame): DataFrame = {
+    val salted = events
       .withColumn("salt", pmod(hash(col("event_id")), lit(16)))
     salted
       .groupBy(col("event_type"), col("salt"))
@@ -453,9 +528,12 @@ object Relational {
     * the skew never materializes and no salt is needed). Result is
     * identical to the unsalted join — the oracle is the plain SQL.
     */
-  def joinSaltedSkew(spark: SparkSession, dir: String): DataFrame = {
+  def joinSaltedSkew(spark: SparkSession, dir: String): DataFrame =
+    joinSaltedSkewOf(Tables(spark, dir, "events"))
+
+  /** [[joinSaltedSkew]]'s kernel on any events-shaped frame. */
+  def joinSaltedSkewOf(events: DataFrame): DataFrame = {
     val Salt = 16
-    val events = graft.Tables(spark, dir, "events")
     val dim = events.select(col("event_type")).distinct()
       .withColumn("type_weight", length(col("event_type")).cast("double"))
     val saltedDim = dim
@@ -477,7 +555,11 @@ object Relational {
     * and as the correctness baseline.
     */
   def aggPercentiles(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "lineitem")
+    aggPercentilesOf(Tables(spark, dir, "lineitem"))
+
+  /** [[aggPercentiles]]'s kernel on any lineitem-shaped frame. */
+  def aggPercentilesOf(li: DataFrame): DataFrame =
+    li
       .groupBy(col("l_returnflag"))
       .agg(
         round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
@@ -496,9 +578,15 @@ object Relational {
     * Spark's own InjectRuntimeFilter does this opportunistically, doing
     * it explicitly guarantees it (and survives AQE replanning).
     */
-  def joinBloomPrefilter(spark: SparkSession, dir: String): DataFrame = {
+  def joinBloomPrefilter(spark: SparkSession, dir: String): DataFrame =
+    joinBloomPrefilterOf(Tables(spark, dir, "orders"),
+      Tables(spark, dir, "lineitem"))
+
+  /** [[joinBloomPrefilter]]'s kernel on caller orders/lineitem. */
+  def joinBloomPrefilterOf(orders: DataFrame,
+      lineitem: DataFrame): DataFrame = {
     import org.apache.spark.sql.GraftShim
-    val dim = Tables(spark, dir, "orders")
+    val dim = orders
       .filter(col("o_orderpriority") === "1-URGENT" &&
         col("o_totalprice") > 150000)
       .select(col("o_orderkey"), col("o_orderdate"))
@@ -510,7 +598,7 @@ object Relational {
     val bloom = dim.agg(
       GraftShim.bloomFilterAgg(col("o_orderkey"), nKeys).as("bf"))
       .head().getAs[Array[Byte]]("bf")
-    val fact = Tables(spark, dir, "lineitem")
+    val fact = lineitem
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
       .filter(GraftShim.bloomMightContain(lit(bloom), col("l_orderkey")))
     fact.join(dim, col("l_orderkey") === col("o_orderkey"))

@@ -38,15 +38,18 @@ object TpchExtra {
     * (partkey, suppkey) shuffle; the correlated min is a window over
     * the already-aggregated catalog (no second scan); dims broadcast.
     */
-  def q2MinCostSupp(spark: SparkSession, dir: String): DataFrame = {
-    val cat = Tables(spark, dir, "lineitem")
+  def q2MinCostSupp(spark: SparkSession, dir: String): DataFrame =
+    q2MinCostSuppOf(Tables(spark, dir, "lineitem"), Tables(spark, dir, "supplier"), Tables(spark, dir, "nation"), Tables(spark, dir, "region"), Tables(spark, dir, "part"))
+
+  /** [[q2MinCostSupp]]'s kernel on caller lineitem/supplier/nation/region/part frames. */
+  def q2MinCostSuppOf(li: DataFrame, sup: DataFrame, nation: DataFrame, region: DataFrame, partTbl: DataFrame): DataFrame = {
+    val cat = li
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(round(min(col("l_extendedprice") / col("l_quantity")), 2)
         .as("cost"))
-    val sup = Tables(spark, dir, "supplier")
-    val nat = Tables(spark, dir, "nation")
-    val reg = Tables(spark, dir, "region").filter(col("r_name") === "EUROPE")
-    val part = Tables(spark, dir, "part")
+    val nat = nation
+    val reg = region.filter(col("r_name") === "EUROPE")
+    val part = partTbl
       .filter(col("p_size") <= 25 && col("p_type") === "LARGE")
       .select(col("p_partkey"), col("p_name"))
     val euCat = cat
@@ -71,20 +74,21 @@ object TpchExtra {
     * computed in one aggregation pass (numerator and denominator are
     * rounded before dividing so both engines divide identical cents).
     */
-  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables(spark, dir, "lineitem")
-    val ord = Tables(spark, dir, "orders")
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame =
+    q8MarketShareOf(Tables(spark, dir, "lineitem"), Tables(spark, dir, "orders"), Tables(spark, dir, "part"), Tables(spark, dir, "customer"), Tables(spark, dir, "supplier"), Tables(spark, dir, "nation"), Tables(spark, dir, "region"))
+
+  /** [[q8MarketShare]]'s kernel on caller lineitem/orders/part/customer/supplier/nation/region frames. */
+  def q8MarketShareOf(li: DataFrame, orders: DataFrame, partTbl: DataFrame, cust: DataFrame, sup: DataFrame, nation: DataFrame, region: DataFrame): DataFrame = {
+    val ord = orders
       .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
-    val part = Tables(spark, dir, "part")
+    val part = partTbl
       .filter(col("p_type") === "ECONOMY").select(col("p_partkey"))
-    val cust = Tables(spark, dir, "customer")
-    val sup = Tables(spark, dir, "supplier")
-    val natC = Tables(spark, dir, "nation")
+    val natC = nation
       .select(col("n_nationkey").as("c_nkey"), col("n_regionkey"))
-    val regA = Tables(spark, dir, "region")
+    val regA = region
       .filter(col("r_name") === "AMERICA")
-    val natS = Tables(spark, dir, "nation")
+    val natS = nation
       .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
     li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
@@ -111,12 +115,14 @@ object TpchExtra {
     * part filter prunes the fact stream via broadcast before the
     * orderkey shuffle.
     */
-  def q9Profit(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables(spark, dir, "lineitem")
-    val ord = Tables(spark, dir, "orders")
-    val sup = Tables(spark, dir, "supplier")
-    val nat = Tables(spark, dir, "nation")
-    val part = Tables(spark, dir, "part")
+  def q9Profit(spark: SparkSession, dir: String): DataFrame =
+    q9ProfitOf(Tables(spark, dir, "lineitem"), Tables(spark, dir, "orders"), Tables(spark, dir, "supplier"), Tables(spark, dir, "nation"), Tables(spark, dir, "part"))
+
+  /** [[q9Profit]]'s kernel on caller lineitem/orders/supplier/nation/part frames. */
+  def q9ProfitOf(li: DataFrame, orders: DataFrame, sup: DataFrame, nation: DataFrame, partTbl: DataFrame): DataFrame = {
+    val ord = orders
+    val nat = nation
+    val part = partTbl
       .filter(col("p_name").contains("red"))
       .select(col("p_partkey"), col("p_retailprice"))
     val profit = (col("l_extendedprice") * (lit(1) - col("l_discount")))
@@ -142,13 +148,15 @@ object TpchExtra {
     * come from the same decimal-exact per-part frame, so the threshold
     * filter is engine-stable.
     */
-  def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
-    val sup = Tables(spark, dir, "supplier")
-    val nat = Tables(spark, dir, "nation")
-      .join(broadcast(Tables(spark, dir, "region")
+  def q11ImportantStock(spark: SparkSession, dir: String): DataFrame =
+    q11ImportantStockOf(Tables(spark, dir, "supplier"), Tables(spark, dir, "nation"), Tables(spark, dir, "region"), Tables(spark, dir, "lineitem"))
+
+  /** [[q11ImportantStock]]'s kernel on caller supplier/nation/region/lineitem frames. */
+  def q11ImportantStockOf(sup: DataFrame, nation: DataFrame, region: DataFrame, li: DataFrame): DataFrame = {
+    val nat = nation
+      .join(broadcast(region
         .filter(col("r_name") === "EUROPE")),
         col("n_regionkey") === col("r_regionkey"))
-    val li = Tables(spark, dir, "lineitem")
     val perPart = li
       .join(sup, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
@@ -169,11 +177,15 @@ object TpchExtra {
     * orderkey join, conditional counts in a single aggregation; the
     * 1996 ship-year filter sits on the fact scan.
     */
-  def q12Shipmode(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables(spark, dir, "lineitem")
+  def q12Shipmode(spark: SparkSession, dir: String): DataFrame =
+    q12ShipmodeOf(Tables(spark, dir, "lineitem"), Tables(spark, dir, "orders"))
+
+  /** [[q12Shipmode]]'s kernel on caller lineitem/orders frames. */
+  def q12ShipmodeOf(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val li = lineitem
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
-    val ord = Tables(spark, dir, "orders")
+    val ord = orders
     val lag = datediff(col("l_shipdate"), col("o_orderdate"))
     val critical = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
@@ -192,11 +204,14 @@ object TpchExtra {
     * frame — the scalar-subquery shape without a second scan — and
     * equality is tested on the rounded cents both engines agree on.
     */
-  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables(spark, dir, "lineitem")
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame =
+    q15TopSupplierOf(Tables(spark, dir, "lineitem"), Tables(spark, dir, "supplier"))
+
+  /** [[q15TopSupplier]]'s kernel on caller lineitem/supplier frames. */
+  def q15TopSupplierOf(lineitem: DataFrame, sup: DataFrame): DataFrame = {
+    val li = lineitem
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
-    val sup = Tables(spark, dir, "supplier")
     val perSupp = li.groupBy(col("l_suppkey"))
       .agg(round(sum(rev), 2).cast("double").as("total_revenue"))
     val maxRev = perSupp.agg(max(col("total_revenue")).as("max_rev"))
@@ -214,14 +229,18 @@ object TpchExtra {
     * a broadcast anti join BEFORE the distinct aggregation so excluded
     * rows never shuffle.
     */
-  def q16PartsSupp(spark: SparkSession, dir: String): DataFrame = {
-    val part = Tables(spark, dir, "part")
+  def q16PartsSupp(spark: SparkSession, dir: String): DataFrame =
+    q16PartsSuppOf(Tables(spark, dir, "part"), Tables(spark, dir, "supplier"), Tables(spark, dir, "lineitem"))
+
+  /** [[q16PartsSupp]]'s kernel on caller part/supplier/lineitem frames. */
+  def q16PartsSuppOf(partTbl: DataFrame, sup: DataFrame, li: DataFrame): DataFrame = {
+    val part = partTbl
       .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
         col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
       .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
-    val badSupp = Tables(spark, dir, "supplier")
+    val badSupp = sup
       .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
-    Tables(spark, dir, "lineitem")
+    li
       .select(col("l_partkey"), col("l_suppkey"))
       .join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"),
@@ -240,11 +259,15 @@ object TpchExtra {
     * Quantities are small integers so the 0.2·avg threshold is exact
     * in both engines.
     */
-  def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
-    val part = Tables(spark, dir, "part")
+  def q17SmallQty(spark: SparkSession, dir: String): DataFrame =
+    q17SmallQtyOf(Tables(spark, dir, "part"), Tables(spark, dir, "lineitem"))
+
+  /** [[q17SmallQty]]'s kernel on caller part/lineitem frames. */
+  def q17SmallQtyOf(partTbl: DataFrame, lineitem: DataFrame): DataFrame = {
+    val part = partTbl
       .filter(col("p_brand") === "Brand#2" && col("p_type") === "SMALL")
       .select(col("p_partkey"))
-    val li = Tables(spark, dir, "lineitem")
+    val li = lineitem
       .join(broadcast(part), col("l_partkey") === col("p_partkey"))
     val avgQty = li.groupBy(col("p_partkey").as("a_partkey"))
       .agg(avg(col("l_quantity")).as("avg_qty"))
@@ -262,10 +285,14 @@ object TpchExtra {
     * each branch's fact-side quantity range unions into a scan-level
     * prefilter (qty ∈ [1, 30]) that does push down.
     */
-  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables(spark, dir, "lineitem")
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame =
+    q19DisjunctiveOf(Tables(spark, dir, "lineitem"), Tables(spark, dir, "part"))
+
+  /** [[q19Disjunctive]]'s kernel on caller lineitem/part frames. */
+  def q19DisjunctiveOf(lineitem: DataFrame, partTbl: DataFrame): DataFrame = {
+    val li = lineitem
       .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
-    val part = Tables(spark, dir, "part")
+    val part = partTbl
       .select(col("p_partkey"), col("p_brand"), col("p_size"))
     val branch =
       (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
@@ -290,10 +317,14 @@ object TpchExtra {
     * each stage shrinks the stream before the next join, ending in a
     * semi join against the supplier dim.
     */
-  def q20PotentialPromo(spark: SparkSession, dir: String): DataFrame = {
-    val part = Tables(spark, dir, "part")
+  def q20PotentialPromo(spark: SparkSession, dir: String): DataFrame =
+    q20PotentialPromoOf(Tables(spark, dir, "part"), Tables(spark, dir, "lineitem"), Tables(spark, dir, "nation"), Tables(spark, dir, "region"), Tables(spark, dir, "supplier"))
+
+  /** [[q20PotentialPromo]]'s kernel on caller part/lineitem/nation/region/supplier frames. */
+  def q20PotentialPromoOf(partTbl: DataFrame, lineitem: DataFrame, nation: DataFrame, region: DataFrame, sup: DataFrame): DataFrame = {
+    val part = partTbl
       .filter(col("p_name").startsWith("small")).select(col("p_partkey"))
-    val li = Tables(spark, dir, "lineitem")
+    val li = lineitem
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
     val qualifying = li
@@ -302,11 +333,11 @@ object TpchExtra {
       .agg(sum(col("l_quantity")).as("qty"))
       .filter(col("qty") > 25)
       .select(col("l_suppkey")).distinct()
-    val nat = Tables(spark, dir, "nation")
-      .join(broadcast(Tables(spark, dir, "region")
+    val nat = nation
+      .join(broadcast(region
         .filter(col("r_name") === "EUROPE")),
         col("n_regionkey") === col("r_regionkey"))
-    Tables(spark, dir, "supplier")
+    sup
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
       .select(col("s_name"), round(col("s_acctbal"), 2).as("s_acctbal"))
@@ -321,11 +352,15 @@ object TpchExtra {
     * (distinct suppliers, distinct late suppliers) per order, and late
     * lineitems join that summary — same semantics, one shuffle fewer.
     */
-  def q21Waiting(spark: SparkSession, dir: String): DataFrame = {
-    val ordF = Tables(spark, dir, "orders")
+  def q21Waiting(spark: SparkSession, dir: String): DataFrame =
+    q21WaitingOf(Tables(spark, dir, "orders"), Tables(spark, dir, "lineitem"), Tables(spark, dir, "supplier"))
+
+  /** [[q21Waiting]]'s kernel on caller orders/lineitem/supplier frames. */
+  def q21WaitingOf(orders: DataFrame, lineitem: DataFrame, sup: DataFrame): DataFrame = {
+    val ordF = orders
       .filter(col("o_orderstatus") === "F")
       .select(col("o_orderkey"), col("o_orderdate"))
-    val li = Tables(spark, dir, "lineitem")
+    val li = lineitem
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
     val joined = li.join(ordF, col("l_orderkey") === col("o_orderkey"))
       .withColumn("is_late",
@@ -335,7 +370,6 @@ object TpchExtra {
         countDistinct(col("l_suppkey")).as("n_supp"),
         countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late"))
       .filter(col("n_supp") > 1 && col("n_late") === 1)
-    val sup = Tables(spark, dir, "supplier")
     joined.filter(col("is_late"))
       .join(perOrder, col("l_orderkey") === col("po_orderkey"))
       .select(col("l_orderkey"), col("l_suppkey")).distinct()
@@ -356,12 +390,15 @@ object TpchExtra {
     * double — identical in both engines — and the inactivity test is a
     * left anti join on the urgent-order key set.
     */
-  def q22GlobalSales(spark: SparkSession, dir: String): DataFrame = {
-    val cust = Tables(spark, dir, "customer")
+  def q22GlobalSales(spark: SparkSession, dir: String): DataFrame =
+    q22GlobalSalesOf(Tables(spark, dir, "customer"), Tables(spark, dir, "orders"))
+
+  /** [[q22GlobalSales]]'s kernel on caller customer/orders frames. */
+  def q22GlobalSalesOf(cust: DataFrame, orders: DataFrame): DataFrame = {
     val thr = cust.filter(col("c_acctbal") > 0.0)
       .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
         count(lit(1))).as("avg_bal"))
-    val ordKeys = Tables(spark, dir, "orders")
+    val ordKeys = orders
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_custkey"))
     cust.crossJoin(broadcast(thr))

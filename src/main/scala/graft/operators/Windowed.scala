@@ -17,10 +17,14 @@ object Windowed {
   /** B9 `win_rank_topn` — per-customer top-3 orders. Unique orderkey
     * tiebreak keeps row_number deterministic.
     */
-  def rankTopN(spark: SparkSession, dir: String): DataFrame = {
+  def rankTopN(spark: SparkSession, dir: String): DataFrame =
+    rankTopNOf(Tables(spark, dir, "orders"))
+
+  /** [[rankTopN]]'s kernel on any orders-shaped frame. */
+  def rankTopNOf(orders: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    Tables(spark, dir, "orders")
+    orders
       .withColumn("rank_in_cust", row_number().over(w))
       .filter(col("rank_in_cust") <= 3)
       .select(col("o_custkey"), col("o_orderkey"),
@@ -32,11 +36,15 @@ object Windowed {
   /** B10 `win_running_sum` — running revenue per customer in order-date
     * order (orderkey tiebreak for determinism).
     */
-  def runningSum(spark: SparkSession, dir: String): DataFrame = {
+  def runningSum(spark: SparkSession, dir: String): DataFrame =
+    runningSumOf(Tables(spark, dir, "orders"))
+
+  /** [[runningSum]]'s kernel on any orders-shaped frame. */
+  def runningSumOf(orders: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables(spark, dir, "orders")
+    orders
       .withColumn("running_total", round(sum(col("o_totalprice")).over(w), 2))
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
         col("running_total"))
@@ -48,10 +56,14 @@ object Windowed {
     * date window; at 100 TB the grouped input is one row per day, so
     * the unpartitioned window is safe.
     */
-  def lagDelta(spark: SparkSession, dir: String): DataFrame = {
+  def lagDelta(spark: SparkSession, dir: String): DataFrame =
+    lagDeltaOf(Tables(spark, dir, "orders"))
+
+  /** [[lagDelta]]'s kernel on any orders-shaped frame. */
+  def lagDeltaOf(orders: DataFrame): DataFrame = {
     // exact integer-cent daily revenue (r14 sweep): day groups are
     // fact-scale, so the double sum's round is merge-order dependent
-    val daily = Tables(spark, dir, "orders")
+    val daily = orders
       .groupBy(to_date(col("o_orderdate")).as("order_day"))
       .agg((sum(round(col("o_totalprice") * 100, 0).cast("long")) / 100.0)
         .as("revenue"))
@@ -67,10 +79,14 @@ object Windowed {
     * user_id; gap detection and session numbering are two stacked
     * windows over the same partitioning (one sort, reused).
     */
-  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionizeOf(Tables(spark, dir, "events"))
+
+  /** [[sessionize]]'s kernel on any events-shaped frame. */
+  def sessionizeOf(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables(spark, dir, "events")
+    events
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
       .withColumn("is_new",
         when(col("prev_ts").isNull ||
@@ -92,9 +108,13 @@ object Windowed {
     * for 100 TB use approx quantile cutpoints instead — kept here for
     * the exact-semantics surface, like B14.
     */
-  def winNtile(spark: SparkSession, dir: String): DataFrame = {
+  def winNtile(spark: SparkSession, dir: String): DataFrame =
+    winNtileOf(Tables(spark, dir, "customer"))
+
+  /** [[winNtile]]'s kernel on any customer-shaped frame. */
+  def winNtileOf(cust: DataFrame): DataFrame = {
     val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
-    Tables(spark, dir, "customer")
+    cust
       .withColumn("quartile", ntile(4).over(w))
       .groupBy(col("quartile"))
       .agg(count(lit(1)).as("n"),
@@ -108,7 +128,11 @@ object Windowed {
     * at a fixed as-of date. All codegen'd date intrinsics.
     */
   def dateParts(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "orders")
+    datePartsOf(Tables(spark, dir, "orders"))
+
+  /** [[dateParts]]'s kernel on any orders-shaped frame. */
+  def datePartsOf(orders: DataFrame): DataFrame =
+    orders
       .select(
         col("o_orderkey"),
         year(col("o_orderdate")).as("y"),
@@ -126,10 +150,14 @@ object Windowed {
     * before any window runs — the window input is O(types × days)
     * regardless of event volume.
     */
-  def movingAvg(spark: SparkSession, dir: String): DataFrame = {
+  def movingAvg(spark: SparkSession, dir: String): DataFrame =
+    movingAvgOf(Tables(spark, dir, "events"))
+
+  /** [[movingAvg]]'s kernel on any events-shaped frame. */
+  def movingAvgOf(events: DataFrame): DataFrame = {
     // exact integer-cent daily sums (r14 sweep — fact-scale day
     // groups); ma7 averages ≤ 7 already-deterministic day values
-    val daily = Tables(spark, dir, "events")
+    val daily = events
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg((sum(round(col("value") * 100, 0).cast("long")) / 100.0)
         .as("day_value"))
@@ -152,7 +180,11 @@ object Windowed {
     * against a watermark (the tumbling form runs live as G1).
     */
   def winHopping(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "events")
+    winHoppingOf(Tables(spark, dir, "events"))
+
+  /** [[winHopping]]'s kernel on any events-shaped frame. */
+  def winHoppingOf(events: DataFrame): DataFrame =
+    events
       .groupBy(window(col("ts"), "1 hour", "15 minutes"),
         col("event_type"))
       // exact integer-cent sums (r14 sweep): fact-scale window groups

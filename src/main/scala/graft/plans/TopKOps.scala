@@ -38,7 +38,11 @@ object TopKOps {
     * custom bounded-heap operator. Same oracle as `win_rank_topn`.
     */
   def topkPerGroup(spark: SparkSession, dir: String): DataFrame =
-    topK(Tables(spark, dir, "orders"),
+    topkPerGroupOf(Tables(spark, dir, "orders"))
+
+  /** [[topkPerGroup]]'s kernel on any orders-shaped frame. */
+  def topkPerGroupOf(orders: DataFrame): DataFrame =
+    topK(orders,
       groupBy = Seq("o_custkey"),
       orderBy = Seq("o_totalprice" -> false, "o_orderkey" -> true),
       k = 3, rankName = "rank_in_cust")

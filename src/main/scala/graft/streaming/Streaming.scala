@@ -35,7 +35,12 @@ object Streaming {
     * carries one row per group per partition.
     */
   def windowCounts(spark: SparkSession, dir: String): DataFrame =
-    windowCountsTransform(Tables(spark, dir, "events"))
+    windowCountsOf(Tables(spark, dir, "events"))
+
+
+  /** [[windowCounts]]'s kernel on any events-shaped frame. */
+  def windowCountsOf(events: DataFrame): DataFrame =
+    windowCountsTransform(events)
       .orderBy(col("window_start"), col("event_type"))
 
   /** G2 `stream_first_seen` — daily new-key counts: each key's first
@@ -44,7 +49,12 @@ object Streaming {
     * then a tiny per-day rollup.
     */
   def firstSeen(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "events")
+    firstSeenOf(Tables(spark, dir, "events"))
+
+
+  /** [[firstSeen]]'s kernel on any events-shaped frame. */
+  def firstSeenOf(events: DataFrame): DataFrame =
+    events
       .groupBy(col("user_id"))
       .agg(min(col("ts")).as("first_ts"))
       .groupBy(to_date(col("first_ts")).as("first_day"))
@@ -84,7 +94,12 @@ object Streaming {
     * (min ts, then min value as the deterministic tiebreak).
     */
   def dedupStream(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "events")
+    dedupStreamOf(Tables(spark, dir, "events"))
+
+
+  /** [[dedupStream]]'s kernel on any events-shaped frame. */
+  def dedupStreamOf(events: DataFrame): DataFrame =
+    events
       .groupBy(col("event_id"))
       .agg(min(col("ts")).as("first_ts"), count(lit(1)).as("n_seen"))
       .orderBy(col("event_id"))
@@ -120,8 +135,13 @@ object Streaming {
     * the events table. One user_id shuffle feeds a sort-merge join;
     * the interval predicate stays a join-time filter.
     */
-  def streamJoin(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(spark, dir, "events")
+  def streamJoin(spark: SparkSession, dir: String): DataFrame =
+    streamJoinOf(Tables(spark, dir, "events"))
+
+
+  /** [[streamJoin]]'s kernel on any events-shaped frame. */
+  def streamJoinOf(events: DataFrame): DataFrame = {
+    val ev = events
     attributionJoinTransform(
       ev.filter(col("event_type") === "view"),
       ev.filter(col("event_type") === "click"))
@@ -153,7 +173,12 @@ object Streaming {
     * rank's shuffle carries O(windows × types) rows, not events.
     */
   def streamTopk(spark: SparkSession, dir: String): DataFrame =
-    topkPerWindow(windowCountsTransform(Tables(spark, dir, "events")))
+    streamTopkOf(Tables(spark, dir, "events"))
+
+
+  /** [[streamTopk]]'s kernel on any events-shaped frame. */
+  def streamTopkOf(events: DataFrame): DataFrame =
+    topkPerWindow(windowCountsTransform(events))
       .orderBy(col("window_start"), col("rk"))
 
   /** G15 `stream_substring_dedup` — batch equivalent of
@@ -168,9 +193,14 @@ object Streaming {
     * was already admitted"), D12 is the audit number. One rank window
     * keyed on the hash + the D12 stats-branch join; no pairs held.
     */
-  def streamSubstringDedup(spark: SparkSession, dir: String): DataFrame = {
+  def streamSubstringDedup(spark: SparkSession, dir: String): DataFrame =
+    streamSubstringDedupOf(Tables(spark, dir, "documents"))
+
+  /** [[streamSubstringDedup]]'s kernel on caller documents frame. */
+  def streamSubstringDedupOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     val w = graft.dedup.Dedup.SubTokens
-    val wins = Tables(spark, dir, "documents")
+    val wins = docs
       .select(col("doc_id"),
         posexplode(graft.functions.GraftFunctions.rollingWinHashes(
           col("text"), w)).as(Seq("pos", "wh")))
@@ -181,7 +211,7 @@ object Streaming {
       .filter(col("rn") > 1)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_dup_keepfirst"))
-    Tables(spark, dir, "documents")
+    docs
       .select(col("doc_id"),
         greatest(size(graft.text.TextOps.tokens(col("text")))
           .cast("long") - (w - 1), lit(0L)).as("n_windows"))
@@ -203,10 +233,15 @@ object Streaming {
     * vector scores against ≤ cap mates — Σ bucket·cap rows, never
     * bucket² — and the norm is hoisted to one projection per row.
     */
-  def streamSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+  def streamSemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    streamSemanticDedupOf(Tables(spark, dir, "embeddings"))
+
+  /** [[streamSemanticDedup]]'s kernel on caller embeddings frame. */
+  def streamSemanticDedupOf(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
     import graft.functions.GraftFunctions.{dotF, rhpSigs}
     import SemanticDedupStream.{Bits, RepCap, Tau}
-    val c = Tables(spark, dir, "embeddings")
+    val c = emb
       .select(col("vec_id"), col("embedding"))
       .withColumn("bucket", element_at(rhpSigs(col("embedding"), Bits, 1), 1))
       .withColumn("nrm", sqrt(dotF(col("embedding"), col("embedding"))))
@@ -249,11 +284,16 @@ object Streaming {
     * same state ([[DecontaminateStream]]; spec pins stream ≡ batch
     * and micro-batch invariance).
     */
-  def streamDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+  def streamDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    streamDecontaminateOf(Tables(spark, dir, "documents"))
+
+  /** [[streamDecontaminate]]'s kernel on caller documents frame. */
+  def streamDecontaminateOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import graft.dedup.Dedup
     import graft.functions.GraftFunctions.minhashSig
     import graft.text.TextOps.ContamMod
-    val sig = Tables(spark, dir, "documents")
+    val sig = docs
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("toks", graft.text.TextOps.tokens(col("text")))
       .withColumn("shingles", graft.text.TextOps.wordShingles(col("toks")))
@@ -280,9 +320,14 @@ object Streaming {
     * full-vocabulary exchange never happens — the same bounded-state
     * contract the stream maintains live in `GroupState`.
     */
-  def streamHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+  def streamHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    streamHeavyHittersOf(Tables(spark, dir, "documents"))
+
+  /** [[streamHeavyHitters]]'s kernel on caller documents frame. */
+  def streamHeavyHittersOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import graft.text.TextOps.{HeavyDenom, MgCapacity}
-    val tokens = Tables(spark, dir, "documents")
+    val tokens = docs
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("source"),
         explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
@@ -319,8 +364,13 @@ object Streaming {
     * (SequenceMatchStreamSpec pins it under 1- and 3-batch splits).
     */
   def streamSequenceMatch(spark: SparkSession, dir: String): DataFrame =
+    streamSequenceMatchOf(Tables(spark, dir, "events"))
+
+
+  /** [[streamSequenceMatch]]'s kernel on any events-shaped frame. */
+  def streamSequenceMatchOf(events: DataFrame): DataFrame =
     graft.operators.EventOps
-      .sequenceMatchInstances(Tables(spark, dir, "events"))
+      .sequenceMatchInstances(events)
       // event_id makes the sort total: two purchases of one user can
       // share purchase_ts (with distinct anchor pairs), and a tie
       // left engine-ordered would flip the cross-engine gate compare

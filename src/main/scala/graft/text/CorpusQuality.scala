@@ -28,7 +28,12 @@ object CorpusQuality {
     * flag thresholds compare exact integers, never engine-rounded
     * floats.
     */
-  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    textRepetitionOf(Tables(spark, dir, "documents"))
+
+
+  /** [[textRepetition]]'s kernel on any documents-shaped frame. */
+  def textRepetitionOf(docs: DataFrame): DataFrame = {
     // longest run of equal adjacent elements in a sorted string array
     def maxRun(arr: String): String =
       s"""aggregate($arr,
@@ -41,7 +46,7 @@ object CorpusQuality {
          |    'best', greatest(acc.best, CASE WHEN x <=> acc.prev
          |      THEN acc.run + 1 ELSE cast(1 as bigint) END)),
          |  acc -> acc.best)""".stripMargin
-    Tables(spark, dir, "documents")
+    docs
       .withColumn("w", toks)
       .withColumn("n_tokens", size(col("w")).cast("long"))
       .withColumn("n_distinct",
@@ -76,8 +81,13 @@ object CorpusQuality {
     * and the per-doc score is the count-weighted mean. The one-row
     * corpus total rides in via crossJoin (no unpartitioned window).
     */
-  def textNgramLm(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables(spark, dir, "documents")
+  def textNgramLm(spark: SparkSession, dir: String): DataFrame =
+    textNgramLmOf(Tables(spark, dir, "documents"))
+
+
+  /** [[textNgramLm]]'s kernel on any documents-shaped frame. */
+  def textNgramLmOf(docs: DataFrame): DataFrame = {
+    val tok = docs
       .select(col("doc_id"), explode(toks).as("tok"))
     val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val total = vocab.agg(sum(col("cnt")).as("total"))
@@ -107,13 +117,18 @@ object CorpusQuality {
     * ratios of exact integer counts — the only doubles are the final
     * log/mean, guarded by the 4-dp round.
     */
-  def textBigramLm(spark: SparkSession, dir: String): DataFrame = {
+  def textBigramLm(spark: SparkSession, dir: String): DataFrame =
+    textBigramLmOf(Tables(spark, dir, "documents"))
+
+  /** [[textBigramLm]]'s kernel on caller documents frame. */
+  def textBigramLmOf(docs0: DataFrame): DataFrame = {
+    val spark = docs0.sparkSession
     // single-file corpus arrives as one scan split; spread BEFORE the
     // exploded transition passes so the three Generate stages (model
     // counts + per-doc counts) run on every core, not one — the same
     // trade as heavy_hitters / text_tfidf. Both exploded subtrees hang
     // off the SAME exchange, so ReusedExchange keeps it to one scan.
-    val docs = Tables(spark, dir, "documents")
+    val docs = docs0
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("w", toks)
       .filter(size(col("w")) >= 2)
@@ -128,7 +143,7 @@ object CorpusQuality {
       .withColumn("prev", substring_index(col("bg"), " ", 1))
     val prevCounts = bgCounts.groupBy(col("prev"))
       .agg(sum(col("c_bg")).as("c_prev"))
-    val vocabSize = Tables(spark, dir, "documents")
+    val vocabSize = docs
       .repartition(spark.sparkContext.defaultParallelism)
       .select(explode(toks).as("tok")).agg(
         countDistinct(col("tok")).as("v"))
@@ -169,7 +184,12 @@ object CorpusQuality {
     * bucket granularity.
     */
   def corpusCurriculum(spark: SparkSession, dir: String): DataFrame =
-    curriculum(Tables(spark, dir, "documents"))
+    corpusCurriculumOf(Tables(spark, dir, "documents"))
+
+
+  /** [[corpusCurriculum]]'s kernel on any documents-shaped frame. */
+  def corpusCurriculumOf(docs: DataFrame): DataFrame =
+    curriculum(docs)
 
   /** [[corpusCurriculum]]'s kernel on any documents-shaped frame. */
   private[text] def curriculum(docs: DataFrame): DataFrame = {
@@ -206,9 +226,14 @@ object CorpusQuality {
     * frame; everything after (total, weights, epochs) is arithmetic on
     * that tiny frame with the total as a one-row broadcast.
     */
-  def corpusMix(spark: SparkSession, dir: String): DataFrame = {
+  def corpusMix(spark: SparkSession, dir: String): DataFrame =
+    corpusMixOf(Tables(spark, dir, "documents"))
+
+
+  /** [[corpusMix]]'s kernel on any documents-shaped frame. */
+  def corpusMixOf(docs: DataFrame): DataFrame = {
     val Budget = 1000000L // sampled-token budget per mixture epoch
-    val perSource = Tables(spark, dir, "documents")
+    val perSource = docs
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -235,9 +260,13 @@ object CorpusQuality {
     * rates are known; rates come from the O(sources) frame broadcast
     * back. Reports per-source achieved vs target rates.
     */
-  def corpusSample(spark: SparkSession, dir: String): DataFrame = {
+  def corpusSample(spark: SparkSession, dir: String): DataFrame =
+    corpusSampleOf(Tables(spark, dir, "documents"))
+
+  /** [[corpusSample]]'s kernel on caller documents frame. */
+  def corpusSampleOf(docs: DataFrame): DataFrame = {
     val Budget = 1000000L
-    val perSource = Tables(spark, dir, "documents")
+    val perSource = docs
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -249,7 +278,7 @@ object CorpusQuality {
         least(col("w_raw") / col("w_total") * Budget / col("n_tokens"),
           lit(1.0)) * 65536).cast("long"))
       .select(col("source"), col("n_docs"), col("n_tokens"), col("thresh"))
-    Tables(spark, dir, "documents")
+    docs
       .withColumn("draw", conv(substring(
         md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
         .cast("long"))
@@ -283,7 +312,12 @@ object CorpusQuality {
     * index job consumes next.
     */
   def textChunks(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    textChunksOf(Tables(spark, dir, "documents"))
+
+
+  /** [[textChunks]]'s kernel on any documents-shaped frame. */
+  def textChunksOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("w", toks)
       .withColumn("n", size(col("w")))
       .withColumn("chunk_id", explode(expr(
@@ -316,9 +350,14 @@ object CorpusQuality {
     * k-means pattern again). Emits the merge table: the artifact a
     * tokenizer ships.
     */
-  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrainOf(Tables(spark, dir, "documents"))
+
+  /** [[bpeTrain]]'s kernel on any (doc_id, text) frame. */
+  def bpeTrainOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val (merges, _) = bpeLearn(spark, bpeWords(spark, dir))
+    val (merges, _) = bpeLearn(spark, bpeWordsOf(docs))
     merges.toDF("iteration", "merged_pair", "pair_count")
       .orderBy(col("iteration"))
   }
@@ -415,7 +454,13 @@ object CorpusQuality {
     * independent plain-Scala BPE and pins the merge-table round-trip.
     */
   def bpeEncode(spark: SparkSession, dir: String): DataFrame =
-    bpeEncodeDocs(spark, Tables(spark, dir, "documents"))
+    bpeEncodeOf(Tables(spark, dir, "documents"))
+
+  /** [[bpeEncode]]'s kernel on caller documents frame. */
+  def bpeEncodeOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    bpeEncodeDocs(spark, docs)
+  }
 
   /** Full train+encode chain on any (doc_id, text) frame. */
   private[text] def bpeEncodeDocs(spark: SparkSession,
@@ -459,7 +504,13 @@ object CorpusQuality {
     * hand-computed counts.
     */
   def tokenizeFertility(spark: SparkSession, dir: String): DataFrame =
-    tokenizeFertilityDocs(spark, Tables(spark, dir, "documents"))
+    tokenizeFertilityOf(Tables(spark, dir, "documents"))
+
+  /** [[tokenizeFertility]]'s kernel on caller documents frame. */
+  def tokenizeFertilityOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    tokenizeFertilityDocs(spark, docs)
+  }
 
   /** [[tokenizeFertility]]'s chain on any (doc_id, text, lang) frame. */
   private[text] def tokenizeFertilityDocs(spark: SparkSession,
@@ -500,7 +551,13 @@ object CorpusQuality {
     * `bpeRoundOracle` chain with one fertility rollup per stage.
     */
   def bpeVocabSweep(spark: SparkSession, dir: String): DataFrame =
-    bpeVocabSweepDocs(spark, Tables(spark, dir, "documents"))
+    bpeVocabSweepOf(Tables(spark, dir, "documents"))
+
+  /** [[bpeVocabSweep]]'s kernel on caller documents frame. */
+  def bpeVocabSweepOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    bpeVocabSweepDocs(spark, docs)
+  }
 
   /** [[bpeVocabSweep]]'s chain on any (doc_id, text, lang) frame. */
   private[text] def bpeVocabSweepDocs(spark: SparkSession,
@@ -556,7 +613,13 @@ object CorpusQuality {
     * type-token ratio.
     */
   def vocabGrowth(spark: SparkSession, dir: String): DataFrame =
-    vocabGrowthOf(spark, Tables(spark, dir, "documents"))
+    vocabGrowthOf(Tables(spark, dir, "documents"))
+
+  /** [[vocabGrowth]]'s kernel on caller documents frame. */
+  def vocabGrowthOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    vocabGrowthOf(spark, docs)
+  }
 
   /** [[vocabGrowth]]'s kernel on any (doc_id, text) frame. */
   private[text] def vocabGrowthOf(spark: SparkSession,
@@ -634,7 +697,12 @@ object CorpusQuality {
        |    - $QcHalf))""".stripMargin)
 
   def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    qualityClassifierOf(Tables(spark, dir, "documents"))
+
+
+  /** [[qualityClassifier]]'s kernel on any documents-shaped frame. */
+  def qualityClassifierOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", toks)
       .withColumn("score_int", classifierScoreInt)
       .withColumn("n_tokens", size(col("toks")).cast("long"))
@@ -672,9 +740,14 @@ object CorpusQuality {
     * source; a dominant source range-partitions on the same draw
     * column.
     */
-  def corpusBudget(spark: SparkSession, dir: String): DataFrame = {
+  def corpusBudget(spark: SparkSession, dir: String): DataFrame =
+    corpusBudgetOf(Tables(spark, dir, "documents"))
+
+  /** [[corpusBudget]]'s kernel on caller documents frame. */
+  def corpusBudgetOf(docs0: DataFrame): DataFrame = {
+    val spark = docs0.sparkSession
     val Budget = 500000L // global token budget across sources
-    val docs = Tables(spark, dir, "documents")
+    val docs = docs0
       .withColumn("n_doc_tokens", size(toks).cast("long"))
       .withColumn("draw", conv(substring(
         md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
@@ -742,7 +815,12 @@ object CorpusQuality {
     * above float noise.
     */
   def corpusDsir(spark: SparkSession, dir: String): DataFrame =
-    dsirWeights(Tables(spark, dir, "documents"))
+    corpusDsirOf(Tables(spark, dir, "documents"))
+
+
+  /** [[corpusDsir]]'s kernel on any documents-shaped frame. */
+  def corpusDsirOf(docs: DataFrame): DataFrame =
+    dsirWeights(docs)
 
   /** [[corpusDsir]]'s kernel on any documents frame. */
   private[text] def dsirWeights(documents: DataFrame): DataFrame = {
@@ -790,8 +868,12 @@ object CorpusQuality {
     * base is the 4-dp ROUNDED C34 weight, so the float chain
     * (rounded w + exact-input Gumbel) is bit-identical cross-engine.
     */
-  def corpusDsirSelect(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
+  def corpusDsirSelect(spark: SparkSession, dir: String): DataFrame =
+    corpusDsirSelectOf(Tables(spark, dir, "documents"))
+
+
+  /** [[corpusDsirSelect]]'s kernel on any documents-shaped frame. */
+  def corpusDsirSelectOf(docs: DataFrame): DataFrame = {
     val u = (conv(substring(md5(concat(lit("g:"),
       col("doc_id").cast("string")).cast("binary")), 1, 4), 16, 10)
       .cast("double") + lit(0.5)) / lit(65536.0)
@@ -824,7 +906,12 @@ object CorpusQuality {
     * explosion beyond the one shingle pass.
     */
   def corpusNovelty(spark: SparkSession, dir: String): DataFrame =
-    noveltyOf(Tables(spark, dir, "documents"))
+    corpusNoveltyOf(Tables(spark, dir, "documents"))
+
+
+  /** [[corpusNovelty]]'s kernel on any documents-shaped frame. */
+  def corpusNoveltyOf(docs: DataFrame): DataFrame =
+    noveltyOf(docs)
 
   /** [[corpusNovelty]]'s kernel on any (source, text) frame. */
   private[text] def noveltyOf(docs: DataFrame): DataFrame = {

@@ -30,12 +30,17 @@ object Retrieval {
     * broadcast. Scores are rounded to 6 decimals BEFORE ranking so the
     * rank order (score desc, term) is engine-stable.
     */
-  def textTfidf(spark: SparkSession, dir: String): DataFrame = {
+  def textTfidf(spark: SparkSession, dir: String): DataFrame =
+    textTfidfOf(Tables(spark, dir, "documents"))
+
+  /** [[textTfidf]]'s kernel on caller documents frame. */
+  def textTfidfOf(docs0: DataFrame): DataFrame = {
+    val spark = docs0.sparkSession
     // the corpus ships as one file at test SFs → one scan split; spread
     // so the explode/count hot loop uses every core (same trade as the
     // ANN spread paths — worth it when per-row work dominates the one
     // small shuffle; a multi-file 100 TB corpus splits naturally)
-    val docs = Tables(spark, dir, "documents")
+    val docs = docs0
       .repartition(spark.sparkContext.defaultParallelism)
     val tf = docs.select(col("doc_id"), explode(toks).as("term"))
       .groupBy(col("doc_id"), col("term"))
@@ -70,7 +75,11 @@ object Retrieval {
     * reproducible across partitionings and engines.
     */
   def bm25Rank(spark: SparkSession, dir: String): DataFrame =
-    bm25Scores(spark, dir)
+    bm25RankOf(Tables(spark, dir, "documents"))
+
+  /** [[bm25Rank]]'s kernel on any (doc_id, text) frame. */
+  def bm25RankOf(docs: DataFrame): DataFrame =
+    bm25ScoresOf(docs, Bm25Terms)
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(20)
 
@@ -78,7 +87,7 @@ object Retrieval {
     * by [[bm25Rank]] and the hybrid RRF fusion in `graft.ann.Hybrid`.
     */
   def bm25Scores(spark: SparkSession, dir: String): DataFrame =
-    bm25ScoresFor(spark, dir, Bm25Terms)
+    bm25ScoresOf(Tables(spark, dir, "documents"), Bm25Terms)
 
   /** [[bm25Scores]] for ANY static term set (the multi-query hybrid
     * builds one arm per query's terms). The term list must be known at
@@ -86,8 +95,11 @@ object Retrieval {
     * keeps the double addition reproducible across engines.
     */
   def bm25ScoresFor(spark: SparkSession, dir: String,
-      terms: Seq[String]): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
+      terms: Seq[String]): DataFrame =
+    bm25ScoresOf(Tables(spark, dir, "documents"), terms)
+
+  /** [[bm25ScoresFor]]'s kernel on any (doc_id, text) frame. */
+  def bm25ScoresOf(docs: DataFrame, terms: Seq[String]): DataFrame = {
     val tokDf = docs.select(col("doc_id"), explode(toks).as("term"))
     val dl = tokDf.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
@@ -120,7 +132,12 @@ object Retrieval {
     * TakeOrderedAndProject, not a full sort.
     */
   def vocabBpePairs(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    vocabBpePairsOf(Tables(spark, dir, "documents"))
+
+
+  /** [[vocabBpePairs]]'s kernel on any documents-shaped frame. */
+  def vocabBpePairsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), explode(toks).as("tok"))
       .filter(length(col("tok")) >= 2)
       .select(col("doc_id"), col("tok"),
@@ -149,8 +166,12 @@ object Retrieval {
     * sequence) — the fingerprint pins the FULL ordered sequence in the
     * compare without hauling every id row through the gate.
     */
-  def tokenizeIds(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
+  def tokenizeIds(spark: SparkSession, dir: String): DataFrame =
+    tokenizeIdsOf(Tables(spark, dir, "documents"))
+
+
+  /** [[tokenizeIds]]'s kernel on any documents-shaped frame. */
+  def tokenizeIdsOf(docs: DataFrame): DataFrame = {
     val tokPos = docs.select(col("doc_id"),
       posexplode(toks).as(Seq("pos", "tok")))
     val vocab = tokPos.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))

@@ -31,7 +31,11 @@ object TextOps {
     * char stats per document.
     */
   def textTokens(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    tokenStats(Tables(spark, dir, "documents"))
+
+  /** [[textTokens]]'s kernel on any (doc_id, text) frame. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", toks)
       .select(
         col("doc_id"),
@@ -47,7 +51,11 @@ object TextOps {
     * filters (length window + stopword sanity band).
     */
   def textQuality(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    quality(Tables(spark, dir, "documents"))
+
+  /** [[textQuality]]'s kernel on any (doc_id, text) frame. */
+  def quality(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", toks)
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("n_stop",
@@ -79,7 +87,11 @@ object TextOps {
     * the latin-script languages, ties broken by fixed priority.
     */
   def textLangId(spark: SparkSession, dir: String): DataFrame =
-    withLangPred(Tables(spark, dir, "documents"))
+    langId(Tables(spark, dir, "documents"))
+
+  /** [[textLangId]]'s kernel on any (doc_id, text) frame. */
+  def langId(docs: DataFrame): DataFrame =
+    withLangPred(docs)
       .select(col("doc_id"), col("n_en"), col("n_de"), col("n_es"),
         col("n_fr"), col("n_zh"), col("pred_lang"))
       .orderBy(col("doc_id"))
@@ -123,8 +135,10 @@ object TextOps {
   def textLangidEval(spark: SparkSession, dir: String): DataFrame =
     langidEval(Tables(spark, dir, "documents"))
 
-  /** [[textLangidEval]]'s kernel on any documents-shaped frame. */
-  private[text] def langidEval(docs: DataFrame): DataFrame = {
+  /** [[textLangidEval]]'s kernel on any (doc_id, text, lang) frame
+    * (`lang` is the ground truth the prediction is scored against).
+    */
+  def langidEval(docs: DataFrame): DataFrame = {
     val p = withLangPred(docs)
       .select(col("lang"), col("pred_lang"))
     val byTrue = p.groupBy(col("lang")).agg(
@@ -182,16 +196,22 @@ object TextOps {
     * rollup; head via TakeOrderedAndProject.
     */
   def textKeyphrases(spark: SparkSession, dir: String): DataFrame =
-    keyphrases(Tables(spark, dir, "documents"))
+    keyphrasesTopK(Tables(spark, dir, "documents"))
+
+  /** [[textKeyphrases]]'s ranked kernel on any (doc_id, text) frame:
+    * the corpus's top-`k` RAKE phrases.
+    */
+  def keyphrasesTopK(docs: DataFrame, k: Int = RakeTopK): DataFrame =
+    keyphrases(docs)
       .orderBy(round(col("s"), 6).desc, col("phrase"))
-      .limit(RakeTopK)
+      .limit(k)
       .select(col("phrase"), col("n_occurrences"),
         round(col("s"), 4).as("score"))
 
   /** [[textKeyphrases]]'s kernel on any (doc_id, text) frame: unranked
     * distinct phrases with raw scores in `s`.
     */
-  private[text] def keyphrases(docs: DataFrame): DataFrame = {
+  def keyphrases(docs: DataFrame): DataFrame = {
     val tok = docs
       .select(col("doc_id"), posexplode(tokens(col("text")))
         .as(Seq("pos", "tok")))
@@ -236,7 +256,13 @@ object TextOps {
     * CodegenFallback under explode — see SURVEY §8 round-1 notes).
     */
   def textBigrams(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    bigrams(Tables(spark, dir, "documents"))
+
+  /** [[textBigrams]]'s kernel on any (doc_id, text) frame: the top-`k`
+    * corpus bigrams by term frequency.
+    */
+  def bigrams(docs: DataFrame, k: Int = 20): DataFrame =
+    docs
       .withColumn("toks", toks)
       .filter(size(col("toks")) >= 2)
       // explode the POSITION range, not a shingle array: sequence +
@@ -253,14 +279,18 @@ object TextOps {
         count(lit(1)).as("term_freq"),
         countDistinct(col("doc_id")).as("doc_freq"))
       .orderBy(col("term_freq").desc, col("bigram"))
-      .limit(20)
+      .limit(k)
 
   /** C4 `text_fingerprint` — content fingerprint per document
     * (≈ the reference's row identity key, aiesec.py:139, generalized
     * to content addressing).
     */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    fingerprints(Tables(spark, dir, "documents"))
+
+  /** [[textFingerprint]]'s kernel on any (doc_id, text) frame. */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
@@ -270,7 +300,11 @@ object TextOps {
     * arithmetic; exact values pinned in TextOpsSpec).
     */
   def textRollingFp(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    rollingFingerprints(Tables(spark, dir, "documents"))
+
+  /** [[textRollingFp]]'s kernel on any (doc_id, text) frame. */
+  def rollingFingerprints(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         graft.functions.GraftFunctions.rollingHash64(
           regexp_replace(lower(trim(col("text"))), "\\s+", " "))
@@ -281,7 +315,11 @@ object TextOps {
     * under MinHash/Jaccard dedup).
     */
   def textShingles(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    shingleStats(Tables(spark, dir, "documents"))
+
+  /** [[textShingles]]'s kernel on any (doc_id, text) frame. */
+  def shingleStats(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", toks)
       .withColumn("shingles",
         when(size(col("toks")) >= 3,
@@ -308,7 +346,11 @@ object TextOps {
     * this is a map-only stage with zero shuffle.
     */
   def piiScrub(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    scrubPii(Tables(spark, dir, "documents"))
+
+  /** [[piiScrub]]'s kernel on any (doc_id, text) frame. */
+  def scrubPii(docs: DataFrame): DataFrame =
+    docs
       .withColumn("scrubbed",
         regexp_replace(
           regexp_replace(
@@ -329,7 +371,11 @@ object TextOps {
     * how many chars cleanup removed (a cheap corpus-health signal).
     */
   def textClean(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    clean(Tables(spark, dir, "documents"))
+
+  /** [[textClean]]'s kernel on any (doc_id, text) frame. */
+  def clean(docs: DataFrame): DataFrame =
+    docs
       .withColumn("clean",
         trim(regexp_replace(
           regexp_replace(col("text"), "[\\x00-\\x1F\\x7F]", " "),
@@ -349,7 +395,13 @@ object TextOps {
     * collapses it before the exchange.
     */
   def textLengthHist(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    lengthHist(Tables(spark, dir, "documents"))
+
+  /** [[textLengthHist]]'s kernel on any frame with an `n_chars`
+    * column.
+    */
+  def lengthHist(docs: DataFrame): DataFrame =
+    docs
       .groupBy((floor(col("n_chars") / HistBucket) * HistBucket)
         .cast("long").as("bucket_lo"))
       .agg(
@@ -369,13 +421,19 @@ object TextOps {
     * TakeOrderedAndProject, not a full sort of the vocabulary.
     */
   def vocabTopK(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    vocab(Tables(spark, dir, "documents"))
+
+  /** [[vocabTopK]]'s kernel on any (doc_id, text) frame: the top-`k`
+    * vocabulary head.
+    */
+  def vocab(docs: DataFrame, k: Int = VocabK): DataFrame =
+    docs
       .select(col("doc_id"), explode(toks).as("tok"))
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct(col("doc_id")).as("n_docs"))
       .orderBy(col("n_occurrences").desc, col("tok"))
-      .limit(VocabK)
+      .limit(k)
 
   val PackBudget = 512
   val PackParts = 32
@@ -391,10 +449,16 @@ object TextOps {
     * correct under any shuffle-partition count, scaling by adding
     * streams, never by widening one.
     */
-  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    pack(Tables(spark, dir, "documents"))
+
+  /** [[packSequences]]'s kernel on any (doc_id, text) frame. */
+  def pack(docs: DataFrame, budget: Int = PackBudget,
+      parts: Int = PackParts): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    Tables(spark, dir, "documents")
-      .select(col("doc_id"), pmod(col("doc_id"), lit(PackParts)).as("pid"),
+    docs
+      .select(col("doc_id"), pmod(col("doc_id"), lit(parts)).as("pid"),
         size(toks).as("n"))
       .repartition(col("pid"))
       .sortWithinPartitions(col("pid"), col("doc_id"))
@@ -405,7 +469,7 @@ object TextOps {
         var running = 0L
         it.map { case (_, pid, n) =>
           if (pid != curPid) { curPid = pid; seq = 0L; running = 0L }
-          if (running > 0 && running + n > PackBudget) { seq += 1; running = 0L }
+          if (running > 0 && running + n > budget) { seq += 1; running = 0L }
           running += n
           (pid, seq, n.toLong)
         }
@@ -430,12 +494,16 @@ object TextOps {
     * full-vocabulary exchange a plain groupBy would pay (the entire
     * long tail at 100 TB) never happens.
     */
-  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    heavyHittersOf(Tables(spark, dir, "documents"))
+
+  /** [[heavyHitters]]'s kernel on any (text) frame. */
+  def heavyHittersOf(docs: DataFrame): DataFrame = {
     // single-file corpus arrives as one scan split; spread BEFORE the
     // explode so both passes (MG sketch, exact verify) use every core —
     // same trade as text_tfidf / the dedup family.
-    val tokens = Tables(spark, dir, "documents")
-      .repartition(spark.sparkContext.defaultParallelism)
+    val tokens = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(explode(toks).as("tok"))
     val row = tokens.agg(
       graft.functions.MisraGries.misraGries(col("tok"), MgCapacity)
@@ -481,12 +549,16 @@ object TextOps {
     * mergeable across shards/days by plain addition — the incremental
     * maintenance story at 100 TB.
     */
-  def sketchCms(spark: SparkSession, dir: String): DataFrame = {
+  def sketchCms(spark: SparkSession, dir: String): DataFrame =
+    cmsProbe(Tables(spark, dir, "documents"))
+
+  /** [[sketchCms]]'s kernel on any (text) frame. */
+  def cmsProbe(docs: DataFrame): DataFrame = {
     // cached: both the counter build and the exact probe list consume
     // the token stream — uncached, each would rescan + re-tokenize the
     // corpus (Verify/Bench clear caches per query, same as ann_pq)
-    val tokens = Tables(spark, dir, "documents")
-      .repartition(spark.sparkContext.defaultParallelism)
+    val tokens = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(explode(toks).as("tok"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counters = tokens
@@ -521,15 +593,28 @@ object TextOps {
     * count of matched shingles, which carries match rows only (rare by
     * construction), never the corpus.
     */
-  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
-      .select(col("doc_id"),
-        graft.functions.GraftFunctions.wordShingles(toks, ContamN).as("gs"))
-    val bench = docs.filter(pmod(col("doc_id"), lit(ContamMod)) === 0)
-      .select(explode(col("gs")).as("g")).distinct()
-    val corpus = docs.filter(pmod(col("doc_id"), lit(ContamMod)) =!= 0)
-      .select(col("doc_id"), explode(col("gs")).as("g"))
-    corpus.join(broadcast(bench), Seq("g"))
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminateOf(Tables(spark, dir, "documents"))
+
+  /** [[decontaminate]] on one (doc_id, text) frame with the standard
+    * doc_id % [[ContamMod]] bench split.
+    */
+  def decontaminateOf(docs: DataFrame): DataFrame =
+    decontaminateAgainst(
+      docs.filter(pmod(col("doc_id"), lit(ContamMod)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(ContamMod)) === 0))
+
+  /** [[decontaminate]]'s kernel on caller frames: flag `corpus` docs
+    * sharing any word-[[ContamN]]-gram with the held-out `bench` set
+    * (both (doc_id, text)-shaped).
+    */
+  def decontaminateAgainst(corpus: DataFrame,
+      bench: DataFrame): DataFrame = {
+    def gs(df: DataFrame) = df.select(col("doc_id"),
+      graft.functions.GraftFunctions.wordShingles(toks, ContamN).as("gs"))
+    val b = gs(bench).select(explode(col("gs")).as("g")).distinct()
+    val c = gs(corpus).select(col("doc_id"), explode(col("gs")).as("g"))
+    c.join(broadcast(b), Seq("g"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("g")).as("n_hits"))
       .orderBy(col("doc_id"))
@@ -550,19 +635,34 @@ object TextOps {
     * once map-only into the broadcast hash join, and ONLY matching
     * rows shuffle — to an O(eval docs) frame.
     */
-  def decontaminateReport(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
-      .select(col("doc_id"),
-        graft.functions.GraftFunctions.wordShingles(toks, ContamN).as("gs"))
-    val bench = docs.filter(pmod(col("doc_id"), lit(ContamMod)) === 0)
+  def decontaminateReport(spark: SparkSession, dir: String): DataFrame =
+    decontaminateReportOf(Tables(spark, dir, "documents"))
+
+  /** [[decontaminateReport]] on one (doc_id, text) frame with the
+    * standard doc_id % [[ContamMod]] bench split.
+    */
+  def decontaminateReportOf(docs: DataFrame): DataFrame =
+    decontaminationReportOf(
+      docs.filter(pmod(col("doc_id"), lit(ContamMod)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(ContamMod)) === 0))
+
+  /** [[decontaminateReport]]'s kernel on caller frames — the eval
+    * owner's transpose of [[decontaminateAgainst]] (both inputs
+    * (doc_id, text)-shaped).
+    */
+  def decontaminationReportOf(corpus: DataFrame,
+      bench: DataFrame): DataFrame = {
+    def gs(df: DataFrame) = df.select(col("doc_id"),
+      graft.functions.GraftFunctions.wordShingles(toks, ContamN).as("gs"))
+    val b = gs(bench)
       .select(col("doc_id").as("bench_id"), explode(col("gs")).as("g"))
-    val corpus = docs.filter(pmod(col("doc_id"), lit(ContamMod)) =!= 0)
+    val c = gs(corpus)
       .select(col("doc_id").as("cdoc"), explode(col("gs")).as("g"))
-    val hits = corpus.join(broadcast(bench), Seq("g"))
+    val hits = c.join(broadcast(b), Seq("g"))
       .groupBy(col("bench_id"))
       .agg(countDistinct(col("g")).as("n_hit_shingles"),
         countDistinct(col("cdoc")).as("n_corpus_docs"))
-    docs.filter(pmod(col("doc_id"), lit(ContamMod)) === 0)
+    gs(bench)
       .select(col("doc_id").as("bench_id"),
         size(col("gs")).cast("long").as("n_shingles"))
       .join(hits, Seq("bench_id"), "left")
@@ -579,7 +679,11 @@ object TextOps {
     * that — same numbers, ~500× the rows moved).
     */
   def textEntropy(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    entropy(Tables(spark, dir, "documents"))
+
+  /** [[textEntropy]]'s kernel on any (doc_id, text) frame. */
+  def entropy(docs: DataFrame): DataFrame =
+    docs
       .filter(length(col("text")) > 0)
       .select(col("doc_id"),
         round(graft.functions.GraftFunctions.charEntropy(col("text")), 4)

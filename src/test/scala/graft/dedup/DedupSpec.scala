@@ -134,6 +134,31 @@ class DedupSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("CC: checkpoint-every-k cadence (r15 §9g knob) is result-" +
+      "invariant — k in {1, 2, 4} agree on chains, stars and random " +
+      "graphs, including a long path that outlives one cadence window") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    // a 33-node path (worst diameter for the propagate+jump loop),
+    // a star, and a random graph
+    val path = (1L until 33L).map(i => (i, i + 1)).toDF("u", "v")
+    val star = (2L to 12L).map(i => (1L, i)).toDF("u", "v")
+    val rand = Seq.fill(120)(
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (u, v) => u != v }.toDF("u", "v")
+    for (edges <- Seq(path, star, rand)) {
+      val base = Dedup.connectedComponents(edges, driverMaxEdges = 0L,
+        checkpointEvery = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      for (k <- Seq(2, 4)) {
+        val got = Dedup.connectedComponents(edges, driverMaxEdges = 0L,
+          checkpointEvery = k)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(got == base, s"cadence k=$k changed CC labels")
+      }
+    }
+  }
+
   test("CC: driver union-find and distributed label-prop agree on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
