@@ -32,7 +32,10 @@ JAVA_OPTS="$ADD_OPENS -Xmx${SPARK_DRIVER_MEM:-24g} -Xms8g
   -Dspark.sql.session.timeZone=UTC"
 
 echo "[round_close] bench at sf0.1 -> BENCH_r$R.json" >&2
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+# cpus pinned to the house 32 basis: Bench's own default is 4, and
+# benchtrend refuses cross-cpus compares (the r14 guard) — a
+# round-close bench MUST land on the standing basis
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
   java $JAVA_OPTS -cp "$CP" graft.Bench | tail -1 > "BENCH_r$R.json"
 
 echo "[round_close] verify + oracle replay at sf0.01" >&2
