@@ -572,7 +572,7 @@ object Ann {
     * UN-repartitioned corpus so the one training scan has no shuffle
     * in front of it.
     */
-  private[graft] def refinedCentroids(spark: SparkSession,
+  def refinedCentroids(spark: SparkSession,
       c: DataFrame): DataFrame =
     refineLocal(spark, trainSample(spark, c))
 

@@ -54,7 +54,7 @@ object IvfIndex {
     * spec (which rebuilds against the stored sidecar to prove
     * append ≡ rebuild bit-equal).
     */
-  private[ann] def writeIndex(spark: SparkSession, c: DataFrame,
+  def writeIndex(spark: SparkSession, c: DataFrame,
       cents: DataFrame, root: String): Unit = {
     cents.coalesce(1).write.mode("overwrite").parquet(centroidsDir(root))
     Ann.assignCells(c, cents)

@@ -60,7 +60,7 @@ object PqIndex {
     * [[build]]'s encode half, shared with [[appendToIndex]] (stored
     * sidecars in, identical codes out) and the equivalence spec.
     */
-  private[ann] def encodeFrame(c: DataFrame, refined: DataFrame,
+  def encodeFrame(c: DataFrame, refined: DataFrame,
       cb: DataFrame): DataFrame = {
     val asg = residual(
       Ann.assignCells(c, refined).join(broadcast(refined), Seq("cell_id")))
