@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
 
 /** Upper-decade probe for the self-scaling ANN training cap (round 12;
   * the one `weak` in the r11 verdict): the factor-100 execution probe
@@ -75,7 +76,7 @@ object BenchKnnCap {
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
     val metrics = BenchMetrics.install(spark.sparkContext)
     val rows = factors.map { f =>
-      val emb = embAt(spark, base, f).localCheckpoint()
+      val emb = embAt(spark, base, f).localCheckpoint(true, MEMORY_AND_DISK_SER)
       val n = emb.count()
       val cap = graft.ann.Ann.trainCapFor(n)
       val t0 = System.nanoTime()
@@ -108,7 +109,7 @@ object BenchKnnCap {
       // too (it was one extra job inside probe_sec).
       val qBatch = emb.orderBy(col("vec_id")).limit(QueryBatch)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-        .localCheckpoint()
+        .localCheckpoint(true, MEMORY_AND_DISK_SER)
       val nQ = qBatch.count()
       val t1b = System.nanoTime()
       val probedPairs = graft.ann.Ann.probeCellsGated(qBatch, cents,

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
 
 /** 10× scale probe (round 10; r9 verdict item 3): every 100× claim in
   * the scale audits was plan-shape-verified only — this main EXECUTES
@@ -176,7 +177,7 @@ object BenchScale {
           |  cast(x + IF(_copy > 0 AND i = int(vec_id % 64),
           |    cast(_copy as double) / 100, 0d) as float))""".stripMargin))
       .drop("_copy")
-      .localCheckpoint()
+      .localCheckpoint(true, MEMORY_AND_DISK_SER)
     emb.write.mode("overwrite").parquet(s"$out-verbatim/embeddings.parquet")
     emb.write.mode("overwrite").parquet(s"$out-iso/embeddings.parquet")
     // lineitem feeds the graph family's shared co-purchase edge
@@ -200,7 +201,7 @@ object BenchScale {
       spark.read.parquet(s"$base/events.parquet"), "event_id")
       .withColumn("user_id", col("user_id") + col("_copy") * Shift)
       .drop("_copy")
-      .localCheckpoint()
+      .localCheckpoint(true, MEMORY_AND_DISK_SER)
     evr.write.mode("overwrite").parquet(s"$out-verbatim/events.parquet")
     evr.write.mode("overwrite").parquet(s"$out-iso/events.parquet")
     // pass the remaining tables through UNreplicated so every probed

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.GraftFunctions._
+import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
 
 /** Approximate-nearest-neighbor search over the embeddings table
   * (SURVEY.md §2.E): brute-force cosine top-k as the exactness anchor,
@@ -860,6 +861,20 @@ object Ann {
   val PqK = 16     // centroids per subspace codebook
   val PqIters = 2  // Lloyd refinement rounds per subspace
 
+  /** The ADC inner loop — Σ_s lut[s·K + codes[s]] — UNROLLED over the
+    * compile-time [[PqM]] into a fixed + chain (r15 opt): the
+    * `aggregate(sequence(0, m-1), …)` HOF spelling is CodegenFallback,
+    * so the per-CANDIDATE hot path of every PQ query ran interpreted
+    * (the r15 baseline's dominant ADC stage). The unrolled chain is
+    * whole-stage-codegen. Bit-identical: SQL `+` parses
+    * left-associative, so `0.0 + e₀ + e₁ + …` reproduces the fold's
+    * exact accumulation order, leading zero included.
+    */
+  private[graft] def adcSum: org.apache.spark.sql.Column = expr(
+    (0 until PqM).map(s =>
+        s"element_at(lut, $s * $PqK + element_at(codes, ${s + 1}))")
+      .mkString("cast(0 as double) + ", " + ", ""))
+
   /** Split a vector column into its [[PqM]] subvectors, one row per
     * (id, sub). The transform HOF materializes in a projection BEFORE
     * the posexplode (HOFs are CodegenFallback — fine per input row,
@@ -977,10 +992,7 @@ object Ann {
     val cand = poolTopK(
       enc.crossJoin(broadcast(lut))
         .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("adot", expr(
-          s"""aggregate(sequence(0, ${PqM - 1}), cast(0 as double),
-             |  (acc, s) -> acc + element_at(lut,
-             |    s * $PqK + element_at(codes, s + 1)))""".stripMargin))
+        .withColumn("adot", adcSum)
         .withColumn("adot_r", round(col("adot"), 6)),
       orderBy = Seq("adot_r" -> false, "vec_id" -> true), k = QuantRerank)
     topK(cand.withColumn("cos",
@@ -1077,10 +1089,7 @@ object Ann {
     val cand = poolTopK(
       enc.crossJoin(broadcast(lut))
         .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("adot", expr(
-          s"""aggregate(sequence(0, ${PqM - 1}), cast(0 as double),
-             |  (acc, s) -> acc + element_at(lut,
-             |    s * $PqK + element_at(codes, s + 1)))""".stripMargin))
+        .withColumn("adot", adcSum)
         .withColumn("adot_r", round(col("adot"), 6)),
       orderBy = Seq("adot_r" -> false, "vec_id" -> true), k = QuantRerank)
     topK(cand.withColumn("cos",
@@ -1168,10 +1177,7 @@ object Ann {
     val cand = poolTopK(
       enc.join(broadcast(probed), Seq("cell_id"))
         .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("adot", col("qc_dot") + expr(
-          s"""aggregate(sequence(0, ${PqM - 1}), cast(0 as double),
-             |  (acc, s) -> acc + element_at(lut,
-             |    s * $PqK + element_at(codes, s + 1)))""".stripMargin))
+        .withColumn("adot", col("qc_dot") + adcSum)
         .withColumn("adot_r", round(col("adot"), 6)),
       orderBy = Seq("adot_r" -> false, "vec_id" -> true), k = IvfPqRerank)
     topK(cand.withColumn("cos",
@@ -1513,7 +1519,7 @@ object Ann {
     val cents = refinedCentroids(spark, c)
     val asg = assignCells(c, cents)
       .withColumn("nrm", sqrt(dotF(col("embedding"), col("embedding"))))
-      .localCheckpoint()
+      .localCheckpoint(true, MEMORY_AND_DISK_SER)
     val a = asg.select(col("cell_id"), col("vec_id").as("ia"),
       col("embedding").as("ea"), col("nrm").as("na"))
     val b = asg.select(col("cell_id"), col("vec_id").as("ib"),

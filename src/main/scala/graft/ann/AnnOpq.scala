@@ -211,10 +211,7 @@ object AnnOpq {
     val cand = Ann.poolTopK(
       enc.crossJoin(broadcast(lut))
         .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("adot", expr(
-          s"""aggregate(sequence(0, ${PqM - 1}), cast(0 as double),
-             |  (acc, s) -> acc + element_at(lut,
-             |    s * $PqK + element_at(codes, s + 1)))""".stripMargin))
+        .withColumn("adot", Ann.adcSum)
         .withColumn("adot_r", round(col("adot"), 6)),
       orderBy = Seq("adot_r" -> false, "vec_id" -> true), k = QuantRerank)
     Ann.topK(cand.withColumn("cos",

@@ -149,8 +149,17 @@ object Hybrid {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val spark = emb0.sparkSession
     import spark.implicits._
+    // ONE tokenize pass serves every lexical arm: bm25PerDoc builds
+    // the per-doc (dl, tf_t) frame over the UNION of all queries'
+    // terms, and each arm scores off that checkpointed frame —
+    // per-term BM25 is a pure function of (tf, dl, df, N, avgdl), so
+    // the scores are bit-identical to per-query builds (the r15
+    // baseline measured the old 3-independent-builds spelling as ~9
+    // corpus scans ≈ the query's whole wall; guide §1.2).
+    val allTerms = MultiQueries.flatMap(_._2).distinct
+    val perDoc = graft.text.Retrieval.bm25PerDoc(docs, allTerms)
     val lex = MultiQueries.map { case (qid, terms) =>
-      graft.text.Retrieval.bm25ScoresOf(docs, terms)
+      graft.text.Retrieval.bm25FromPerDoc(perDoc, allTerms, terms)
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(ArmN)
         .withColumn("lex_rank", row_number().over(

@@ -50,7 +50,7 @@ object IndexErasure {
     */
   def eraseFromIndex(spark: SparkSession, root: String,
       victims0: DataFrame): DataFrame = {
-    val victims = victims0.select(col("vec_id")).localCheckpoint()
+    val victims = victims0.select(col("vec_id")).localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val vecs = spark.read.parquet(IvfIndex.vectorsDir(root))
       .withColumn("cell_id", col("cell_id").cast("long"))
     // the report materializes BEFORE the rewrite mutates the files
@@ -67,7 +67,7 @@ object IndexErasure {
       .select(col("cell_id"), col("n_before"), col("n_erased"),
         col("n_after"), col("erased_bp"), col("rewrite_advised"))
       .orderBy(col("cell_id"))
-      .localCheckpoint()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val touched = report.filter(col("n_erased") > 0)
       .select(col("cell_id"), col("n_after")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
@@ -78,7 +78,14 @@ object IndexErasure {
         .filter(col("cell_id").isin(touched.map(_._1): _*))
         .join(victims, Seq("vec_id"), "left_anti")
         .select(col("cell_id"), col("vec_id"), col("embedding"))
-        .localCheckpoint()
+        // cluster by the partition column BEFORE the checkpoint so the
+        // rewrite's WriteFiles stage runs one task per hash bucket
+        // instead of one AQE-coalesced task; serialized storage per
+        // the r14 house rule for re-read checkpoint frames
+        .repartition(spark.sparkContext.defaultParallelism,
+          col("cell_id"))
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val conf = "spark.sql.sources.partitionOverwriteMode"
       val prev = spark.conf.getOption(conf)
       spark.conf.set(conf, "dynamic")

@@ -2,6 +2,7 @@ package graft.ann
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
 
 /** E21 `ann_ivf_indexed` — IVF retrieval against a MATERIALIZED on-disk
   * index: the layout a 100 TB vector store actually ships, where the
@@ -57,8 +58,17 @@ object IvfIndex {
   def writeIndex(spark: SparkSession, c: DataFrame,
       cents: DataFrame, root: String): Unit = {
     cents.coalesce(1).write.mode("overwrite").parquet(centroidsDir(root))
+    // hash-cluster by the partition column before the partitioned
+    // write: the assign pipeline is map-only off the scan, so its
+    // write parallelism was the SCAN split count (one task on a
+    // single-file corpus) and that one task opened every `cell_id=`
+    // directory serially. Clustered, defaultParallelism tasks write in
+    // parallel and each cell still lands in exactly one file.
     Ann.assignCells(c, cents)
       .select(col("cell_id"), col("vec_id"), col("embedding"))
+      .repartition(c.sparkSession.sparkContext.defaultParallelism,
+        col("cell_id"))
+      .sortWithinPartitions(col("cell_id"), col("vec_id"))
       .write.mode("overwrite").partitionBy("cell_id")
       .parquet(vectorsDir(root))
   }
@@ -81,7 +91,7 @@ object IvfIndex {
     val assigned = Ann.assignCells(
       delta.select(col("vec_id"), col("embedding")), cents)
       .select(col("cell_id"), col("vec_id"), col("embedding"))
-      .localCheckpoint() // one assignment feeds the write AND the report
+      .localCheckpoint(true, MEMORY_AND_DISK_SER) // one assignment feeds the write AND the report
     assigned.write.mode("append").partitionBy("cell_id")
       .parquet(vectorsDir(root))
     assigned.groupBy(col("cell_id"))

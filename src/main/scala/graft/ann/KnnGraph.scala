@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.GraftFunctions._
+import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
 
 /** E27 `emb_knn_graph` — the mutual k-nearest-neighbor graph over an
   * embedding column: the standard substrate for density-based corpus
@@ -70,7 +71,7 @@ object KnnGraph {
       // both sides of the mutuality join read this frame — O(n·k)
       // rows; without the checkpoint the candidate-scoring pass
       // re-executes per side (plan-verified: two scoring subtrees)
-      .localCheckpoint()
+      .localCheckpoint(true, MEMORY_AND_DISK_SER)
 
   /** Mutual edges (u < v) from a directed top-k frame: equi self-join
     * on the REVERSED (u, v) key keeps exactly the pairs ranked by both

@@ -50,7 +50,17 @@ object PqIndex {
     val cb = Ann.pqTrainLocal(spark, resSample)
     refined.coalesce(1).write.mode("overwrite").parquet(centroidsDir(root))
     cb.coalesce(1).write.mode("overwrite").parquet(codebookDir(root))
+    // hash-cluster by the partition column before the partitioned
+    // write: without it AQE coalesces the tiny pre-write exchange to
+    // ONE task which then opens every `cell_id=` directory serially
+    // (the r15 baseline's single 1.3 s WriteFiles stage); clustered,
+    // each of the defaultParallelism tasks writes its own cells in
+    // parallel and each cell still lands in exactly one file (guide
+    // §6 output sizing — same discipline at cluster scale).
     encodeFrame(c, refined, cb)
+      .repartition(c.sparkSession.sparkContext.defaultParallelism,
+        col("cell_id"))
+      .sortWithinPartitions(col("cell_id"), col("vec_id"))
       .write.mode("overwrite").partitionBy("cell_id")
       .parquet(vectorsDir(root))
   }
@@ -62,8 +72,16 @@ object PqIndex {
     */
   def encodeFrame(c: DataFrame, refined: DataFrame,
       cb: DataFrame): DataFrame = {
+    // checkpoint the assigned+residual frame: it feeds BOTH the
+    // subvector/code chain and the cell_id join-back, and uncached the
+    // coarse assignment (a corpus scan + argmin over every centroid)
+    // runs twice (r15 opt; guide §1.2 — don't compute things twice).
+    // Serialized storage per the r14 house rule for re-read frames.
     val asg = residual(
       Ann.assignCells(c, refined).join(broadcast(refined), Seq("cell_id")))
+      .select(col("vec_id"), col("cell_id"), col("res"))
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val sv = Ann.subvecFrame(
       asg.select(col("vec_id"), col("res").as("embedding")),
       "embedding", "vec_id")
@@ -91,7 +109,8 @@ object PqIndex {
     val cb = spark.read.parquet(codebookDir(root))
     val rows = encodeFrame(
       delta.select(col("vec_id"), col("embedding")), refined, cb)
-      .localCheckpoint() // one encode feeds the write AND the report
+      .localCheckpoint(true,  // one encode feeds the write AND the report
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     rows.write.mode("append").partitionBy("cell_id")
       .parquet(vectorsDir(root))
     rows.groupBy(col("cell_id"))
@@ -154,6 +173,11 @@ object PqIndex {
         .filter(col("cell_id").isin(touched.map(_._1): _*))
         .join(victims, Seq("vec_id"), "left_anti")
         .select(col("cell_id"), col("vec_id"), col("codes"))
+        // cluster by the partition column BEFORE the checkpoint so the
+        // rewrite's WriteFiles stage runs one task per hash bucket
+        // instead of the one AQE-coalesced task the baseline measured
+        .repartition(spark.sparkContext.defaultParallelism,
+          col("cell_id"))
         .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
       val conf = "spark.sql.sources.partitionOverwriteMode"
       val prev = spark.conf.getOption(conf)
@@ -214,10 +238,7 @@ object PqIndex {
     val shortlist = Ann.poolTopK(
       idx.join(broadcast(probed), Seq("cell_id"))
         .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("adot", col("qc_dot") + expr(
-          s"""aggregate(sequence(0, ${Ann.PqM - 1}), cast(0 as double),
-             |  (acc, s) -> acc + element_at(lut,
-             |    s * ${Ann.PqK} + element_at(codes, s + 1)))""".stripMargin))
+        .withColumn("adot", col("qc_dot") + Ann.adcSum)
         .withColumn("adot_r", round(col("adot"), 6)),
       orderBy = Seq("adot_r" -> false, "vec_id" -> true),
       k = Ann.IvfPqRerank)

@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.GraftFunctions._
 import graft.text.TextOps
+import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
 
 /** Deduplication operators (SURVEY.md §2.D) — the exact → fuzzy ladder a
   * training-data pipeline needs: content-hash dedup, n-gram Jaccard,
@@ -154,7 +155,7 @@ object Dedup {
       .withColumn("df", count(lit(1)).over(wg))
       .filter(col("df") <= MaxShingleDf) // df-capped universe
       .select(col("doc_id"), col("g"))
-    val ex = if (materialize) ex0.localCheckpoint() else ex0
+    val ex = if (materialize) ex0.localCheckpoint(true, MEMORY_AND_DISK_SER) else ex0
     val sz = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     ex.as("a")
       .join(ex.as("b"),
@@ -203,7 +204,7 @@ object Dedup {
     val sig = shingledDocs
       .select(col("doc_id"), col("shingles"),
         minhashSig(col("shingles"), NumPerms).as("sig"))
-      .localCheckpoint()
+      .localCheckpoint(true, MEMORY_AND_DISK_SER)
     val bands = sig.select(col("doc_id"),
         posexplode(expr(
           s"transform(sequence(0, $NumBands - 1), " +
@@ -265,7 +266,7 @@ object Dedup {
     val sig = docs
       .select(col("doc_id"), col("shingles"),
         minhashSig(col("shingles"), NumPerms).as("sig"))
-      .localCheckpoint() // bands + both verify joins + the base frame
+      .localCheckpoint(true, MEMORY_AND_DISK_SER) // bands + both verify joins + the base frame
     val bands = sig.select(col("doc_id"),
       posexplode(expr(
         s"transform(sequence(0, $NumBands - 1), " +
@@ -433,17 +434,32 @@ object Dedup {
     * (vec_id, embedding) frame.
     */
   def embeddingLshPairs(em: DataFrame, tau: Double): DataFrame = {
-    val sigs = em.select(col("vec_id"), col("embedding"),
+    // Proxy join (r15 opt; guide §8): the 512-byte embedding arrays
+    // used to ride BOTH sides of the bucket self-join and the
+    // candidate distinct hashed them per collision — the old plan's
+    // two dominant stages. Signatures decide WHICH pairs to verify on
+    // (id, table, sig) rows alone; the embeddings re-attach by key
+    // exactly once per side for the exact verify. The signature frame
+    // checkpoints because both self-join sides read it — uncached,
+    // the 256-dot rhp projection per vector runs twice. Same
+    // candidate set (ea/eb are functions of ia/ib, so the old
+    // distinct over (ia, ib, ea, eb) equals distinct over (ia, ib)),
+    // same cosines, same output.
+    val sigs = em.select(col("vec_id"),
       posexplode(rhpSigs(col("embedding"), RhpBitsPerTable, RhpTables))
         .as(Seq("table", "sig")))
+      .localCheckpoint(true, MEMORY_AND_DISK_SER)
     val cand = sigs
-      .select(col("vec_id").as("ia"), col("embedding").as("ea"),
-        col("table"), col("sig"))
-      .join(sigs.select(col("vec_id").as("ib"), col("embedding").as("eb"),
-        col("table"), col("sig")), Seq("table", "sig"))
+      .select(col("vec_id").as("ia"), col("table"), col("sig"))
+      .join(sigs.select(col("vec_id").as("ib"), col("table"),
+        col("sig")), Seq("table", "sig"))
       .filter(col("ia") < col("ib"))
-      .select("ia", "ib", "ea", "eb").distinct()
+      .select("ia", "ib").distinct()
     cand
+      .join(em.select(col("vec_id").as("ia"), col("embedding").as("ea")),
+        Seq("ia"))
+      .join(em.select(col("vec_id").as("ib"), col("embedding").as("eb")),
+        Seq("ib"))
       .withColumn("cos", cosineSim(col("ea"), col("eb")))
       .filter(round(col("cos"), 6) >= tau)
       .select(col("ia"), col("ib"), round(col("cos"), 4).as("cos"))
@@ -945,7 +961,7 @@ object Dedup {
     val sig = shingledDocs
       .filter(size(col("shingles")) >= 1)
       .select(col("doc_id"), minhashSig(col("shingles"), NumPerms).as("sig"))
-      .localCheckpoint() // both sidecars + the intake pass read it
+      .localCheckpoint(true, MEMORY_AND_DISK_SER) // both sidecars + the intake pass read it
     val (bandSc, sigSc) = minhashSidecars(
       sig.filter(col("doc_id") % IncMod =!= 0))
     intakeMinhashDedup(

@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
 
 /** D10 `dedup_lsh_eval` — banding-quality evaluation for the MinHash
   * LSH dedup, as data rather than a spec assertion (the dedup twin of
@@ -76,10 +77,10 @@ object DedupEval {
       .select(col("doc_id"),
         graft.functions.GraftFunctions.minhashSig(col("shingles"), NumPerms)
           .as("sig"))
-      .localCheckpoint()
+      .localCheckpoint(true, MEMORY_AND_DISK_SER)
     val truth = Dedup.ngramJaccardPairsOf(sh, materialize = true)
       .select(col("ia"), col("ib"))
-      .localCheckpoint()
+      .localCheckpoint(true, MEMORY_AND_DISK_SER)
     SweepBands.map { b =>
       val r = NumPerms / b
       val bands = sig.select(col("doc_id"),

@@ -79,14 +79,21 @@ object CorpusPipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 2. decontamination: the eval slice leaves the corpus, and any
-    // remaining doc sharing a word-ContamN-gram with it goes too
+    // remaining doc sharing a word-ContamN-gram with it goes too.
+    // The gram explode runs ONCE over the cached corpus and is itself
+    // cached: the eval side and the probe side used to each re-run
+    // the shingle construction over their slice (r15 opt — two
+    // corpus-scale gram builds folded into one).
     val grams4 = graft.functions.GraftFunctions
       .wordShingles(col("toks"), ContamN)
-    val evalGrams = all.filter(pmod(col("doc_id"), lit(EvalMod)) === 0)
-      .select(explode(grams4).as("g")).distinct()
-    val corpusDocs = all.filter(pmod(col("doc_id"), lit(EvalMod)) =!= 0)
-    val contaminated = corpusDocs
+    val grams = all
       .select(col("doc_id"), explode(grams4).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val evalGrams = grams.filter(pmod(col("doc_id"), lit(EvalMod)) === 0)
+      .select(col("g")).distinct()
+    val corpusDocs = all.filter(pmod(col("doc_id"), lit(EvalMod)) =!= 0)
+    val contaminated = grams
+      .filter(pmod(col("doc_id"), lit(EvalMod)) =!= 0)
       .join(broadcast(evalGrams), Seq("g"), "left_semi")
       .select(col("doc_id")).distinct()
     val decontaminated = corpusDocs

@@ -7,6 +7,7 @@ import org.apache.spark.storage.StorageLevel
 
 import graft.Tables
 import graft.text.TextOps
+import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
 
 /** Round-4 curation / pipeline additions (SURVEY.md §2 A31, B71, C26,
   * D8, E13): late-data audit, the bucketed scale path for keyless
@@ -177,7 +178,13 @@ object CurationOps {
     val kc = keys.map(col)
     // three independent consumers (vocab head, per-key totals,
     // in-vocab counts) read the fact-scale explode — cache it once or
-    // each one re-scans and re-tokenizes the whole corpus
+    // each one re-scans and re-tokenizes the whole corpus. Measured
+    // r15: do NOT spread the cache over the cores at bench SFs — a
+    // repartition(32) before the persist doubled the wall (7.8 s vs
+    // 3.6 s in the A/B shell probe): every consumer branch then runs
+    // 32 tasks through its own exchange where the single-split cache
+    // resolves each tiny branch in one task. A multi-file 100 TB
+    // corpus splits (and so parallelizes) naturally at the scan.
     val tk = docs
       .select(kc :+ explode(TextOps.tokens(col("text"))).as("tok"): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -263,7 +270,7 @@ object CurationOps {
       .withColumn("df", count(lit(1)).over(wg))
       .filter(col("df") <= graft.dedup.Dedup.MaxShingleDf)
       .select(col("doc_id"), col("g"))
-      .localCheckpoint() // one materialization feeds sizes + both join sides
+      .localCheckpoint(true, MEMORY_AND_DISK_SER) // one materialization feeds sizes + both join sides
     val sz = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
     ex.as("a")
       .join(ex.as("b"),
@@ -507,7 +514,7 @@ object CurationOps {
       .groupBy(col("c_nationkey"), col("c_mktsegment"),
         floor(col("c_acctbal") / 1000).cast("long").as("band"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint() // one materialization feeds classes/gBands/join;
+      .localCheckpoint(true, MEMORY_AND_DISK_SER) // one materialization feeds classes/gBands/join;
     // released with the session (no session-lifetime persist pin)
     val classes = cells.groupBy(col("c_nationkey"), col("c_mktsegment"))
       .agg(sum(col("c")).as("n_c"))

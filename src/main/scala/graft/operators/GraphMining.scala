@@ -17,6 +17,19 @@ import graft.Tables
   */
 object GraphMining {
 
+  /** r15 house rule applied family-wide: lineage-truncation
+    * checkpoints store SERIALIZED (+lz4 via the `spark.rdd.compress`
+    * default) — the graph kernels re-read their checkpointed edge/
+    * frontier frames every round, and the r14 link-family probe
+    * measured deserialized checkpoint re-reads as the dominant task
+    * input at factor 100 (serialized cut them 4–22×). Values are
+    * unchanged; only the block storage format is.
+    */
+  private implicit class CpSerOps(private val df: DataFrame) {
+    def cpSer(): DataFrame = df.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+  }
+
   // ---------------------------------------------------------------- B76
 
   val EdgeMinSupport = 2 // co-occurrences required to keep an edge
@@ -42,6 +55,15 @@ object GraphMining {
     */
   private[operators] def copurchaseWeightedEdges(
       lineitem: DataFrame): DataFrame = {
+    // r15 opt note: a one-exchange collect_set + in-array pair
+    // expansion was A/B'd against this join spelling and REVERTED --
+    // the struct-building higher-order transform under explode runs
+    // interpreted (the CodegenFallback-under-Generate trap
+    // TextOps.wordShingles documents) and the ObjectHashAggregate set
+    // buffers GC-thrash: its pair stage measured 1.4-9.3 s across the
+    // family vs this plan's steady ~0.7 s whole-stage-codegen join.
+    // The distinct + (broadcast) self-join + map-side-combined support
+    // count stays the measured-best spelling.
     val op = lineitem
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
@@ -51,6 +73,7 @@ object GraphMining {
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= EdgeMinSupport)
   }
+
 
   /** Per-node triangle counts over an undirected edge set (columns
     * `u < v`), by DEGREE-ORDERED node iteration — the standard trick
@@ -71,7 +94,7 @@ object GraphMining {
     // upstream pair-generation lineage re-executes per consumer (3×
     // the dominant cost, measured 21 s → 6 s at sf0.1). O(m) rows —
     // the same bound the dedup family checkpoints at.
-    val edges = edges0.localCheckpoint()
+    val edges = edges0.cpSer()
     val deg = edges
       .select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
@@ -88,7 +111,7 @@ object GraphMining {
       .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
       // consumed by the wedge join twice and the closing join once —
       // cut the degree-join lineage the same way
-      .localCheckpoint()
+      .cpSer()
     // wedges at the source, arms ordered by rank so (b, c) is canonical
     val wedges = oriented.as("o1").join(oriented.as("o2"),
         col("o1.s") === col("o2.s") &&
@@ -217,7 +240,7 @@ object GraphMining {
         scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double, Double)]
       it.foreach { p => if (!kept.exists(q => dom3(q, p))) kept += p }
       kept.iterator
-    }.toDF("id", "price", "sz", "qty").localCheckpoint()
+    }.toDF("id", "price", "sz", "qty").cpSer()
     cands.as("p").join(broadcast(cands.as("q")),
         col("q.price") <= col("p.price") && col("q.sz") <= col("p.sz") &&
           col("q.qty") >= col("p.qty") &&
@@ -328,7 +351,7 @@ object GraphMining {
     */
   private[operators] def basketRules(op0: DataFrame): DataFrame = {
     val op = op0.select(col("o"), col("p")).distinct()
-      .localCheckpoint() // feeds pair support, item support, and N
+      .cpSer() // feeds pair support, item support, and N
     val pairs = op.as("a").join(op.as("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .groupBy(col("a.p").as("u"), col("b.p").as("v"))
@@ -336,7 +359,7 @@ object GraphMining {
       .filter(col("n_both") >= EdgeMinSupport)
       // the union reads pairs twice (u→v and v→u) — O(supported
       // pairs) rows, checkpoint so the basket self-join runs once
-      .localCheckpoint()
+      .cpSer()
     val items = op.groupBy(col("p")).agg(count(lit(1)).as("n_item"))
     val n = op.select(countDistinct(col("o")).as("n_orders"))
     val rules = pairs
@@ -379,7 +402,7 @@ object GraphMining {
   /** [[graphComponents]]'s kernel on any lineitem-shaped frame. */
   def graphComponentsOf(li: DataFrame): DataFrame = {
     val edges = copurchaseEdges(li)
-      .localCheckpoint() // feeds the CC kernel + both rollups
+      .cpSer() // feeds the CC kernel + both rollups
     val labels = graft.dedup.Dedup.connectedComponents(edges)
     val nodes = labels.groupBy(col("label"))
       .agg(count(lit(1)).as("n_nodes"))
@@ -418,7 +441,7 @@ object GraphMining {
     * canonical edge list.
     */
   private[operators] def jaccardLinks(edges0: DataFrame): DataFrame = {
-    val edges = edges0.localCheckpoint() // feeds sym twice + the anti join
+    val edges = edges0.cpSer() // feeds sym twice + the anti join
     val sym = edges.select(col("u").as("node"), col("v").as("nbr"))
       .union(edges.select(col("v").as("node"), col("u").as("nbr")))
     val deg = sym.groupBy(col("node")).agg(count(lit(1)).as("d"))
@@ -495,7 +518,7 @@ object GraphMining {
     */
   private[operators] def kcorePeelRounds(edges0: DataFrame,
       maxRounds: Int): (DataFrame, Int, Boolean) = {
-    var edges = edges0.localCheckpoint()
+    var edges = edges0.cpSer()
     var prev = edges.count()
     var rounds = 0
     var converged = prev == 0L
@@ -507,7 +530,7 @@ object GraphMining {
       edges = edges
         .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
-        .localCheckpoint()
+        .cpSer()
       rounds += 1
       val n = edges.count()
       converged = n == prev
@@ -573,10 +596,10 @@ object GraphMining {
     * O(nodes), and lineage truncates per round (the D6 rule).
     */
   private[operators] def lpaCommunities(edges0: DataFrame): DataFrame = {
-    val edges = edges0.localCheckpoint()
+    val edges = edges0.cpSer()
     val sym = edges.select(col("u").as("node"), col("v").as("nbr"))
       .union(edges.select(col("v").as("node"), col("u").as("nbr")))
-      .localCheckpoint() // read every round
+      .cpSer() // read every round
     var labels = sym.select(col("node")).distinct()
       .withColumn("label", col("node"))
     for (_ <- 1 to LpaRounds) {
@@ -589,7 +612,7 @@ object GraphMining {
         .agg(max_by(col("label"),
           struct(col("cnt").as("c"), (-col("label")).as("t")))
           .as("label"))
-        .localCheckpoint()
+        .cpSer()
     }
     labels.groupBy(col("label").as("community"))
       .agg(count(lit(1)).as("n_nodes"))
@@ -627,15 +650,15 @@ object GraphMining {
     * is a total order (degree, id) so the seed set is engine-exact.
     */
   private[operators] def bfsLayers(edges0: DataFrame): DataFrame = {
-    val edges = edges0.localCheckpoint()
+    val edges = edges0.cpSer()
     val sym = edges.select(col("u").as("node"), col("v").as("nbr"))
       .union(edges.select(col("v").as("node"), col("u").as("nbr")))
-      .localCheckpoint() // read every round
+      .cpSer() // read every round
     val seeds = sym.groupBy(col("node")).agg(count(lit(1)).as("d"))
       .orderBy(col("d").desc, col("node"))
       .limit(BfsSeedK)
       .select(col("node"))
-    var visited = seeds.withColumn("dist", lit(0)).localCheckpoint()
+    var visited = seeds.withColumn("dist", lit(0)).cpSer()
     var frontier = visited
     for (k <- 1 to BfsRounds) {
       frontier = sym
@@ -643,8 +666,11 @@ object GraphMining {
         .select(col("nbr").as("node")).distinct()
         .join(visited.select(col("node")), Seq("node"), "left_anti")
         .withColumn("dist", lit(k))
-        .localCheckpoint()
-      visited = visited.union(frontier).localCheckpoint()
+        .cpSer()
+      // visited stays a UNION of the already-checkpointed level frames:
+      // re-checkpointing it each round rematerialized the whole prefix
+      // (O(K2) rewrite over K rounds) for no lineage benefit (r15 opt)
+      visited = visited.union(frontier)
     }
     visited.select(col("node").as("p_partkey"), col("dist"))
       .orderBy(col("p_partkey"))
@@ -690,15 +716,15 @@ object GraphMining {
 
   /** [[graphCloseness]]'s kernel on any (u, v) edge frame. */
   private[operators] def hubCloseness(edges0: DataFrame): DataFrame = {
-    val edges = edges0.localCheckpoint()
+    val edges = edges0.cpSer()
     val sym = edges.select(col("u").as("node"), col("v").as("nbr"))
       .union(edges.select(col("v").as("node"), col("u").as("nbr")))
-      .localCheckpoint()
+      .cpSer()
     val deg = sym.groupBy(col("node")).agg(count(lit(1)).as("d"))
     val seeds = deg.orderBy(col("d").desc, col("node"))
       .limit(BfsSeedK)
       .select(col("node").as("seed"), col("d").as("degree"))
-      .localCheckpoint()
+      .cpSer()
     val visited = seedVisited(sym, seeds)
     visited.groupBy(col("seed"))
       .agg((count(lit(1)) - 1).as("n_reached"),
@@ -717,7 +743,7 @@ object GraphMining {
   private def seedVisited(sym: DataFrame, seeds: DataFrame): DataFrame = {
     var visited = seeds
       .select(col("seed"), col("seed").as("node"), lit(0).as("dist"))
-      .localCheckpoint()
+      .cpSer()
     var frontier = visited.select(col("seed"), col("node"))
     for (k <- 1 to BfsRounds) {
       frontier = frontier
@@ -725,10 +751,11 @@ object GraphMining {
         .select(col("seed"), col("nbr").as("node")).distinct()
         .join(visited.select(col("seed"), col("node")),
           Seq("seed", "node"), "left_anti")
-        .localCheckpoint()
+        .cpSer()
+      // union of already-checkpointed level frames (no rewrite), see
+      // bfsLayers (r15 opt)
       visited = visited
         .union(frontier.withColumn("dist", lit(k)))
-        .localCheckpoint()
     }
     visited
   }
@@ -754,16 +781,19 @@ object GraphMining {
 
   /** [[graphEccentricity]]'s kernel on any (u, v) edge frame. */
   private[operators] def hubEccentricity(edges0: DataFrame): DataFrame = {
-    val edges = edges0.localCheckpoint()
+    val edges = edges0.cpSer()
     val sym = edges.select(col("u").as("node"), col("v").as("nbr"))
       .union(edges.select(col("v").as("node"), col("u").as("nbr")))
-      .localCheckpoint()
+      .cpSer()
     val deg = sym.groupBy(col("node")).agg(count(lit(1)).as("d"))
     val seeds = deg.orderBy(col("d").desc, col("node"))
       .limit(BfsSeedK)
       .select(col("node").as("seed"), col("d").as("degree"))
-      .localCheckpoint()
-    val visited = seedVisited(sym, seeds).localCheckpoint()
+      .cpSer()
+    // union of checkpointed level frames; both consumers below read
+    // the same blocks — re-checkpointing rewrites them once more for
+    // no lineage benefit (r15 opt)
+    val visited = seedVisited(sym, seeds)
     val agg = visited.groupBy(col("seed"))
       .agg((count(lit(1)) - 1).as("n_reached"),
         max(col("dist")).as("eccentricity"))
@@ -833,15 +863,15 @@ object GraphMining {
     * and the deterministic (degree DESC, node) hub seed set.
     */
   private def hubSeedPrefix(edges0: DataFrame): (DataFrame, DataFrame) = {
-    val edges = edges0.localCheckpoint()
+    val edges = edges0.cpSer()
     val sym = edges.select(col("u").as("node"), col("v").as("nbr"))
       .union(edges.select(col("v").as("node"), col("u").as("nbr")))
-      .localCheckpoint()
+      .cpSer()
     val deg = sym.groupBy(col("node")).agg(count(lit(1)).as("d"))
     val seeds = deg.orderBy(col("d").desc, col("node"))
       .limit(BfsSeedK)
       .select(col("node").as("seed"))
-      .localCheckpoint()
+      .cpSer()
     (sym, seeds)
   }
 
@@ -857,7 +887,7 @@ object GraphMining {
     var visited = seeds
       .select(col("seed"), col("seed").as("node"),
         lit(0).as("dist"), lit(1L).as("sigma"))
-      .localCheckpoint()
+      .cpSer()
     var frontier = visited.select(col("seed"), col("node"), col("sigma"))
     for (k <- 1 to BfsRounds) {
       frontier = frontier
@@ -867,11 +897,12 @@ object GraphMining {
         .select(col("seed"), col("nbr").as("node"), col("sigma"))
         .join(visited.select(col("seed"), col("node")),
           Seq("seed", "node"), "left_anti")
-        .localCheckpoint()
+        .cpSer()
+      // union of already-checkpointed level frames (no rewrite), see
+      // bfsLayers (r15 opt)
       visited = visited
         .union(frontier.withColumn("dist", lit(k))
           .select(col("seed"), col("node"), col("dist"), col("sigma")))
-        .localCheckpoint()
     }
     visited
   }
@@ -884,7 +915,7 @@ object GraphMining {
     // floor-division milli terms summed as integers
     var delta = visited.filter(col("dist") === BfsRounds)
       .select(col("seed"), col("node"), col("sigma"), lit(0L).as("delta"))
-      .localCheckpoint()
+      .cpSer()
     var acc = delta
     for (k <- (BfsRounds - 1) to 0 by -1) {
       val vl = visited.filter(col("dist") === k)
@@ -902,8 +933,9 @@ object GraphMining {
       delta = vl.join(terms, Seq("seed", "node"), "left")
         .na.fill(0L, Seq("delta"))
         .select(col("seed"), col("node"), col("sigma"), col("delta"))
-        .localCheckpoint()
-      acc = acc.union(delta).localCheckpoint()
+        .cpSer()
+      // acc is a union of already-checkpointed delta frames (r15 opt)
+      acc = acc.union(delta)
     }
     acc.filter(col("node") =!= col("seed"))
       .groupBy(col("node"))
@@ -952,7 +984,7 @@ object GraphMining {
     // backward: exact integer path-count accumulation level by level
     var delta = visited.filter(col("dist") === BfsRounds)
       .select(col("seed"), col("node"), col("sigma"), lit(0L).as("delta"))
-      .localCheckpoint()
+      .cpSer()
     var acc = delta
     for (k <- (BfsRounds - 1) to 0 by -1) {
       val vl = visited.filter(col("dist") === k)
@@ -971,8 +1003,9 @@ object GraphMining {
       delta = vl.join(terms, Seq("seed", "node"), "left")
         .na.fill(0L, Seq("delta"))
         .select(col("seed"), col("node"), col("sigma"), col("delta"))
-        .localCheckpoint()
-      acc = acc.union(delta).localCheckpoint()
+        .cpSer()
+      // acc is a union of already-checkpointed delta frames (r15 opt)
+      acc = acc.union(delta)
     }
     acc.filter(col("node") =!= col("seed"))
       .groupBy(col("node"))
@@ -1030,18 +1063,18 @@ object GraphMining {
 
   /** [[graphMst]]'s kernel on any (u, v, support) weighted frame. */
   private[operators] def boruvkaForest(wedges0: DataFrame): DataFrame = {
-    val wedges = wedges0.localCheckpoint()
+    val wedges = wedges0.cpSer()
     var labels = wedges.select(col("u").as("node"))
       .union(wedges.select(col("v").as("node"))).distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint()
+      .cpSer()
     var forest: Option[DataFrame] = None
     for (k <- 1 to MstRounds) {
       val lu = labels.select(col("node").as("u"), col("label").as("cu"))
       val lv = labels.select(col("node").as("v"), col("label").as("cv"))
       val cross = wedges.join(lu, Seq("u")).join(lv, Seq("v"))
         .filter(col("cu") =!= col("cv"))
-        .localCheckpoint()
+        .cpSer()
       // each component's best incident cross edge under the total
       // order (support DESC, u, v) — unique, hence engine-exact
       val cand = cross.select(col("cu").as("c"), col("u"), col("v"),
@@ -1052,11 +1085,11 @@ object GraphMining {
         .orderBy(col("support").desc, col("u"), col("v"))
       val sel = cand.withColumn("rn", row_number().over(wr))
         .filter(col("rn") === 1)
-        .localCheckpoint()
+        .cpSer()
       val picked = sel.select(col("u"), col("v"), col("support")).distinct()
         .withColumn("round_added", lit(k))
       forest = Some(forest.fold(picked)(_.unionByName(picked))
-        .localCheckpoint())
+        .cpSer())
       // contract: min-label CC over the picked component-pair graph
       // (O(#components) edges — the bounded frame the hybrid kernel
       // was built for)
@@ -1067,7 +1100,7 @@ object GraphMining {
         .join(remap, labels("label") === col("old_label"), "left")
         .select(col("node"),
           coalesce(col("new_label"), col("label")).as("label"))
-        .localCheckpoint()
+        .cpSer()
     }
     forest.get
       .select(col("u"), col("v"), col("support"), col("round_added"))
@@ -1112,21 +1145,21 @@ object GraphMining {
 
   /** [[graphWeightedPaths]]'s kernel on any (u, v, support) frame. */
   private[operators] def weightedPaths(wedges0: DataFrame): DataFrame = {
-    val wedges = wedges0.localCheckpoint()
+    val wedges = wedges0.cpSer()
     val symw = wedges
       .select(col("u").as("node"), col("v").as("nbr"), col("support"))
       .union(wedges
         .select(col("v").as("node"), col("u").as("nbr"), col("support")))
       .select(col("node"), col("nbr"),
         expr("1 + 1000 div support").as("w"))
-      .localCheckpoint()
+      .cpSer()
     val deg = symw.groupBy(col("node")).agg(count(lit(1)).as("d"))
     val seeds = deg.orderBy(col("d").desc, col("node")).limit(BfsSeedK)
       .select(col("node").as("seed"), col("d").as("degree"))
-      .localCheckpoint()
+      .cpSer()
     var best = seeds
       .select(col("seed"), col("seed").as("node"), lit(0L).as("cost"))
-      .localCheckpoint()
+      .cpSer()
     var frontier = best
     for (_ <- 1 to WpRounds) {
       val relaxed = frontier.join(symw, Seq("node"))
@@ -1138,10 +1171,10 @@ object GraphMining {
           Seq("seed", "node"), "left")
         .filter(col("old").isNull || col("cost") < col("old"))
         .select(col("seed"), col("node"), col("cost"))
-        .localCheckpoint()
+        .cpSer()
       best = best.unionByName(improved)
         .groupBy(col("seed"), col("node")).agg(min(col("cost")).as("cost"))
-        .localCheckpoint()
+        .cpSer()
       frontier = improved
     }
     best.filter(col("node") =!= col("seed"))

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
 
 /** G21 `IncrementalMinhashStream` — D19's paraphrase intake gate as a
   * LIVE stream over a PERSISTED store (the stream twin the D19 batch
@@ -68,7 +69,7 @@ object IncrementalMinhashStream {
     * each band's buckets co-located for the equi-join.
     */
   def build(spark: SparkSession, storeDocs: DataFrame, root: String): Unit = {
-    val sig = sigFrame(storeDocs).localCheckpoint() // feeds both sidecars
+    val sig = sigFrame(storeDocs).localCheckpoint(true, MEMORY_AND_DISK_SER) // feeds both sidecars
     val (bandSc, sigSc) = minhashSidecars(sig)
     bandSc.write.mode("overwrite").partitionBy("band")
       .parquet(bandsDir(root))
@@ -125,7 +126,7 @@ object IncrementalMinhashStream {
     */
   def appendToState(spark: SparkSession, root: String,
       accepted: DataFrame): DataFrame = {
-    val sig = sigFrame(accepted).localCheckpoint() // both sidecars
+    val sig = sigFrame(accepted).localCheckpoint(true, MEMORY_AND_DISK_SER) // both sidecars
     val (bandSc, sigSc) = minhashSidecars(sig)
     bandSc.write.mode("append").partitionBy("band").parquet(bandsDir(root))
     sigSc.write.mode("append").parquet(sigsDir(root))
@@ -222,7 +223,7 @@ object IncrementalMinhashStream {
     */
   private[graft] def intraBatchVictims(docs: DataFrame): DataFrame = {
     import graft.dedup.Dedup.IncMinhashMinMatches
-    val sig = sigFrame(docs).localCheckpoint()
+    val sig = sigFrame(docs).localCheckpoint(true, MEMORY_AND_DISK_SER)
     val (bands, sigs) = minhashSidecars(sig)
     val cand = bands
       .join(bands.select(col("band"), col("bucket"),
@@ -265,8 +266,8 @@ object IncrementalMinhashStream {
     docs.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val b = batch.localCheckpoint() // verdict + append read it
-        val verdicts = transformBatch(b, root).localCheckpoint()
+        val b = batch.localCheckpoint(true, MEMORY_AND_DISK_SER) // verdict + append read it
+        val verdicts = transformBatch(b, root).localCheckpoint(true, MEMORY_AND_DISK_SER)
         sink(verdicts, batchId)
         if (appendNovel) {
           val novel = b.join(

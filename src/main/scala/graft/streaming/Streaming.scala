@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
 
 /** Streaming operators (SURVEY.md §2.G). Each has a batch-equivalent
   * query (oracle-checked by the driver) and a genuine Structured
@@ -300,7 +301,7 @@ object Streaming {
       .filter(size(col("shingles")) >= 1)
       .select(col("doc_id"),
         minhashSig(col("shingles"), Dedup.NumPerms).as("sig"))
-      .localCheckpoint() // both sidecars + the intake pass read it
+      .localCheckpoint(true, MEMORY_AND_DISK_SER) // both sidecars + the intake pass read it
     val (bandSc, sigSc) = Dedup.minhashSidecars(
       sig.filter(pmod(col("doc_id"), lit(ContamMod)) === 0))
     Dedup.intakeMinhashDedup(

@@ -824,11 +824,20 @@ object CorpusQuality {
 
   /** [[corpusDsir]]'s kernel on any documents frame. */
   private[text] def dsirWeights(documents: DataFrame): DataFrame = {
+    // checkpoint the bucketed token frame: it feeds BOTH the bucket
+    // stats and the per-doc scoring join, and uncached each consumer
+    // re-ran the tokenize + per-token md5 pass (the r15 baseline's
+    // three ~0.5-0.9 s scan stages). `tok` is dropped before the
+    // checkpoint — only (doc_id, lang, bkt) rides. Serialized storage
+    // per the r14 house rule (guide §1.2 / §5).
     val toksB = documents
       .select(col("doc_id"), col("lang"), explode(toks).as("tok"))
       .withColumn("bkt",
         conv(substring(md5(col("tok").cast("binary")), 1, 2), 16, 10)
           .cast("long"))
+      .select(col("doc_id"), col("lang"), col("bkt"))
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val stats = toksB.groupBy(col("bkt"))
       .agg(count(lit(1)).as("c_all"),
         sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_en"))

@@ -42,9 +42,18 @@ object Retrieval {
     // small shuffle; a multi-file 100 TB corpus splits naturally)
     val docs = docs0
       .repartition(spark.sparkContext.defaultParallelism)
+    // checkpoint the (doc, term, tf) frame: it feeds BOTH the df
+    // aggregation and the scoring join, and the two subtrees prune
+    // different columns so Spark plans two separate exchanges — the
+    // r15 baseline measured the explode+count pass running twice
+    // (~0.9 s each). Serialized storage per the r14 house rule; the
+    // frame is the distinct (doc, term) surface both consumers need
+    // anyway, far below the raw token explode.
     val tf = docs.select(col("doc_id"), explode(toks).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("doc_id"))
@@ -99,29 +108,66 @@ object Retrieval {
     bm25ScoresOf(Tables(spark, dir, "documents"), terms)
 
   /** [[bm25ScoresFor]]'s kernel on any (doc_id, text) frame. */
-  def bm25ScoresOf(docs: DataFrame, terms: Seq[String]): DataFrame = {
-    val tokDf = docs.select(col("doc_id"), explode(toks).as("term"))
-    val dl = tokDf.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
-    val tf = tokDf.filter(col("term").isin(terms: _*))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val termScore = tf.join(broadcast(df), Seq("term"))
-      .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
-      .withColumn("s",
-        log(lit(1) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
-          col("tf") * (Bm25K1 + 1) /
-          (col("tf") + lit(Bm25K1) *
-            (lit(1 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
-    val perTerm = terms.map(t =>
-      coalesce(max(when(col("term") === t, col("s"))), lit(0.0)))
-    termScore
+  def bm25ScoresOf(docs: DataFrame, terms: Seq[String]): DataFrame =
+    bm25FromPerDoc(bm25PerDoc(docs, terms), terms, terms)
+
+  /** ONE corpus pass for everything BM25 needs: per-document length
+    * and per-literal-term tf land in a single map-side-combined
+    * aggregation, then the corpus scalars (N, avgdl, per-term df)
+    * reduce off that doc-sized frame. The r15 baseline measured the
+    * old three-subtree spelling (dl, tf, and the dl join each
+    * re-scanning + re-tokenizing the corpus, ~400 ms per scan at
+    * sf0.1, ×3 queries in the multi arm) as hybrid_mmr_multi's whole
+    * wall (guide §1.2: fix the algorithm's pass count first). The
+    * checkpointed frame is O(docs × |terms|) longs — the natural
+    * sample-slice shape at 100 TB, far below the exploded token frame
+    * the old dl aggregation shuffled.
+    */
+  private[graft] def bm25PerDoc(docs: DataFrame,
+      terms: Seq[String]): DataFrame = {
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$i") }
+    val perDoc = docs.select(col("doc_id"), explode(toks).as("term"))
       .groupBy(col("doc_id"))
-      .agg(
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val dfCols = terms.indices.map(i =>
+      sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = perDoc.agg(count(lit(1)).as("n"),
+      avg(col("dl")).as("avgdl") +: dfCols: _*)
+    perDoc.crossJoin(broadcast(stats))
+  }
+
+  /** Per-document BM25 over `queryTerms` ⊆ `allTerms`, reading the
+    * [[bm25PerDoc]] frame built for `allTerms`. Each term's score is a
+    * pure function of (tf, dl, df, n, avgdl) — none depend on which
+    * OTHER terms ride in the frame — and the final sum stays in
+    * literal `queryTerms` order, so the result is bit-identical to a
+    * dedicated single-query build (the multi-query hybrid arm shares
+    * one corpus pass across all its queries on exactly this argument).
+    */
+  private[graft] def bm25FromPerDoc(perDoc: DataFrame,
+      allTerms: Seq[String], queryTerms: Seq[String]): DataFrame = {
+    def tfCol(t: String) = col(s"tf_${allTerms.indexOf(t)}")
+    def dfCol(t: String) = col(s"df_${allTerms.indexOf(t)}")
+    // per-term score, written in the OLD termScore expression's exact
+    // evaluation order so the IEEE doubles reproduce
+    val perTerm = queryTerms.map { t =>
+      when(tfCol(t) > 0,
+        log(lit(1) + (col("n") - dfCol(t) + 0.5) / (dfCol(t) + 0.5)) *
+          tfCol(t) * (Bm25K1 + 1) /
+          (tfCol(t) + lit(Bm25K1) *
+            (lit(1 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+        .otherwise(lit(0.0))
+    }
+    val nTerms = queryTerms.map(t =>
+      when(tfCol(t) > 0, 1L).otherwise(0L)).reduceLeft(_ + _)
+    perDoc
+      .filter(queryTerms.map(t => tfCol(t) > 0).reduceLeft(_ || _))
+      .select(col("doc_id"),
         round(perTerm.reduceLeft(_ + _), 6).as("bm25"),
-        count(lit(1)).as("n_terms"))
+        nTerms.as("n_terms"))
   }
 
   /** C17 `vocab_bpe_pairs` — adjacent character-pair frequencies inside
