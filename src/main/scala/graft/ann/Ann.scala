@@ -621,18 +621,14 @@ object Ann {
       .join(broadcast(refined), Seq("cell_id"))
       .withColumn("nrm", sqrt(dotF(col("embedding"), col("embedding"))))
       .withColumn("res", expr("zip_with(embedding, c_emb, (a, b) -> a - b)"))
-      .withColumn("rmx", expr(
-        "aggregate(res, cast(0 as float), (m, x) -> greatest(m, abs(x)))"))
-      .withColumn("rq", expr(
-        "transform(res, x -> cast(round(x / greatest(rmx, float(1e-9)) * 127) as int))"))
+      .withColumn("rmx", expr(maxAbsUnrolled("res")))
+      .withColumn("rq", expr(int8Unrolled("res", "rmx")))
       .select(col("cell_id"), col("vec_id"), col("embedding"),
         col("nrm"), col("rq"), col("rmx"))
     val q = queriesOf(emb)
       .withColumn("qn", sqrt(dotF(col("q_emb"), col("q_emb"))))
-      .withColumn("qmx", expr(
-        "aggregate(q_emb, cast(0 as float), (m, x) -> greatest(m, abs(x)))"))
-      .withColumn("qq", expr(
-        "transform(q_emb, x -> cast(round(x / greatest(qmx, float(1e-9)) * 127) as int))"))
+      .withColumn("qmx", expr(maxAbsUnrolled("q_emb")))
+      .withColumn("qq", expr(int8Unrolled("q_emb", "qmx")))
     val probed = probeCells(q, refined)
     val cand = poolTopK(
       enc.join(broadcast(probed), Seq("cell_id"))
@@ -777,13 +773,33 @@ object Ann {
   def annQuantized(spark: SparkSession, dir: String): DataFrame =
     annQuantizedOf(Tables(spark, dir, "embeddings"))
 
+  /** Per-vector max-|x| over the fixed [[Dim]] dims — the
+    * `aggregate(…, greatest)` fold UNROLLED into one codegen
+    * greatest(…) varargs call (r16): the HOF fold is CodegenFallback
+    * and ran interpreted once per vector. greatest over non-null
+    * floats is the fold's max exactly (same cast(0 as float) seed
+    * leading), so values are identical.
+    */
+  private[ann] def maxAbsUnrolled(emb: String): String =
+    (0 until Dim).map(i => s"abs($emb[$i])")
+      .mkString("greatest(cast(0 as float), ", ", ", ")")
+
+  /** Per-vector int8 quantization against a max-abs column — the
+    * `transform(…)` HOF UNROLLED into a fixed array(…) constructor
+    * (r16): per-element expression text identical to the old lambda
+    * body (same coercions, same rounding), so codes are bit-identical.
+    */
+  private[ann] def int8Unrolled(emb: String, mx: String): String =
+    (0 until Dim).map(i =>
+        s"cast(round($emb[$i] / greatest($mx, float(1e-9)) * 127) as int)")
+      .mkString("array(", ", ", ")")
+
   /** [[annQuantized]]'s kernel on caller embeddings frame. */
   def annQuantizedOf(emb: DataFrame): DataFrame = {
     def quantized(df: DataFrame, emb: String): DataFrame = df
-      .withColumn("mx", expr(
-        s"aggregate($emb, cast(0 as float), (m, x) -> greatest(m, abs(x)))"))
+      .withColumn("mx", expr(maxAbsUnrolled(emb)))
       .withColumn("qv", expr( // zero-vector guard on the divisor
-        s"transform($emb, x -> cast(round(x / greatest(mx, float(1e-9)) * 127) as int))"))
+        int8Unrolled(emb, "mx")))
     val c = quantized(corpusOf(emb, spread = true), "embedding")
       .withColumn("nrm", sqrt(dotF(col("embedding"), col("embedding"))))
       .select(col("vec_id"), col("embedding"), col("qv"), col("nrm"))
@@ -824,19 +840,25 @@ object Ann {
   def annBq(spark: SparkSession, dir: String): DataFrame =
     annBqOf(Tables(spark, dir, "embeddings"))
 
+  /** Sign-pack bits [lob, lob+32) of a fixed-[[Dim]] vector into one
+    * BIGINT word — the `aggregate(sequence(…))` fold spelling UNROLLED
+    * into a left-associative + chain (r16, the r15 "annBq sign-pack
+    * HOFs" leftover): the HOF is CodegenFallback, so every packed
+    * vector ran interpreted. Integer sum of the same per-bit terms in
+    * the same order (shiftleft(1, k) pre-folded to the 2^k literal) —
+    * bit-identical words.
+    */
+  private def packWord(emb: String, lob: Int): String =
+    (0 until 32).map(k =>
+        s"(CASE WHEN $emb[${lob + k}] > 0 THEN ${1L << k}L" +
+          " ELSE CAST(0 AS BIGINT) END)")
+      .mkString("CAST(0 AS BIGINT) + ", " + ", "")
+
   /** [[annBq]]'s kernel on caller embeddings frame. */
   def annBqOf(emb: DataFrame): DataFrame = {
     def packed(df: DataFrame, emb: String): DataFrame = df
-      .withColumn("lo", expr(
-        s"""aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, i) ->
-           |  acc + CASE WHEN $emb[i] > 0
-           |    THEN shiftleft(CAST(1 AS BIGINT), i)
-           |    ELSE CAST(0 AS BIGINT) END)""".stripMargin))
-      .withColumn("hi", expr(
-        s"""aggregate(sequence(32, 63), CAST(0 AS BIGINT), (acc, i) ->
-           |  acc + CASE WHEN $emb[i] > 0
-           |    THEN shiftleft(CAST(1 AS BIGINT), i - 32)
-           |    ELSE CAST(0 AS BIGINT) END)""".stripMargin))
+      .withColumn("lo", expr(packWord(emb, 0)))
+      .withColumn("hi", expr(packWord(emb, 32)))
     val c = packed(corpusOf(emb, spread = true), "embedding")
       .withColumn("nrm", sqrt(dotF(col("embedding"), col("embedding"))))
       .select(col("vec_id"), col("embedding"), col("lo"), col("hi"),
@@ -869,20 +891,43 @@ object Ann {
     * whole-stage-codegen. Bit-identical: SQL `+` parses
     * left-associative, so `0.0 + e₀ + e₁ + …` reproduces the fold's
     * exact accumulation order, leading zero included.
+    *
+    * r16: `lut` is a position-indexed ARRAY (see [[adcLutAgg]]), so each
+    * of the [[PqM]] lookups is an O(1) GetArrayItem — the former
+    * map<int,double> spelling made every element_at a LINEAR key scan
+    * over all [[PqM]]·[[PqK]] entries inside the per-candidate hot loop
+    * (~m·k/2 int compares per lookup at m=8, k=16). +1: element_at on
+    * arrays is 1-based.
     */
   private[graft] def adcSum: org.apache.spark.sql.Column = expr(
     (0 until PqM).map(s =>
-        s"element_at(lut, $s * $PqK + element_at(codes, ${s + 1}))")
+        s"element_at(lut, $s * $PqK + element_at(codes, ${s + 1}) + 1)")
       .mkString("cast(0 as double) + ", " + ", ""))
 
+  /** Aggregate building the per-query ADC lookup table consumed by
+    * [[adcSum]]: the (sub, code, d) rows collect into an array ordered
+    * by idx = sub·[[PqK]]+code, so position idx+1 holds d. The codebook
+    * join guarantees every (sub, code) pair appears exactly once per
+    * q_id, so the array is complete over idx ∈ [0, m·k) and array_sort
+    * on the (idx, d) struct orders on the unique idx. Same doubles in a
+    * flat container — the map spelling carried identical values but
+    * cost a per-lookup key scan (see [[adcSum]]).
+    */
+  private[ann] def adcLutAgg: org.apache.spark.sql.Column = expr(
+    s"transform(array_sort(collect_list(struct(sub * $PqK + code AS idx, d))), x -> x.d)")
+
   /** Split a vector column into its [[PqM]] subvectors, one row per
-    * (id, sub). The transform HOF materializes in a projection BEFORE
-    * the posexplode (HOFs are CodegenFallback — fine per input row,
-    * poison per output row under Generate; see word_shingles).
+    * (id, sub). r16: the transform-over-sequence HOF (CodegenFallback,
+    * interpreted per input vector) unrolled into a fixed array(slice…)
+    * constructor — slice and array are codegen, element values
+    * identical. Still materialized in a projection BEFORE the
+    * posexplode (fine per input row, poison per output row under
+    * Generate; see word_shingles).
     */
   private[ann] def subvecFrame(df: DataFrame, emb: String, id: String): DataFrame =
     df.withColumn("svs", expr(
-        s"transform(sequence(0, ${PqM - 1}), s -> slice($emb, s * $PqSub + 1, $PqSub))"))
+        (0 until PqM).map(s => s"slice($emb, ${s * PqSub + 1}, $PqSub)")
+          .mkString("array(", ", ", ")")))
       .select(col(id), posexplode(col("svs")).as(Seq("sub", "sv")))
 
   /** Nearest-centroid assignment within each subspace: L2 argmin via
@@ -986,8 +1031,7 @@ object Ann {
       .join(broadcast(cb), Seq("sub"))
       .withColumn("d", dotF(col("sv"), col("cb_emb")))
       .groupBy(col("q_id"))
-      .agg(map_from_entries(collect_list(struct(
-        (col("sub") * PqK + col("code")).as("idx"), col("d")))).as("lut"))
+      .agg(adcLutAgg.as("lut"))
       .join(q, Seq("q_id"))
     val cand = poolTopK(
       enc.crossJoin(broadcast(lut))
@@ -1083,8 +1127,7 @@ object Ann {
       .join(broadcast(cb), Seq("sub"))
       .withColumn("d", dotF(col("sv"), col("cb_emb")))
       .groupBy(col("q_id"))
-      .agg(map_from_entries(collect_list(struct(
-        (col("sub") * PqK + col("code")).as("idx"), col("d")))).as("lut"))
+      .agg(adcLutAgg.as("lut"))
       .join(q.select(col("q_id"), col("q_emb"), col("qn")), Seq("q_id"))
     val cand = poolTopK(
       enc.crossJoin(broadcast(lut))
@@ -1171,8 +1214,7 @@ object Ann {
       .join(broadcast(cb), Seq("sub"))
       .withColumn("d", dotF(col("sv"), col("cb_emb")))
       .groupBy(col("q_id"))
-      .agg(map_from_entries(collect_list(struct(
-        (col("sub") * PqK + col("code")).as("idx"), col("d")))).as("lut"))
+      .agg(adcLutAgg.as("lut"))
     val probed = probeCells(q, refined).join(lut, Seq("q_id"))
     val cand = poolTopK(
       enc.join(broadcast(probed), Seq("cell_id"))

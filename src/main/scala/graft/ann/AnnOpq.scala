@@ -205,8 +205,7 @@ object AnnOpq {
       .join(broadcast(cb), Seq("sub"))
       .withColumn("d", dotF(col("sv"), col("cb_emb")))
       .groupBy(col("q_id"))
-      .agg(map_from_entries(collect_list(struct(
-        (col("sub") * PqK + col("code")).as("idx"), col("d")))).as("lut"))
+      .agg(Ann.adcLutAgg.as("lut"))
       .join(q.select(col("q_id"), col("q_emb"), col("qn")), Seq("q_id"))
     val cand = Ann.poolTopK(
       enc.crossJoin(broadcast(lut))

@@ -226,9 +226,7 @@ object PqIndex {
       .join(broadcast(cb), Seq("sub"))
       .withColumn("d", dotF(col("sv"), col("cb_emb")))
       .groupBy(col("q_id"))
-      .agg(map_from_entries(collect_list(struct(
-        (col("sub") * Ann.PqK + col("code")).as("idx"), col("d"))))
-        .as("lut"))
+      .agg(Ann.adcLutAgg.as("lut"))
     val probed = Ann.probeCells(q, refined).join(lut, Seq("q_id"))
     val cellIds = probed.select(col("cell_id")).distinct()
       .collect().map(_.getLong(0)).sorted

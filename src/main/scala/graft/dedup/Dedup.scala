@@ -583,9 +583,13 @@ object Dedup {
               .as("label"),
             coalesce((col("nbr_min") < col("label")).cast("long"), lit(0L))
               .as("chg"))
+        // r16: LAZY checkpoint — the convergence agg right below is the
+        // action that materializes the blocks, fusing what used to be
+        // two jobs per checkpoint round (persist pass + count pass)
+        // into one. Same storage level, same lineage truncation.
         val next =
           if (cpRound)
-            next0.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+            next0.localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
           else next0
         // coalesce: sum over an EMPTY label frame is NULL (reachable
         // since r14's driverMaxEdges=0 forcing covers empty graphs)
@@ -610,8 +614,12 @@ object Dedup {
                 col("label") === col("jn"), "left")
               .select(col("node"), coalesce(col("jl"), col("label"))
                 .as("label"))
+            // lazy for the same reason: the next round's first join
+            // (or the caller's final action) materializes the blocks —
+            // an eager pass here would compute them only to have the
+            // consumer re-read what it could have produced in-line
             if (cpRound)
-              j.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+              j.localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
             else j
           }
         labels = jumped

@@ -69,7 +69,23 @@ object DedupEval {
   def dedupLshSweep(spark: SparkSession, dir: String): DataFrame =
     dedupLshSweepOf(graft.Tables(spark, dir, "documents"))
 
-  /** [[dedupLshSweep]]'s kernel on any (doc_id, text) frame. */
+  /** [[dedupLshSweep]]'s kernel on any (doc_id, text) frame.
+    *
+    * r16 (guide §2.3/§2.4 — the r15 "per-config band explode" leftover):
+    * the grid's bands NEST (rows halve as bands double), so a pair
+    * collides on a coarse band of r rows iff it collides on ALL of that
+    * band's r/rMin constituent finest slices — slice equality over a
+    * partition of the index range is conjunction of the parts' equality.
+    * The old shape exploded the signature and self-joined PER CONFIG
+    * (4 configs × 2 sides: 8 explode passes, the full 128-long-per-doc
+    * bucket payload shuffled four times over). Now ONE explode at the
+    * finest config (bMax buckets of rMin longs — the same 128 longs per
+    * doc crossing once) and ONE self-join produce the matched
+    * finest-slice pairs; every coarser config's candidate set derives
+    * from that (checkpointed, collision-sized) frame by counting
+    * complete coarse groups — no signature bytes re-shuffled. Candidate
+    * sets are provably identical, so every reported count is unchanged.
+    */
   def dedupLshSweepOf(docs: DataFrame): DataFrame = {
     import Dedup.NumPerms
     val sh = Dedup.shingledOf(docs)
@@ -81,17 +97,28 @@ object DedupEval {
     val truth = Dedup.ngramJaccardPairsOf(sh, materialize = true)
       .select(col("ia"), col("ib"))
       .localCheckpoint(true, MEMORY_AND_DISK_SER)
+    val bMax = SweepBands.max
+    val rMin = NumPerms / bMax
+    val bands = sig.select(col("doc_id"),
+      posexplode(expr(
+        s"transform(sequence(0, $bMax - 1), x -> slice(sig, x * $rMin + 1, $rMin))"))
+        .as(Seq("band", "bucket")))
+    // one bucket per (doc, band), so (band, ia, ib) rows are unique —
+    // no distinct needed before the per-config derivation
+    val matched = bands
+      .select(col("doc_id").as("ia"), col("band"), col("bucket"))
+      .join(bands.select(col("doc_id").as("ib"), col("band"),
+        col("bucket")), Seq("band", "bucket"))
+      .filter(col("ia") < col("ib"))
+      .select(col("band"), col("ia"), col("ib"))
+      .localCheckpoint(true, MEMORY_AND_DISK_SER)
     SweepBands.map { b =>
       val r = NumPerms / b
-      val bands = sig.select(col("doc_id"),
-        posexplode(expr(
-          s"transform(sequence(0, $b - 1), x -> slice(sig, x * $r + 1, $r))"))
-          .as(Seq("band", "bucket")))
-      val cand = bands
-        .select(col("doc_id").as("ia"), col("band"), col("bucket"))
-        .join(bands.select(col("doc_id").as("ib"), col("band"),
-          col("bucket")), Seq("band", "bucket"))
-        .filter(col("ia") < col("ib"))
+      val g = bMax / b // finest slices per coarse band
+      val cand = matched
+        .groupBy(col("ia"), col("ib"), expr(s"band div $g").as("cb"))
+        .agg(count(lit(1)).as("nsub"))
+        .filter(col("nsub") === g)
         .select("ia", "ib").distinct()
       cand.agg(count(lit(1)).as("n_candidates"))
         .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true_pairs"))))

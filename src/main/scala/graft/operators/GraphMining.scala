@@ -28,6 +28,17 @@ object GraphMining {
   private implicit class CpSerOps(private val df: DataFrame) {
     def cpSer(): DataFrame = df.localCheckpoint(true,
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    /** LAZY serialized checkpoint (r16, guide §1.2 "don't compute
+      * things twice"): same lineage truncation and storage as
+      * [[cpSer]], but materialization rides the NEXT action over the
+      * frame instead of an extra eager pass — the loop kernels that
+      * immediately count() their checkpoint for a convergence test
+      * were paying one job to persist and a second to count what the
+      * first just wrote. Blocks persist on first compute either way;
+      * values identical.
+      */
+    def cpSerLazy(): DataFrame = df.localCheckpoint(false,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
   }
 
   // ---------------------------------------------------------------- B76
@@ -518,7 +529,9 @@ object GraphMining {
     */
   private[operators] def kcorePeelRounds(edges0: DataFrame,
       maxRounds: Int): (DataFrame, Int, Boolean) = {
-    var edges = edges0.cpSer()
+    // lazy checkpoint + count fused into ONE job per round (r16): the
+    // count() materializes the checkpoint blocks it is counting
+    var edges = edges0.cpSerLazy()
     var prev = edges.count()
     var rounds = 0
     var converged = prev == 0L
@@ -530,7 +543,7 @@ object GraphMining {
       edges = edges
         .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
-        .cpSer()
+        .cpSerLazy()
       rounds += 1
       val n = edges.count()
       converged = n == prev
