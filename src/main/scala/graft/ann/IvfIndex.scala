@@ -62,8 +62,13 @@ object IvfIndex {
     // write: the assign pipeline is map-only off the scan, so its
     // write parallelism was the SCAN split count (one task on a
     // single-file corpus) and that one task opened every `cell_id=`
-    // directory serially. Clustered, defaultParallelism tasks write in
-    // parallel and each cell still lands in exactly one file.
+    // directory serially. Clustered, up to defaultParallelism tasks
+    // write in parallel and each cell still lands in exactly one file.
+    // Caveat (r15 ADVICE): the key is low-cardinality, so effective
+    // parallelism is min(cores, distinct cells) and hash collisions
+    // can stack cells on one task — fine while cells ∝ √n ≫ cores at
+    // production scale; salt the key (at the cost of >1 file per
+    // cell) only if cell skew ever shows up in the write stage.
     Ann.assignCells(c, cents)
       .select(col("cell_id"), col("vec_id"), col("embedding"))
       .repartition(c.sparkSession.sparkContext.defaultParallelism,

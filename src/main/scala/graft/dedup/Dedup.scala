@@ -444,7 +444,10 @@ object Dedup {
     // the 256-dot rhp projection per vector runs twice. Same
     // candidate set (ea/eb are functions of ia/ib, so the old
     // distinct over (ia, ib, ea, eb) equals distinct over (ia, ib)),
-    // same cosines, same output.
+    // same cosines, same output. The re-attach legs assume vec_id is
+    // UNIQUE in `em` (true for every caller — the embeddings table
+    // keys on it); a duplicated id would multiply candidate rows that
+    // the old (ia, ib, ea, eb) distinct collapsed (r15 ADVICE).
     val sigs = em.select(col("vec_id"),
       posexplode(rhpSigs(col("embedding"), RhpBitsPerTable, RhpTables))
         .as(Seq("table", "sig")))

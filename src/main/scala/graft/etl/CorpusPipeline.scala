@@ -71,12 +71,20 @@ object CorpusPipeline {
 
   def corpusPipeline(spark: SparkSession, dir: String): DataFrame = {
     // 1. clean (whole table — the eval slice needs clean grams too).
-    // Cached: three consumers (eval grams, contamination probe, the
-    // decontaminated corpus) otherwise each replay the regex clean +
-    // tokenize over the full corpus.
+    // Materialized: three consumers (eval grams, contamination probe,
+    // the decontaminated corpus) otherwise each replay the regex
+    // clean + tokenize over the full corpus. r16: EAGER SERIALIZED
+    // checkpoint instead of a lazy deserialized persist — AQE's
+    // parallel stage materialization raced two consumers into the
+    // un-filled cache and BOTH re-scanned the parquet source (query
+    // task input 593 → 332 MB at sf1 with identical shuffle; wall
+    // flat at bench SF, one corpus scan instead of two at scale).
+    // Blocks pin for the session (the r15 ADVICE note): the bench
+    // clears per query, and a production pipeline run is one job.
     val all = cleaned(
       Tables(spark, dir, "documents").select(col("doc_id"), col("text")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
     // 2. decontamination: the eval slice leaves the corpus, and any
     // remaining doc sharing a word-ContamN-gram with it goes too.
@@ -88,7 +96,8 @@ object CorpusPipeline {
       .wordShingles(col("toks"), ContamN)
     val grams = all
       .select(col("doc_id"), explode(grams4).as("g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val evalGrams = grams.filter(pmod(col("doc_id"), lit(EvalMod)) === 0)
       .select(col("g")).distinct()
     val corpusDocs = all.filter(pmod(col("doc_id"), lit(EvalMod)) =!= 0)

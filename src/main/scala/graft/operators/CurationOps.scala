@@ -185,6 +185,21 @@ object CurationOps {
     // 32 tasks through its own exchange where the single-split cache
     // resolves each tiny branch in one task. A multi-file 100 TB
     // corpus splits (and so parallelizes) naturally at the scan.
+    // Re-measured r16 at the factor-10 sf1 basis (multi-file corpus,
+    // where the scan already splits): spread still loses — two A/B
+    // rounds each way, (kl, kl_lang) walls CURRENT (6.8, 3.5) /
+    // (3.1, 2.8) vs SPREAD (5.9, 11.0) / (7.6, 5.5) s — the
+    // repartition pays a full-corpus exchange before the cache and
+    // buys nothing the multi-split scan doesn't already give. Revert
+    // stands on both bases.
+    // r16 second A/B, also rejected: an EAGER SER checkpoint here
+    // (the corpus_pipeline fix) cut task input 170 -> 101 MB at sf1
+    // but tripled the wall (2.2/2.5 -> 7.0/6.0 s) — the lazy cache's
+    // racing consumers effectively parallelize this otherwise
+    // low-task-count query, and the checkpoint serializes it through
+    // one explode materialization. Redundant scans are the cheaper
+    // evil here (unlike corpus_pipeline, whose stampede re-read the
+    // raw corpus for a wall-neutral trade).
     val tk = docs
       .select(kc :+ explode(TextOps.tokens(col("text"))).as("tok"): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

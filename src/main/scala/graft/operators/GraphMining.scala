@@ -679,6 +679,13 @@ object GraphMining {
         .select(col("nbr").as("node")).distinct()
         .join(visited.select(col("node")), Seq("node"), "left_anti")
         .withColumn("dist", lit(k))
+        // NOT cpSerLazy: A/B'd r16 at sf1 in matched spot conditions —
+        // lazy 7.7/10.1 s vs eager 7.0/8.4 s at identical bytes/tasks:
+        // no win from deferring the frontier's materialization into the
+        // next round's first join, so the loop keeps the eager pass.
+        // Lazy stays only where a convergence count immediately
+        // consumes the frame (kcore peel, the CC kernel) — there the
+        // count IS the materializing action and one job replaces two.
         .cpSer()
       // visited stays a UNION of the already-checkpointed level frames:
       // re-checkpointing it each round rematerialized the whole prefix

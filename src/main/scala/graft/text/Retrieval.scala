@@ -149,8 +149,20 @@ object Retrieval {
     */
   private[graft] def bm25FromPerDoc(perDoc: DataFrame,
       allTerms: Seq[String], queryTerms: Seq[String]): DataFrame = {
-    def tfCol(t: String) = col(s"tf_${allTerms.indexOf(t)}")
-    def dfCol(t: String) = col(s"df_${allTerms.indexOf(t)}")
+    // r16 (r15 ADVICE): literal term lists must be duplicate-free and
+    // ⊆ allTerms — a repeated query term would count per occurrence in
+    // n_terms where the old matched-rows spelling counted it once, and
+    // a term outside allTerms would resolve to a phantom tf_-1 column.
+    // Every current caller passes distinct subsets; fail loudly if a
+    // future one doesn't. Index resolution via a Map, not indexOf.
+    require(queryTerms.distinct == queryTerms,
+      s"bm25FromPerDoc: duplicate query terms in $queryTerms")
+    val idx = allTerms.zipWithIndex.toMap
+    require(queryTerms.forall(idx.contains),
+      s"bm25FromPerDoc: query terms not in the perDoc frame: " +
+        queryTerms.filterNot(idx.contains).mkString(", "))
+    def tfCol(t: String) = col(s"tf_${idx(t)}")
+    def dfCol(t: String) = col(s"df_${idx(t)}")
     // per-term score, written in the OLD termScore expression's exact
     // evaluation order so the IEEE doubles reproduce
     val perTerm = queryTerms.map { t =>

@@ -82,6 +82,18 @@ def main():
             sys.exit(2)
         print(msg + " (--force-cpus given; read nothing into task or "
               "byte deltas)")
+    # r16: SF-basis guard — the standing trend now carries BOTH the
+    # sf0.1 and the factor-10 sf1 snapshots, and a cross-SF compare is
+    # meaningless the same way a cross-cpus one is. Paths differ per
+    # host, so compare the basename only.
+    import os
+    old_sf = os.path.basename(str(old_doc.get("sf", "")).rstrip("/"))
+    new_sf = os.path.basename(str(new_doc.get("sf", "")).rstrip("/"))
+    if old_sf != new_sf:
+        print(f"BASIS MISMATCH: {args[0]} ran on sf dir '{old_sf}', "
+              f"{args[1]} on '{new_sf}' — refusing the cross-SF "
+              f"compare.")
+        sys.exit(2)
     stamp = (f" [CPUS {old_cpus}->{new_cpus}]"
              if old_cpus != new_cpus else "")
     old, new = old_doc["metrics"], new_doc["metrics"]
