@@ -904,6 +904,20 @@ object Ann {
         s"element_at(lut, $s * $PqK + element_at(codes, ${s + 1}) + 1)")
       .mkString("cast(0 as double) + ", " + ", ""))
 
+  /** Assemble the per-vector PQ code array from assignCodes' one-row-
+    * per-(id, sub) frame WITHOUT an ObjectHashAggregate (r16): one
+    * `max(CASE WHEN sub = s THEN code END)` declarative aggregate per
+    * compile-time subspace, re-packed with array() — whole-stage-
+    * codegen HashAggregate whose partials ship [[PqM]] ints, instead
+    * of a growing struct-list buffer that is sorted and lambda-mapped
+    * per group. Exactly one code exists per (id, sub), so max picks
+    * that value: arrays are element-identical to the old
+    * transform(array_sort(collect_list(…))) spelling.
+    */
+  private[ann] def codesAgg: org.apache.spark.sql.Column = expr(
+    (0 until PqM).map(s => s"max(CASE WHEN sub = $s THEN code END)")
+      .mkString("array(", ", ", ")"))
+
   /** Aggregate building the per-query ADC lookup table consumed by
     * [[adcSum]]: the (sub, code, d) rows collect into an array ordered
     * by idx = sub·[[PqK]]+code, so position idx+1 holds d. The codebook
@@ -1019,9 +1033,7 @@ object Ann {
     val sv = subvecFrame(c, "embedding", "vec_id")
     val enc = assignCodes(sv, cb)
       .groupBy(col("vec_id"))
-      .agg(expr(
-        "transform(array_sort(collect_list(struct(sub, code))), x -> x.code)")
-        .as("codes"))
+      .agg(codesAgg.as("codes"))
       .join(c.withColumn("nrm", sqrt(dotF(col("embedding"), col("embedding")))),
         Seq("vec_id"))
     val q = queriesOf(emb)
@@ -1115,9 +1127,7 @@ object Ann {
     val sv = subvecFrame(c, "p_emb", "vec_id")
     val enc = assignCodes(sv, cb)
       .groupBy(col("vec_id"))
-      .agg(expr(
-        "transform(array_sort(collect_list(struct(sub, code))), x -> x.code)")
-        .as("codes"))
+      .agg(codesAgg.as("codes"))
       .join(c.withColumn("nrm", sqrt(dotF(col("embedding"), col("embedding"))))
         .select(col("vec_id"), col("embedding"), col("nrm")), Seq("vec_id"))
     val q = queriesOf(emb)
@@ -1202,9 +1212,7 @@ object Ann {
     val sv = subvecFrame(resFrame, "embedding", "vec_id")
     val enc = assignCodes(sv, cb)
       .groupBy(col("vec_id"))
-      .agg(expr(
-        "transform(array_sort(collect_list(struct(sub, code))), x -> x.code)")
-        .as("codes"))
+      .agg(codesAgg.as("codes"))
       .join(asg.select(col("vec_id"), col("cell_id"), col("embedding"),
         col("nrm")), Seq("vec_id"))
     val q = q0

@@ -193,9 +193,7 @@ object AnnOpq {
     val sv = Ann.subvecFrame(c, "p_emb", "vec_id")
     val enc = Ann.assignCodes(sv, cb)
       .groupBy(col("vec_id"))
-      .agg(expr(
-        "transform(array_sort(collect_list(struct(sub, code))), x -> x.code)")
-        .as("codes"))
+      .agg(Ann.codesAgg.as("codes"))
       .join(c.withColumn("nrm", sqrt(dotF(col("embedding"), col("embedding"))))
         .select(col("vec_id"), col("embedding"), col("nrm")), Seq("vec_id"))
     val q = Ann.queriesOf(emb)

@@ -87,9 +87,7 @@ object PqIndex {
       "embedding", "vec_id")
     Ann.assignCodes(sv, cb)
       .groupBy(col("vec_id"))
-      .agg(expr(
-        "transform(array_sort(collect_list(struct(sub, code))), x -> x.code)")
-        .as("codes"))
+      .agg(Ann.codesAgg.as("codes"))
       .join(asg.select(col("vec_id"), col("cell_id")), Seq("vec_id"))
       .select(col("cell_id"), col("vec_id"), col("codes"))
   }
