@@ -1199,15 +1199,23 @@ object Ann {
         "zip_with(embedding, c_emb, (a, b) -> a - b)"))
       .select(col("vec_id"), col("res").as("embedding"))
     val cb = pqTrainLocal(spark, resSample)
-    // cache the assigned+centered frame: encoding and the exact
+    // materialize the assigned+centered frame: encoding and the exact
     // re-rank's embedding/nrm columns both read it, and recomputing
-    // means replaying the corpus × cells assignment scoring pass
+    // means replaying the corpus × cells assignment scoring pass.
+    // r16: EAGER SER checkpoint instead of the lazy deserialized
+    // persist — the two consumers raced the cache fill under AQE's
+    // parallel stage materialization, and serialized blocks re-read
+    // smaller: sf1 A/B input 50.7 → 28.7 MB AND shuffle 21.8 →
+    // 19.1 MB per query at flat walls (this is the site where the
+    // checkpoint cut both; see dedupSemantic for the site where it
+    // traded shuffle up and was rejected).
     val asg = assignCells(c, refined)
       .join(broadcast(refined), Seq("cell_id"))
       .withColumn("nrm", sqrt(dotF(col("embedding"), col("embedding"))))
       .withColumn("res", expr(
         "zip_with(embedding, c_emb, (a, b) -> a - b)"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val resFrame = asg.select(col("vec_id"), col("res").as("embedding"))
     val sv = subvecFrame(resFrame, "embedding", "vec_id")
     val enc = assignCodes(sv, cb)
@@ -1487,6 +1495,12 @@ object Ann {
     val cents = refinedCentroids(spark, c)
     val asg = assignCells(c, cents)
       .withColumn("nrm", sqrt(dotF(col("embedding"), col("embedding"))))
+      // r16 A/B, rejected: an eager SER checkpoint here cut task input
+      // 34.7 -> 11.3 MB at sf1 but GREW shuffle 9.0 -> 16.4 MB — the
+      // columnar cache lets both self-join sides prune to one reused
+      // exchange, which the opaque checkpoint RDD defeats. Shuffle is
+      // the dearer byte at 100 TB, so the lazy cache stays here
+      // (unlike ivfPqOver's asg, where the checkpoint cut BOTH).
       .persist(MEMORY_AND_DISK)
     val a = asg.select(col("cell_id"), col("vec_id").as("ia"),
       col("embedding").as("ea"), col("nrm").as("na"))
@@ -1527,6 +1541,12 @@ object Ann {
     val cents = refinedCentroids(spark, c)
     val asg = assignCells(c, cents)
       .withColumn("nrm", sqrt(dotF(col("embedding"), col("embedding"))))
+      // r16 A/B, rejected: an eager SER checkpoint here cut task input
+      // 34.7 -> 11.3 MB at sf1 but GREW shuffle 9.0 -> 16.4 MB — the
+      // columnar cache lets both self-join sides prune to one reused
+      // exchange, which the opaque checkpoint RDD defeats. Shuffle is
+      // the dearer byte at 100 TB, so the lazy cache stays here
+      // (unlike ivfPqOver's asg, where the checkpoint cut BOTH).
       .persist(MEMORY_AND_DISK)
     val a = asg.select(col("cell_id"), col("vec_id").as("ia"),
       col("embedding").as("ea"), col("nrm").as("na"))
