@@ -1118,7 +1118,14 @@ object Ann {
     val spark = emb.sparkSession
     val cUn = corpusOf(emb)
     val perm = balancedPerm(cUn)
-    def permute(c: Column): Column = array(perm.map(d => c.getItem(d)): _*)
+    // r16: the permutation applies through the PermuteF codegen kernel
+    // (one static call) — the old array(getItem…) literal inlined 64
+    // element reads into the consuming stage, and fused with the
+    // unrolled subvector split the generated method crossed janino's
+    // 64 KB limit and the whole encode stage silently de-compiled to
+    // interpreted eval. Same float gather, bit-identical values.
+    def permute(c: Column): Column =
+      graft.functions.GraftFunctions.permuteF(c, perm.toArray)
     val sample = trainSample(spark, cUn)
       .select(col("vec_id"), permute(col("embedding")).as("embedding"))
     val cb = pqTrainLocal(spark, sample)

@@ -133,6 +133,44 @@ case class MatVecF(child: Expression,
     copy(child = newChild)
 }
 
+/** `permute_f(array<float>) -> array<float>` — gather through a
+  * plan-baked index array (E25's variance-balancing permutation):
+  * element j of the output is element perm(j) of the input, float in,
+  * float out, values identical to the `array(x[perm(0)], …)` literal
+  * spelling it replaces — but ONE static call inside whole-stage
+  * codegen instead of 64 inlined element reads (see
+  * [[VecOps.permuteF]] for the 64 KB-method story). Permutation held
+  * as an IndexedSeq so canonicalization is structural (the MatVecF
+  * rule).
+  */
+case class PermuteF(child: Expression,
+    perm: scala.collection.immutable.ArraySeq[Int])
+    extends UnaryExpression {
+  require(perm.nonEmpty, "permute_f: empty permutation")
+
+  @transient private lazy val idx: Array[Int] =
+    perm.unsafeArray.asInstanceOf[Array[Int]]
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.checkTypes(prettyName, Seq(child),
+      { case ArrayType(FloatType, _) => true })
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "permute_f"
+
+  override def nullSafeEval(v: Any): Any =
+    VecOps.permuteF(v.asInstanceOf[ArrayData], idx)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("perm", idx, "int[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.VecOps.permuteF($v, $pRef);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PermuteF =
+    copy(child = newChild)
+}
+
 /** H3 `minhash_sig(array<string>, k) -> array<long>` — one-pass k-perm
   * MinHash signature.
   */
@@ -371,6 +409,9 @@ object GraftFunctions {
   def matVecF(a: Column, m: Array[Double], outDim: Int): Column =
     column(MatVecF(expression(a),
       scala.collection.immutable.ArraySeq.unsafeWrapArray(m), outDim))
+  def permuteF(a: Column, perm: Array[Int]): Column =
+    column(PermuteF(expression(a),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(perm)))
   def minhashSig(a: Column, k: Int): Column =
     column(MinHashSig(expression(a), k))
   def simhash64(a: Column): Column = column(SimHash64(expression(a)))

@@ -67,6 +67,21 @@ object VecOps {
     new GenericArrayData(out)
   }
 
+  /** y[j] = x[perm(j)]: gather a float vector through a plan-baked
+    * index array (the E25 variance-balancing permutation apply). One
+    * static call per row — the array(getItem…) spelling this replaces
+    * inlined 64 element reads into whichever whole-stage-codegen
+    * method consumed the permuted column, which (fused with the
+    * unrolled subvector split, r16) overflowed janino's 64 KB method
+    * limit and silently de-compiled the stage.
+    */
+  def permuteF(x: ArrayData, perm: Array[Int]): ArrayData = {
+    val out = new Array[Any](perm.length)
+    var j = 0
+    while (j < perm.length) { out(j) = x.getFloat(perm(j)); j += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Integer dot product of two int vectors (quantized embeddings). */
   def dotI(x: ArrayData, y: ArrayData): Long = {
     val n = math.min(x.numElements(), y.numElements())

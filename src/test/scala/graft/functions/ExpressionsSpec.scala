@@ -20,6 +20,31 @@ class ExpressionsSpec extends SparkSpec {
     got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
   }
 
+  test("permute_f: gathers exactly the array(getItem…) spelling, " +
+      "codegen = eval (r16 — the 64 KB-method fix for ann_pq_balanced)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val perm = rnd.shuffle((0 until 64).toVector).toArray
+    val df = (0 until 50).map(_ => Array.fill(64)(rnd.nextFloat()))
+      .toDF("v")
+    val rows = df.select(
+        permuteF(col("v"), perm).as("k"),
+        array(perm.map(d => col("v").getItem(d)).toIndexedSeq: _*).as("lit"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Float](0) == r.getSeq[Float](1))
+    }
+    // structural equality: two independently wrapped copies of the
+    // same permutation are the same case class (the MatVecF
+    // IndexedSeq rule), so canonicalization/CSE can merge them
+    val wrap = (a: Array[Int]) => PermuteF(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1f), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(a))
+    assert(wrap(perm.clone()) == wrap(perm.clone()))
+  }
+
   test("dot_f + hoisted norms is bit-identical to fused cosine_sim") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
